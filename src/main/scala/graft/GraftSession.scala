@@ -1,0 +1,383 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.io.Flatten
+import graft.ops.Merge
+import graft.sql.SqlTemplate
+
+/** The engine facade: one Spark-native implementation of the reference's
+  * whole operator surface (python-sdk/src/astro/sql/__init__.py:20-50).
+  * Where the reference dispatched to 8 delegated SQL engines
+  * (databases/__init__.py:29-52), here the `SparkSession` *is* the engine.
+  *
+  * Table storage model (designed for a real cluster, not just local mode):
+  * every materialization is a **write-new-swap-pointer**: the new data is
+  * written to a fresh location, the catalog entry is swapped to point at
+  * it, and the old location is deleted. This makes replace/merge safe even
+  * when the new plan reads the table being replaced (SURVEY §7.5 risk 2)
+  * and is the same pattern a production lake would use — no
+  * read-while-overwrite, no partial-overwrite torn state.
+  */
+class GraftSession(val spark: SparkSession) {
+
+  /** Temp-table registry — the run-context replacement for the reference's
+    * XCom walk in cleanup (sql/operators/cleanup.py:55-301). */
+  private val tempTables = mutable.LinkedHashSet[String]()
+  /** table name (lowercased) -> storage path we own (for GC on drop). */
+  private val tablePaths = mutable.HashMap[String, String]()
+
+  private def hadoopFs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def warehouseDir: String =
+    spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+
+  private def newStoragePath(table: String): String =
+    s"$warehouseDir/_graft/${table.toLowerCase}_${java.util.UUID.randomUUID().toString.take(12)}"
+
+  // -------------------------------------------------------------------
+  // Catalog / schema management (databases/base.py:174-196,776-798)
+  // -------------------------------------------------------------------
+
+  /** CREATE SCHEMA IF NOT EXISTS parity (databases/base.py:776-790). */
+  def createSchemaIfNeeded(schema: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${SqlIdentifiers.quoteIfNeeded(schema)}")
+
+  def schemaExists(schema: String): Boolean = spark.catalog.databaseExists(schema)
+
+  def tableExists(table: TableRef): Boolean =
+    spark.catalog.tableExists(table.qualifiedName)
+
+  /** databases/base.py:174-196 columns_exist. */
+  def columnsExist(table: TableRef, columns: Seq[String]): Boolean = {
+    val have = spark.table(table.qualifiedName).columns.map(_.toLowerCase).toSet
+    columns.forall(c => have.contains(c.toLowerCase))
+  }
+
+  def rowCount(table: TableRef): Long = spark.table(table.qualifiedName).count()
+
+  /** databases/base.py:446-459 fetch_all_rows. */
+  def fetchAllRows(table: TableRef, rowLimit: Int = -1): Seq[Row] = {
+    val df = spark.table(table.qualifiedName)
+    (if (rowLimit >= 0) df.limit(rowLimit) else df).collect().toSeq
+  }
+
+  // -------------------------------------------------------------------
+  // Materialization core
+  // -------------------------------------------------------------------
+
+  private def registerTemp(table: TableRef): Unit =
+    if (table.temp) tempTables += table.qualifiedName.toLowerCase
+
+  /** Replace `table` with `df`'s result via write-new-swap-pointer. */
+  private def replaceTable(df: DataFrame, table: TableRef): Unit = {
+    val qn = table.qualifiedName
+    val dest = newStoragePath(table.name)
+    df.write.mode(SaveMode.Overwrite).parquet(dest)
+    val oldPath = tablePaths.get(qn.toLowerCase)
+    if (spark.catalog.tableExists(qn)) spark.sql(s"DROP TABLE IF EXISTS $qn")
+    spark.catalog.createTable(qn, dest)
+    tablePaths(qn.toLowerCase) = dest
+    oldPath.foreach(p => hadoopFs(new Path(p)).delete(new Path(p), true))
+    registerTemp(table)
+  }
+
+  /** Append `df` to `table` (created if missing), by-name with missing
+    * columns as NULL — the semantics of INSERT INTO (cols) SELECT
+    * (databases/base.py:666-696). */
+  private def appendToTable(df: DataFrame, table: TableRef): Unit = {
+    val qn = table.qualifiedName
+    if (!spark.catalog.tableExists(qn)) { replaceTable(df, table); return }
+    val tgtCols = spark.table(qn).columns
+    val haveLower = df.columns.map(_.toLowerCase).toSet
+    val aligned = df.select(tgtCols.toIndexedSeq.map { c =>
+      if (haveLower.contains(c.toLowerCase)) col(c) else lit(null).as(c)
+    }: _*)
+    aligned.write.mode(SaveMode.Append).insertInto(qn)
+  }
+
+  def writeTable(df: DataFrame, table: TableRef, ifExists: IfExists): Unit = ifExists match {
+    case IfExists.Replace => replaceTable(df, table)
+    case IfExists.Append  => appendToTable(df, table)
+  }
+
+  // -------------------------------------------------------------------
+  // load_file (sql/operators/load_file.py:37-407)
+  // -------------------------------------------------------------------
+
+  /** Read file(s) into a DataFrame. The reference's per-location smart_open
+    * streams + pandas readers (databases/base.py:566-589) collapse into
+    * Spark's distributed reader; glob/pattern paths are native.
+    *
+    * @param ndjsonNormalizeSep when the source is (ND)JSON, flatten nested
+    *        structs with this separator, reproducing json_normalize names
+    *        (files/types/ndjson.py:54-96). Pass None to keep nesting —
+    *        the Spark-native (and more scalable) representation.
+    */
+  def readFile(
+      file: FileRef,
+      ndjsonNormalizeSep: Option[String] = Some("_"),
+      capitalization: ColumnsCapitalization = ColumnsCapitalization.Original,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val fmt = file.resolvedFormat
+    var reader = spark.read.format(fmt.sparkFormat)
+    schema.foreach(s => reader = reader.schema(s))
+    fmt match {
+      case FileFormat.Csv =>
+        reader = reader.option("header", "true")
+        if (schema.isEmpty) reader = reader.option("inferSchema", "true")
+      case FileFormat.Json =>
+        reader = reader.option("multiLine", "true")
+      case _ => ()
+    }
+    reader = reader.options(file.options) // user options win
+    var df = reader.load(file.path)
+    val isJson = fmt == FileFormat.Json || fmt == FileFormat.Ndjson
+    if (isJson) ndjsonNormalizeSep.foreach { sep => df = Flatten.flatten(df, sep) }
+    df = Flatten.replaceIllegalColumnChars(df)
+    Flatten.applyCapitalization(df, capitalization)
+  }
+
+  /** load_file: file(s) → table; or → DataFrame when no output table, like
+    * the reference's "no output_table → dataframe" branch
+    * (load_file.py:133-138). */
+  def loadFile(
+      file: FileRef,
+      outputTable: Option[TableRef] = None,
+      ifExists: IfExists = IfExists.Replace,
+      ndjsonNormalizeSep: Option[String] = Some("_"),
+      capitalization: ColumnsCapitalization = ColumnsCapitalization.Original,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val df = readFile(file, ndjsonNormalizeSep, capitalization, schema)
+    outputTable match {
+      case None => df
+      case Some(t) =>
+        writeTable(df, t, ifExists)
+        spark.table(t.qualifiedName)
+    }
+  }
+
+  /** get_file_list (files/operators/files.py:13-43): Hadoop glob/list. */
+  def getFileList(pathOrGlob: String): Seq[String] = {
+    val p = new Path(pathOrGlob)
+    val fs = hadoopFs(p)
+    val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    matches.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.map(_.getPath.toString)
+      else Seq(st.getPath.toString)
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // export_to_file (sql/operators/export_to_file.py:18-183)
+  // -------------------------------------------------------------------
+
+  /** Table/DataFrame → file. The reference writes a *single* stream object
+    * (files/types/ csv|json|… create_from_dataframe); `singleFile=true` matches that
+    * (coalesce(1) + rename). For cluster-scale exports pass
+    * `singleFile=false` and get a standard parquet/csv directory. */
+  def exportToFile(
+      input: DataFrame,
+      output: FileRef,
+      ifExists: IfExists = IfExists.Replace,
+      singleFile: Boolean = true): String = {
+    val fmt = output.resolvedFormat
+    val mode = ifExists match {
+      case IfExists.Replace => SaveMode.Overwrite
+      case IfExists.Append  => SaveMode.Append
+    }
+    if (!singleFile) {
+      var w = input.write.mode(mode).format(fmt.sparkFormat).options(output.options)
+      if (fmt == FileFormat.Csv) w = w.option("header", "true")
+      w.save(output.path)
+      output.path
+    } else {
+      val outPath = new Path(output.path)
+      val fs = hadoopFs(outPath)
+      if (fs.exists(outPath) && mode == SaveMode.ErrorIfExists)
+        throw new IllegalStateException(s"${output.path} already exists")
+      val tmp = new Path(output.path + "_graft_tmp_" + java.util.UUID.randomUUID().toString.take(8))
+      var w = input.coalesce(1).write.mode(SaveMode.Overwrite)
+        .format(fmt.sparkFormat).options(output.options)
+      if (fmt == FileFormat.Csv) w = w.option("header", "true")
+      w.save(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(p => p.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+      if (fs.exists(outPath)) fs.delete(outPath, true)
+      fs.rename(part, outPath)
+      fs.delete(tmp, true)
+      output.path
+    }
+  }
+
+  /** "exception" if_exists variant of export (export_to_file.py). */
+  def exportToFileStrict(input: DataFrame, output: FileRef): String = {
+    val p = new Path(output.path)
+    if (hadoopFs(p).exists(p))
+      throw new IllegalStateException(s"${output.path} already exists")
+    exportToFile(input, output, IfExists.Replace)
+  }
+
+  // -------------------------------------------------------------------
+  // transform / run_raw_sql / get_value_list (sql/operators/transform.py,
+  // raw_sql.py, sql/__init__.py:53-79)
+  // -------------------------------------------------------------------
+
+  /** Render `{{name}}` bindings and run the SQL lazily. */
+  def sql(template: String, bindings: Map[String, Any] = Map.empty): DataFrame =
+    spark.sql(SqlTemplate.render(template, bindings))
+
+  /** transform: render → CTAS into `output` (auto temp if none), parity
+    * with TransformOperator.execute (transform.py:55-72): DROP + CREATE
+    * TABLE AS, returning the output ref for chaining. The swap-pointer
+    * write makes self-referencing transforms safe. */
+  def transform(
+      sqlTemplate: String,
+      bindings: Map[String, Any] = Map.empty,
+      output: Option[TableRef] = None): TableRef = {
+    val out = output.getOrElse(TableRef.temp())
+    val df = sql(sqlTemplate, bindings)
+    replaceTable(df, out)
+    out
+  }
+
+  /** transform_file (transform.py:145-191): SQL read from a file. */
+  def transformFile(
+      path: String,
+      bindings: Map[String, Any] = Map.empty,
+      output: Option[TableRef] = None): TableRef = {
+    val template = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    transform(template, bindings, output)
+  }
+
+  /** Lazy variant of transform: just the DataFrame, no materialization —
+    * the Spark-idiomatic fast path (SURVEY §3.2). */
+  def transformLazy(sqlTemplate: String, bindings: Map[String, Any] = Map.empty): DataFrame =
+    sql(sqlTemplate, bindings)
+
+  /** run_raw_sql (raw_sql.py:25-234): arbitrary SQL; `failOnEmpty` and
+    * `responseSize` (row-truncation) parity. Returns collected rows. */
+  def runRawSql(
+      sqlTemplate: String,
+      bindings: Map[String, Any] = Map.empty,
+      failOnEmpty: Boolean = false,
+      responseSize: Int = -1): Seq[Row] = {
+    val df = sql(sqlTemplate, bindings)
+    val rows = (if (responseSize >= 0) df.limit(responseSize) else df).collect().toSeq
+    if (failOnEmpty && rows.isEmpty)
+      throw new IllegalStateException("run_raw_sql returned no rows (fail_on_empty)")
+    rows
+  }
+
+  /** get_value_list (sql/__init__.py:53-79). */
+  def getValueList(sqlTemplate: String, bindings: Map[String, Any] = Map.empty): Seq[Row] =
+    sql(sqlTemplate, bindings).collect().toSeq
+
+  // -------------------------------------------------------------------
+  // append / merge / drop / cleanup (sql/operators/{append,merge,drop,cleanup}.py)
+  // -------------------------------------------------------------------
+
+  /** append: INSERT INTO target (cols) SELECT cols FROM source
+    * (append.py:15-176; SQL gen databases/base.py:666-696).
+    * `columns` maps source→target names; empty = all columns by name. */
+  def append(
+      source: TableRef,
+      target: TableRef,
+      columns: Seq[(String, String)] = Nil): TableRef = {
+    val src = spark.table(source.qualifiedName)
+    val projected =
+      if (columns.isEmpty) src
+      else src.select(columns.map { case (s, t) => col(s).as(t) }: _*)
+    appendToTable(projected, target)
+    target
+  }
+
+  /** merge: upsert source→target on conflict keys, 3 strategies — see
+    * [[graft.ops.Merge]] for the plan construction. Target table is
+    * atomically replaced with the merged result (swap-pointer). */
+  def merge(
+      source: TableRef,
+      target: TableRef,
+      columns: Seq[(String, String)],
+      targetConflictColumns: Seq[String],
+      ifConflicts: ConflictStrategy): TableRef = {
+    val merged = Merge.mergePlan(
+      spark.table(source.qualifiedName),
+      spark.table(target.qualifiedName),
+      columns, targetConflictColumns, ifConflicts)
+    replaceTable(merged, target)
+    target
+  }
+
+  /** drop_table (sql/operators/drop.py:14-51). */
+  def dropTable(table: TableRef): Unit = {
+    val qn = table.qualifiedName
+    spark.sql(s"DROP TABLE IF EXISTS $qn")
+    tablePaths.remove(qn.toLowerCase).foreach { p =>
+      hadoopFs(new Path(p)).delete(new Path(p), true)
+    }
+    tempTables -= qn.toLowerCase
+  }
+
+  /** cleanup (sql/operators/cleanup.py:55-301): drop every temp table this
+    * session created. No XCom walk needed — we own the registry. */
+  def cleanup(): Seq[String] = {
+    val dropped = tempTables.toSeq
+    dropped.foreach(n => dropTable(TableRef(n)))
+    tempTables.clear()
+    dropped
+  }
+
+  def registeredTempTables: Seq[String] = tempTables.toSeq
+
+  // -------------------------------------------------------------------
+  // dataframe op (sql/operators/dataframe.py:29-343)
+  // -------------------------------------------------------------------
+
+  /** The `@dataframe` bridge: in Spark the function simply receives the
+    * lazy DataFrame — no export-to-pandas scale ceiling (the reference
+    * pulls the whole table to one worker, delta.py:307-311). */
+  def dataframeOp(
+      input: TableRef,
+      fn: DataFrame => DataFrame,
+      output: Option[TableRef] = None,
+      ifExists: IfExists = IfExists.Replace,
+      capitalization: ColumnsCapitalization = ColumnsCapitalization.Original): DataFrame = {
+    val result0 = fn(spark.table(input.qualifiedName))
+    val result = Flatten.applyCapitalization(result0, capitalization)
+    output match {
+      case None => result
+      case Some(t) =>
+        writeTable(result, t, ifExists)
+        spark.table(t.qualifiedName)
+    }
+  }
+}
+
+object GraftSession {
+  def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
+
+  /** Local-mode builder with the settings this engine assumes (UTC, AQE,
+    * shuffle partitions sized to cores — not the 200 default). */
+  def localSpark(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,347 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.checks.Checks
+import graft.core._
+import graft.io.Flatten
+
+/** Operator-semantic verification queries: each runs a real GraftSession
+  * operator pipeline (write tables, roundtrip files, merge, check …) and
+  * returns a deterministic DataFrame whose expected content is expressed
+  * as plain SQL over the source parquet for the DuckDB oracle.
+  *
+  * Everything is keyed off the driver tables (TESTDATA.md) so the oracle
+  * sees identical inputs. All outputs are ordered by a unique key.
+  */
+object OperatorQueries {
+
+  private def gs(spark: SparkSession, sfDir: String): GraftSession = {
+    Tables.registerAll(spark, sfDir)
+    new GraftSession(spark)
+  }
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // ---------------------------------------------------------------
+  // loadFile / exportToFile roundtrips
+  // ---------------------------------------------------------------
+
+  /** exportToFile(csv, single file) → loadFile(csv, inferSchema) parity. */
+  def loadCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val dir = tmpDir("graft_csv")
+    val src = spark.table("part").select("p_partkey", "p_name", "p_brand", "p_size")
+    g.exportToFile(src, FileRef(s"$dir/part.csv"), singleFile = true)
+    val back = g.loadFile(FileRef(s"$dir/part.csv"))
+    back.select(
+      col("p_partkey").cast("bigint"),
+      col("p_name"), col("p_brand"),
+      col("p_size").cast("int"))
+      .orderBy("p_partkey")
+  }
+
+  /** exportToFile(parquet directory — the cluster-scale path) → read back. */
+  def exportParquetRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val dir = tmpDir("graft_pq")
+    g.exportToFile(spark.table("customer"), FileRef(s"$dir/customer_out", Some(FileFormat.Parquet)),
+      singleFile = false)
+    g.loadFile(FileRef(s"$dir/customer_out", Some(FileFormat.Parquet))).orderBy("c_custkey")
+  }
+
+  /** Nested NDJSON → loadFile with json_normalize-style flattening
+    * (files/types/ndjson.py:54-96 parity). */
+  def loadNdjsonFlatten(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val dir = tmpDir("graft_ndjson")
+    // Build nested NDJSON: {event_id, payload:{user_id, info:{event_type, value}}}
+    spark.table("events")
+      .select(col("event_id"),
+        struct(col("user_id"), struct(col("event_type"), col("value")).as("info")).as("payload"))
+      .write.mode("overwrite").json(s"$dir/events_nested")
+    val back = g.loadFile(
+      FileRef(s"$dir/events_nested", Some(FileFormat.Ndjson)),
+      ndjsonNormalizeSep = Some("_"))
+    back.select(
+      col("event_id").cast("bigint"),
+      col("payload_user_id").cast("bigint"),
+      col("payload_info_event_type"),
+      col("payload_info_value").cast("double"))
+      .orderBy("event_id")
+  }
+
+  /** Pure struct flatten as a projection (no file roundtrip). */
+  def flattenProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    val nested = spark.table("events").select(
+      col("event_id"),
+      struct(col("user_id"), struct(col("event_type"), col("value")).as("info")).as("evt"))
+    Flatten.flatten(nested, "_").orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------
+  // transform (CTAS) / raw sql / value list / dataframe op
+  // ---------------------------------------------------------------
+
+  private val ctasSql =
+    """SELECT o_custkey,
+      |  cast(count(*) as bigint) AS n_orders,
+      |  cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS total_cents
+      |FROM {{orders}}
+      |GROUP BY o_custkey""".stripMargin
+
+  /** transform: template render → CTAS (materialized) → read back. */
+  def transformCtas(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val out = g.transform(ctasSql,
+      bindings = Map("orders" -> TableRef("orders")),
+      output = Some(TableRef("op_transform_out")))
+    spark.table(out.qualifiedName).orderBy("o_custkey")
+  }
+
+  /** getValueList: collect rows, rebuild a frame from the collected values
+    * (verifies the actual driver-side values). */
+  def valueList(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val sql = "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus"
+    val rows = g.getValueList(sql)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      g.sql(sql).schema)
+  }
+
+  /** The `@dataframe` bridge: a Scala DataFrame→DataFrame function applied
+    * to a table, materialized to an output table (dataframe.py parity —
+    * but lazy/distributed, no pandas export ceiling). */
+  def dataframeOp(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val out = g.dataframeOp(
+      TableRef("lineitem"),
+      df => df.filter(col("l_discount") > 0.05)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("bigint")).cast("bigint").as("price_cents")),
+      output = Some(TableRef("op_dataframe_out")))
+    out.orderBy("l_returnflag")
+  }
+
+  // ---------------------------------------------------------------
+  // append / merge
+  // ---------------------------------------------------------------
+
+  private def ordersSlice(spark: SparkSession, pred: String): DataFrame =
+    spark.table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .where(pred)
+
+  /** append with a source→target column map; unmapped target columns NULL
+    * (databases/base.py:666-696 INSERT (cols) SELECT semantics). */
+  def appendOp(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    g.writeTable(ordersSlice(spark, "o_orderkey % 3 = 0"), TableRef("op_append_tgt"), IfExists.Replace)
+    g.writeTable(ordersSlice(spark, "o_orderkey % 3 = 1"), TableRef("op_append_src"), IfExists.Replace)
+    g.append(TableRef("op_append_src"), TableRef("op_append_tgt"),
+      columns = Seq("o_orderkey" -> "o_orderkey", "o_totalprice" -> "o_totalprice"))
+    spark.table("op_append_tgt").orderBy("o_orderkey")
+  }
+
+  private def mergeFixture(g: GraftSession, spark: SparkSession): Unit = {
+    g.writeTable(ordersSlice(spark, "o_orderkey % 10 < 5"), TableRef("op_merge_tgt"), IfExists.Replace)
+    g.writeTable(
+      spark.table("orders")
+        .where("o_orderkey % 10 BETWEEN 3 AND 7")
+        .select(col("o_orderkey").as("src_key"),
+          (col("o_totalprice") + 1000.0).as("src_price")),
+      TableRef("op_merge_src"), IfExists.Replace)
+  }
+
+  /** merge if_conflicts=ignore: target rows win, only new keys inserted. */
+  def mergeIgnore(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    mergeFixture(g, spark)
+    g.merge(TableRef("op_merge_src"), TableRef("op_merge_tgt"),
+      columns = Seq("src_key" -> "o_orderkey", "src_price" -> "o_totalprice"),
+      targetConflictColumns = Seq("o_orderkey"),
+      ifConflicts = ConflictStrategy.Ignore)
+    spark.table("op_merge_tgt").orderBy("o_orderkey")
+  }
+
+  /** merge if_conflicts=update: mapped columns updated from source,
+    * unmapped preserved; new keys inserted (test_merge.py:80-95 net
+    * effect). */
+  def mergeUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    mergeFixture(g, spark)
+    g.merge(TableRef("op_merge_src"), TableRef("op_merge_tgt"),
+      columns = Seq("src_key" -> "o_orderkey", "src_price" -> "o_totalprice"),
+      targetConflictColumns = Seq("o_orderkey"),
+      ifConflicts = ConflictStrategy.Update)
+    spark.table("op_merge_tgt").orderBy("o_orderkey")
+  }
+
+  /** merge if_conflicts=exception on disjoint keys: plain insert (the
+    * conflicting path raising MergeConflictException is unit-tested). */
+  def mergeException(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    g.writeTable(ordersSlice(spark, "o_orderkey % 10 < 5"), TableRef("op_mergex_tgt"), IfExists.Replace)
+    g.writeTable(
+      spark.table("orders").where("o_orderkey % 10 >= 5")
+        .select(col("o_orderkey").as("src_key"), (col("o_totalprice") + 1000.0).as("src_price")),
+      TableRef("op_mergex_src"), IfExists.Replace)
+    g.merge(TableRef("op_mergex_src"), TableRef("op_mergex_tgt"),
+      columns = Seq("src_key" -> "o_orderkey", "src_price" -> "o_totalprice"),
+      targetConflictColumns = Seq("o_orderkey"),
+      ifConflicts = ConflictStrategy.Exception)
+    spark.table("op_mergex_tgt").orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------
+  // data-quality checks
+  // ---------------------------------------------------------------
+
+  def checkColumnOp(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    Checks.checkColumnFrame(
+      spark.table("lineitem"),
+      Seq(
+        "l_quantity" -> "null_check",
+        "l_returnflag" -> "distinct_check",
+        "l_orderkey" -> "unique_check",
+        "l_quantity" -> "min",
+        "l_quantity" -> "max"))
+  }
+
+  def checkTableOp(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    Checks.checkTableFrame(
+      spark.table("lineitem"),
+      Seq(
+        "quantity_positive" -> "l_quantity > 0",
+        "price_in_range" -> "l_extendedprice BETWEEN 900 AND 105000",
+        "discount_small" -> "l_discount <= 0.1",
+        "flag_known" -> "l_returnflag IN ('A','N','R')"),
+      partitionClause = Some("l_linestatus = 'F'"))
+  }
+
+  // ---------------------------------------------------------------
+  // temp-table lifecycle
+  // ---------------------------------------------------------------
+
+  /** transform into auto-named temp tables, then cleanup() drops them all
+    * (cleanup.py:55-301 parity without the XCom walk). */
+  def cleanupLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    g.transform("SELECT * FROM {{nation}}", Map("nation" -> TableRef("nation")))
+    g.transform("SELECT * FROM {{region}}", Map("region" -> TableRef("region")))
+    val before = g.registeredTempTables.size.toLong
+    val dropped = g.cleanup().size.toLong
+    val remaining = g.registeredTempTables.size.toLong
+    import spark.implicits._
+    Seq((before, dropped, remaining)).toDF("tmp_before", "dropped", "remaining")
+  }
+
+  // ---------------------------------------------------------------
+  // registry
+  // ---------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_load_csv_roundtrip" -> (loadCsvRoundtrip _),
+    "op_export_parquet_roundtrip" -> (exportParquetRoundtrip _),
+    "op_load_ndjson_flatten" -> (loadNdjsonFlatten _),
+    "op_flatten_projection" -> (flattenProjection _),
+    "op_transform_ctas" -> (transformCtas _),
+    "op_value_list" -> (valueList _),
+    "op_dataframe_op" -> (dataframeOp _),
+    "op_append" -> (appendOp _),
+    "op_merge_ignore" -> (mergeIgnore _),
+    "op_merge_update" -> (mergeUpdate _),
+    "op_merge_exception" -> (mergeException _),
+    "op_check_column" -> (checkColumnOp _),
+    "op_check_table" -> (checkTableOp _),
+    "op_cleanup_lifecycle" -> (cleanupLifecycle _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "op_load_csv_roundtrip" ->
+      "SELECT p_partkey, p_name, p_brand, p_size FROM part ORDER BY p_partkey",
+
+    "op_export_parquet_roundtrip" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
+
+    "op_load_ndjson_flatten" ->
+      """SELECT event_id, user_id AS payload_user_id, event_type AS payload_info_event_type,
+        |  value AS payload_info_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "op_flatten_projection" ->
+      """SELECT event_id, user_id AS evt_user_id, event_type AS evt_info_event_type,
+        |  value AS evt_info_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "op_transform_ctas" ->
+      """SELECT o_custkey, cast(count(*) as bigint) AS n_orders,
+        |  cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS total_cents
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "op_value_list" ->
+      "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus",
+
+    "op_dataframe_op" ->
+      """SELECT l_returnflag, cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint) AS price_cents
+        |FROM lineitem WHERE l_discount > 0.05
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "op_append" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, NULL, NULL, o_totalprice FROM orders WHERE o_orderkey % 3 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "op_merge_ignore" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 < 5),
+        |     s AS (SELECT o_orderkey AS src_key, o_totalprice + 1000 AS src_price FROM orders WHERE o_orderkey % 10 BETWEEN 3 AND 7)
+        |SELECT * FROM t
+        |UNION ALL
+        |SELECT s.src_key, NULL, NULL, s.src_price FROM s
+        |WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.o_orderkey = s.src_key)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "op_merge_update" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 < 5),
+        |     s AS (SELECT o_orderkey AS src_key, o_totalprice + 1000 AS src_price FROM orders WHERE o_orderkey % 10 BETWEEN 3 AND 7)
+        |SELECT coalesce(t.o_orderkey, s.src_key) AS o_orderkey,
+        |  t.o_custkey, t.o_orderstatus,
+        |  CASE WHEN s.src_key IS NOT NULL THEN s.src_price ELSE t.o_totalprice END AS o_totalprice
+        |FROM t FULL OUTER JOIN s ON t.o_orderkey = s.src_key
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "op_merge_exception" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 < 5
+        |UNION ALL
+        |SELECT o_orderkey, NULL, NULL, o_totalprice + 1000 FROM orders WHERE o_orderkey % 10 >= 5
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "op_check_column" ->
+      """SELECT cast(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) as double) AS l_quantity_null_check,
+        |  cast(count(DISTINCT l_returnflag) as double) AS l_returnflag_distinct_check,
+        |  cast(count(l_orderkey) - count(DISTINCT l_orderkey) as double) AS l_orderkey_unique_check,
+        |  cast(min(l_quantity) as double) AS l_quantity_min,
+        |  cast(max(l_quantity) as double) AS l_quantity_max
+        |FROM lineitem""".stripMargin,
+
+    "op_check_table" ->
+      """SELECT cast(min(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END) as bigint) AS quantity_positive,
+        |  cast(min(CASE WHEN l_extendedprice BETWEEN 900 AND 105000 THEN 1 ELSE 0 END) as bigint) AS price_in_range,
+        |  cast(min(CASE WHEN l_discount <= 0.1 THEN 1 ELSE 0 END) as bigint) AS discount_small,
+        |  cast(min(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) as bigint) AS flag_known
+        |FROM lineitem WHERE l_linestatus = 'F'""".stripMargin,
+
+    "op_cleanup_lifecycle" ->
+      "SELECT cast(2 as bigint) AS tmp_before, cast(2 as bigint) AS dropped, cast(0 as bigint) AS remaining",
+  )
+}

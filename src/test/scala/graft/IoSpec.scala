@@ -1,0 +1,118 @@
+package graft
+
+import graft.core._
+import graft.io.Flatten
+import org.apache.spark.sql.functions._
+
+class IoSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("flatten reproduces json_normalize naming; arrays stay values") {
+    val df = Seq((1L, ("u", (2.0, "x")), Seq(1, 2)))
+      .toDF("id", "nested", "arr")
+      .select(col("id"),
+        struct(col("nested._1").as("name"),
+          struct(col("nested._2._1").as("score"), col("nested._2._2").as("tag")).as("inner")).as("nested"),
+        col("arr"))
+    val flat = Flatten.flatten(df, "_")
+    assert(flat.columns.toSeq == Seq("id", "nested_name", "nested_inner_score", "nested_inner_tag", "arr"))
+    val r = flat.collect()(0)
+    assert(r.getString(1) == "u" && r.getDouble(2) == 2.0)
+    assert(r.getSeq[Int](4) == Seq(1, 2))
+  }
+
+  test("custom separator") {
+    val df = spark.sql("SELECT named_struct('b', 1) AS a")
+    assert(Flatten.flatten(df, "__").columns.toSeq == Seq("a__b"))
+  }
+
+  test("illegal column chars replaced (databases/base.py:59-66)") {
+    val df = Seq((1, 2)).toDF("a b", "c-d!")
+    assert(Flatten.replaceIllegalColumnChars(df).columns.toSeq == Seq("a_b", "c_d_"))
+  }
+
+  test("capitalization policies (utils/dataframe.py:17-33)") {
+    val df = Seq((1, 2)).toDF("AbC", "dEf")
+    assert(Flatten.applyCapitalization(df, ColumnsCapitalization.Lower).columns.toSeq == Seq("abc", "def"))
+    assert(Flatten.applyCapitalization(df, ColumnsCapitalization.Upper).columns.toSeq == Seq("ABC", "DEF"))
+    assert(Flatten.applyCapitalization(df, ColumnsCapitalization.Original).columns.toSeq == Seq("AbC", "dEf"))
+  }
+
+  test("csv single-file export + load roundtrip") {
+    val dir = tmp("graft_io_csv")
+    val df = Seq((1L, "x,with comma", 1.5), (2L, "plain", 2.5)).toDF("k", "s", "v")
+    val path = s"$dir/out.csv"
+    g.exportToFile(df, FileRef(path), singleFile = true)
+    assert(new java.io.File(path).isFile)
+    val back = g.loadFile(FileRef(path)).orderBy("k").collect()
+    assert(back.length == 2)
+    assert(back(0).getString(1) == "x,with comma")
+    assert(back(1).getDouble(2) == 2.5)
+  }
+
+  test("export strict mode raises when file exists") {
+    val dir = tmp("graft_io_strict")
+    val df = Seq((1, 2)).toDF("a", "b")
+    g.exportToFile(df, FileRef(s"$dir/f.csv"))
+    intercept[IllegalStateException] {
+      g.exportToFileStrict(df, FileRef(s"$dir/f.csv"))
+    }
+  }
+
+  test("ndjson load flattens nested structs") {
+    val dir = tmp("graft_io_nd")
+    val nested = Seq((1L, "a", 9.0)).toDF("id", "t", "v")
+      .select(col("id"), struct(col("t"), struct(col("v")).as("deep")).as("p"))
+    nested.write.mode("overwrite").json(s"$dir/nd")
+    val back = g.loadFile(FileRef(s"$dir/nd", Some(FileFormat.Ndjson)))
+    assert(back.columns.toSet == Set("id", "p_t", "p_deep_v"))
+  }
+
+  test("getFileList globs") {
+    val dir = tmp("graft_io_ls")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.csv"), "x")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b.csv"), "y")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/c.txt"), "z")
+    assert(g.getFileList(s"$dir/*.csv").size == 2)
+    assert(g.getFileList(dir).size == 3)
+  }
+
+  test("pattern load reads multiple files (resolve_file_path_pattern parity)") {
+    val dir = tmp("graft_io_pat")
+    Seq((1, "a")).toDF("k", "s").write.mode("overwrite").option("header", "true").csv(s"$dir/part1")
+    val df = g.loadFile(FileRef(s"$dir/part1/*.csv", Some(FileFormat.Csv)))
+    assert(df.count() == 1)
+  }
+
+  test("transform CTAS + cleanup lifecycle") {
+    Seq((1, 10), (2, 20)).toDF("k", "v").createOrReplaceTempView("io_src")
+    val out = g.transform("SELECT k, v * 2 AS v2 FROM {{s}}", Map("s" -> TableRef("io_src")))
+    assert(out.temp)
+    assert(spark.table(out.qualifiedName).orderBy("k").collect().map(_.getInt(1)).toSeq == Seq(20, 40))
+    assert(g.registeredTempTables.nonEmpty)
+    g.cleanup()
+    assert(g.registeredTempTables.isEmpty)
+    assert(!spark.catalog.tableExists(out.qualifiedName))
+  }
+
+  test("append maps columns and fills missing with null") {
+    Seq((1, "x")).toDF("k", "s").createOrReplaceTempView("ap_view")
+    g.writeTable(spark.table("ap_view"), TableRef("ap_tgt"), IfExists.Replace)
+    Seq((2, "y")).toDF("kk", "ss").createOrReplaceTempView("ap_src_view")
+    g.writeTable(spark.table("ap_src_view"), TableRef("ap_src"), IfExists.Replace)
+    g.append(TableRef("ap_src"), TableRef("ap_tgt"), Seq("kk" -> "k"))
+    val rows = spark.table("ap_tgt").orderBy("k").collect()
+    assert(rows.length == 2)
+    assert(rows(1).getInt(0) == 2 && rows(1).isNullAt(1))
+  }
+
+  test("self-referencing transform is safe (write-new-swap-pointer)") {
+    g.writeTable(Seq((1, 1)).toDF("k", "v"), TableRef("selfref"), IfExists.Replace)
+    g.transform("SELECT k, v + 1 AS v FROM {{t}}", Map("t" -> TableRef("selfref")),
+      output = Some(TableRef("selfref")))
+    assert(spark.table("selfref").collect()(0).getInt(1) == 2)
+  }
+}

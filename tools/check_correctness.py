@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate (dev tool only — the Scala
+library has no Python dependency).
+
+Runs each oracle SQL from <outDir>/oracle_sql.json in DuckDB over the
+sf-dir parquet tables, loads the Spark-written parquet result for the same
+query, sorts columns by name and rows by value, and compares cell-exactly.
+
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return repr(v)
+
+def frame(con, sql):
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return [cols[i] for i in order], sorted(out)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        res_dir = f"{out_dir}/{name}"
+        parts = glob.glob(f"{res_dir}/*.parquet")
+        if not parts:
+            print(f"FAIL {name}: no spark result at {res_dir}")
+            n_fail += 1
+            continue
+        try:
+            ocols, orows = frame(con, oracle[name])
+            scols, srows = frame(con, f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if [c.lower() for c in ocols] != [c.lower() for c in scols]:
+            print(f"FAIL {name}: columns differ\n  oracle: {ocols}\n  spark:  {scols}")
+            n_fail += 1
+        elif orows != srows:
+            n_fail += 1
+            diffs = [(a, b) for a, b in zip(orows, srows) if a != b]
+            print(f"FAIL {name}: {len(orows)} vs {len(srows)} rows, {len(diffs)} differing")
+            for a, b in diffs[:3]:
+                print(f"  oracle: {a}\n  spark:  {b}")
+            if len(orows) != len(srows):
+                print(f"  oracle head: {orows[:2]}\n  spark head:  {srows[:2]}")
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(orows)} rows)")
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

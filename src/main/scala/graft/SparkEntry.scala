@@ -29,8 +29,8 @@ object SparkEntry {
     }.toMap
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational ++ OperatorQueries.queries
+    relational ++ OperatorQueries.queries ++ PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.byName ++ OperatorQueries.oracleSql
+    RelationalQueries.byName ++ OperatorQueries.oracleSql ++ PipelineQueries.oracleSql
 }

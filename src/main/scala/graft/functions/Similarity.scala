@@ -1,0 +1,185 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`), built from
+  * codegen'd array expressions (`zip_with`/`aggregate`) — no UDFs.
+  *
+  * Scale design: queries are a small relation → **broadcast** against the
+  * corpus (brute force scans the corpus exactly once, embarrassingly
+  * parallel, no shuffle of the corpus). The IVF variant prunes the scan to
+  * `nProbe/nCentroids` of the corpus after one co-partitioned assignment
+  * pass; centroids are tiny and always driver-resident (that is how IVF
+  * works on clusters too). Hyperplane LSH gives shuffle-free bucketed
+  * near-dup detection.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ — fixed left-to-right fold: deterministic across runs. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = l2Norm(a) * l2Norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** L2-normalize an embedding (zero vectors pass through unchanged). */
+  def normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n === 0, a).otherwise(transform(a, x => (x / n).cast("float")))
+  }
+
+  /** Brute-force cosine top-k: for every row of `queries`, the `k` nearest
+    * corpus rows. Exact baseline; one broadcast-join scan of the corpus.
+    *
+    * Output: (queryIdCol, idCol, cosine, rank).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol), normalize(col(vecCol)).as("__cv"))
+    val q = queries.select(col(queryIdCol), normalize(col(queryVecCol)).as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col(queryIdCol), col(idCol),
+        dot(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy(queryIdCol).orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random unit hyperplanes: component j of plane i =
+    * a fixed integer hash mapped into [-1, 1]. Same planes on every
+    * executor with zero state shipped. */
+  private def hyperplane(i: Int, dim: Int): Column =
+    array((0 until dim).map { j =>
+      // splitmix64-style scramble of (i, j) → [-1, 1]
+      val h = {
+        var z = (i.toLong << 32) + j + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      lit((h.toDouble / Long.MaxValue.toDouble))
+    }: _*)
+
+  /** Sign-random-projection LSH signature: bit i = sign(v · plane_i).
+    * Returns a compact long bucket key. */
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(dot(vec, hyperplane(i, dim)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Embedding near-duplicate pairs: bucket by hyperplane signature
+    * (cosine-similar vectors collide with high probability), verify
+    * exactly with cosine ≥ threshold within buckets. Multi-probe: `tables`
+    * independent signatures (bit offsets) to boost recall. */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      bits: Int = 12,
+      tables: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val normed = df.select(col(idCol).as("__id"), normalize(col(vecCol)).as("__v"))
+    val bucketed = normed.withColumn("__bucket", explode(array((0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        (0 until bits).map { i =>
+          when(dot(col("__v"), hyperplane(t * bits + i, dim)) >= 0,
+            shiftleft(lit(1L), i)).otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_)).as("sig"))
+    }: _*)))
+    val sized = bucketed
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("__bucket")))
+      .where(col("__bn") <= maxBucketSize)
+      .drop("__bn")
+    val a = sized.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("va"))
+    val b = sized.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("vb"))
+    a.join(b, Seq("__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), dot(col("va"), col("vb")).as("cosine"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("cosine") >= threshold)
+  }
+
+  /** IVF (inverted-file) approximate top-k: corpus is partitioned into
+    * `nCentroids` Voronoi cells (deterministic seed centroids = evenly
+    * strided corpus vectors, one Lloyd refinement pass); a query scans only
+    * its `nProbe` nearest cells. Centroids are collected to the driver —
+    * they are O(√N · dim), driver-resident by construction in IVF designs.
+    *
+    * Output: (queryIdCol, idCol, cosine, rank) — approximate.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val normed = corpus.select(col(idCol), normalize(col(vecCol)).as("__cv"))
+
+    // Seed centroids: evenly strided by id rank (deterministic).
+    val wAll = Window.orderBy(col(idCol))
+    val total = normed.count()
+    val stride = math.max(1L, total / nCentroids)
+    val seeds = normed
+      .withColumn("__rk", row_number().over(wAll))
+      .where((col("__rk") - 1) % stride === 0 && col("__rk") <= stride * nCentroids)
+      .withColumn("__cid", ((col("__rk") - 1) / stride).cast("int"))
+      .select(col("__cid"), col("__cv").as("__centroid"))
+
+    def nearestCid(centroids: Array[(Int, Seq[Float])], v: Column): Column = {
+      val scored = centroids.map { case (cid, cvec) =>
+        struct(dot(v, lit(cvec.toArray)).as("s"), lit(cid).as("cid"))
+      }
+      greatest(scored.toIndexedSeq: _*).getField("cid")
+    }
+
+    val seedArr = seeds.as[(Int, Seq[Float])].collect()
+
+    // One Lloyd pass: assign → per-cell mean → renormalize.
+    val assigned = normed.withColumn("__cid", nearestCid(seedArr, col("__cv")))
+    val dim = seedArr.head._2.length
+    val refined = assigned
+      .select(col("__cid"), posexplode(col("__cv")).as(Seq("__pos", "__x")))
+      .groupBy("__cid", "__pos").agg(avg("__x").as("__mx"))
+      .groupBy("__cid").agg(array_sort(collect_list(struct(col("__pos"), col("__mx")))).as("__pairs"))
+      .select(col("__cid"), transform(col("__pairs"), p => p.getField("__mx").cast("float")).as("__centroid"))
+    val centroids = refined.select(col("__cid"), normalize(col("__centroid")).as("__centroid"))
+      .as[(Int, Seq[Float])].collect()
+
+    val cells = normed.withColumn("__cid", nearestCid(centroids, col("__cv")))
+
+    // Queries probe their nProbe nearest centroids.
+    val qn = queries.select(col(queryIdCol), normalize(col(queryVecCol)).as("__qv"))
+    val probes = qn.withColumn("__cid", explode(array((0 until nProbe).map { p =>
+      val scored = centroids.map { case (cid, cvec) =>
+        struct(dot(col("__qv"), lit(cvec.toArray)).as("s"), lit(cid).as("cid"))
+      }
+      // p-th best centroid: sort descending by score, pick element p
+      sort_array(array(scored.toIndexedSeq: _*), asc = false).getItem(p).getField("cid")
+    }: _*)))
+
+    val scored = cells.join(broadcast(probes), Seq("__cid"))
+      .select(col(queryIdCol), col(idCol), dot(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy(queryIdCol).orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

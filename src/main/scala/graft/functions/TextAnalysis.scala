@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-analysis operators for training-data pipelines (builder-prompt
+  * north star; no reference equivalent — the reference's only text path is
+  * pandas transforms). Everything here is pure `Column` composition over
+  * Spark built-ins (whole-stage-codegen friendly, no UDFs) plus one custom
+  * codegen'd Catalyst expression for fingerprinting.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; empty/blank → 0. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** A BPE-ish subword count: word tokens plus an extra unit per 4 chars of
+    * long words (crude but deterministic proxy for tokenizer load). */
+  def subwordCount(c: Column): Column = {
+    val toks = split(trim(c), "\\s+")
+    aggregate(toks, lit(0),
+      (acc, t) => acc + greatest(lit(1), ceil(length(t) / lit(4)).cast("int")))
+  }
+
+  /** Quality metrics in one projection: char/token counts, mean token
+    * length, ratios of punctuation / digits / uppercase / whitespace,
+    * stopword ratio (en). Output column names are stable API. */
+  def qualityMetrics(c: Column): Seq[(String, Column)] = {
+    val nChars = length(c)
+    val toks = split(trim(c), "\\s+")
+    val nToks = tokenCount(c)
+    def classRatio(pattern: String): Column =
+      when(nChars === 0, lit(0.0))
+        .otherwise((nChars - length(regexp_replace(c, pattern, ""))).cast("double") / nChars)
+    val stopHits = size(filter(toks, t => array_contains(lit(EnStopwords.toArray), lower(t))))
+    Seq(
+      "n_chars" -> nChars.cast("long"),
+      "n_tokens" -> nToks.cast("long"),
+      "mean_token_len" -> when(nToks === 0, lit(0.0))
+        .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks),
+      "punct_ratio" -> classRatio("[\\p{Punct}]"),
+      "digit_ratio" -> classRatio("[0-9]"),
+      "upper_ratio" -> classRatio("[A-Z]"),
+      "space_ratio" -> classRatio("[\\s]"),
+      "stopword_ratio" -> when(nToks === 0, lit(0.0)).otherwise(stopHits.cast("double") / nToks))
+  }
+
+  /** Language ID by stopword-profile scoring: the language whose stopword
+    * list hits the most tokens wins; `und` when nothing hits. N-gram-free
+    * heuristic good enough for coarse routing; scores are exposed for
+    * thresholding. */
+  def langId(c: Column): Column = {
+    val toks = transform(split(trim(c), "\\s+"), lower _)
+    val scored = LangProfiles.map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => array_contains(lit(words.toArray), t))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") <= 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** 64-bit content fingerprint of whitespace-normalized lowercase text —
+    * a custom codegen'd Catalyst expression (see [[Fingerprint64]]). */
+  def fingerprint64(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val normalized = regexp_replace(lower(trim(c)), "\\s+", " ")
+    ColumnBridge.column(Fingerprint64(ColumnBridge.expression(normalized)))
+  }
+
+  /** English stopwords (public, standard list excerpt). */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "but", "if", "then", "else", "of", "to",
+    "in", "on", "at", "by", "for", "with", "about", "from", "up", "down",
+    "is", "are", "was", "were", "be", "been", "being", "have", "has", "had",
+    "do", "does", "did", "will", "would", "can", "could", "it", "its", "this",
+    "that", "these", "those", "he", "she", "they", "them", "his", "her",
+    "their", "we", "you", "i", "me", "my", "our", "your", "not", "no", "as")
+
+  /** Tiny public stopword profiles per language for [[langId]]. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "that", "it", "for", "with", "was", "are"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "por", "con", "para", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "dem", "ein", "eine", "nicht", "auf"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "un", "une", "du", "que", "pour", "dans", "qui"),
+    "it" -> Seq("il", "lo", "la", "gli", "di", "che", "e", "un", "una", "per", "con", "non", "sono"),
+    "pt" -> Seq("o", "a", "os", "as", "de", "que", "e", "em", "um", "uma", "para", "com", "não"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "is", "dat", "op", "te", "zijn", "met", "voor"))
+}
+
+/** FNV-1a-style 64-bit rolling hash over a string's UTF-8 bytes, with full
+  * whole-stage-codegen support (`doGenCode` emits a tight byte loop — no
+  * boxing, no UDF serialization). Deterministic across JVMs/partitions;
+  * suitable for document fingerprinting and hash-based dedup keys.
+  */
+case class Fingerprint64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0xcbf29ce484222325L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h ^= ($bytes[$i] & 0xffL);
+         |  $h *= 0x100000001b3L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "fingerprint64"
+}

@@ -1,0 +1,151 @@
+package graft
+
+import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends GraftSuite {
+  import spark.implicits._
+
+  private val base =
+    "spark makes distributed data processing simple and fast for large scale analytics pipelines"
+
+  private def docs = Seq(
+    (1L, base),
+    (2L, base), // exact dup of 1
+    (3L, base + " extra"), // near dup of 1
+    (4L, "completely different content about cooking pasta with tomatoes and basil leaves"),
+    (5L, "the quick brown fox jumps over the lazy dog near the river bank at dawn"))
+    .toDF("doc_id", "text")
+
+  test("exactDedup keeps lowest id per duplicate text") {
+    val out = Dedup.exactDedup(docs, Seq("text"), "doc_id")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds near-dup pair and skips unrelated docs") {
+    val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("keepFirstFromPairs drops higher-id dup side") {
+    val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+    val kept = Dedup.keepFirstFromPairs(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(3L))
+    assert(kept.contains(4L) && kept.contains(5L))
+  }
+
+  test("simhash: identical text → distance 0; near text → small distance") {
+    val sh = docs.select($"doc_id", Dedup.simHash64($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) <= 8)
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(4L)) > 8)
+    val pairs = Dedup.simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("char-ngram jaccard pairs") {
+    val pairs = Dedup.ngramJaccardNearDupPairs(docs, "doc_id", "text", threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("fingerprint64 is deterministic and whitespace-normalizing") {
+    val out = Seq(("A  Text\tHere", 1), ("a text here", 2), ("other", 3)).toDF("t", "i")
+      .select(TextAnalysis.fingerprint64($"t").as("fp")).as[Long].collect()
+    assert(out(0) == out(1))
+    assert(out(0) != out(2))
+  }
+
+  test("tokenCount handles empty and blank") {
+    val out = Seq("", "   ", "one", "two words  here").toDF("t")
+      .select(TextAnalysis.tokenCount($"t")).as[Int].collect().toSeq
+    assert(out == Seq(0, 0, 1, 3))
+  }
+
+  test("langId routes common languages") {
+    val out = Seq(
+      "the cat is on the mat and it is happy with the sun",
+      "el gato es un animal que vive en la casa con una familia",
+      "der Hund ist ein Tier und die Katze ist nicht mit dem Hund",
+      "le chat est un animal qui vit dans la maison pour les enfants",
+      "zzz qqq xxx www").toDF("t")
+      .select(TextAnalysis.langId($"t")).as[String].collect().toSeq
+    assert(out == Seq("en", "es", "de", "fr", "und"))
+  }
+
+  test("qualityMetrics shapes") {
+    val m = TextAnalysis.qualityMetrics($"t")
+    val row = Seq("The quick brown fox, 42 times!").toDF("t")
+      .select(m.map { case (n, c) => c.as(n) }: _*).collect()(0)
+    assert(row.getAs[Long]("n_chars") == 30)
+    assert(row.getAs[Long]("n_tokens") == 6)
+    assert(row.getAs[Double]("punct_ratio") > 0 && row.getAs[Double]("punct_ratio") < 0.2)
+    assert(row.getAs[Double]("digit_ratio") > 0)
+    assert(row.getAs[Double]("stopword_ratio") > 0)
+  }
+
+  private def vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f, 0.0f)),
+    (3L, Seq(0.0f, 1.0f, 0.0f)),
+    (4L, Seq(0.0f, 0.0f, 1.0f)),
+    (5L, Seq(-1.0f, 0.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine") {
+    val q = Seq((100L, Seq(1.0f, 0.05f, 0.0f))).toDF("qid", "qv")
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, "qid", "qv", k = 2)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L))
+  }
+
+  test("embedding near-dup pairs: only the close pair survives") {
+    val pairs = Similarity.embeddingNearDupPairs(vecs, "vec_id", "embedding", dim = 3, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("ivfTopK approximates brute force on clustered data") {
+    val n = 200
+    val clustered = (0 until n).map { i =>
+      val c = i % 4
+      val basev = Array.fill(8)(0.0f)
+      basev(c * 2) = 1.0f
+      basev((c * 2 + 1) % 8) = 0.3f + (i % 10) * 0.01f
+      (i.toLong, basev.toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = Seq((0L, { val a = Array.fill(8)(0.0f); a(0) = 1.0f; a(1) = 0.35f; a.toSeq }))
+      .toDF("qid", "qv")
+    val brute = Similarity.bruteForceTopK(clustered, "vec_id", "embedding", q, "qid", "qv", k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(clustered, "vec_id", "embedding", q, "qid", "qv", k = 10,
+      nCentroids = 8, nProbe = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.intersect(brute).size >= 7, s"IVF recall too low: ${ivf.intersect(brute).size}/10")
+  }
+
+  test("multimodal feature extraction is deterministic with real plumbing") {
+    val docsDf = Seq((1L, "hello world content", "en", "src0", 19L),
+      (2L, "another payload here", "en", "src1", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.mediaFromDocuments(docsDf)
+    val feats = Multimodal.extractFeatures(media, batchSize = 1).collect().sortBy(_.media_id)
+    assert(feats.length == 2)
+    assert(feats(0).feature.length == Multimodal.FakeDecoder.FeatureDim)
+    assert(feats(0).n_bytes == 19L)
+    // deterministic: same input → same hash/features
+    val again = Multimodal.extractFeatures(media, batchSize = 64).collect().sortBy(_.media_id)
+    assert(feats(0).content_hash == again(0).content_hash)
+    assert(feats(0).feature.toSeq == again(0).feature.toSeq)
+    // modality-dependent frame sampling
+    val video = feats.find(_.modality == "video")
+    video.foreach(v => assert(v.frames_sampled >= 1))
+  }
+}

@@ -29,8 +29,10 @@ object SparkEntry {
     }.toMap
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational ++ OperatorQueries.queries ++ PipelineQueries.queries
+    relational ++ OperatorQueries.queries ++ PipelineQueries.queries ++
+      StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.byName ++ OperatorQueries.oracleSql ++ PipelineQueries.oracleSql
+    RelationalQueries.byName ++ OperatorQueries.oracleSql ++
+      PipelineQueries.oracleSql ++ StreamingQueries.oracleSql
 }

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+
+/** Streaming verification queries: real Structured Streaming runs (file
+  * source → watermark → stateful/windowed op → memory sink) whose finite
+  * results are SQL-expressible for the DuckDB oracle.
+  */
+object StreamingQueries {
+
+  /** Stage the events table as a directory of parquet files (the shape a
+    * streaming file source tails), split so the run covers >1 micro-batch. */
+  private def stageEventDir(spark: SparkSession, sfDir: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val events = Tables.read(spark, sfDir, "events")
+    // Split by event time, not id: micro-batches must arrive in rough time
+    // order or the second batch falls below the watermark and is dropped —
+    // exactly like a production file stream tailing time-partitioned drops.
+    val median = events.selectExpr("percentile_approx(cast(ts as double), 0.5)")
+      .collect()(0).getDouble(0)
+    events.where(col("ts").cast("double") <= median).write.mode("overwrite").parquet(s"$dir/f0")
+    events.where(col("ts").cast("double") > median).write.mode("overwrite").parquet(s"$dir/f1")
+    // flatten into one dir of files
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    var i = 0
+    Seq("f0", "f1").foreach { sub =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .foreach { st =>
+          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(s"$out/batch$i.parquet"))
+          i += 1
+        }
+    }
+    out
+  }
+
+  /** Streaming tumbling-window aggregation over the events file stream,
+    * drained to completion (Complete mode) — equals the batch/SQL result. */
+  def streamWindowAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageEventDir(spark, sfDir)
+    val stream = spark.readStream
+      .schema(Tables.read(spark, sfDir, "events").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val name = "graft_stream_window_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    Streams.runToMemorySink(
+      Streams.windowedEventCounts(stream, "1 hour", "2 hours"), name, OutputMode.Complete())
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Batch gap-and-island sessionization (30-minute gap). */
+  def sessionizeBatch(spark: SparkSession, sfDir: String): DataFrame =
+    Streams.sessionizeBatch(
+      Tables.read(spark, sfDir, "events").select("user_id", "ts", "value"), 30)
+      .orderBy("user_id", "session_start")
+
+  /** Streaming stateful sessionization (flatMapGroupsWithState with
+    * event-time timeout) over the same events, flushed via a sentinel
+    * batch that advances the watermark; must equal the batch plan. */
+  def sessionizeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stageEventDir(spark, sfDir)
+    val schema = Tables.read(spark, sfDir, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event]
+    val name = "graft_stream_sess_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val q = Streams.sessionizeStream(stream, gapMinutes = 30).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // sentinel events far in the future: advance the watermark, then fire
+      // the event-time timeouts in a follow-up batch
+      val far = Tables.read(spark, sfDir, "events").select(max(col("ts"))).collect()(0)
+        .getTimestamp(0).getTime
+      Seq(
+        Streams.Event(99999901L, new java.sql.Timestamp(far + 86400000L), 9999991L, "view", 0.0),
+        Streams.Event(99999902L, new java.sql.Timestamp(far + 86400000L * 2), 9999992L, "view", 0.0))
+        .zipWithIndex.foreach { case (e, i) =>
+          Seq(e).toDF().write.mode("overwrite").parquet(s"$dir/__sentinel$i")
+          val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/__sentinel$i"))
+            .filter(_.getPath.getName.startsWith("part-"))
+            .foreach(st => fs.rename(st.getPath,
+              new org.apache.hadoop.fs.Path(s"$dir/zz_sentinel$i.parquet")))
+          q.processAllAvailable()
+        }
+    } finally q.stop()
+    spark.table(name)
+      .where(col("user_id") < 9999991L)
+      .orderBy("user_id", "session_start")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_window_agg" -> (streamWindowAgg _),
+    "s_sessionize_batch" -> (sessionizeBatch _),
+    "s_sessionize_stream" -> (sessionizeStream _),
+  )
+
+  private val sessionizeOracle =
+    """WITH fl AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS nf
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    sum(nf) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM fl)
+      |SELECT user_id,
+      |  min(ts) AS session_start,
+      |  max(ts) AS session_end,
+      |  cast(count(*) as bigint) AS n_events,
+      |  cast(sum(cast(round(value * 100) as bigint)) as bigint) AS value_cents
+      |FROM s
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "s_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(round(value * 100) as bigint)) as bigint) AS value_cents
+        |FROM events
+        |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+    "s_sessionize_batch" -> sessionizeOracle,
+    "s_sessionize_stream" -> sessionizeOracle,
+  )
+}

@@ -1,0 +1,165 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (no reference equivalent — the reference is
+  * batch-only, SURVEY §2.5; this is the Spark-native extension the builder
+  * prompt asks for): file/memory sources → watermarked windowed
+  * aggregations → sinks, plus stateful sessionization both as a streaming
+  * `flatMapGroupsWithState` operator and as an equivalent batch
+  * gap-and-island plan (each validates the other).
+  */
+object Streams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, value_cents: Long)
+
+  /** Internal per-user state buffer for [[sessionizeStream]]. */
+  case class SessionState(times: Array[Long], cents: Array[Long])
+
+  // -----------------------------------------------------------------
+  // windowed aggregation
+  // -----------------------------------------------------------------
+
+  /** Tumbling-window counts/sums per event type with a watermark. Works
+    * identically on a batch or streaming `events` input — the Spark
+    * unified-API property the engine leans on for testing. */
+  def windowedEventCounts(
+      events: DataFrame,
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("bigint")).cast("bigint").as("value_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_cents"))
+
+  /** Run a streaming DataFrame to completion into a memory sink and return
+    * the result table (drains all available input, then stops). */
+  def runToMemorySink(streamed: DataFrame, queryName: String,
+      outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val spark = streamed.sparkSession
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
+  // -----------------------------------------------------------------
+  // sessionization
+  // -----------------------------------------------------------------
+
+  /** Batch sessionization (gap-and-island): a session breaks when the gap
+    * to the previous event of the same user exceeds `gapMinutes`. One
+    * shuffle on user_id; windows sorted per user. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val gapMs = gapMinutes * 60000L
+    val flagged = events
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull
+        .or(unix_millis(col("ts")) - unix_millis(col("__prev")) > gapMs), 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy("user_id", "__sid")
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("bigint")).cast("bigint").as("value_cents"))
+      .drop("__sid")
+  }
+
+  /** Streaming sessionization with explicit state: buffers events per user,
+    * closes sessions when the event-time gap is exceeded; open sessions are
+    * flushed on event-time timeout once the watermark passes. Equivalent to
+    * [[sessionizeBatch]] on the same (finite) input — asserted in tests. */
+  def sessionizeStream(
+      events: Dataset[Event],
+      gapMinutes: Int,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    implicit val sessEnc = Encoders.product[SessionOut]
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val keyEnc = Encoders.scalaLong
+    val gapUs = gapMinutes * 60000000L
+
+    // state works in epoch MICROseconds: Timestamp.getTime is ms-truncated
+    // and would silently round session bounds to the millisecond
+    def tsToUs(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def usToTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
+
+    def toSessions(userId: Long, evts: Seq[(Long, Long)]): Seq[SessionOut] = {
+      if (evts.isEmpty) return Nil
+      val sorted = evts.sortBy(_._1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var start = sorted.head._1
+      var end = sorted.head._1
+      var n = 0L
+      var cents = 0L
+      sorted.foreach { case (t, c) =>
+        if (n > 0 && t - end > gapUs) {
+          out += SessionOut(userId, usToTs(start), usToTs(end), n, cents)
+          start = t; n = 0L; cents = 0L
+        }
+        end = t; n += 1; cents += c
+      }
+      out += SessionOut(userId, usToTs(start), usToTs(end), n, cents)
+      out.toSeq
+    }
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val buffered = state.getOption
+        .map(st => st.times.zip(st.cents).toSeq).getOrElse(Seq.empty)
+      val incoming = rows.map(e => (tsToUs(e.ts), math.round(e.value * 100))).toSeq
+      val all = buffered ++ incoming
+      if (state.hasTimedOut || incoming.isEmpty) {
+        // watermark passed: flush every buffered session
+        state.remove()
+        toSessions(userId, all).iterator
+      } else {
+        val sessions = toSessions(userId, all)
+        // sessions closed by a later gap are final; the last stays open
+        val (closed, open) = (sessions.init, sessions.last)
+        val openEvents = all.filter(_._1 >= tsToUs(open.session_start))
+        state.update(SessionState(openEvents.map(_._1).toArray, openEvents.map(_._2).toArray))
+        // timeout must sit above the current watermark
+        val wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+          math.max((tsToUs(open.session_end) + gapUs) / 1000L, wm + 1))
+        closed.iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Read a directory of parquet event files as a stream (the file-source
+    * entry point a production pipeline would tail). */
+  def eventFileStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+}

@@ -234,6 +234,14 @@ class GraftSession(val spark: SparkSession) {
   def sql(template: String, bindings: Map[String, Any] = Map.empty): DataFrame =
     spark.sql(SqlTemplate.render(template, bindings))
 
+  /** Run `body` bracketed by a [[QueryModifier]]'s pre/post statements
+    * (query_modifier.py:7-29 parity — session variables etc.). */
+  def withQueryModifier[T](qm: QueryModifier)(body: => T): T = {
+    qm.preQueries.foreach(q => spark.sql(q).collect())
+    try body
+    finally qm.postQueries.foreach(q => spark.sql(q).collect())
+  }
+
   /** transform: render → CTAS into `output` (auto temp if none), parity
     * with TransformOperator.execute (transform.py:55-72): DROP + CREATE
     * TABLE AS, returning the output ref for chaining. The swap-pointer

@@ -135,6 +135,12 @@ object ConflictStrategy {
   * pre-installs (databases/base.py:201-209). */
 final class MergeConflictException(msg: String) extends RuntimeException(msg)
 
+/** Pre-/post-queries run around a statement (session variables, pragmas…)
+  * — parity with QueryModifier (python-sdk/src/astro/query_modifier.py:7-29). */
+final case class QueryModifier(
+    preQueries: Seq[String] = Nil,
+    postQueries: Seq[String] = Nil)
+
 /** Identifier hygiene, port of the reference's injection guard
   * (databases/snowflake.py:1107-1155 is_valid_snow_identifier). Unquoted
   * identifiers must match `[A-Za-z_][A-Za-z0-9_$]*`; anything else is

@@ -1,0 +1,67 @@
+package graft
+
+import graft.core._
+
+/** Coverage for the catalog/introspection and raw-SQL surface
+  * (SURVEY §2.4: run_raw_sql options, row_count, fetch_all_rows,
+  * columns_exist/table_exists/schema_exists, QueryModifier). */
+class ApiSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def setup(): TableRef = {
+    val t = TableRef("api_spec_t")
+    g.writeTable(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "s"), t, IfExists.Replace)
+    t
+  }
+
+  test("rowCount / fetchAllRows with limit") {
+    val t = setup()
+    assert(g.rowCount(t) == 3)
+    assert(g.fetchAllRows(t).size == 3)
+    assert(g.fetchAllRows(t, rowLimit = 2).size == 2)
+  }
+
+  test("tableExists / columnsExist / schemaExists") {
+    val t = setup()
+    assert(g.tableExists(t))
+    assert(!g.tableExists(TableRef("no_such_table_xyz")))
+    assert(g.columnsExist(t, Seq("k", "S"))) // case-insensitive resolution
+    assert(!g.columnsExist(t, Seq("k", "missing")))
+    assert(g.schemaExists("default"))
+    assert(!g.schemaExists("no_such_schema"))
+    g.createSchemaIfNeeded("api_extra_schema")
+    assert(g.schemaExists("api_extra_schema"))
+  }
+
+  test("runRawSql: rows, responseSize truncation, failOnEmpty") {
+    val t = setup()
+    val rows = g.runRawSql("SELECT k FROM {{t}} ORDER BY k", Map("t" -> t))
+    assert(rows.map(_.getInt(0)) == Seq(1, 2, 3))
+    assert(g.runRawSql("SELECT k FROM {{t}}", Map("t" -> t), responseSize = 1).size == 1)
+    intercept[IllegalStateException] {
+      g.runRawSql("SELECT k FROM {{t}} WHERE k > 99", Map("t" -> t), failOnEmpty = true)
+    }
+  }
+
+  test("getValueList returns collected rows") {
+    val t = setup()
+    assert(g.getValueList("SELECT DISTINCT s FROM {{t}}", Map("t" -> t)).size == 3)
+  }
+
+  test("withQueryModifier runs pre/post statements around the body") {
+    val t = setup()
+    val out = g.withQueryModifier(QueryModifier(
+      preQueries = Seq("CREATE OR REPLACE TEMP VIEW qm_pre AS SELECT 42 AS x"),
+      postQueries = Seq("DROP VIEW qm_pre"))) {
+      g.sql("SELECT x FROM qm_pre").collect()(0).getInt(0)
+    }
+    assert(out == 42)
+    assert(!spark.catalog.tableExists("qm_pre"))
+  }
+
+  test("dropTable removes table and its storage") {
+    val t = setup()
+    g.dropTable(t)
+    assert(!g.tableExists(t))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape assertions for scale discipline: these queries must keep the
+  * physical-plan properties that make them survive a 100× scale-up —
+  * filter/projection pushdown into the parquet scan, broadcast joins for
+  * small dimensions, partial (map-side) aggregation, no cartesian products
+  * where a key join exists.
+  */
+class PlanSpec extends GraftSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q1_agg: filter pushed to parquet scan, partial aggregation, pruned columns") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("l_orderkey"), "should not read unused columns\n" + p)
+  }
+
+  test("q3_join_agg: small dimension broadcast, no shuffle of customer") {
+    val p = plan("q3_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q9_exists: semi/anti joins with pushed filters, no cartesian") {
+    val p = plan("q9_exists")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q12_star: all dimension joins broadcast; only fact table scanned wide") {
+    val p = plan("q12_star")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), "star dims must broadcast, not sort-merge\n" + p)
+  }
+
+  test("q2_topn_filter: limit pushed as TakeOrderedAndProject, scan pruned to 4 columns") {
+    val p = plan("q2_topn_filter")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(p_size)"), p)
+  }
+
+  test("dedup exact: single shuffle on fingerprint, no raw-text shuffle key") {
+    val p = plan("p_dedup_exact")
+    // partitioning expression is the fingerprint hash pair, not `text`
+    assert(p.contains("fingerprint64"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("ann brute force: corpus never shuffled, queries broadcast") {
+    val p = plan("p_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // the only exchange allowed is for the final per-query top-k window
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("merge ignore: single equi-join on keys, target read once") {
+    import spark.implicits._
+    val t = Seq((1, "a"), (2, "b")).toDF("k", "s")
+    val s = Seq((2, "x"), (3, "y")).toDF("k", "s")
+    val p = graft.ops.Merge.mergePlan(s, t, Seq("k" -> "k", "s" -> "s"), Seq("k"),
+      graft.core.ConflictStrategy.Ignore)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}

@@ -126,6 +126,10 @@ class GraftSession(val spark: SparkSession) {
       capitalization: ColumnsCapitalization = ColumnsCapitalization.Original,
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val fmt = file.resolvedFormat
+    if (fmt == FileFormat.Xlsx) {
+      val df = graft.io.Excel.readXlsx(spark, file.path)
+      return Flatten.applyCapitalization(Flatten.replaceIllegalColumnChars(df), capitalization)
+    }
     var reader = spark.read.format(fmt.sparkFormat)
     schema.foreach(s => reader = reader.schema(s))
     fmt match {
@@ -188,6 +192,10 @@ class GraftSession(val spark: SparkSession) {
       ifExists: IfExists = IfExists.Replace,
       singleFile: Boolean = true): String = {
     val fmt = output.resolvedFormat
+    if (fmt == FileFormat.Xlsx) {
+      graft.io.Excel.writeXlsx(input, output.path)
+      return output.path
+    }
     val mode = ifExists match {
       case IfExists.Replace => SaveMode.Overwrite
       case IfExists.Append  => SaveMode.Append

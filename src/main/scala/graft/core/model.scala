@@ -66,6 +66,8 @@ object FileFormat {
   case object Parquet extends FileFormat("parquet")
   case object Orc extends FileFormat("orc")
   case object Text extends FileFormat("text")
+  /** Driver-side OOXML path (graft.io.Excel), no Spark datasource. */
+  case object Xlsx extends FileFormat("xlsx")
 
   /** Infer from path extension, parity with files/types/__init__.py
     * `create_file_type` dispatch-by-suffix. */
@@ -80,6 +82,7 @@ object FileFormat {
       case "parquet" | "pq"  => Parquet
       case "orc"             => Orc
       case "txt" | "text"    => Text
+      case "xlsx" | "xls"    => Xlsx
       case _                 => Parquet // directories / extension-less paths
     }
   }

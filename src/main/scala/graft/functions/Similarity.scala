@@ -135,14 +135,17 @@ object Similarity {
 
     val normed = corpus.select(col(idCol), normalize(col(vecCol)).as("__cv"))
 
-    // Seed centroids: evenly strided by id rank (deterministic).
-    val wAll = Window.orderBy(col(idCol))
+    // Seed centroids: deterministic hash-sample of ~2 candidates per cell,
+    // then the first nCentroids by hash — no global sort, one small
+    // aggregation regardless of corpus size.
     val total = normed.count()
-    val stride = math.max(1L, total / nCentroids)
+    val sampleRate = math.min(1.0, (nCentroids * 2.0) / math.max(1L, total))
     val seeds = normed
-      .withColumn("__rk", row_number().over(wAll))
-      .where((col("__rk") - 1) % stride === 0 && col("__rk") <= stride * nCentroids)
-      .withColumn("__cid", ((col("__rk") - 1) / stride).cast("int"))
+      .withColumn("__h", pmod(xxhash64(col(idCol)), lit(1000000L)))
+      .where(col("__h") < (sampleRate * 1000000L).toLong)
+      .orderBy("__h")
+      .limit(nCentroids)
+      .withColumn("__cid", (row_number().over(Window.orderBy("__h")) - 1).cast("int"))
       .select(col("__cid"), col("__cv").as("__centroid"))
 
     def nearestCid(centroids: Array[(Int, Seq[Float])], v: Column): Column = {

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** SQL registration for graft's function surface, so `spark.sql` users get
+  * the same operators as the Scala API:
+  *
+  * {{{
+  *   GraftFunctions.registerAll(spark)
+  *   spark.sql("SELECT graft_fingerprint64(text), graft_token_count(text) FROM docs")
+  * }}}
+  *
+  * `graft_fingerprint64` binds the custom Catalyst expression directly (no
+  * UDF wrapper — stays inside whole-stage codegen); the rest register the
+  * same Column expressions used by the Scala API.
+  */
+object GraftFunctions {
+
+  def registerAll(spark: SparkSession): Unit = {
+    // native expression: direct FunctionRegistry entry
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_fingerprint64",
+      exprs => Fingerprint64(exprs.head),
+      "built-in")
+
+    // column-composition functions: registered through the public API by
+    // converting Column=>Column into expression builders via the bridge
+    def register1(name: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name,
+        exprs => ColumnBridge.expressionEager(f(ColumnBridge.column(exprs.head))),
+        "built-in")
+
+    register1("graft_token_count", TextAnalysis.tokenCount)
+    register1("graft_subword_count", TextAnalysis.subwordCount)
+    register1("graft_lang_id", TextAnalysis.langId)
+    register1("graft_simhash64", Dedup.simHash64)
+    register1("graft_l2norm", Similarity.l2Norm)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine",
+      exprs => ColumnBridge.expressionEager(
+        Similarity.cosine(ColumnBridge.column(exprs(0)), ColumnBridge.column(exprs(1)))),
+      "built-in")
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities for the shapes AQE alone doesn't fix: deliberate key
+  * salting for skewed joins, and bucketed table layout for repeated
+  * co-located joins (shuffle paid once at write, never at read).
+  */
+object Scale {
+
+  /** Inner equi-join where the LEFT side is skewed on the join keys:
+    * left rows get a random salt in [0, saltFactor), the right side is
+    * replicated across all salt values, and the join runs on
+    * (keys..., salt) — splitting each hot key into `saltFactor` reducers.
+    *
+    * Use when one key holds a large fraction of rows AND the right side is
+    * too big to broadcast but small enough to replicate `saltFactor`×
+    * (the classic mid-size dimension with a power-law fact table).
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      saltFactor: Int): DataFrame = {
+    require(saltFactor > 1, "saltFactor must be > 1")
+    // deterministic salt: hash of all left columns spreads rows evenly
+    // without RNG (keeps retries/speculative tasks consistent)
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(saltFactor.toLong)).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Write a table bucketed (and sorted) by join keys: subsequent equi-joins
+    * between tables bucketed the same way run shuffle-free — the layout a
+    * 100 TB fact/fact join needs. In-memory-catalog limitation: bucketed
+    * tables are managed saveAsTable tables. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    var w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
+}

@@ -10,4 +10,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager Column → catalyst Expression conversion. ExpressionUtils wraps
+    * lazily in a ColumnNodeExpression, which is fine inside DataFrame
+    * analysis but unresolvable when the expression is returned from a
+    * FunctionRegistry builder — this walks the column node tree now. */
+  def expressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

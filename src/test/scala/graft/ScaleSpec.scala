@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.ops.Scale
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("saltedJoin equals plain join on skewed data") {
+    // 90% of left rows share one key — the classic skew shape
+    val left = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i)).toDF("k", "v")
+    val right = (1 to 2000).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+    val plain = left.join(right, Seq("k")).select("k", "v", "s")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val salted = Scale.saltedJoin(left, right, Seq("k"), saltFactor = 8)
+      .select("k", "v", "s")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val a = (1 to 1000).map(i => (i.toLong, i * 2)).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, i * 3)).toDF("k", "vb")
+    Scale.writeBucketed(a, "bucketed_a", Seq("k"), 4, sortCols = Seq("k"))
+    Scale.writeBucketed(b, "bucketed_b", Seq("k"), 4, sortCols = Seq("k"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bucketed_a").join(spark.table("bucketed_b"), Seq("k"))
+      val plan = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!plan.contains("Exchange"), "bucketed join must not shuffle:\n" + plan)
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("SQL-registered graft functions work in spark.sql") {
+    GraftFunctions.registerAll(spark)
+    Seq((1L, "hello world spark", Seq(3.0f, 4.0f))).toDF("id", "t", "v")
+      .createOrReplaceTempView("fn_test")
+    val row = spark.sql(
+      """SELECT graft_fingerprint64(t) AS fp, graft_token_count(t) AS tc,
+        |  graft_lang_id(t) AS lang, graft_l2norm(v) AS n,
+        |  graft_cosine(v, v) AS c
+        |FROM fn_test""".stripMargin).collect()(0)
+    assert(row.getAs[Long]("fp") != 0L)
+    assert(row.getAs[Int]("tc") == 3)
+    assert(row.getAs[Double]("n") == 5.0)
+    assert(math.abs(row.getAs[Double]("c") - 1.0) < 1e-9)
+    // matches the Column API exactly
+    val viaColumn = Seq("hello world spark").toDF("t")
+      .select(graft.functions.TextAnalysis.fingerprint64($"t")).as[Long].collect()(0)
+    assert(row.getAs[Long]("fp") == viaColumn)
+  }
+}

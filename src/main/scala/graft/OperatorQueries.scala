@@ -227,6 +227,24 @@ object OperatorQueries {
       partitionClause = Some("l_linestatus = 'F'"))
   }
 
+  /** Exact percentiles over integer cents (Spark `percentile` vs DuckDB
+    * `quantile_cont` — same R-7 interpolation on identical integer inputs
+    * → bit-identical doubles). */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT c_mktsegment,
+        |  percentile(cents, 0.25) AS p25,
+        |  percentile(cents, 0.5) AS p50,
+        |  percentile(cents, 0.75) AS p75,
+        |  cast(count(*) as bigint) AS n
+        |FROM (
+        |  SELECT c_mktsegment, cast(round(o_totalprice * 100) as bigint) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
   // ---------------------------------------------------------------
   // temp-table lifecycle
   // ---------------------------------------------------------------
@@ -260,6 +278,7 @@ object OperatorQueries {
     "op_merge_ignore" -> (mergeIgnore _),
     "op_merge_update" -> (mergeUpdate _),
     "op_merge_exception" -> (mergeException _),
+    "op_percentiles" -> (percentiles _),
     "op_check_column" -> (checkColumnOp _),
     "op_check_table" -> (checkTableOp _),
     "op_cleanup_lifecycle" -> (cleanupLifecycle _),
@@ -325,6 +344,18 @@ object OperatorQueries {
         |UNION ALL
         |SELECT o_orderkey, NULL, NULL, o_totalprice + 1000 FROM orders WHERE o_orderkey % 10 >= 5
         |ORDER BY o_orderkey""".stripMargin,
+
+    "op_percentiles" ->
+      """SELECT c_mktsegment,
+        |  quantile_cont(cents, 0.25) AS p25,
+        |  quantile_cont(cents, 0.5) AS p50,
+        |  quantile_cont(cents, 0.75) AS p75,
+        |  cast(count(*) as bigint) AS n
+        |FROM (
+        |  SELECT c_mktsegment, cast(round(o_totalprice * 100) as bigint) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "op_check_column" ->
       """SELECT cast(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) as double) AS l_quantity_null_check,

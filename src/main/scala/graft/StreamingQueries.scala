@@ -39,9 +39,18 @@ object StreamingQueries {
     out
   }
 
+  /** Run `body` with a reduced shuffle-partition count: stateful streaming
+    * cost is dominated by per-batch state-store snapshots × partitions,
+    * and the keyed state here (users / windows) doesn't need 32. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Streaming tumbling-window aggregation over the events file stream,
     * drained to completion (Complete mode) — equals the batch/SQL result. */
-  def streamWindowAgg(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamWindowAgg(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
     val dir = stageEventDir(spark, sfDir)
     val stream = spark.readStream
       .schema(Tables.read(spark, sfDir, "events").schema)
@@ -62,7 +71,7 @@ object StreamingQueries {
   /** Streaming stateful sessionization (flatMapGroupsWithState with
     * event-time timeout) over the same events, flushed via a sentinel
     * batch that advances the watermark; must equal the batch plan. */
-  def sessionizeStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def sessionizeStream(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
     import spark.implicits._
     val dir = stageEventDir(spark, sfDir)
     val schema = Tables.read(spark, sfDir, "events").schema

@@ -29,6 +29,15 @@ class GraftSession(val spark: SparkSession) {
   /** Temp-table registry — the run-context replacement for the reference's
     * XCom walk in cleanup (sql/operators/cleanup.py:55-301). */
   private val tempTables = mutable.LinkedHashSet[String]()
+  /** Thin per-operator run log — the debuggability stand-in for the
+    * reference's OpenLineage facets (SURVEY §2.6). */
+  private val opLog = mutable.ArrayBuffer[GraftSession.OpLogEntry]()
+
+  private def logOp(op: String, inputs: Seq[String], outputs: Seq[String]): Unit =
+    opLog += GraftSession.OpLogEntry(op, inputs, outputs)
+
+  /** Operator invocations recorded by this session, in order. */
+  def runLog: Seq[GraftSession.OpLogEntry] = opLog.toSeq
   /** table name (lowercased) -> storage path we own (for GC on drop). */
   private val tablePaths = mutable.HashMap[String, String]()
 
@@ -159,6 +168,7 @@ class GraftSession(val spark: SparkSession) {
       capitalization: ColumnsCapitalization = ColumnsCapitalization.Original,
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val df = readFile(file, ndjsonNormalizeSep, capitalization, schema)
+    logOp("load_file", Seq(file.path), outputTable.map(_.qualifiedName).toSeq)
     outputTable match {
       case None => df
       case Some(t) =>
@@ -261,6 +271,9 @@ class GraftSession(val spark: SparkSession) {
     val out = output.getOrElse(TableRef.temp())
     val df = sql(sqlTemplate, bindings)
     replaceTable(df, out)
+    logOp("transform",
+      bindings.values.collect { case t: TableRef => t.qualifiedName }.toSeq,
+      Seq(out.qualifiedName))
     out
   }
 
@@ -314,6 +327,7 @@ class GraftSession(val spark: SparkSession) {
       if (columns.isEmpty) src
       else src.select(columns.map { case (s, t) => col(s).as(t) }: _*)
     appendToTable(projected, target)
+    logOp("append", Seq(source.qualifiedName), Seq(target.qualifiedName))
     target
   }
 
@@ -331,6 +345,7 @@ class GraftSession(val spark: SparkSession) {
       spark.table(target.qualifiedName),
       columns, targetConflictColumns, ifConflicts)
     replaceTable(merged, target)
+    logOp("merge", Seq(source.qualifiedName), Seq(target.qualifiedName))
     target
   }
 
@@ -342,6 +357,7 @@ class GraftSession(val spark: SparkSession) {
       hadoopFs(new Path(p)).delete(new Path(p), true)
     }
     tempTables -= qn.toLowerCase
+    logOp("drop_table", Seq(qn), Nil)
   }
 
   /** cleanup (sql/operators/cleanup.py:55-301): drop every temp table this
@@ -380,6 +396,9 @@ class GraftSession(val spark: SparkSession) {
 }
 
 object GraftSession {
+  /** One recorded operator invocation (inputs/outputs as URIs/names). */
+  final case class OpLogEntry(op: String, inputs: Seq[String], outputs: Seq[String])
+
   def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
 
   /** Local-mode builder with the settings this engine assumes (UTC, AQE,

@@ -124,7 +124,26 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  /** Composed end-to-end training-data pipeline: quality filter → exact
+    * dedup (keep-first) → per-language corpus stats. The full chain is
+    * SQL-expressible, so the whole composition is oracle-checked. */
+  def pipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select("doc_id", "text", "lang")
+    val corpus = d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"),
+      col("text"), col("lang")))
+    val withTok = corpus.withColumn("ntok", TextAnalysis.tokenCount(col("text")))
+    val filtered = withTok.where(col("ntok").between(20, 80))
+    val deduped = Dedup.exactDedup(filtered, Seq("text"), "doc_id")
+    deduped.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("bigint")).cast("bigint").as("total_chars"),
+        (sum(col("ntok")).cast("double") / count(lit(1))).as("avg_tokens"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_pipeline_e2e" -> (pipelineE2e _),
     "p_dedup_exact" -> (dedupExact _),
     "p_dedup_minhash" -> (dedupMinHash _),
     "p_dedup_simhash" -> (dedupSimHash _),
@@ -139,6 +158,22 @@ object PipelineQueries {
 
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracleSql: Map[String, String] = Map(
+    "p_pipeline_e2e" ->
+      """WITH u AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, lang FROM documents),
+        |q AS (
+        |  SELECT *, length(string_split_regex(trim(text), '\s+')) AS ntok
+        |  FROM u
+        |  WHERE length(string_split_regex(trim(text), '\s+')) BETWEEN 20 AND 80),
+        |m AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+        |k AS (SELECT q.* FROM q JOIN m ON q.doc_id = m.doc_id)
+        |SELECT lang,
+        |  cast(count(*) as bigint) AS n_docs,
+        |  cast(sum(cast(length(text) as bigint)) as bigint) AS total_chars,
+        |  cast(cast(sum(ntok) as double) / count(*) as double) AS avg_tokens
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     "p_dedup_exact" ->
       """WITH u AS (
         |  SELECT doc_id, text, lang, source FROM documents

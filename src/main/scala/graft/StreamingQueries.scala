@@ -33,6 +33,11 @@ object StreamingQueries {
         .filter(_.getPath.getName.startsWith("part-"))
         .foreach { st =>
           fs.rename(st.getPath, new org.apache.hadoop.fs.Path(s"$out/batch$i.parquet"))
+          // FileStreamSource orders by modification time: make the
+          // time-ordered ingestion explicit rather than trusting write
+          // timing (an mtime tie would process late files first and drop
+          // them below the watermark)
+          new java.io.File(s"$out/batch$i.parquet").setLastModified(1000000000000L + i * 60000L)
           i += 1
         }
     }

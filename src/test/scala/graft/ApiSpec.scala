@@ -59,6 +59,19 @@ class ApiSpec extends GraftSuite {
     assert(!spark.catalog.tableExists("qm_pre"))
   }
 
+  test("run log records operator lineage (SURVEY 2.6 parity)") {
+    val g2 = new GraftSession(spark)
+    val t = TableRef("runlog_t")
+    g2.writeTable(Seq((1, "a")).toDF("k", "s"), t, IfExists.Replace)
+    val out = g2.transform("SELECT k FROM {{t}}", Map("t" -> t),
+      output = Some(TableRef("runlog_out")))
+    g2.dropTable(out)
+    val ops = g2.runLog.map(_.op)
+    assert(ops.contains("transform") && ops.contains("drop_table"))
+    val tr = g2.runLog.find(_.op == "transform").get
+    assert(tr.inputs == Seq("runlog_t") && tr.outputs == Seq("runlog_out"))
+  }
+
   test("dropTable removes table and its storage") {
     val t = setup()
     g.dropTable(t)

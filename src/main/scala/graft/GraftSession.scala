@@ -116,6 +116,24 @@ class GraftSession(val spark: SparkSession) {
     case IfExists.Append  => appendToTable(df, table)
   }
 
+  /** Replace `table` with a hive-style partitioned layout (same staged
+    * swap-pointer write). Filters on `partitionCols` then prune whole
+    * directories at scan time — the layout a 100 TB date-partitioned fact
+    * table needs. */
+  def writeTablePartitioned(df: DataFrame, table: TableRef, partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    val qn = table.qualifiedName
+    val dest = newStoragePath(table.name)
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(dest)
+    val oldPath = tablePaths.get(qn.toLowerCase)
+    if (spark.catalog.tableExists(qn)) spark.sql(s"DROP TABLE IF EXISTS $qn")
+    spark.catalog.createTable(qn, dest)
+    spark.catalog.recoverPartitions(qn)
+    tablePaths(qn.toLowerCase) = dest
+    oldPath.foreach(p => hadoopFs(new Path(p)).delete(new Path(p), true))
+    registerTemp(table)
+  }
+
   // -------------------------------------------------------------------
   // load_file (sql/operators/load_file.py:37-407)
   // -------------------------------------------------------------------

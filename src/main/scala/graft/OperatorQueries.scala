@@ -227,6 +227,21 @@ object OperatorQueries {
       partitionClause = Some("l_linestatus = 'F'"))
   }
 
+  /** loadFile if_exists=append: same file loaded twice into one table
+    * (load_file.py if_exists branch). Rows tagged by a copy counter via
+    * row_number so the doubled output is deterministic. */
+  def loadAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val src = FileRef(Tables.path(sfDir, "nation"), Some(FileFormat.Parquet))
+    g.loadFile(src, Some(TableRef("op_load_append_t")), IfExists.Replace)
+    g.loadFile(src, Some(TableRef("op_load_append_t")), IfExists.Append)
+    import org.apache.spark.sql.expressions.Window
+    spark.table("op_load_append_t")
+      .withColumn("copy_n",
+        row_number().over(Window.partitionBy("n_nationkey").orderBy("n_name")).cast("int"))
+      .orderBy("n_nationkey", "copy_n")
+  }
+
   /** Exact percentiles over integer cents (Spark `percentile` vs DuckDB
     * `quantile_cont` — same R-7 interpolation on identical integer inputs
     * → bit-identical doubles). */
@@ -278,6 +293,7 @@ object OperatorQueries {
     "op_merge_ignore" -> (mergeIgnore _),
     "op_merge_update" -> (mergeUpdate _),
     "op_merge_exception" -> (mergeException _),
+    "op_load_append" -> (loadAppend _),
     "op_percentiles" -> (percentiles _),
     "op_check_column" -> (checkColumnOp _),
     "op_check_table" -> (checkTableOp _),
@@ -344,6 +360,12 @@ object OperatorQueries {
         |UNION ALL
         |SELECT o_orderkey, NULL, NULL, o_totalprice + 1000 FROM orders WHERE o_orderkey % 10 >= 5
         |ORDER BY o_orderkey""".stripMargin,
+
+    "op_load_append" ->
+      """SELECT n_nationkey, n_name, n_regionkey, copy_n FROM (
+        |  SELECT *, cast(row_number() OVER (PARTITION BY n_nationkey ORDER BY n_name) as int) AS copy_n
+        |  FROM (SELECT * FROM nation UNION ALL SELECT * FROM nation) u) t
+        |ORDER BY n_nationkey, copy_n""".stripMargin,
 
     "op_percentiles" ->
       """SELECT c_mktsegment,

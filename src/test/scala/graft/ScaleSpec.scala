@@ -36,6 +36,18 @@ class ScaleSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned table writes prune partitions on filter") {
+    import graft.core.TableRef
+    val df = (1 to 1000).map(i => (i.toLong, s"2024-0${i % 3 + 1}", i * 1.0))
+      .toDF("id", "month", "v")
+    g.writeTablePartitioned(df, TableRef("part_tbl"), Seq("month"))
+    val q = spark.table("part_tbl").where(col("month") === "2024-02")
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters: [isnotnull(month"), plan)
+    assert(q.count() == df.where(col("month") === "2024-02").count())
+  }
+
   test("SQL-registered graft functions work in spark.sql") {
     GraftFunctions.registerAll(spark)
     Seq((1L, "hello world spark", Seq(3.0f, 4.0f))).toDF("id", "t", "v")

@@ -116,6 +116,16 @@ object PipelineQueries {
       TextAnalysis.fingerprint64(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Cleaning + PII masking + repetition signals (regex-heuristic ops →
+    * rows-only; semantics pinned in PipelineSpec). */
+  def textClean(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint64(TextAnalysis.cleanText(col("text"))).as("clean_fp"),
+      length(TextAnalysis.maskPii(col("text"))).cast("bigint").as("masked_len"),
+      TextAnalysis.repetitionRatio(col("text"), 3).as("rep3"))
+      .orderBy("doc_id")
+
   def multimodal(spark: SparkSession, sfDir: String): DataFrame = {
     val media = Multimodal.mediaFromDocuments(docs(spark, sfDir))
     Multimodal.extractFeatures(media).toDF()
@@ -153,6 +163,7 @@ object PipelineQueries {
     "p_ann_ivf" -> (annIvf _),
     "p_text_quality" -> (textQuality _),
     "p_text_lang_fingerprint" -> (textLangFingerprint _),
+    "p_text_clean" -> (textClean _),
     "p_multimodal" -> (multimodal _),
   )
 

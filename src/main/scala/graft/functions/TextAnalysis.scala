@@ -74,6 +74,36 @@ object TextAnalysis {
     ColumnBridge.column(Fingerprint64(ColumnBridge.expression(normalized)))
   }
 
+  /** Text normalization for training corpora: strip control characters,
+    * collapse runs of whitespace, trim. */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "[\\p{Cntrl}]", " "), "\\s+", " "))
+
+  /** PII masking: emails, phone-number-ish sequences, and IPv4 addresses
+    * replaced with typed placeholder tokens (the standard pre-training
+    * scrub; patterns intentionally conservative). */
+  def maskPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip,
+      "(?<!\\d)(?:\\+?\\d{1,3}[ .-]?)?(?:\\(\\d{2,4}\\)[ .-]?)?\\d{3}[ .-]\\d{3,4}[ .-]?\\d{0,4}(?!\\d)", "<PHONE>")
+  }
+
+  /** Gopher-style repetition signals: fraction of duplicate word n-grams
+    * (1 − distinct/total). High values flag boilerplate/spam. Returns a
+    * double in [0, 1]; 0 for texts shorter than n tokens. */
+  def repetitionRatio(c: Column, n: Int): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    val total = greatest(size(toks) - (n - 1), lit(0))
+    val grams = when(total <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    when(total <= 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / total)
+  }
+
   /** English stopwords (public, standard list excerpt). */
   val EnStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "but", "if", "then", "else", "of", "to",

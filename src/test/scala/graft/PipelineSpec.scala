@@ -91,6 +91,34 @@ class PipelineSpec extends GraftSuite {
     assert(row.getAs[Double]("stopword_ratio") > 0)
   }
 
+  test("cleanText strips control chars and collapses whitespace") {
+    val out = Seq("a\tb\u0007c   d\n\ne").toDF("t")
+      .select(TextAnalysis.cleanText($"t")).as[String].collect()(0)
+    assert(out == "a b c d e")
+  }
+
+  test("maskPii replaces emails, phones, IPs") {
+    val out = Seq("mail me at jo.doe+x@example.co.uk or call 555-123-4567; host 192.168.0.1 ok")
+      .toDF("t").select(TextAnalysis.maskPii($"t")).as[String].collect()(0)
+    assert(out.contains("<EMAIL>") && !out.contains("example.co.uk"), out)
+    assert(out.contains("<PHONE>") && !out.contains("555-123-4567"), out)
+    assert(out.contains("<IP>") && !out.contains("192.168.0.1"), out)
+    val clean = Seq("no pii here just words").toDF("t")
+      .select(TextAnalysis.maskPii($"t")).as[String].collect()(0)
+    assert(clean == "no pii here just words")
+  }
+
+  test("repetitionRatio flags repeated n-grams") {
+    val rows = Seq(
+      "one two three four five six seven eight",          // no repetition
+      "spam spam spam spam spam spam spam spam",           // max repetition
+      "ab").toDF("t")
+      .select(TextAnalysis.repetitionRatio($"t", 2)).as[Double].collect()
+    assert(rows(0) == 0.0)
+    assert(rows(1) > 0.8)
+    assert(rows(2) == 0.0) // shorter than n tokens
+  }
+
   private def vecs = Seq(
     (1L, Seq(1.0f, 0.0f, 0.0f)),
     (2L, Seq(0.9f, 0.1f, 0.0f)),

@@ -41,7 +41,7 @@ object PipelineQueries {
   def dedupMinHash(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = docsWithNearDups(spark, sfDir)
     val pairs = Dedup.minHashNearDupPairs(corpus, "doc_id", "text",
-      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.6,
+      shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.6,
       bucketMinOnly = true)
     Dedup.keepFirstFromPairs(corpus, "doc_id", pairs)
       .select("doc_id").orderBy("doc_id")
@@ -55,7 +55,7 @@ object PipelineQueries {
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = docsWithNearDups(spark, sfDir)
     val pairs = Dedup.ngramJaccardNearDupPairs(corpus, "doc_id", "text",
-      n = 8, numHashes = 64, bands = 8, threshold = 0.6, bucketMinOnly = true)
+      n = 8, numHashes = 32, bands = 8, threshold = 0.6, bucketMinOnly = true)
     Dedup.keepFirstFromPairs(corpus, "doc_id", pairs)
       .select("doc_id").orderBy("doc_id")
   }

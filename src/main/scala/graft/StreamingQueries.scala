@@ -12,9 +12,31 @@ import graft.streaming.Streams
   */
 object StreamingQueries {
 
-  /** Stage the events table as a directory of parquet files (the shape a
-    * streaming file source tails), split so the run covers >1 micro-batch. */
-  private def stageEventDir(spark: SparkSession, sfDir: String): String = {
+  private val stagedDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Staging is memoized per sfDir; read-only consumers share the base
+    * directory, mutating consumers (sessionizeStream appends sentinel
+    * files) take a private copy via [[stagedSource]]. */
+  private def stageEventDir(spark: SparkSession, sfDir: String): String =
+    stagedDirs.getOrElseUpdate(sfDir, stageEventDirImpl(spark, sfDir))
+
+  private def stagedSource(spark: SparkSession, sfDir: String, caller: String): String = {
+    val base = stagedDirs.getOrElseUpdate(sfDir, stageEventDirImpl(spark, sfDir))
+    val out = java.nio.file.Files.createTempDirectory(s"graft_stream_$caller").toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(base),
+      fs, new org.apache.hadoop.fs.Path(out), false, true,
+      spark.sparkContext.hadoopConfiguration)
+    // copy lands under out/<basename>; re-pin mtimes by name order (the
+    // copy does not preserve them, and ingestion order rides on mtime)
+    val copied = new java.io.File(out).listFiles().head
+    copied.listFiles().sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1000000000000L + i * 60000L)
+    }
+    copied.getAbsolutePath
+  }
+
+  private def stageEventDirImpl(spark: SparkSession, sfDir: String): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
     val events = Tables.read(spark, sfDir, "events")
     // Split by event time, not id: micro-batches must arrive in rough time
@@ -78,7 +100,7 @@ object StreamingQueries {
     * batch that advances the watermark; must equal the batch plan. */
   def sessionizeStream(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
     import spark.implicits._
-    val dir = stageEventDir(spark, sfDir)
+    val dir = stagedSource(spark, sfDir, "sess")
     val schema = Tables.read(spark, sfDir, "events").schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)

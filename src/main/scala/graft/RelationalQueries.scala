@@ -143,6 +143,22 @@ object RelationalQueries {
          |HAVING count(*) >= 15
          |ORDER BY o_custkey""".stripMargin,
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE): month spine × year, gap-fill
+    // months with zero orders via left join.
+    "q13_recursive_spine" ->
+      s"""WITH RECURSIVE months(m) AS (
+         |  SELECT 1
+         |  UNION ALL
+         |  SELECT m + 1 FROM months WHERE m < 12
+         |)
+         |SELECT cast(ys.y as int) AS y, cast(months.m as int) AS m,
+         |  cast(count(o_orderkey) as bigint) AS n_orders
+         |FROM months
+         |CROSS JOIN (SELECT DISTINCT year(o_orderdate) AS y FROM orders) ys
+         |LEFT JOIN orders ON month(o_orderdate) = months.m AND year(o_orderdate) = ys.y
+         |GROUP BY ys.y, months.m
+         |ORDER BY y, m""".stripMargin,
+
     // Multi-way star join touching every dimension (join-order work for
     // the optimizer; region/nation/supplier broadcast).
     "q12_star" ->

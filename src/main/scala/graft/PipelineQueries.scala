@@ -126,6 +126,19 @@ object PipelineQueries {
       TextAnalysis.repetitionRatio(col("text"), 3).as("rep3"))
       .orderBy("doc_id")
 
+  /** Backward as-of join: each view/click event attaches the user's most
+    * recent prior purchase value; oracle = DuckDB's native ASOF JOIN. */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.read(spark, sfDir, "events")
+    val l = events.where(col("event_type").isin("view", "click"))
+      .select("event_id", "user_id", "ts")
+    val r = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("rts"), col("value").as("purchase_value"))
+    graft.ops.AsOfJoin.backward(l, r, Seq("user_id"), "ts", "rts")
+      .select("event_id", "user_id", "purchase_value")
+      .orderBy("event_id")
+  }
+
   def multimodal(spark: SparkSession, sfDir: String): DataFrame = {
     val media = Multimodal.mediaFromDocuments(docs(spark, sfDir))
     Multimodal.extractFeatures(media).toDF()
@@ -164,11 +177,18 @@ object PipelineQueries {
     "p_text_quality" -> (textQuality _),
     "p_text_lang_fingerprint" -> (textLangFingerprint _),
     "p_text_clean" -> (textClean _),
+    "p_asof_join" -> (asofJoin _),
     "p_multimodal" -> (multimodal _),
   )
 
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracleSql: Map[String, String] = Map(
+    "p_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type IN ('view','click')),
+        |r AS (SELECT user_id, ts AS rts, value AS purchase_value FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, r.purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts
+        |ORDER BY l.event_id""".stripMargin,
     "p_pipeline_e2e" ->
       """WITH u AS (
         |  SELECT doc_id, text, lang FROM documents

@@ -119,6 +119,21 @@ class PipelineSpec extends GraftSuite {
     assert(rows(2) == 0.0) // shorter than n tokens
   }
 
+  test("asof backward join attaches latest right row at or before left ts") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 1000L)
+    val left = Seq((1L, ts(10), "e10"), (1L, ts(15), "e15"), (1L, ts(20), "e20"),
+      (1L, ts(30), "e30"), (2L, ts(20), "f20")).toDF("uid", "t", "tag")
+    val right = Seq((1L, ts(15), 100.0), (1L, ts(25), 200.0), (3L, ts(1), 9.0))
+      .toDF("uid", "rt", "pv")
+    val out = graft.ops.AsOfJoin.backward(left, right, Seq("uid"), "t", "rt")
+      .orderBy("uid", "t")
+      .collect().map(r => (r.getString(2), Option(r.get(r.fieldIndex("pv"))))).toSeq
+    assert(out == Seq(
+      ("e10", None), ("e15", Some(100.0)), ("e20", Some(100.0)), ("e30", Some(200.0)),
+      ("f20", None)))
+  }
+
   private def vecs = Seq(
     (1L, Seq(1.0f, 0.0f, 0.0f)),
     (2L, Seq(0.9f, 0.1f, 0.0f)),

@@ -139,6 +139,21 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** Range join: views counted inside each purchase's 1-hour follow-up
+    * window; oracle = DuckDB's native inequality (IE) join. */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.read(spark, sfDir, "events")
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("ts").as("s"), (col("ts") + expr("INTERVAL 1 HOUR")).as("e"))
+    graft.ops.RangeJoin.pointInInterval(views, purchases,
+      "ts", "s", "e", Seq("user_id"), binWidthSeconds = 3600)
+      .groupBy("pid").agg(count(lit(1)).as("n_views"))
+      .orderBy("pid")
+  }
+
   def multimodal(spark: SparkSession, sfDir: String): DataFrame = {
     val media = Multimodal.mediaFromDocuments(docs(spark, sfDir))
     Multimodal.extractFeatures(media).toDF()
@@ -178,11 +193,20 @@ object PipelineQueries {
     "p_text_lang_fingerprint" -> (textLangFingerprint _),
     "p_text_clean" -> (textClean _),
     "p_asof_join" -> (asofJoin _),
+    "p_range_join" -> (rangeJoin _),
     "p_multimodal" -> (multimodal _),
   )
 
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracleSql: Map[String, String] = Map(
+    "p_range_join" ->
+      """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS pid, user_id, ts AS s, ts + INTERVAL 1 HOUR AS e
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.pid, cast(count(*) as bigint) AS n_views
+        |FROM p JOIN v ON v.user_id = p.user_id AND v.ts >= p.s AND v.ts <= p.e
+        |GROUP BY p.pid
+        |ORDER BY p.pid""".stripMargin,
     "p_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type IN ('view','click')),
         |r AS (SELECT user_id, ts AS rts, value AS purchase_value FROM events WHERE event_type = 'purchase')

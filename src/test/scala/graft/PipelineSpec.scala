@@ -134,6 +134,21 @@ class PipelineSpec extends GraftSuite {
       ("f20", None)))
   }
 
+  test("range join: points land in covering intervals exactly once") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val points = Seq((1L, ts(5), "p5"), (1L, ts(30), "p30"), (1L, ts(200), "p200"),
+      (2L, ts(5), "q5")).toDF("uid", "t", "tag")
+    // interval spanning many bins + boundary-inclusive checks
+    val intervals = Seq((1L, ts(0), ts(30), "i0_30"), (1L, ts(25), ts(300), "i25_300"),
+      (2L, ts(6), ts(10), "i6_10")).toDF("uid", "s", "e", "iname")
+    val out = graft.ops.RangeJoin.pointInInterval(points, intervals,
+      "t", "s", "e", Seq("uid"), binWidthSeconds = 600)
+      .select("tag", "iname").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(
+      ("p5", "i0_30"), ("p30", "i0_30"), ("p30", "i25_300"), ("p200", "i25_300")))
+  }
+
   private def vecs = Seq(
     (1L, Seq(1.0f, 0.0f, 0.0f)),
     (2L, Seq(0.9f, 0.1f, 0.0f)),

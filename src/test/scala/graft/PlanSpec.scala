@@ -62,6 +62,20 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("asof join: window plan, no join operator at all") {
+    val p = plan("p_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "asof must not fall back to a nested-loop join\n" + p)
+  }
+
+  test("range join: equi-join on bins, no nested-loop fallback") {
+    val p = plan("p_range_join")
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "range join must bin into an equi-join\n" + p)
+  }
+
   test("merge ignore: single equi-join on keys, target read once") {
     import spark.implicits._
     val t = Seq((1, "a"), (2, "b")).toDF("k", "s")

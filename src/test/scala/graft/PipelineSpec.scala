@@ -149,6 +149,28 @@ class PipelineSpec extends GraftSuite {
       ("p5", "i0_30"), ("p30", "i0_30"), ("p30", "i25_300"), ("p200", "i25_300")))
   }
 
+  test("deterministic sampling: stable, fraction-accurate, salt-independent") {
+    import graft.functions.Sampling
+    val big = (1 to 10000).map(i => (i.toLong, s"doc$i", if (i % 2 == 0) "en" else "es"))
+      .toDF("id", "t", "lang")
+    val s1 = Sampling.deterministicSample(big, Seq("id"), 0.2).select("id").as[Long].collect().toSet
+    val s2 = Sampling.deterministicSample(big, Seq("id"), 0.2).select("id").as[Long].collect().toSet
+    assert(s1 == s2) // stable across runs
+    assert(math.abs(s1.size - 2000) < 150, s1.size)
+    val s3 = Sampling.deterministicSample(big, Seq("id"), 0.2, salt = 7).select("id").as[Long].collect().toSet
+    assert(s1 != s3) // independent sample under a different salt
+    // nested property: smaller fraction is a subset of larger (same salt)
+    val s4 = Sampling.deterministicSample(big, Seq("id"), 0.1).select("id").as[Long].collect().toSet
+    assert(s4.subsetOf(s1))
+    val strat = Sampling.stratifiedSample(big, "lang", Map("en" -> 0.5, "es" -> 0.1), Seq("id"))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(strat("en") - 2500) < 200, strat)
+    assert(math.abs(strat("es") - 500) < 120, strat)
+    val top = Sampling.topKPerGroup(big, Seq("lang"), Seq(col("id").desc), 3)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(top.values.forall(_ == 3))
+  }
+
   private def vecs = Seq(
     (1L, Seq(1.0f, 0.0f, 0.0f)),
     (2L, Seq(0.9f, 0.1f, 0.0f)),

@@ -236,10 +236,18 @@ class GraftSession(val spark: SparkSession) {
     } else {
       val outPath = new Path(output.path)
       val fs = hadoopFs(outPath)
-      if (fs.exists(outPath) && mode == SaveMode.ErrorIfExists)
-        throw new IllegalStateException(s"${output.path} already exists")
+      // Append to a single file = read the existing file back and rewrite
+      // the union; without this the rename below would silently replace the
+      // old contents with only the new rows.
+      val toWrite =
+        if (mode == SaveMode.Append && fs.exists(outPath)) {
+          var r = spark.read.format(fmt.sparkFormat).schema(input.schema)
+            .options(output.options)
+          if (fmt == FileFormat.Csv) r = r.option("header", "true")
+          r.load(output.path).unionByName(input)
+        } else input
       val tmp = new Path(output.path + "_graft_tmp_" + java.util.UUID.randomUUID().toString.take(8))
-      var w = input.coalesce(1).write.mode(SaveMode.Overwrite)
+      var w = toWrite.coalesce(1).write.mode(SaveMode.Overwrite)
         .format(fmt.sparkFormat).options(output.options)
       if (fmt == FileFormat.Csv) w = w.option("header", "true")
       w.save(tmp.toString)

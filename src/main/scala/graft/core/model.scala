@@ -82,7 +82,12 @@ object FileFormat {
       case "parquet" | "pq"  => Parquet
       case "orc"             => Orc
       case "txt" | "text"    => Text
-      case "xlsx" | "xls"    => Xlsx
+      case "xlsx"            => Xlsx
+      // The reference reads legacy BIFF .xls via pandas/xlrd
+      // (files/types/excel.py:19-46); our OOXML parser cannot, and routing
+      // it there would fail with an opaque zip error — fail honestly instead.
+      case "xls" => throw new UnsupportedOperationException(
+        "Legacy .xls (BIFF) is not supported: convert to .xlsx")
       case _                 => Parquet // directories / extension-less paths
     }
   }
@@ -163,7 +168,10 @@ object SqlIdentifiers {
     case null            => "NULL"
     case None            => "NULL"
     case Some(x)         => literal(x)
-    case s: String       => "'" + s.replace("'", "''") + "'"
+    // Spark SQL treats backslash as an escape inside string literals (unlike
+    // ANSI), so a value ending in \ or containing \' would otherwise break
+    // out of the quoted literal — escape backslashes first, then quotes.
+    case s: String       => "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
     case b: Boolean      => if (b) "TRUE" else "FALSE"
     case n: Int          => n.toString
     case n: Long         => n.toString

@@ -27,7 +27,8 @@ object Merge {
     *
     * @param columns source→target column mapping (may rename, e.g.
     *        source "age" → target "taxes"; test_merge.py:52-55). Must map
-    *        a source column onto every conflict key.
+    *        a source column onto every conflict key. Empty = all source
+    *        columns by name (reference merge.py:16-80 columns=None).
     * @param conflictKeys target-side conflict column names.
     */
   def mergePlan(
@@ -36,15 +37,17 @@ object Merge {
       columns: Seq[(String, String)],
       conflictKeys: Seq[String],
       strategy: ConflictStrategy): DataFrame = {
-    require(columns.nonEmpty, "merge requires a source→target column mapping")
-    val mappedTargets = columns.map(_._2)
+    val mapping =
+      if (columns.nonEmpty) columns
+      else source.columns.toSeq.map(c => c -> c)
+    val mappedTargets = mapping.map(_._2)
     val missingKeys = conflictKeys.filterNot(k => mappedTargets.exists(_.equalsIgnoreCase(k)))
     require(missingKeys.isEmpty,
       s"conflict key(s) ${missingKeys.mkString(",")} not covered by the column mapping")
 
     // Source projected into target namespace: only mapped columns survive,
     // renamed to their target name (INSERT (cols) SELECT cols semantics).
-    val src = source.select(columns.map { case (s, t) => col(s).as(t) }: _*)
+    val src = source.select(mapping.map { case (s, t) => col(s).as(t) }: _*)
     val targetCols = target.columns.toSeq
     val nonKeyMapped = mappedTargets.filterNot(t => conflictKeys.exists(_.equalsIgnoreCase(t)))
 
@@ -78,6 +81,15 @@ object Merge {
         target.unionByName(widen(src))
 
       case ConflictStrategy.Update =>
+        // Duplicate source keys would multiply matched target rows through
+        // the join below; dialect MERGEs fail on multi-match (Snowflake
+        // "nondeterministic merge", Postgres "cannot affect row a second
+        // time") — fail fast the same way.
+        val dupKeys = src.groupBy(conflictKeys.map(col): _*)
+          .count().where(col("count") > 1)
+        if (!dupKeys.isEmpty)
+          throw new MergeConflictException(
+            s"merge(if_conflicts=update): source has duplicate rows on (${conflictKeys.mkString(",")})")
         // One full-outer join on the keys:
         //   matched        → mapped non-key columns take the source value
         //                    (even NULL — MERGE UPDATE SET semantics),

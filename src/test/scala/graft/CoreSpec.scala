@@ -38,6 +38,19 @@ class CoreSpec extends AnyFunSuite {
     assert(SqlIdentifiers.literal(Seq(1, 2)) == "(1, 2)")
   }
 
+  test("sql literal escapes backslashes (Spark treats \\ as an escape)") {
+    assert(SqlIdentifiers.literal("x\\") == "'x\\\\'")
+    assert(SqlIdentifiers.literal("a\\'b") == "'a\\\\''b'")
+    // the classic breakout payload stays inside the literal
+    assert(SqlIdentifiers.literal("x\\' OR 1=1 --") == "'x\\\\'' OR 1=1 --'")
+  }
+
+  test(".xls is rejected honestly, not routed to the OOXML parser") {
+    intercept[UnsupportedOperationException] {
+      FileFormat.fromPath("/a/b/legacy.xls")
+    }
+  }
+
   test("template renders table refs and literals") {
     val sql = SqlTemplate.render(
       "SELECT * FROM {{t}} WHERE name = {{n}} AND k IN {{ks}}",

@@ -53,6 +53,16 @@ class IoSpec extends GraftSuite {
     assert(back(1).getDouble(2) == 2.5)
   }
 
+  test("single-file append keeps existing rows (no silent replace)") {
+    val dir = tmp("graft_io_appendsf")
+    val path = s"$dir/out.csv"
+    g.exportToFile(Seq((1L, "a")).toDF("k", "s"), FileRef(path), singleFile = true)
+    g.exportToFile(Seq((2L, "b")).toDF("k", "s"), FileRef(path),
+      ifExists = IfExists.Append, singleFile = true)
+    val back = g.loadFile(FileRef(path)).orderBy("k").collect()
+    assert(back.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a"), (2, "b")))
+  }
+
   test("export strict mode raises when file exists") {
     val dir = tmp("graft_io_strict")
     val df = Seq((1, 2)).toDF("a", "b")

@@ -89,6 +89,29 @@ class MergeSpec extends GraftSuite {
     assert(out.count() == 5)
   }
 
+  test("empty column mapping defaults to all source columns by name") {
+    val out = Merge.mergePlan(source, target,
+      columns =Nil,
+      conflictKeys = Seq("list", "sell"),
+      strategy = ConflictStrategy.Ignore)
+    val rows = rowsByList(out)
+    assert(rows.keySet == Set(160, 180, 132, 140, 240))
+    // the inserted row carries all shared source columns, unmapped = null
+    assert(rows(240).getDouble(rows(240).fieldIndex("age")) == 1.0)
+    assert(rows(240).isNullAt(rows(240).fieldIndex("taxes")))
+  }
+
+  test("update fails fast on duplicate source conflict keys") {
+    import spark.implicits._
+    val dup = source.unionAll(Seq((142, 160, 2.0)).toDF("sell", "list", "age"))
+    intercept[MergeConflictException] {
+      Merge.mergePlan(dup, target,
+        columns =Seq("list" -> "list", "sell" -> "sell", "age" -> "taxes"),
+        conflictKeys = Seq("list", "sell"),
+        strategy = ConflictStrategy.Update)
+    }
+  }
+
   test("conflict keys must be covered by the mapping") {
     intercept[IllegalArgumentException] {
       Merge.mergePlan(source, target,

@@ -152,9 +152,17 @@ class GraftSession(val spark: SparkSession) {
       ndjsonNormalizeSep: Option[String] = Some("_"),
       capitalization: ColumnsCapitalization = ColumnsCapitalization.Original,
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    val fmt = file.resolvedFormat
+    // http(s)/ftp URLs: driver-side stream to a local temp file, then the
+    // distributed reader takes over (files/locations/http.py parity —
+    // SURVEY §2.1). Hadoop-FS schemes (s3a/gs/wasbs/file) pass straight
+    // through and stay fully parallel.
+    val resolved =
+      if (graft.io.RemoteFetch.isRemote(file.path))
+        file.copy(path = graft.io.RemoteFetch.fetchToLocal(file.path))
+      else file
+    val fmt = resolved.resolvedFormat
     if (fmt == FileFormat.Xlsx) {
-      val df = graft.io.Excel.readXlsx(spark, file.path)
+      val df = graft.io.Excel.readXlsx(spark, resolved.path)
       return Flatten.applyCapitalization(Flatten.replaceIllegalColumnChars(df), capitalization)
     }
     var reader = spark.read.format(fmt.sparkFormat)
@@ -167,8 +175,8 @@ class GraftSession(val spark: SparkSession) {
         reader = reader.option("multiLine", "true")
       case _ => ()
     }
-    reader = reader.options(file.options) // user options win
-    var df = reader.load(file.path)
+    reader = reader.options(resolved.options) // user options win
+    var df = reader.load(resolved.path)
     val isJson = fmt == FileFormat.Json || fmt == FileFormat.Ndjson
     if (isJson) ndjsonNormalizeSep.foreach { sep => df = Flatten.flatten(df, sep) }
     df = Flatten.replaceIllegalColumnChars(df)
@@ -197,6 +205,9 @@ class GraftSession(val spark: SparkSession) {
 
   /** get_file_list (files/operators/files.py:13-43): Hadoop glob/list. */
   def getFileList(pathOrGlob: String): Seq[String] = {
+    // URL locations cannot be listed; the reference returns the path itself
+    // (files/locations/http.py paths property).
+    if (graft.io.RemoteFetch.isRemote(pathOrGlob)) return Seq(pathOrGlob)
     val p = new Path(pathOrGlob)
     val fs = hadoopFs(p)
     val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)

@@ -52,6 +52,37 @@ object OperatorQueries {
     g.loadFile(FileRef(s"$dir/customer_out", Some(FileFormat.Parquet))).orderBy("c_custkey")
   }
 
+  /** loadFile from an http:// URL (files/locations/http.py parity — the
+    * reference's flagship DAG loads an https:// CSV). Hermetic: the CSV is
+    * served from a loopback socket, fetched driver-side by RemoteFetch,
+    * then read distributed. */
+  def loadHttp(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val dir = tmpDir("graft_http")
+    val src = spark.table("customer").select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    g.exportToFile(src, FileRef(s"$dir/customer.csv"), singleFile = true)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (exchange: com.sun.net.httpserver.HttpExchange) => {
+      val f = new java.io.File(dir, exchange.getRequestURI.getPath.stripPrefix("/"))
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      exchange.sendResponseHeaders(200, bytes.length.toLong)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      // materializes into a table, so the server can stop right after
+      g.loadFile(FileRef(s"http://127.0.0.1:$port/customer.csv"),
+        Some(TableRef("op_http_t")), IfExists.Replace)
+    } finally server.stop(0)
+    spark.table("op_http_t")
+      .select(col("c_custkey").cast("bigint"), col("c_name"),
+        col("c_nationkey").cast("bigint"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
   /** Nested NDJSON → loadFile with json_normalize-style flattening
     * (files/types/ndjson.py:54-96 parity). */
   def loadNdjsonFlatten(spark: SparkSession, sfDir: String): DataFrame = {
@@ -283,6 +314,7 @@ object OperatorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_load_csv_roundtrip" -> (loadCsvRoundtrip _),
+    "op_load_http" -> (loadHttp _),
     "op_export_parquet_roundtrip" -> (exportParquetRoundtrip _),
     "op_load_ndjson_flatten" -> (loadNdjsonFlatten _),
     "op_flatten_projection" -> (flattenProjection _),
@@ -303,6 +335,9 @@ object OperatorQueries {
   val oracleSql: Map[String, String] = Map(
     "op_load_csv_roundtrip" ->
       "SELECT p_partkey, p_name, p_brand, p_size FROM part ORDER BY p_partkey",
+
+    "op_load_http" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer ORDER BY c_custkey",
 
     "op_export_parquet_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",

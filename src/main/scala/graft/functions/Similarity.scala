@@ -1,6 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,8 +36,53 @@ object Similarity {
     when(n === 0, a).otherwise(transform(a, x => (x / n).cast("float")))
   }
 
+  /** Same total order as the final ranking window: cosine desc, id asc.
+    * The id comparison mirrors Spark's ordering for the common id types so
+    * local pruning never drops a row the global window would keep. */
+  private def rankedBefore(cosA: Double, idA: Any, cosB: Double, idB: Any): Boolean =
+    if (cosA != cosB) cosA > cosB
+    else (idA, idB) match {
+      case (x: Long, y: Long)     => x < y
+      case (x: Int, y: Int)       => x < y
+      case (x: String, y: String) => x < y
+      case (x: java.lang.Number, y: java.lang.Number) => x.doubleValue < y.doubleValue
+      case (x, y)                 => String.valueOf(x) < String.valueOf(y)
+    }
+
+  /** Phase 1 of the two-phase top-k: per input partition, keep only the k
+    * best rows per query (bounded heap). The subsequent global window then
+    * shuffles ≤ k·partitions rows per query instead of the whole scored
+    * relation into one reducer per query — the difference between 5
+    * reducers sorting N rows each and a trivial final merge at 100 TB.
+    */
+  private def localTopK(
+      scored: DataFrame,
+      queryIdCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    val schema = scored.schema
+    val qIdx = schema.fieldIndex(queryIdCol)
+    val iIdx = schema.fieldIndex(idCol)
+    val cIdx = schema.fieldIndex("cosine")
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    scored.mapPartitions { it =>
+      // Per query: min-heap of size k ordered so the WORST kept row is on top.
+      val worstOnTop: Ordering[Row] = Ordering.fromLessThan[Row] { (a, b) =>
+        rankedBefore(a.getDouble(cIdx), a.get(iIdx), b.getDouble(cIdx), b.get(iIdx))
+      }
+      val heaps = mutable.HashMap[Any, mutable.PriorityQueue[Row]]()
+      it.foreach { r =>
+        val h = heaps.getOrElseUpdate(r.get(qIdx), mutable.PriorityQueue.empty(worstOnTop))
+        h.enqueue(r)
+        if (h.size > k) h.dequeue()
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+  }
+
   /** Brute-force cosine top-k: for every row of `queries`, the `k` nearest
-    * corpus rows. Exact baseline; one broadcast-join scan of the corpus.
+    * corpus rows. Exact baseline; one broadcast-join scan of the corpus,
+    * per-partition top-k pruning, then a tiny global ranking window.
     *
     * Output: (queryIdCol, idCol, cosine, rank).
     */
@@ -52,8 +99,9 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .select(col(queryIdCol), col(idCol),
         dot(col("__qv"), col("__cv")).as("cosine"))
+    val pruned = localTopK(scored, queryIdCol, idCol, k)
     val w = Window.partitionBy(queryIdCol).orderBy(col("cosine").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    pruned.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** Deterministic pseudo-random unit hyperplanes: component j of plane i =
@@ -99,10 +147,12 @@ object Similarity {
             shiftleft(lit(1L), i)).otherwise(lit(0L))
         }.reduce(_.bitwiseOR(_)).as("sig"))
     }: _*)))
-    val sized = bucketed
-      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("__bucket")))
-      .where(col("__bn") <= maxBucketSize)
-      .drop("__bn")
+    // Drop oversized (adversarial) buckets via a tiny aggregated count +
+    // broadcast anti-join — the banded relation is the largest intermediate
+    // in the plan, and a count-window over it would sort-shuffle all of it.
+    val oversized = bucketed.groupBy("__bucket").agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") > maxBucketSize).select("__bucket")
+    val sized = bucketed.join(broadcast(oversized), Seq("__bucket"), "left_anti")
     val a = sized.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("va"))
     val b = sized.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("vb"))
     a.join(b, Seq("__bucket"))
@@ -135,13 +185,18 @@ object Similarity {
 
     val normed = corpus.select(col(idCol), normalize(col(vecCol)).as("__cv"))
 
+    // Empty corpus → empty result with the right schema (and no
+    // head-of-empty crash below).
+    val total = normed.count()
+    if (total == 0)
+      return bruteForceTopK(corpus, idCol, vecCol, queries, queryIdCol, queryVecCol, k)
+
     // Seed centroids: deterministic hash-sample of ~2 candidates per cell,
     // then the first nCentroids by hash — no global sort, one small
     // aggregation regardless of corpus size.
-    val total = normed.count()
     val sampleRate = math.min(1.0, (nCentroids * 2.0) / math.max(1L, total))
-    val seeds = normed
-      .withColumn("__h", pmod(xxhash64(col(idCol)), lit(1000000L)))
+    val hashed = normed.withColumn("__h", pmod(xxhash64(col(idCol)), lit(1000000L)))
+    val seeds = hashed
       .where(col("__h") < (sampleRate * 1000000L).toLong)
       .orderBy("__h")
       .limit(nCentroids)
@@ -155,7 +210,15 @@ object Similarity {
       greatest(scored.toIndexedSeq: _*).getField("cid")
     }
 
-    val seedArr = seeds.as[(Int, Seq[Float])].collect()
+    var seedArr = seeds.as[(Int, Seq[Float])].collect()
+    // The probabilistic threshold can under-sample a small corpus; top up
+    // with a plain take-ordered (no threshold) — still no full sort.
+    if (seedArr.length < math.min(nCentroids.toLong, total)) {
+      seedArr = hashed.orderBy("__h").limit(nCentroids)
+        .withColumn("__cid", (row_number().over(Window.orderBy("__h")) - 1).cast("int"))
+        .select(col("__cid"), col("__cv").as("__centroid"))
+        .as[(Int, Seq[Float])].collect()
+    }
 
     // One Lloyd pass: assign → per-cell mean → renormalize.
     val assigned = normed.withColumn("__cid", nearestCid(seedArr, col("__cv")))
@@ -182,7 +245,8 @@ object Similarity {
 
     val scored = cells.join(broadcast(probes), Seq("__cid"))
       .select(col(queryIdCol), col(idCol), dot(col("__qv"), col("__cv")).as("cosine"))
+    val pruned = localTopK(scored, queryIdCol, idCol, k)
     val w = Window.partitionBy(queryIdCol).orderBy(col("cosine").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    pruned.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 }

@@ -101,6 +101,10 @@ object Streams {
     // state works in epoch MICROseconds: Timestamp.getTime is ms-truncated
     // and would silently round session bounds to the millisecond
     def tsToUs(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    // Same rounding as the batch path's Spark round(): HALF_UP away from
+    // zero — math.round (half toward +Inf) diverges on negative values.
+    def toCents(v: Double): Long = java.math.BigDecimal.valueOf(v * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
     def usToTs(us: Long): Timestamp = {
       val t = new Timestamp(us / 1000000L * 1000L)
       t.setNanos((us % 1000000L).toInt * 1000)
@@ -130,7 +134,7 @@ object Streams {
         state: GroupState[SessionState]): Iterator[SessionOut] = {
       val buffered = state.getOption
         .map(st => st.times.zip(st.cents).toSeq).getOrElse(Seq.empty)
-      val incoming = rows.map(e => (tsToUs(e.ts), math.round(e.value * 100))).toSeq
+      val incoming = rows.map(e => (tsToUs(e.ts), toCents(e.value))).toSeq
       val all = buffered ++ incoming
       if (state.hasTimedOut || incoming.isEmpty) {
         // watermark passed: flush every buffered session

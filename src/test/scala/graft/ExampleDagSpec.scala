@@ -37,4 +37,39 @@ class ExampleDagSpec extends GraftSuite {
     g.dropTable(movies)
     g.dropTable(out)
   }
+
+  test("same DAG loading the CSV over http:// (calculate_popular_movies.py:29 parity)") {
+    assume(new java.io.File(imdb).exists())
+    // Serve the golden CSV from a loopback socket to stay hermetic.
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(imdb))
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val movies = TableRef("imdb_movies_http")
+      g.loadFile(FileRef(s"http://127.0.0.1:${server.getAddress.getPort}/imdb_v2.csv"),
+        Some(movies))
+      val top = g.transform(
+        "SELECT title, rating FROM {{t}} WHERE genre1='Animation' ORDER BY rating DESC LIMIT 1",
+        Map("t" -> movies))
+      val r = spark.table(top.qualifiedName).collect()(0)
+      assert(r.getString(0) == "Toy Story 3 (2010)" && r.getDouble(1) == 8.3)
+      g.dropTable(movies)
+      g.cleanup()
+    } finally server.stop(0)
+  }
+
+  test("sftp:// and gdrive:// raise explicitly (unsupported locations)") {
+    intercept[UnsupportedOperationException] {
+      g.loadFile(FileRef("sftp://host/path/data.csv"))
+    }
+    intercept[UnsupportedOperationException] {
+      g.loadFile(FileRef("gdrive://folder/data.csv"))
+    }
+  }
 }

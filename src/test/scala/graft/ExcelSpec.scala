@@ -49,8 +49,10 @@ class ExcelSpec extends GraftSuite {
     assert(df.na.drop("all").count() == df.count())
   }
 
-  test("format inference routes .xlsx to the Excel path") {
+  test("format inference routes .xlsx to the Excel path; .xls is rejected") {
     assert(graft.core.FileFormat.fromPath("/a/b.xlsx") == graft.core.FileFormat.Xlsx)
-    assert(graft.core.FileFormat.fromPath("/a/b.xls") == graft.core.FileFormat.Xlsx)
+    intercept[UnsupportedOperationException] {
+      graft.core.FileFormat.fromPath("/a/b.xls")
+    }
   }
 }

@@ -149,6 +149,21 @@ class PipelineSpec extends GraftSuite {
       ("p5", "i0_30"), ("p30", "i0_30"), ("p30", "i25_300"), ("p200", "i25_300")))
   }
 
+  test("range join fails fast on an interval spanning too many bins") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val points = Seq((1L, ts(5), "p5")).toDF("uid", "t", "tag")
+    // 300-minute interval over 1-second bins = 18000 bins > the 10000 cap
+    val intervals = Seq((1L, ts(0), ts(300), "wide")).toDF("uid", "s", "e", "iname")
+    val ex = intercept[Exception] {
+      graft.ops.RangeJoin.pointInInterval(points, intervals,
+        "t", "s", "e", Seq("uid"), binWidthSeconds = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("spans more than")), ex.toString)
+  }
+
   test("deterministic sampling: stable, fraction-accurate, salt-independent") {
     import graft.functions.Sampling
     val big = (1 to 10000).map(i => (i.toLong, s"doc$i", if (i % 2 == 0) "en" else "es"))

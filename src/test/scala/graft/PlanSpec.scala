@@ -62,6 +62,33 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ann top-k is two-phase: per-partition pruning before the ranking window") {
+    for (name <- Seq("p_ann_bruteforce", "p_ann_ivf")) {
+      val p = plan(name)
+      // phase 1: the bounded-heap mapPartitions truncation must sit below…
+      assert(p.contains("MapPartitions"), s"$name missing local top-k pruning\n$p")
+      // …phase 2: the global window that assigns ranks
+      assert(p.contains("Window"), s"$name missing final ranking window\n$p")
+      val mp = p.indexOf("MapPartitions")
+      val win = p.indexOf("Window")
+      // formatted explain prints operators leaves-last within the tree text;
+      // use the numbered-tree section order: Window must consume the
+      // MapPartitions output, so it appears above (before) it in the tree
+      assert(win < mp, s"$name: window should be downstream of pruning\n$p")
+    }
+  }
+
+  test("simhash pairs: bucket-size cap adds no window over the banded relation") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val p = graft.functions.Dedup.simHashNearDupPairs(docs, "doc_id", "text")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the simhash pair plan has no legitimate window operator; the cap must
+    // be a groupBy count + broadcast anti-join, not a count-window sort
+    assert(!p.contains("Window"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("asof join: window plan, no join operator at all") {
     val p = plan("p_asof_join")
     assert(p.contains("Window"), p)

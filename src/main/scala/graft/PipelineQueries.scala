@@ -38,7 +38,25 @@ object PipelineQueries {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** MinHash-LSH dedup, oracle-checked against exact all-pairs Jaccard:
+    * the corpus is cleanly bimodal (constructed near-dups ≥ 0.667, natural
+    * near-dup clusters ≥ 0.8, everything else ≤ 0.03 — measured), and with
+    * r=2 rows per band over 32 bands the probability of missing a
+    * qualifying pair is ≤ (1−0.667²)³² ≈ 7e-9, so the LSH result equals
+    * the exact result and DuckDB can verify it pair-for-pair. */
   def dedupMinHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = docsWithNearDups(spark, sfDir)
+    val pairs = Dedup.minHashNearDupPairs(corpus, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.6,
+      maxBucketSize = 100000, bucketMinOnly = false)
+    Dedup.keepFirstFromPairs(corpus, "doc_id", pairs)
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** The 100 TB-shaped variant: bucket-minimum-only pairing (linear per
+    * bucket where all-pairs is quadratic). Deterministic; not exactly
+    * SQL-expressible → rows-only check, semantics pinned in PipelineSpec. */
+  def dedupMinHashScale(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = docsWithNearDups(spark, sfDir)
     val pairs = Dedup.minHashNearDupPairs(corpus, "doc_id", "text",
       shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.6,
@@ -52,16 +70,26 @@ object PipelineQueries {
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
       .orderBy("id_a", "id_b")
 
+  /** Char-12-gram Jaccard dedup, oracle-checked the same way as
+    * [[dedupMinHash]]. n=12 keeps the corpus bimodal (constructed pairs
+    * ≥ 0.607, natural near-dups high, random pairs avg 0.007 — measured);
+    * 8-grams over this 30-word vocabulary are so widely shared that r=2
+    * banding admits millions of spurious candidate pairs at sf0.1. */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = docsWithNearDups(spark, sfDir)
     val pairs = Dedup.ngramJaccardNearDupPairs(corpus, "doc_id", "text",
-      n = 8, numHashes = 32, bands = 8, threshold = 0.6, bucketMinOnly = true)
+      n = 12, numHashes = 64, bands = 32, threshold = 0.55,
+      maxBucketSize = 100000, bucketMinOnly = false)
     Dedup.keepFirstFromPairs(corpus, "doc_id", pairs)
       .select("doc_id").orderBy("doc_id")
   }
 
   /** embeddings ∪ perturbed copies (one dimension nudged) — near-dups in
-    * cosine space. */
+    * cosine space. Oracle-checked against exact all-pairs cosine: the
+    * perturbed pairs sit at cos ≈ 0.9987 and the closest natural pair at
+    * 0.513 (measured), so the qualifying set at 0.98 is exactly the
+    * constructed pairs; with 8 hyperplane tables the per-pair miss
+    * probability is ≈ 2e-7. */
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir).select("vec_id", "embedding")
     val perturbed = e.select((col("vec_id") + 100000).as("vec_id"),
@@ -69,7 +97,7 @@ object PipelineQueries {
         when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
     val corpus = e.unionByName(perturbed)
     Similarity.embeddingNearDupPairs(corpus, "vec_id", "embedding",
-      dim = 64, threshold = 0.98, bits = 10, tables = 6)
+      dim = 64, threshold = 0.98, bits = 10, tables = 8)
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
   }
@@ -107,24 +135,43 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  /** Language-ID + fingerprint (heuristic / custom expression → rows-only;
-    * semantics pinned by PipelineSpec). */
-  def textLangFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+  /** Language-ID per doc + fingerprint equivalence-class size: the DuckDB
+    * oracle recomputes the stopword-profile argmax in SQL and counts docs
+    * per *normalized text* where we count per *fingerprint* — equal iff
+    * fingerprint64 is deterministic and collision-free on this corpus, so
+    * the custom expression is oracle-checked through its partition
+    * structure (the raw 64-bit value is not SQL-computable). */
+  def textLangFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     docs(spark, sfDir).select(
       col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang_pred"),
-      TextAnalysis.fingerprint64(col("text")).as("fingerprint"))
+      TextAnalysis.fingerprint64(col("text")).as("__fp"))
+      .withColumn("n_same_fp", count(lit(1)).over(Window.partitionBy("__fp")).cast("bigint"))
+      .select("doc_id", "lang_pred", "n_same_fp")
       .orderBy("doc_id")
+  }
 
-  /** Cleaning + PII masking + repetition signals (regex-heuristic ops →
-    * rows-only; semantics pinned in PipelineSpec). */
-  def textClean(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir).select(
+  /** Cleaning + PII masking + repetition signals, oracle-checked: the raw
+    * corpus is pure lowercase words (measured: no digits/PII/control
+    * chars), so PII tokens and messy whitespace are injected
+    * deterministically per doc_id and both engines mask/clean the same
+    * decorated text. */
+  def textClean(spark: SparkSession, sfDir: String): DataFrame = {
+    val decorated = docs(spark, sfDir).select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 4 === 0, lit(" contact bob.smith+spam@example.com now")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 1, lit(" server at 192.168.10.1 responded")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 2, lit(" call +1 555-123-4567 today")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 3, lit("  messy\t\twhitespace  tail ")).otherwise(lit("")))
+      .as("text"))
+    decorated.select(
       col("doc_id"),
-      TextAnalysis.fingerprint64(TextAnalysis.cleanText(col("text"))).as("clean_fp"),
+      length(TextAnalysis.cleanText(col("text"))).cast("bigint").as("clean_len"),
       length(TextAnalysis.maskPii(col("text"))).cast("bigint").as("masked_len"),
       TextAnalysis.repetitionRatio(col("text"), 3).as("rep3"))
       .orderBy("doc_id")
+  }
 
   /** Backward as-of join: each view/click event attaches the user's most
     * recent prior purchase value; oracle = DuckDB's native ASOF JOIN. */
@@ -184,6 +231,7 @@ object PipelineQueries {
     "p_pipeline_e2e" -> (pipelineE2e _),
     "p_dedup_exact" -> (dedupExact _),
     "p_dedup_minhash" -> (dedupMinHash _),
+    "p_dedup_minhash_scale" -> (dedupMinHashScale _),
     "p_dedup_simhash" -> (dedupSimHash _),
     "p_dedup_ngram" -> (dedupNgram _),
     "p_dedup_embedding" -> (dedupEmbedding _),
@@ -197,8 +245,105 @@ object PipelineQueries {
     "p_multimodal" -> (multimodal _),
   )
 
+  /** Word-3-shingle set expression shared by the minhash oracle. */
+  private val shingleSetsSql =
+    """SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM corpus)""".stripMargin
+
+  /** Char-12-gram set expression for the ngram oracle. */
+  private val ngramSetsSql =
+    """SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(1, length(t)-11)+1), i -> t[i:i+11])) AS s
+      |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM corpus)""".stripMargin
+
+  private def keepFirstJaccardOracle(setsSql: String, threshold: Double): String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' zq extra trailing token' FROM documents),
+       |sh AS (
+       |  $setsSql),
+       |losers AS (
+       |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.s, b.s))::double
+       |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= $threshold)
+       |SELECT c.doc_id FROM corpus c LEFT JOIN losers l ON c.doc_id = l.doc_id
+       |WHERE l.doc_id IS NULL ORDER BY c.doc_id""".stripMargin
+
+  /** Per-language stopword-hit scores, mirroring TextAnalysis.langId. */
+  private val langScoresSql: String = TextAnalysis.LangProfiles.map { case (lang, words) =>
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"SELECT doc_id, '$lang' AS lang, len(list_filter(t, x -> list_contains([$list], x))) AS hits FROM toks"
+  }.mkString("\n  UNION ALL\n  ")
+
+  /** The same deterministic PII/whitespace decoration as [[textClean]]
+    * (the tab characters ride through DuckDB's e'…' escape syntax). */
+  private val decoratedSql =
+    """SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 4 = 0 THEN ' contact bob.smith+spam@example.com now' ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 1 THEN ' server at 192.168.10.1 responded' ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 2 THEN ' call +1 555-123-4567 today' ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 3 THEN e'  messy\t\twhitespace  tail ' ELSE '' END AS text
+      |  FROM documents""".stripMargin
+
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracleSql: Map[String, String] = Map(
+    "p_dedup_minhash" -> keepFirstJaccardOracle(shingleSetsSql, 0.6),
+
+    "p_dedup_ngram" -> keepFirstJaccardOracle(ngramSetsSql, 0.55),
+
+    "p_dedup_embedding" ->
+      """WITH ec AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    list_transform(embedding, (x, i) -> CASE WHEN i = 1 THEN x + 0.05 ELSE x END)
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM ec a JOIN ec b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "p_text_lang_fingerprint" ->
+      (s"""WITH toks AS (
+        |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+        |sc AS (
+        |  $langScoresSql),
+        |best AS (
+        |  SELECT doc_id, lang, hits,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+        |  FROM sc),
+        |fp AS (
+        |  SELECT doc_id, count(*) OVER (
+        |    PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS n_same_fp
+        |  FROM documents)
+        |SELECT b.doc_id, CASE WHEN b.hits <= 0 THEN 'und' ELSE b.lang END AS lang_pred,
+        |  cast(f.n_same_fp as bigint) AS n_same_fp
+        |FROM best b JOIN fp f ON b.doc_id = f.doc_id
+        |WHERE b.rn = 1 ORDER BY b.doc_id""".stripMargin),
+
+    "p_text_clean" ->
+      (s"""WITH decorated AS (
+        |  $decoratedSql),
+        |toked AS (
+        |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM decorated)
+        |SELECT doc_id,
+        |  cast(length(trim(regexp_replace(regexp_replace(text, '[[:cntrl:]]', ' ', 'g'), '\\s+', ' ', 'g'))) as bigint) AS clean_len,
+        |  cast(length(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+        |      '(\\+?\\d{1,3}[ .-]?)?(\\(\\d{2,4}\\)[ .-]?)?\\d{3}[ .-]\\d{3,4}[ .-]?\\d{0,4}', '<PHONE>', 'g')) as bigint) AS masked_len,
+        |  CASE WHEN greatest(len(toks) - 2, 0) = 0 THEN 0.0
+        |       ELSE 1.0 - len(list_distinct(
+        |         list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))))::double
+        |         / greatest(len(toks) - 2, 0) END AS rep3
+        |FROM toked
+        |ORDER BY doc_id""".stripMargin),
+
     "p_range_join" ->
       """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
         |p AS (SELECT event_id AS pid, user_id, ts AS s, ts + INTERVAL 1 HOUR AS e

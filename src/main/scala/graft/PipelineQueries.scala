@@ -408,10 +408,16 @@ object PipelineQueries {
         |FROM documents
         |ORDER BY doc_id""".stripMargin),
 
+    // image payloads are synthesized PNG (even ids, 57B overhead) / JPEG
+    // (odd ids, 27B overhead) containers with the text embedded; their
+    // decoded dims come from the engine PARSING those bytes, so a parse
+    // bug diverges from the formula below
     "p_multimodal" ->
       """SELECT doc_id AS media_id,
         |  CASE cast(doc_id % 3 as int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-        |  cast(octet_length(encode(text)) as bigint) AS n_bytes,
+        |  cast(octet_length(encode(text)) +
+        |    CASE WHEN doc_id % 3 = 0 THEN CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 27 END
+        |         ELSE 0 END as bigint) AS n_bytes,
         |  cast(doc_id % 640 + 1 as int) AS decoded_width,
         |  cast(doc_id % 480 + 1 as int) AS decoded_height,
         |  cast(CASE cast(doc_id % 3 as int)

@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * pipelines: media as opaque `binary` content columns plus typed
   * metadata, processed per-partition in batches.
   *
-  * The decode step itself is STUBBED (this container ships no image/audio
-  * codecs — see `FakeDecoder`): it is a deterministic stand-in with the
-  * exact signature a real decoder (e.g. JNI JPEG/FFmpeg, or a Python
-  * `mapInPandas` worker in PySpark) would have. Everything around it —
-  * schema, batching, partition sizing, output contract — is real Spark
-  * and tested.
+  * Image decode is REAL: PNG IHDR and JPEG SOF frame headers are parsed
+  * from the payload bytes ([[ImageHeader]] — both are public formats,
+  * dependency-free). Audio/video decode remains STUBBED (this container
+  * ships no codecs — see `FakeDecoder`): a deterministic stand-in with
+  * the exact signature a real decoder (JNI FFmpeg, or a Python
+  * `mapInPandas` worker in PySpark) would have. Everything around the
+  * stub — schema, batching, partition sizing, output contract — is real
+  * Spark and tested.
   */
 object Multimodal {
 
@@ -38,9 +40,93 @@ object Multimodal {
       frames_sampled: Int,
       feature: Array[Float])
 
-  /** Deterministic fake decoder — the `???` boundary a real codec plugs
-    * into. Derives pseudo-features from a rolling hash of the payload so
-    * outputs are stable for tests; DOES NOT decode real media. */
+  /** Minimal real encoders/decoders for the two ubiquitous public image
+    * container formats — enough to write structurally-valid files whose
+    * dimensions are then parsed back from the BYTES, not copied from
+    * metadata. PNG: 8-byte signature + IHDR (width/height as big-endian
+    * 32-bit at data offsets 0/4) with correct CRC32s; JPEG: SOI + SOF0
+    * frame header (height/width as big-endian 16-bit). */
+  object ImageHeader {
+    private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    private def be16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+    /** (width, height) from PNG or JPEG bytes; None if neither parses. */
+    def decode(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 24 && b.take(8).sameElements(PngSig) &&
+        new String(b.slice(12, 16), "US-ASCII") == "IHDR")
+        Some((be32(b, 16), be32(b, 20)))
+      else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+        jpegSof(b)
+      else None
+
+    /** Walk JPEG segments to the first SOFn frame header. */
+    private def jpegSof(b: Array[Byte]): Option[(Int, Int)] = {
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None
+        val m = b(i + 1) & 0xff
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // standalone
+        else if ((m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (i + 8 >= b.length) return None
+          return Some((be16(b, i + 7), be16(b, i + 5))) // (width, height)
+        } else if (m == 0xd9) return None // EOI before any SOF
+        else i += 2 + be16(b, i + 2)
+      }
+      None
+    }
+
+    // --- synthesis (for the hermetic verify corpus and tests) ---
+
+    private def chunk(out: java.io.ByteArrayOutputStream, tpe: String, data: Array[Byte]): Unit = {
+      def w32(v: Int): Unit =
+        out.write(Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+      w32(data.length)
+      val tb = tpe.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(tb); crc.update(data)
+      w32(crc.getValue.toInt)
+    }
+
+    /** Structurally valid PNG: signature + IHDR(w,h,8-bit RGB) + a tEXt
+      * chunk carrying `payload` + IEND. 57 + payload.length bytes. */
+    def synthPng(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(PngSig)
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      chunk(out, "IHDR", ihdr)
+      chunk(out, "tEXt", payload)
+      chunk(out, "IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    /** Minimal JPEG: SOI + SOF0(8-bit, h×w, 3 components) + COM segment
+      * carrying `payload` + EOI. 27 + payload.length bytes. */
+    def synthJpeg(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+      require(w <= 0xffff && h <= 0xffff, "jpeg dims are 16-bit")
+      require(payload.length <= 0xfffd, "COM payload must fit a 16-bit length")
+      val out = new java.io.ByteArrayOutputStream()
+      def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+      b(0xff, 0xd8) // SOI
+      b(0xff, 0xc0, 0x00, 0x11, 0x08, h >>> 8, h, w >>> 8, w, 0x03, // SOF0
+        0x01, 0x11, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+      b(0xff, 0xfe, (payload.length + 2) >>> 8, payload.length + 2) // COM
+      out.write(payload)
+      b(0xff, 0xd9) // EOI
+      out.toByteArray
+    }
+  }
+
+  /** Deterministic fake decoder for the modalities without a real codec
+    * in this container (audio/video) — the `???` boundary a real codec
+    * plugs into. Derives pseudo-features from a rolling hash of the
+    * payload so outputs are stable for tests; DOES NOT decode media. */
   object FakeDecoder {
     val FeatureDim = 8
 
@@ -53,7 +139,10 @@ object Multimodal {
       h
     }
 
-    /** Stub decode: real impl would parse the container + codec here. */
+    /** Decode: images get REAL header parsing (PNG/JPEG dimensions read
+      * from the bytes; unparseable images surface as -1×-1 rather than
+      * echoing source metadata); audio/video dimensions/durations remain
+      * passthrough until a real codec plugs in. */
     def decode(rec: MediaRecord): MediaFeatures = {
       val h = hashBytes(rec.content)
       val feat = Array.tabulate(FeatureDim) { i =>
@@ -67,8 +156,12 @@ object Multimodal {
         case "image" => 1
         case _       => 0
       }
+      val (dw, dh) = rec.modality match {
+        case "image" => ImageHeader.decode(rec.content).getOrElse((-1, -1))
+        case _       => (rec.width, rec.height)
+      }
       MediaFeatures(rec.media_id, rec.modality, rec.content.length.toLong, h,
-        rec.width, rec.height, frames, feat)
+        dw, dh, frames, feat)
     }
   }
 
@@ -83,20 +176,31 @@ object Multimodal {
     }
   }
 
-  /** Demo media table derived deterministically from the documents table
-    * (text bytes as payload) — exercises the plumbing without real media. */
+  /** Demo media table derived deterministically from the documents table:
+    * image rows carry REAL synthesized PNG (even ids) / JPEG (odd ids)
+    * payloads with the text embedded as an ancillary chunk, so the decode
+    * path parses genuine bytes; audio/video carry the raw text bytes. */
   def mediaFromDocuments(documents: DataFrame): Dataset[MediaRecord] = {
-    val spark = documents.sparkSession
     implicit val enc = Encoders.product[MediaRecord]
-    documents.select(
-      col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
-      concat(lit("mem://doc/"), col("doc_id")).as("uri"),
-      encode(col("text"), "UTF-8").as("content"),
-      (col("doc_id") % 640 + 1).cast("int").as("width"),
-      (col("doc_id") % 480 + 1).cast("int").as("height"),
-      (col("n_chars") * 10).cast("long").as("duration_ms"))
-      .as[MediaRecord]
+    implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong)
+    documents
+      .select(col("doc_id"), col("text"), col("n_chars").cast("long"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val modality = (id % 3) match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        val w = (id % 640 + 1).toInt
+        val h = (id % 480 + 1).toInt
+        val textBytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val content = modality match {
+          case "image" if id % 2 == 0 => ImageHeader.synthPng(w, h, textBytes)
+          case "image"                => ImageHeader.synthJpeg(w, h, textBytes)
+          case _                      => textBytes
+        }
+        MediaRecord(id, modality, s"mem://doc/$id", content, w, h, nChars * 10L)
+      }
   }
 }

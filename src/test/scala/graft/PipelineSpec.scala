@@ -226,15 +226,38 @@ class PipelineSpec extends GraftSuite {
     assert(ivf.intersect(brute).size >= 7, s"IVF recall too low: ${ivf.intersect(brute).size}/10")
   }
 
+  test("image header synth/decode roundtrip: PNG IHDR + JPEG SOF0") {
+    import Multimodal.ImageHeader
+    val payload = "embedded text".getBytes("UTF-8")
+    val png = ImageHeader.synthPng(640, 480, payload)
+    assert(ImageHeader.decode(png).contains((640, 480)))
+    assert(png.length == 57 + payload.length)
+    val jpg = ImageHeader.synthJpeg(123, 45, payload)
+    assert(ImageHeader.decode(jpg).contains((123, 45)))
+    assert(jpg.length == 27 + payload.length)
+    assert(ImageHeader.decode("not an image at all".getBytes).isEmpty)
+    assert(ImageHeader.decode(Array.emptyByteArray).isEmpty)
+    assert(ImageHeader.decode(png.take(20)).isEmpty) // truncated
+  }
+
   test("multimodal feature extraction is deterministic with real plumbing") {
     val docsDf = Seq((1L, "hello world content", "en", "src0", 19L),
-      (2L, "another payload here", "en", "src1", 20L))
+      (2L, "another payload here", "en", "src1", 20L),
+      (3L, "an image doc payload", "en", "src2", 20L),
+      (6L, "png image doc bytes!", "en", "src3", 20L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val media = Multimodal.mediaFromDocuments(docsDf)
     val feats = Multimodal.extractFeatures(media, batchSize = 1).collect().sortBy(_.media_id)
-    assert(feats.length == 2)
+    assert(feats.length == 4)
     assert(feats(0).feature.length == Multimodal.FakeDecoder.FeatureDim)
     assert(feats(0).n_bytes == 19L)
+    // image dims parsed from the actual PNG/JPEG bytes, not metadata
+    val jpegImg = feats.find(_.media_id == 3L).get // odd image id → JPEG
+    assert(jpegImg.modality == "image" && jpegImg.n_bytes == 20L + 27)
+    assert((jpegImg.decoded_width, jpegImg.decoded_height) == (3 % 640 + 1, 3 % 480 + 1))
+    val pngImg = feats.find(_.media_id == 6L).get // even image id → PNG
+    assert(pngImg.modality == "image" && pngImg.n_bytes == 20L + 57)
+    assert((pngImg.decoded_width, pngImg.decoded_height) == (6 % 640 + 1, 6 % 480 + 1))
     // deterministic: same input → same hash/features
     val again = Multimodal.extractFeatures(media, batchSize = 64).collect().sortBy(_.media_id)
     assert(feats(0).content_hash == again(0).content_hash)

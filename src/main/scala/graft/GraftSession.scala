@@ -285,9 +285,21 @@ class GraftSession(val spark: SparkSession) {
   // raw_sql.py, sql/__init__.py:53-79)
   // -------------------------------------------------------------------
 
-  /** Render `{{name}}` bindings and run the SQL lazily. */
-  def sql(template: String, bindings: Map[String, Any] = Map.empty): DataFrame =
-    spark.sql(SqlTemplate.render(template, bindings))
+  /** Render `{{name}}` bindings and run the SQL lazily. A `DataFrame`
+    * bound to a placeholder is auto-registered as a temp view and renders
+    * as its name — the reference materializes dataframe args into temp
+    * tables before rendering (base_decorator.py:369-417); a lazy view is
+    * the Spark-native equivalent (no copy, full pushdown through it). */
+  def sql(template: String, bindings: Map[String, Any] = Map.empty): DataFrame = {
+    val resolved: Map[String, Any] = bindings.map {
+      case (k, ds: org.apache.spark.sql.Dataset[_]) =>
+        val ref = TableRef.temp()
+        ds.toDF().createOrReplaceTempView(ref.name)
+        k -> ref
+      case kv => kv
+    }
+    spark.sql(SqlTemplate.render(template, resolved))
+  }
 
   /** Run `body` bracketed by a [[QueryModifier]]'s pre/post statements
     * (query_modifier.py:7-29 parity — session variables etc.). */
@@ -342,6 +354,27 @@ class GraftSession(val spark: SparkSession) {
     if (failOnEmpty && rows.isEmpty)
       throw new IllegalStateException("run_raw_sql returned no rows (fail_on_empty)")
     rows
+  }
+
+  /** run_raw_sql with a result handler (raw_sql.py `handler` param): the
+    * collected rows are passed through `handler` and its result returned. */
+  def runRawSqlWith[T](
+      sqlTemplate: String,
+      bindings: Map[String, Any] = Map.empty,
+      failOnEmpty: Boolean = false,
+      responseSize: Int = -1)(handler: Seq[Row] => T): T =
+    handler(runRawSql(sqlTemplate, bindings, failOnEmpty, responseSize))
+
+  /** run_raw_sql with `results_format="pandas_dataframe"` parity
+    * (raw_sql.py:46-78): the result stays a (lazy) DataFrame. */
+  def runRawSqlDf(
+      sqlTemplate: String,
+      bindings: Map[String, Any] = Map.empty,
+      failOnEmpty: Boolean = false): DataFrame = {
+    val df = sql(sqlTemplate, bindings)
+    if (failOnEmpty && df.isEmpty)
+      throw new IllegalStateException("run_raw_sql returned no rows (fail_on_empty)")
+    df
   }
 
   /** get_value_list (sql/__init__.py:53-79). */

@@ -133,6 +133,22 @@ object OperatorQueries {
     spark.table(out.qualifiedName).orderBy("o_custkey")
   }
 
+  /** transform with a DataFrame argument: the frame auto-registers as a
+    * temp view and renders as its name (base_decorator.py:369-417 parity). */
+  def transformDfArg(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val frequentCustomers = spark.table("orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 10)
+    val out = g.transform(
+      """SELECT c.c_mktsegment, cast(count(*) as bigint) AS n_cust
+        |FROM {{cust}} c JOIN {{frequent}} f ON c.c_custkey = f.o_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin,
+      bindings = Map("cust" -> TableRef("customer"), "frequent" -> frequentCustomers),
+      output = Some(TableRef("op_transform_df_out")))
+    spark.table(out.qualifiedName).orderBy("c_mktsegment")
+  }
+
   /** getValueList: collect rows, rebuild a frame from the collected values
     * (verifies the actual driver-side values). */
   def valueList(spark: SparkSession, sfDir: String): DataFrame = {
@@ -319,6 +335,7 @@ object OperatorQueries {
     "op_load_ndjson_flatten" -> (loadNdjsonFlatten _),
     "op_flatten_projection" -> (flattenProjection _),
     "op_transform_ctas" -> (transformCtas _),
+    "op_transform_df_arg" -> (transformDfArg _),
     "op_value_list" -> (valueList _),
     "op_dataframe_op" -> (dataframeOp _),
     "op_append" -> (appendOp _),
@@ -356,6 +373,12 @@ object OperatorQueries {
       """SELECT o_custkey, cast(count(*) as bigint) AS n_orders,
         |  cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS total_cents
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "op_transform_df_arg" ->
+      """WITH f AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey HAVING count(*) >= 10)
+        |SELECT c.c_mktsegment, cast(count(*) as bigint) AS n_cust
+        |FROM customer c JOIN f ON c.c_custkey = f.o_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "op_value_list" ->
       "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus",

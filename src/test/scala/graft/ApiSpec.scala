@@ -43,6 +43,32 @@ class ApiSpec extends GraftSuite {
     }
   }
 
+  test("DataFrame bindings auto-register as temp views (base_decorator.py:369-417)") {
+    val t = setup()
+    val df = Seq((1, 10), (3, 30)).toDF("k", "bonus")
+    val rows = g.runRawSql(
+      "SELECT t.k, d.bonus FROM {{t}} t JOIN {{d}} d ON t.k = d.k ORDER BY t.k",
+      Map("t" -> t, "d" -> df))
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))) == Seq((1, 10), (3, 30)))
+    // transform with a DataFrame argument materializes correctly too
+    val out = g.transform("SELECT sum(bonus) AS s FROM {{d}}", Map("d" -> df))
+    assert(spark.table(out.qualifiedName).collect()(0).getLong(0) == 40L)
+    g.cleanup()
+  }
+
+  test("runRawSqlWith handler and runRawSqlDf results_format (raw_sql.py:46-78)") {
+    val t = setup()
+    val total = g.runRawSqlWith("SELECT k FROM {{t}}", Map("t" -> t)) { rows =>
+      rows.map(_.getInt(0)).sum
+    }
+    assert(total == 6)
+    val df = g.runRawSqlDf("SELECT k FROM {{t}} WHERE k > 1", Map("t" -> t))
+    assert(df.count() == 2)
+    intercept[IllegalStateException] {
+      g.runRawSqlDf("SELECT k FROM {{t}} WHERE k > 99", Map("t" -> t), failOnEmpty = true)
+    }
+  }
+
   test("getValueList returns collected rows") {
     val t = setup()
     assert(g.getValueList("SELECT DISTINCT s FROM {{t}}", Map("t" -> t)).size == 3)

@@ -84,7 +84,15 @@ class GraftSession(val spark: SparkSession) {
   private def registerTemp(table: TableRef): Unit =
     if (table.temp) tempTables += table.qualifiedName.toLowerCase
 
-  /** Replace `table` with `df`'s result via write-new-swap-pointer. */
+  /** Replace `table` with `df`'s result via write-new-swap-pointer.
+    *
+    * Crash-consistency note: the swap is drop-then-create, so a JVM death
+    * between the two catalog calls leaves the table entry missing — but
+    * the new data is already durable at `dest` and the old data untouched
+    * at its previous path, so nothing is lost and re-running the operator
+    * repairs the catalog. A production lake would make the final step a
+    * single atomic pointer rename (Iceberg/Delta commit); Spark's built-in
+    * catalog has no such primitive for external parquet tables. */
   private def replaceTable(df: DataFrame, table: TableRef): Unit = {
     val qn = table.qualifiedName
     val dest = newStoragePath(table.name)
@@ -138,6 +146,41 @@ class GraftSession(val spark: SparkSession) {
   // load_file (sql/operators/load_file.py:37-407)
   // -------------------------------------------------------------------
 
+  /** Schema-inference parity with the reference's sampling knobs
+    * (databases/base.py:438-441 "only the first file is used for
+    * inferring"; settings.py:67-69 LOAD_TABLE_AUTODETECT_ROWS_COUNT =
+    * 1000): infer the schema from at most `rows` rows of the FIRST file
+    * matching `file`, instead of Spark's scan-everything default. On a
+    * ragged multi-file load this pins the reference's semantics (later
+    * files are cast to the first file's shape); it also bounds inference
+    * cost — one small file read instead of a full pre-pass over 100 TB. */
+  def inferSchemaFromFirstFile(
+      file: FileRef,
+      rows: Int = 1000): org.apache.spark.sql.types.StructType = {
+    val resolved =
+      if (graft.io.RemoteFetch.isRemote(file.path))
+        file.copy(path = graft.io.RemoteFetch.fetchToLocal(file.path))
+      else file
+    val first = getFileList(resolved.path).sorted.headOption.getOrElse(resolved.path)
+    val fmt = resolved.resolvedFormat
+    fmt match {
+      case FileFormat.Csv =>
+        // header + first `rows` data lines, inferred from that sample only
+        val lines = spark.read.textFile(first).limit(rows + 1)
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .options(resolved.options).csv(lines).schema
+      case FileFormat.Ndjson =>
+        val lines = spark.read.textFile(first).limit(rows)
+        spark.read.options(resolved.options).json(lines).schema
+      case FileFormat.Json =>
+        // whole-document JSON: one document = one schema; row knob is moot
+        spark.read.option("multiLine", "true").options(resolved.options).json(first).schema
+      case _ =>
+        // self-describing formats read the footer, not the data
+        spark.read.format(fmt.sparkFormat).options(resolved.options).load(first).schema
+    }
+  }
+
   /** Read file(s) into a DataFrame. The reference's per-location smart_open
     * streams + pandas readers (databases/base.py:566-589) collapse into
     * Spark's distributed reader; glob/pattern paths are native.
@@ -146,12 +189,22 @@ class GraftSession(val spark: SparkSession) {
     *        structs with this separator, reproducing json_normalize names
     *        (files/types/ndjson.py:54-96). Pass None to keep nesting —
     *        the Spark-native (and more scalable) representation.
+    * @param includeFileName expose the source file path as a
+    *        `metadata_filename` column — the Spark rendering of the
+    *        reference's METADATA$FILENAME load option
+    *        (databases/snowflake.py:264-270).
+    * @param inferFromFirstFileOnly sample the schema from the first file
+    *        only (see [[inferSchemaFromFirstFile]]); ignored when an
+    *        explicit `schema` is given.
     */
   def readFile(
       file: FileRef,
       ndjsonNormalizeSep: Option[String] = Some("_"),
       capitalization: ColumnsCapitalization = ColumnsCapitalization.Original,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      includeFileName: Boolean = false,
+      inferFromFirstFileOnly: Boolean = false,
+      autodetectRowsCount: Int = 1000): DataFrame = {
     // http(s)/ftp URLs: driver-side stream to a local temp file, then the
     // distributed reader takes over (files/locations/http.py parity —
     // SURVEY §2.1). Hadoop-FS schemes (s3a/gs/wasbs/file) pass straight
@@ -165,18 +218,22 @@ class GraftSession(val spark: SparkSession) {
       val df = graft.io.Excel.readXlsx(spark, resolved.path)
       return Flatten.applyCapitalization(Flatten.replaceIllegalColumnChars(df), capitalization)
     }
+    val effSchema = schema.orElse(
+      if (inferFromFirstFileOnly) Some(inferSchemaFromFirstFile(resolved, autodetectRowsCount))
+      else None)
     var reader = spark.read.format(fmt.sparkFormat)
-    schema.foreach(s => reader = reader.schema(s))
+    effSchema.foreach(s => reader = reader.schema(s))
     fmt match {
       case FileFormat.Csv =>
         reader = reader.option("header", "true")
-        if (schema.isEmpty) reader = reader.option("inferSchema", "true")
+        if (effSchema.isEmpty) reader = reader.option("inferSchema", "true")
       case FileFormat.Json =>
         reader = reader.option("multiLine", "true")
       case _ => ()
     }
     reader = reader.options(resolved.options) // user options win
     var df = reader.load(resolved.path)
+    if (includeFileName) df = df.withColumn("metadata_filename", input_file_name())
     val isJson = fmt == FileFormat.Json || fmt == FileFormat.Ndjson
     if (isJson) ndjsonNormalizeSep.foreach { sep => df = Flatten.flatten(df, sep) }
     df = Flatten.replaceIllegalColumnChars(df)
@@ -192,8 +249,12 @@ class GraftSession(val spark: SparkSession) {
       ifExists: IfExists = IfExists.Replace,
       ndjsonNormalizeSep: Option[String] = Some("_"),
       capitalization: ColumnsCapitalization = ColumnsCapitalization.Original,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    val df = readFile(file, ndjsonNormalizeSep, capitalization, schema)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      includeFileName: Boolean = false,
+      inferFromFirstFileOnly: Boolean = false,
+      autodetectRowsCount: Int = 1000): DataFrame = {
+    val df = readFile(file, ndjsonNormalizeSep, capitalization, schema,
+      includeFileName, inferFromFirstFileOnly, autodetectRowsCount)
     logOp("load_file", Seq(file.path), outputTable.map(_.qualifiedName).toSeq)
     outputTable match {
       case None => df
@@ -271,6 +332,18 @@ class GraftSession(val spark: SparkSession) {
       output.path
     }
   }
+
+  /** Deprecated alias parity (sql/operators/export_file.py:1-85). */
+  @deprecated("use exportToFile", "0.2")
+  def exportFile(input: DataFrame, output: FileRef,
+      ifExists: IfExists = IfExists.Replace, singleFile: Boolean = true): String =
+    exportToFile(input, output, ifExists, singleFile)
+
+  /** Deprecated alias parity (sql/operators/export_table_to_file.py:1-84). */
+  @deprecated("use exportToFile", "0.2")
+  def exportTableToFile(table: TableRef, output: FileRef,
+      ifExists: IfExists = IfExists.Replace, singleFile: Boolean = true): String =
+    exportToFile(spark.table(table.qualifiedName), output, ifExists, singleFile)
 
   /** "exception" if_exists variant of export (export_to_file.py). */
   def exportToFileStrict(input: DataFrame, output: FileRef): String = {
@@ -377,9 +450,23 @@ class GraftSession(val spark: SparkSession) {
     df
   }
 
-  /** get_value_list (sql/__init__.py:53-79). */
-  def getValueList(sqlTemplate: String, bindings: Map[String, Any] = Map.empty): Seq[Row] =
-    sql(sqlTemplate, bindings).collect().toSeq
+  /** get_value_list (sql/__init__.py:53-79). `maxMapLength` mirrors the
+    * reference's XCom `max_map_length` bound: exceeding it raises instead
+    * of silently flooding the driver. Pass -1 for unbounded. */
+  def getValueList(
+      sqlTemplate: String,
+      bindings: Map[String, Any] = Map.empty,
+      maxMapLength: Int = -1): Seq[Row] = {
+    val df = sql(sqlTemplate, bindings)
+    if (maxMapLength < 0) df.collect().toSeq
+    else {
+      val rows = df.limit(maxMapLength + 1).collect().toSeq
+      if (rows.size > maxMapLength)
+        throw new IllegalStateException(
+          s"get_value_list returned more than max_map_length=$maxMapLength rows")
+      rows
+    }
+  }
 
   // -------------------------------------------------------------------
   // append / merge / drop / cleanup (sql/operators/{append,merge,drop,cleanup}.py)
@@ -431,12 +518,23 @@ class GraftSession(val spark: SparkSession) {
   }
 
   /** cleanup (sql/operators/cleanup.py:55-301): drop every temp table this
-    * session created. No XCom walk needed — we own the registry. */
-  def cleanup(): Seq[String] = {
-    val dropped = tempTables.toSeq
-    dropped.foreach(n => dropTable(TableRef(n)))
+    * session created. No XCom walk needed — we own the registry.
+    * `skipOnFailure` (cleanup.py parity): a failing drop is recorded and
+    * skipped instead of aborting the remaining GC. */
+  def cleanup(skipOnFailure: Boolean = false): Seq[String] = {
+    val dropped = Seq.newBuilder[String]
+    val failed = Seq.newBuilder[String]
+    tempTables.toSeq.foreach { n =>
+      try { dropTable(TableRef(n)); dropped += n }
+      catch {
+        case e: Exception if skipOnFailure =>
+          failed += n
+          logOp("cleanup_skip_failed", Seq(n), Nil)
+      }
+    }
     tempTables.clear()
-    dropped
+    tempTables ++= failed.result() // keep failures registered for a retry
+    dropped.result()
   }
 
   def registeredTempTables: Seq[String] = tempTables.toSeq

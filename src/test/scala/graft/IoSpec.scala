@@ -97,6 +97,50 @@ class IoSpec extends GraftSuite {
     assert(df.count() == 1)
   }
 
+  test("first-file-only schema inference pins ragged multi-file loads") {
+    val dir = tmp("graft_io_ragged")
+    // file A: k,s — file B adds an extra column and widens k to a double
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a_first.csv"),
+      "k,s\n1,x\n2,y\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b_second.csv"),
+      "k,s\n3.5,z\n")
+    val pinned = g.loadFile(FileRef(s"$dir/*.csv", Some(FileFormat.Csv)),
+      inferFromFirstFileOnly = true)
+    // schema comes from a_first.csv alone: k is an integer type
+    assert(pinned.schema("k").dataType.typeName == "integer")
+    assert(pinned.count() == 3)
+    // default Spark behavior infers over all files → k widens to double
+    val wide = g.loadFile(FileRef(s"$dir/*.csv", Some(FileFormat.Csv)))
+    assert(wide.schema("k").dataType.typeName == "double")
+  }
+
+  test("autodetectRowsCount bounds the inference sample") {
+    val dir = tmp("graft_io_rows")
+    // row 1 is an int; row 2 would widen to double — a 1-row sample pins int
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/f.csv"),
+      "k\n1\n2.5\n")
+    val s = g.inferSchemaFromFirstFile(FileRef(s"$dir/f.csv"), rows = 1)
+    assert(s("k").dataType.typeName == "integer")
+  }
+
+  test("includeFileName exposes METADATA$FILENAME analogue") {
+    val dir = tmp("graft_io_meta")
+    Seq((1, "a")).toDF("k", "s").write.mode("overwrite").option("header", "true")
+      .csv(s"$dir/part1")
+    val df = g.loadFile(FileRef(s"$dir/part1/*.csv", Some(FileFormat.Csv)),
+      includeFileName = true)
+    val fn = df.select("metadata_filename").collect()(0).getString(0)
+    assert(fn.contains("part1") && fn.endsWith(".csv"), fn)
+  }
+
+  test("getValueList maxMapLength bound raises above the cap") {
+    Seq(1, 2, 3).toDF("k").createOrReplaceTempView("gv_bound")
+    assert(g.getValueList("SELECT k FROM gv_bound", maxMapLength = 3).size == 3)
+    intercept[IllegalStateException] {
+      g.getValueList("SELECT k FROM gv_bound", maxMapLength = 2)
+    }
+  }
+
   test("transform CTAS + cleanup lifecycle") {
     Seq((1, 10), (2, 20)).toDF("k", "v").createOrReplaceTempView("io_src")
     val out = g.transform("SELECT k, v * 2 AS v2 FROM {{s}}", Map("s" -> TableRef("io_src")))

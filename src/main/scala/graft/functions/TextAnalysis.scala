@@ -93,15 +93,25 @@ object TextAnalysis {
 
   /** Gopher-style repetition signals: fraction of duplicate word n-grams
     * (1 − distinct/total). High values flag boilerplate/spam. Returns a
-    * double in [0, 1]; 0 for texts shorter than n tokens. */
+    * double in [0, 1]; 0 for texts shorter than n tokens.
+    *
+    * Grams are built by zipping n progressively-shifted copies of the
+    * token array (null-padded tails mark incomplete windows) — linear
+    * work per row. The natural `transform(sequence(…), i =>
+    * slice(toks, …))` shape re-evaluates the lambda-captured
+    * tokenization per gram (O(len²) split cost), and a rolling
+    * `aggregate` fold copies its accumulator array per token — both
+    * measured slower on the text-clean pipeline. */
   def repetitionRatio(c: Column, n: Int): Column = {
-    val toks = split(lower(trim(c)), "\\s+")
+    def toks = split(lower(trim(c)), "\\s+")
     val total = greatest(size(toks) - (n - 1), lit(0))
-    val grams = when(total <= 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val grams = (2 to n).foldLeft(toks.cast("array<string>")) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), size(toks)), (g, t) =>
+        when(g.isNull || t.isNull, lit(null)).otherwise(concat(g, lit(" "), t)))
+    }
+    val distinctGrams = size(array_distinct(filter(grams, g => g.isNotNull)))
     when(total <= 0, lit(0.0))
-      .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / total)
+      .otherwise(lit(1.0) - distinctGrams.cast("double") / total)
   }
 
   /** English stopwords (public, standard list excerpt). */

@@ -44,8 +44,13 @@ object StreamingQueries {
     // exactly like a production file stream tailing time-partitioned drops.
     val median = events.selectExpr("percentile_approx(cast(ts as double), 0.5)")
       .collect()(0).getDouble(0)
-    events.where(col("ts").cast("double") <= median).write.mode("overwrite").parquet(s"$dir/f0")
-    events.where(col("ts").cast("double") > median).write.mode("overwrite").parquet(s"$dir/f1")
+    // 2 files per half → 4 micro-batches at maxFilesPerTrigger=1: enough
+    // to prove multi-batch watermark/state semantics without paying ~64
+    // state-store snapshots (one per source part file otherwise)
+    events.where(col("ts").cast("double") <= median)
+      .coalesce(2).write.mode("overwrite").parquet(s"$dir/f0")
+    events.where(col("ts").cast("double") > median)
+      .coalesce(2).write.mode("overwrite").parquet(s"$dir/f1")
     // flatten into one dir of files
     val out = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)

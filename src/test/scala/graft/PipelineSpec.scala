@@ -38,6 +38,41 @@ class PipelineSpec extends GraftSuite {
     assert(kept.contains(4L) && kept.contains(5L))
   }
 
+  test("SimHash64Expr matches the composed-Column reference implementation") {
+    // reference implementation: the explicit 64-term Column construction
+    def referenceSimHash(text: org.apache.spark.sql.Column) = {
+      val toks = split(lower(trim(text)), "\\s+")
+      val hashes = transform(toks, t => xxhash64(t))
+      (0 until 64).map { b =>
+        val mask = shiftleft(lit(1L), b)
+        val bitSum = aggregate(hashes, lit(0L),
+          (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
+        when(bitSum > 0, mask).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }
+    val samples = Seq("hello world", "", "   ", "one", "a\tb\nc", "\ttab lead",
+      "Mixed CASE Text here", "unicode héllo wörld ünïcode", "x " * 50)
+      .toDF("t")
+    val rows = samples.select(Dedup.simHash64($"t").as("fast"),
+      referenceSimHash($"t").as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+  }
+
+  test("simhash banding is exact for hamming <= 3 (matches brute force)") {
+    val base2 = (1 to 60).map(i => (i.toLong,
+      s"document number $i with shared vocabulary words alpha beta gamma delta " +
+        (if (i % 3 == 0) "epsilon zeta" else s"unique token$i marker$i"))).toDF("doc_id", "text")
+    val banded = Dedup.simHashNearDupPairs(base2, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sh = base2.select($"doc_id", Dedup.simHash64($"text").as("sh"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- sh; (b, hb) <- sh if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(banded == brute, s"banded=$banded brute=$brute")
+  }
+
   test("simhash: identical text → distance 0; near text → small distance") {
     val sh = docs.select($"doc_id", Dedup.simHash64($"text").as("sh"))
       .as[(Long, Long)].collect().toMap

@@ -246,6 +246,35 @@ object OperatorQueries {
     spark.table("op_mergex_tgt").orderBy("o_orderkey")
   }
 
+  /** DataFrame pivot (wide conditional aggregation) — DuckDB oracle uses
+    * FILTER aggregates; Spark's pivot fills absent cells with null → 0. */
+  def pivotOp(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.table("orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .select(col("o_orderpriority"),
+        col("F").cast("bigint").as("n_f"),
+        col("O").cast("bigint").as("n_o"),
+        col("P").cast("bigint").as("n_p"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Generator/flatten surface: posexplode of tokenized text → token
+    * frequency table (the Spark side of DuckDB's unnest). */
+  def explodeTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        countDistinct(col("doc_id")).cast("bigint").as("n_docs"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+  }
+
   // ---------------------------------------------------------------
   // data-quality checks
   // ---------------------------------------------------------------
@@ -344,6 +373,8 @@ object OperatorQueries {
     "op_merge_exception" -> (mergeException _),
     "op_load_append" -> (loadAppend _),
     "op_percentiles" -> (percentiles _),
+    "op_pivot" -> (pivotOp _),
+    "op_explode_tokens" -> (explodeTokens _),
     "op_check_column" -> (checkColumnOp _),
     "op_check_table" -> (checkTableOp _),
     "op_cleanup_lifecycle" -> (cleanupLifecycle _),
@@ -436,6 +467,18 @@ object OperatorQueries {
         |  FROM orders JOIN customer ON o_custkey = c_custkey) t
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "op_pivot" ->
+      """SELECT o_orderpriority,
+        |  cast(count(*) FILTER (o_orderstatus = 'F') as bigint) AS n_f,
+        |  cast(count(*) FILTER (o_orderstatus = 'O') as bigint) AS n_o,
+        |  cast(count(*) FILTER (o_orderstatus = 'P') as bigint) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "op_explode_tokens" ->
+      """SELECT tok, cast(count(*) as bigint) AS n, cast(count(DISTINCT doc_id) as bigint) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
 
     "op_check_column" ->
       """SELECT cast(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) as double) AS l_quantity_null_check,

@@ -159,6 +159,18 @@ object RelationalQueries {
          |GROUP BY ys.y, months.m
          |ORDER BY y, m""".stripMargin,
 
+    // Explicit GROUPING SETS (beyond ROLLUP): mixed granularities + grand
+    // total in one pass.
+    "q14_grouping_sets" ->
+      s"""SELECT r_name, c_mktsegment,
+         |  cast(count(*) as bigint) AS n_customers,
+         |  cast(sum(${c("c_acctbal")}) as bigint) AS acctbal_cents
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), (r_name, c_mktsegment), ())
+         |ORDER BY r_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+
     // Multi-way star join touching every dimension (join-order work for
     // the optimizer; region/nation/supplier broadcast).
     "q12_star" ->

@@ -139,10 +139,45 @@ object StreamingQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** Streaming exact dedup: the documents corpus (∪ shifted-id copies, so
+    * real duplicates span micro-batches) flows through a streaming
+    * groupBy(content fingerprint) keeping the minimum doc_id — stateful
+    * keep-first dedup with state carried across batches. Complete mode on
+    * a finite corpus → deterministic, SQL-expressible result. */
+  def dedupStream(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    val docs = Tables.read(spark, sfDir, "documents").select("doc_id", "text")
+    val corpus = docs.unionByName(
+      docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    // two files → two micro-batches: duplicate pairs (id, id+100000) land
+    // in different batches, so the dedup state genuinely crosses batches
+    corpus.where(col("doc_id") < 100000).coalesce(1).write.mode("overwrite").parquet(s"$dir/b0")
+    corpus.where(col("doc_id") >= 100000).coalesce(1).write.mode("overwrite").parquet(s"$dir/b1")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    Seq("b0", "b1").zipWithIndex.foreach { case (sub, i) =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .foreach { st =>
+          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(s"$dir/in$i.parquet"))
+          new java.io.File(s"$dir/in$i.parquet").setLastModified(1000000000000L + i * 60000L)
+        }
+    }
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val deduped = stream
+      .groupBy(graft.functions.TextAnalysis.fingerprint64(col("text")).as("__fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).cast("bigint").as("n_copies"))
+    val name = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    Streams.runToMemorySink(deduped, name, OutputMode.Complete())
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_window_agg" -> (streamWindowAgg _),
     "s_sessionize_batch" -> (sessionizeBatch _),
     "s_sessionize_stream" -> (sessionizeStream _),
+    "s_dedup_stream" -> (dedupStream _),
   )
 
   private val sessionizeOracle =
@@ -175,5 +210,14 @@ object StreamingQueries {
         |ORDER BY window_start, event_type""".stripMargin,
     "s_sessionize_batch" -> sessionizeOracle,
     "s_sessionize_stream" -> sessionizeOracle,
+    "s_dedup_stream" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents)
+        |SELECT min(doc_id) AS doc_id, cast(count(*) as bigint) AS n_copies
+        |FROM corpus
+        |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |ORDER BY doc_id""".stripMargin,
   )
 }

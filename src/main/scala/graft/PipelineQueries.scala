@@ -186,6 +186,20 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** Forward as-of join: each view/click attaches the user's NEXT purchase
+    * value (at or after the event) — the mirror of [[asofJoin]]; oracle =
+    * DuckDB ASOF with the inequality flipped. */
+  def asofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.read(spark, sfDir, "events")
+    val l = events.where(col("event_type").isin("view", "click"))
+      .select("event_id", "user_id", "ts")
+    val r = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("rts"), col("value").as("next_purchase_value"))
+    graft.ops.AsOfJoin.forward(l, r, Seq("user_id"), "ts", "rts")
+      .select("event_id", "user_id", "next_purchase_value")
+      .orderBy("event_id")
+  }
+
   /** Range join: views counted inside each purchase's 1-hour follow-up
     * window; oracle = DuckDB's native inequality (IE) join. */
   def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
@@ -241,6 +255,7 @@ object PipelineQueries {
     "p_text_lang_fingerprint" -> (textLangFingerprint _),
     "p_text_clean" -> (textClean _),
     "p_asof_join" -> (asofJoin _),
+    "p_asof_forward" -> (asofForward _),
     "p_range_join" -> (rangeJoin _),
     "p_multimodal" -> (multimodal _),
   )
@@ -358,6 +373,13 @@ object PipelineQueries {
         |SELECT l.event_id, l.user_id, r.purchase_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts
         |ORDER BY l.event_id""".stripMargin,
+    "p_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type IN ('view','click')),
+        |r AS (SELECT user_id, ts AS rts, value AS next_purchase_value FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, r.next_purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.rts
+        |ORDER BY l.event_id""".stripMargin,
+
     "p_pipeline_e2e" ->
       """WITH u AS (
         |  SELECT doc_id, text, lang FROM documents

@@ -30,23 +30,50 @@ object AsOfJoin {
       on: Seq[String],
       leftTs: String,
       rightTs: String,
-      rightPayload: Seq[String] = Nil): DataFrame = {
+      rightPayload: Seq[String] = Nil): DataFrame =
+    asof(left, right, on, leftTs, rightTs, rightPayload, forwardDir = false)
+
+  /** Forward as-of join: for each left row (keys, t), attach the EARLIEST
+    * right row with the same keys and right.ts ≥ t — the mirror of
+    * [[backward]] (same one-shuffle union-window plan, frame flipped to
+    * current→following). */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String] = Nil): DataFrame =
+    asof(left, right, on, leftTs, rightTs, rightPayload, forwardDir = true)
+
+  private def asof(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      forwardDir: Boolean): DataFrame = {
     val payload =
       if (rightPayload.nonEmpty) rightPayload
       else right.columns.toSeq.filterNot(c =>
         on.exists(_.equalsIgnoreCase(c)) || c.equalsIgnoreCase(rightTs))
     require(payload.nonEmpty, "as-of join needs at least one right payload column")
 
+    // At equal timestamps the right row must still match (ts ≤ t / ts ≥ t
+    // inclusive): backward sorts right before left so the preceding frame
+    // sees it; forward sorts left before right so the following frame does.
+    val (leftSide, rightSide) = if (forwardDir) (0, 1) else (1, 0)
+
     val leftCols = left.columns.toSeq
     // union both sides: left rows carry their full row, right rows carry
-    // the payload struct; __side orders right (0) before left (1) at equal
-    // timestamps so an exactly-simultaneous right row matches (ts ≤ t).
+    // the payload struct
     val taggedLeft = left
       .withColumn("__ts", col(leftTs))
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(leftSide))
       .withColumn("__payload", lit(null).cast(structType(right, payload)))
     val taggedRight = right
-      .select(on.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
+      .select(on.map(col) :+ col(rightTs).as("__ts") :+ lit(rightSide).as("__side") :+
         struct(payload.map(col): _*).as("__payload"): _*)
       .withColumns(leftCols.filterNot(c => on.exists(_.equalsIgnoreCase(c)))
         .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
@@ -56,15 +83,21 @@ object AsOfJoin {
       .unionByName(taggedRight.select(
         (leftCols.map(col) :+ col("__ts") :+ col("__side") :+ col("__payload")): _*))
 
-    val w = Window.partitionBy(on.map(col): _*)
+    val base = Window.partitionBy(on.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = unioned
-      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
+    val matched =
+      if (forwardDir)
+        unioned.withColumn("__match",
+          first(col("__payload"), ignoreNulls = true)
+            .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      else
+        unioned.withColumn("__match",
+          last(col("__payload"), ignoreNulls = true)
+            .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
-    matched.select(leftCols.map(col) ++
-      payload.map(p => col("__match").getField(p).as(p)): _*)
+    matched.where(col("__side") === leftSide)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("__match").getField(p).as(p)): _*)
   }
 
   private def structType(df: DataFrame, cols: Seq[String]) =

@@ -64,6 +64,42 @@ class ExampleDagSpec extends GraftSuite {
     } finally server.stop(0)
   }
 
+  test("calculate_top_2_movies_using_dataframe DAG: dataframe op chain parity") {
+    assume(new java.io.File(imdb).exists())
+    // load_file → @aql.dataframe top-5-by-rating → chained @task head(2)
+    // (example_dags/calculate_top_2_movies_using_dataframe.py) — natively:
+    // dataframeOp with a lazy DataFrame, no pandas/XCom materialization
+    import org.apache.spark.sql.functions._
+    val movies = TableRef("imdb_movies_top2")
+    g.loadFile(FileRef(imdb), Some(movies))
+    val top5 = g.dataframeOp(movies, df =>
+      df.orderBy(col("rating").desc, col("title")).select("title", "rating", "genre1").limit(5))
+    val titles5 = top5.collect().map(_.getString(0)).toSet
+    assert(titles5 == Set("Inception (2010)", "Interstellar (2014)", "Whiplash (2014)",
+      "Django Unchained (2012)", "The Dark Knight Rises (2012)"))
+    val top2 = top5.orderBy(col("rating").desc, col("title")).limit(2)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(top2 == Seq(("Inception (2010)", 8.8), ("Interstellar (2014)", 8.6)))
+    g.dropTable(movies)
+  }
+
+  test("example_sqlite_load_transform DAG: transform + drop_table + cleanup parity") {
+    assume(new java.io.File(imdb).exists())
+    // load_file → @aql.transform CTAS → drop_table(source) → aql.cleanup()
+    // (example_dags/example_sqlite_load_transform.py)
+    val movies = TableRef("imdb_movies_" + System.nanoTime())
+    g.loadFile(FileRef(imdb), Some(movies))
+    val out = g.transform(
+      "SELECT title, rating FROM {{input_table}} WHERE genre1='Animation' ORDER BY rating DESC LIMIT 5",
+      Map("input_table" -> movies),
+      output = Some(TableRef("top_animation_slt")))
+    assert(spark.table(out.qualifiedName).count() == 5)
+    g.dropTable(movies)
+    assert(!g.tableExists(movies))
+    g.cleanup()
+    g.dropTable(out)
+  }
+
   test("sftp:// and gdrive:// raise explicitly (unsupported locations)") {
     intercept[UnsupportedOperationException] {
       g.loadFile(FileRef("sftp://host/path/data.csv"))

@@ -169,6 +169,21 @@ class PipelineSpec extends GraftSuite {
       ("f20", None)))
   }
 
+  test("asof forward join attaches earliest right row at or after left ts") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 1000L)
+    val left = Seq((1L, ts(10), "e10"), (1L, ts(15), "e15"), (1L, ts(20), "e20"),
+      (1L, ts(30), "e30"), (2L, ts(20), "f20")).toDF("uid", "t", "tag")
+    val right = Seq((1L, ts(15), 100.0), (1L, ts(25), 200.0), (3L, ts(1), 9.0))
+      .toDF("uid", "rt", "pv")
+    val out = graft.ops.AsOfJoin.forward(left, right, Seq("uid"), "t", "rt")
+      .orderBy("uid", "t")
+      .collect().map(r => (r.getString(2), Option(r.get(r.fieldIndex("pv"))))).toSeq
+    assert(out == Seq(
+      ("e10", Some(100.0)), ("e15", Some(100.0)), ("e20", Some(200.0)), ("e30", None),
+      ("f20", None)))
+  }
+
   test("range join: points land in covering intervals exactly once") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)

@@ -336,6 +336,23 @@ object OperatorQueries {
         |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Hive-style partitioned table write + partition-pruned read — the
+    * layout a 100 TB date-partitioned fact table needs (writeTablePartitioned
+    * → filter on the partition column prunes whole directories; PlanSpec
+    * asserts the pruning, this query checks the values). */
+  def partitionedWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val src = spark.table("orders")
+      .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+    g.writeTablePartitioned(src, TableRef("op_part_orders"), Seq("o_year"))
+    spark.table("op_part_orders")
+      .where(col("o_year") === 1995)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint").as("cents"))
+      .orderBy("o_orderstatus")
+  }
+
   // ---------------------------------------------------------------
   // temp-table lifecycle
   // ---------------------------------------------------------------
@@ -378,6 +395,7 @@ object OperatorQueries {
     "op_check_column" -> (checkColumnOp _),
     "op_check_table" -> (checkTableOp _),
     "op_cleanup_lifecycle" -> (cleanupLifecycle _),
+    "op_partitioned_write" -> (partitionedWrite _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -497,5 +515,11 @@ object OperatorQueries {
 
     "op_cleanup_lifecycle" ->
       "SELECT cast(2 as bigint) AS tmp_before, cast(2 as bigint) AS dropped, cast(0 as bigint) AS remaining",
+
+    "op_partitioned_write" ->
+      """SELECT o_orderstatus, cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS cents
+        |FROM orders WHERE year(o_orderdate) = 1995
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

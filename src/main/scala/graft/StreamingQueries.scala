@@ -173,7 +173,35 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** Stream-stream inner join with an event-time interval condition:
+    * each view pairs with the same user's purchases in the following
+    * hour. Watermarks on both sides bound the join state (views evict
+    * once the watermark passes vts + 1h); batches arrive time-ordered, so
+    * cross-batch matches are exercised while none are lost. */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    val dir = stageEventDir(spark, sfDir)
+    val schema = Tables.read(spark, sfDir, "events").schema
+    // 2 files per trigger = 2 micro-batches: cross-batch join state is
+    // still exercised at half the state-store snapshot cost of 4 triggers
+    def src() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(dir)
+    val views = src().where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("vts"))
+      .withWatermark("vts", "2 hours")
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("pts"))
+      .withWatermark("pts", "2 hours")
+    val joined = views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("pts") >= col("vts") && col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"))
+      .select(col("view_id").cast("bigint"), col("purchase_id").cast("bigint"))
+    val name = "graft_stream_ssj_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    Streams.runToMemorySink(joined, name, OutputMode.Append())
+      .orderBy("view_id", "purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_stream_stream_join" -> (streamStreamJoin _),
     "s_window_agg" -> (streamWindowAgg _),
     "s_sessionize_batch" -> (sessionizeBatch _),
     "s_sessionize_stream" -> (sessionizeStream _),
@@ -210,6 +238,13 @@ object StreamingQueries {
         |ORDER BY window_start, event_type""".stripMargin,
     "s_sessionize_batch" -> sessionizeOracle,
     "s_sessionize_stream" -> sessionizeOracle,
+    "s_stream_stream_join" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts AS vts FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS pts FROM events WHERE event_type = 'purchase')
+        |SELECT v.view_id, p.purchase_id
+        |FROM v JOIN p ON v.user_id = p.user_id AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 1 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin,
+
     "s_dedup_stream" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -32,10 +32,13 @@ object GraftFunctions {
         exprs => ColumnBridge.expressionEager(f(ColumnBridge.column(exprs.head))),
         "built-in")
 
+    register1("graft_simhash64", Dedup.simHash64) // native SimHash64Expr inside
     register1("graft_token_count", TextAnalysis.tokenCount)
     register1("graft_subword_count", TextAnalysis.subwordCount)
     register1("graft_lang_id", TextAnalysis.langId)
-    register1("graft_simhash64", Dedup.simHash64)
+    register1("graft_clean_text", TextAnalysis.cleanText)
+    register1("graft_mask_pii", TextAnalysis.maskPii)
+    register1("graft_repetition_ratio3", TextAnalysis.repetitionRatio(_, 3))
     register1("graft_l2norm", Similarity.l2Norm)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",

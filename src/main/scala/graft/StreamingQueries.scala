@@ -38,7 +38,8 @@ object StreamingQueries {
 
   private def stageEventDirImpl(spark: SparkSession, sfDir: String): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
-    val events = Tables.read(spark, sfDir, "events")
+    // one read feeds the percentile plus both halves' writes
+    val events = Tables.read(spark, sfDir, "events").cache()
     // Split by event time, not id: micro-batches must arrive in rough time
     // order or the second batch falls below the watermark and is dropped —
     // exactly like a production file stream tailing time-partitioned drops.
@@ -51,6 +52,7 @@ object StreamingQueries {
       .coalesce(2).write.mode("overwrite").parquet(s"$dir/f0")
     events.where(col("ts").cast("double") > median)
       .coalesce(2).write.mode("overwrite").parquet(s"$dir/f1")
+    events.unpersist(false)
     // flatten into one dir of files
     val out = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
@@ -103,12 +105,15 @@ object StreamingQueries {
   /** Streaming stateful sessionization (flatMapGroupsWithState with
     * event-time timeout) over the same events, flushed via a sentinel
     * batch that advances the watermark; must equal the batch plan. */
-  def sessionizeStream(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+  def sessionizeStream(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) {
     import spark.implicits._
     val dir = stagedSource(spark, sfDir, "sess")
     val schema = Tables.read(spark, sfDir, "events").schema
+    // 2 files per trigger → 2 data batches (+2 sentinel rounds): state
+    // still crosses batches and timeouts still fire, at half the
+    // per-batch state-store snapshot cost of 1-file triggers
     val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .option("maxFilesPerTrigger", "2").parquet(dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Streams.Event]
     val name = "graft_stream_sess_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")

@@ -129,7 +129,12 @@ object Similarity {
   /** Embedding near-duplicate pairs: bucket by hyperplane signature
     * (cosine-similar vectors collide with high probability), verify
     * exactly with cosine ≥ threshold within buckets. Multi-probe: `tables`
-    * independent signatures (bit offsets) to boost recall. */
+    * independent signatures (bit offsets) to boost recall.
+    *
+    * Signatures come from the custom codegen'd [[HyperplaneSigsExpr]] —
+    * one fused loop over tables×bits×dim per row instead of tables×bits
+    * separate higher-order dot-product expressions (each of which
+    * allocated a zipped array per evaluation). */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -139,14 +144,14 @@ object Similarity {
       bits: Int = 12,
       tables: Int = 4,
       maxBucketSize: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val normed = df.select(col(idCol).as("__id"), normalize(col(vecCol)).as("__v"))
-    val bucketed = normed.withColumn("__bucket", explode(array((0 until tables).map { t =>
-      struct(lit(t).as("t"),
-        (0 until bits).map { i =>
-          when(dot(col("__v"), hyperplane(t * bits + i, dim)) >= 0,
-            shiftleft(lit(1L), i)).otherwise(lit(0L))
-        }.reduce(_.bitwiseOR(_)).as("sig"))
-    }: _*)))
+    val sigs = ColumnBridge.column(
+      HyperplaneSigsExpr(ColumnBridge.expression(col("__v")), dim, bits, tables))
+    val bucketed = normed
+      .select(col("__id"), col("__v"), posexplode(sigs).as(Seq("__t", "__sig")))
+      .withColumn("__bucket", struct(col("__t").cast("int").as("t"), col("__sig").as("sig")))
+      .drop("__t", "__sig")
     // Drop oversized (adversarial) buckets via a tiny aggregated count +
     // broadcast anti-join — the banded relation is the largest intermediate
     // in the plan, and a count-window over it would sort-shuffle all of it.
@@ -248,5 +253,92 @@ object Similarity {
     val pruned = localTopK(scored, queryIdCol, idCol, k)
     val w = Window.partitionBy(queryIdCol).orderBy(col("cosine").desc, col(idCol))
     pruned.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}
+
+/** All `tables` hyperplane-LSH signatures of a float embedding in one
+  * codegen'd pass: for table t, bit i is the sign of the dot product with
+  * deterministic pseudo-random plane t·bits+i. Replaces tables×bits
+  * higher-order `aggregate(zip_with(...))` dot expressions (one zipped
+  * array allocation each) with a single fused loop; plane components are
+  * precomputed once and shipped via the codegen reference mechanism.
+  * Arithmetic matches the Column form bit-for-bit: float elements widen
+  * to double, products accumulate left-to-right in a double.
+  */
+case class HyperplaneSigsExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    dim: Int, bits: Int, tables: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val planes: Array[Double] =
+    HyperplaneSigsExpr.planes(dim, bits * tables)
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      HyperplaneSigsExpr.sigs(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        planes, dim, bits, tables))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.HyperplaneSigsExpr.sigs($c, $planesRef, $dim, $bits, $tables));
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "hyperplane_sigs"
+}
+
+object HyperplaneSigsExpr {
+  /** Component j of plane i — the same splitmix64 scramble as the Column
+    * form (Similarity.hyperplane), flattened to planes[i*dim + j]. */
+  def planes(dim: Int, nPlanes: Int): Array[Double] = {
+    val out = new Array[Double](nPlanes * dim)
+    var i = 0
+    while (i < nPlanes) {
+      var j = 0
+      while (j < dim) {
+        var z = (i.toLong << 32) + j + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        out(i * dim + j) = z.toDouble / Long.MaxValue.toDouble
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Signature longs per table (called from codegen). */
+  def sigs(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+      planes: Array[Double], dim: Int, bits: Int, tables: Int): Array[Long] = {
+    val n = math.min(dim, vec.numElements())
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val base = (t * bits + b) * dim
+        var acc = 0.0
+        var j = 0
+        while (j < n) {
+          acc += vec.getFloat(j).toDouble * planes(base + j)
+          j += 1
+        }
+        if (acc >= 0) sig |= (1L << b)
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    out
   }
 }

@@ -169,6 +169,22 @@ class PipelineSpec extends GraftSuite {
       ("f20", None)))
   }
 
+  test("HyperplaneSigsExpr table-0 signature matches the composed-Column form") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.functions.HyperplaneSigsExpr
+    val rnd = new scala.util.Random(7)
+    val vecs = (1 to 50).map(i => (i.toLong,
+      Array.fill(16)((rnd.nextFloat() - 0.5f) * 2f)))
+    val df = vecs.toDF("id", "v")
+    val bits = 10
+    val exprSigs = ColumnBridge.column(
+      HyperplaneSigsExpr(ColumnBridge.expression(col("v")), 16, bits, 3))
+    val rows = df.select(
+      exprSigs.getItem(0).as("fast"),
+      Similarity.hyperplaneSignature(col("v"), 16, bits).as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+  }
+
   test("asof forward join attaches earliest right row at or after left ts") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(1700000000000L + m * 1000L)

@@ -23,16 +23,29 @@ object Bench {
     // Materialize through the noop sink: every column is evaluated and
     // shipped, so projection-only queries (regex cleaning, scoring) are
     // measured honestly — a bare count() would let Catalyst prune them away.
+    //
+    // Reproducibility (round-2 verdict): queries are measured in ISOLATION
+    // — cache cleared + GC before each one so a heavy earlier query can't
+    // tax a later one through leaked cached relations or heap pressure —
+    // and the suite runs TWICE (second pass in reverse order, to
+    // decorrelate any residual order effect), reporting the per-query
+    // minimum: the min is the query's cost, the max is the interference.
     val errors = scala.collection.mutable.Map[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (n, f) => n -> runOnce(n, f) }.toMap
+    val pass2 = ordered.reverse.map { case (n, f) => n -> runOnce(n, f) }.toMap
+    val results = pass1.map { case (n, t) => n -> math.min(t, pass2(n)) }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")

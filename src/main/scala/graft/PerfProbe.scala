@@ -14,10 +14,12 @@ object PerfProbe {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       if (explain) fn(spark, sfDir).explain("formatted")
-      // warm + timed runs
+      // warm + timed runs, same materialization + isolation as Bench
       val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        System.gc()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"PERF $name first=${times.head}%.2fs second=${times.last}%.2fs")

@@ -19,18 +19,25 @@ object PipelineQueries {
   private def embs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.read(spark, sfDir, "embeddings")
 
-  /** documents ∪ shifted-id copies — a corpus with guaranteed exact dups. */
+  /** documents ∪ shifted-id copies — a corpus with guaranteed exact dups.
+    * Repartitioned to the session parallelism: the test corpus arrives in
+    * 1-2 parquet splits, which would run every narrow stage (shingling,
+    * signatures) at parallelism 2; at real scale the input arrives in
+    * thousands of splits and this spread is free. */
   private def docsWithDups(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir).select("doc_id", "text", "lang", "source")
     d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"),
       col("text"), col("lang"), col("source")))
+      .repartition(spark.sparkContext.defaultParallelism)
   }
 
-  /** documents ∪ mutated copies ("… extra token") — guaranteed near-dups. */
+  /** documents ∪ mutated copies ("… extra token") — guaranteed near-dups.
+    * Repartitioned for the same reason as [[docsWithDups]]. */
   private def docsWithNearDups(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir).select("doc_id", "text")
     d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"),
       concat(col("text"), lit(" zq extra trailing token")).as("text")))
+      .repartition(spark.sparkContext.defaultParallelism)
   }
 
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
@@ -46,8 +53,15 @@ object PipelineQueries {
     * the exact result and DuckDB can verify it pair-for-pair. */
   def dedupMinHash(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = docsWithNearDups(spark, sfDir)
-    val pairs = Dedup.minHashNearDupPairs(corpus, "doc_id", "text",
-      shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.6,
+    // Build the shingle-set relation once and persist it: the LSH pipeline
+    // consumes it three times (signature build + both sides of the
+    // verification join-back), and the explode → window → collect_set
+    // subtree is the expensive part of the whole query. The bench/verify
+    // harnesses clear the cache between queries.
+    val sets = Dedup.wordShingleSets(corpus, "doc_id", "text", k = 3)
+      .withColumnRenamed("__id", "doc_id").persist()
+    val pairs = Dedup.nearDupPairsFromSets(sets, "doc_id",
+      numHashes = 64, bands = 32, threshold = 0.6,
       maxBucketSize = 100000, bucketMinOnly = false)
     Dedup.keepFirstFromPairs(corpus, "doc_id", pairs)
       .select("doc_id").orderBy("doc_id")
@@ -58,9 +72,10 @@ object PipelineQueries {
     * SQL-expressible → rows-only check, semantics pinned in PipelineSpec. */
   def dedupMinHashScale(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = docsWithNearDups(spark, sfDir)
-    val pairs = Dedup.minHashNearDupPairs(corpus, "doc_id", "text",
-      shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.6,
-      bucketMinOnly = true)
+    val sets = Dedup.wordShingleSets(corpus, "doc_id", "text", k = 3)
+      .withColumnRenamed("__id", "doc_id").persist()
+    val pairs = Dedup.nearDupPairsFromSets(sets, "doc_id",
+      numHashes = 32, bands = 8, threshold = 0.6, bucketMinOnly = true)
     Dedup.keepFirstFromPairs(corpus, "doc_id", pairs)
       .select("doc_id").orderBy("doc_id")
   }
@@ -77,8 +92,10 @@ object PipelineQueries {
     * banding admits millions of spurious candidate pairs at sf0.1. */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = docsWithNearDups(spark, sfDir)
-    val pairs = Dedup.ngramJaccardNearDupPairs(corpus, "doc_id", "text",
-      n = 12, numHashes = 64, bands = 32, threshold = 0.55,
+    val sets = Dedup.charNgramSets(corpus, "doc_id", "text", n = 12)
+      .withColumnRenamed("__id", "doc_id").persist()
+    val pairs = Dedup.nearDupPairsFromSets(sets, "doc_id",
+      numHashes = 64, bands = 32, threshold = 0.55,
       maxBucketSize = 100000, bucketMinOnly = false)
     Dedup.keepFirstFromPairs(corpus, "doc_id", pairs)
       .select("doc_id").orderBy("doc_id")

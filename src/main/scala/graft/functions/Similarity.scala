@@ -126,10 +126,44 @@ object Similarity {
       when(dot(vec, hyperplane(i, dim)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
+  /** Candidate pairs (idA < idB) sharing at least one hyperplane-LSH
+    * bucket, from a normalized (`__id`, `__v`) relation. The banded
+    * relation carries ONLY (bucket, id) — a 64-float vector riding the
+    * self-join exchange once per LSH table is `tables`× the shuffle bytes
+    * of the whole corpus, the largest intermediate in the plan. Vectors
+    * are joined back by the caller once per *deduped* pair. */
+  private[graft] def embeddingCandidatePairs(
+      normed: DataFrame,
+      dim: Int,
+      bits: Int,
+      tables: Int,
+      maxBucketSize: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sigs = ColumnBridge.column(
+      HyperplaneSigsExpr(ColumnBridge.expression(col("__v")), dim, bits, tables))
+    val bucketed = normed
+      .select(col("__id"), posexplode(sigs).as(Seq("__t", "__sig")))
+      .select(col("__id"),
+        struct(col("__t").cast("int").as("t"), col("__sig").as("sig")).as("__bucket"))
+    // Drop oversized (adversarial) buckets via a tiny aggregated count +
+    // broadcast anti-join — a count-window here would sort-shuffle the
+    // whole banded relation.
+    val oversized = bucketed.groupBy("__bucket").agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") > maxBucketSize).select("__bucket")
+    val sized = bucketed.join(broadcast(oversized), Seq("__bucket"), "left_anti")
+    val a = sized.select(col("__bucket"), col("__id").as("id_a"))
+    val b = sized.select(col("__bucket"), col("__id").as("id_b"))
+    a.join(b, Seq("__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Embedding near-duplicate pairs: bucket by hyperplane signature
-    * (cosine-similar vectors collide with high probability), verify
-    * exactly with cosine ≥ threshold within buckets. Multi-probe: `tables`
-    * independent signatures (bit offsets) to boost recall.
+    * (cosine-similar vectors collide with high probability), dedup the
+    * candidate pairs, then join vectors back ONCE per pair and verify
+    * cosine ≥ threshold exactly. Multi-probe: `tables` independent
+    * signatures (bit offsets) to boost recall.
     *
     * Signatures come from the custom codegen'd [[HyperplaneSigsExpr]] —
     * one fused loop over tables×bits×dim per row instead of tables×bits
@@ -144,26 +178,12 @@ object Similarity {
       bits: Int = 12,
       tables: Int = 4,
       maxBucketSize: Int = 10000): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
     val normed = df.select(col(idCol).as("__id"), normalize(col(vecCol)).as("__v"))
-    val sigs = ColumnBridge.column(
-      HyperplaneSigsExpr(ColumnBridge.expression(col("__v")), dim, bits, tables))
-    val bucketed = normed
-      .select(col("__id"), col("__v"), posexplode(sigs).as(Seq("__t", "__sig")))
-      .withColumn("__bucket", struct(col("__t").cast("int").as("t"), col("__sig").as("sig")))
-      .drop("__t", "__sig")
-    // Drop oversized (adversarial) buckets via a tiny aggregated count +
-    // broadcast anti-join — the banded relation is the largest intermediate
-    // in the plan, and a count-window over it would sort-shuffle all of it.
-    val oversized = bucketed.groupBy("__bucket").agg(count(lit(1)).as("__bn"))
-      .where(col("__bn") > maxBucketSize).select("__bucket")
-    val sized = bucketed.join(broadcast(oversized), Seq("__bucket"), "left_anti")
-    val a = sized.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("va"))
-    val b = sized.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("vb"))
-    a.join(b, Seq("__bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), dot(col("va"), col("vb")).as("cosine"))
-      .dropDuplicates("id_a", "id_b")
+    val pairs = embeddingCandidatePairs(normed, dim, bits, tables, maxBucketSize)
+    pairs
+      .join(normed.select(col("__id").as("id_a"), col("__v").as("__va")), Seq("id_a"))
+      .join(normed.select(col("__id").as("id_b"), col("__v").as("__vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), dot(col("__va"), col("__vb")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 

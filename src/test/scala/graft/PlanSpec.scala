@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
 
 /** Plan-shape assertions for scale discipline: these queries must keep the
   * physical-plan properties that make them survive a 100× scale-up —
@@ -53,6 +54,34 @@ class PlanSpec extends GraftSuite {
     // partitioning expression is the fingerprint hash pair, not `text`
     assert(p.contains("fingerprint64"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("dedup exact: agg+join shape — partial aggregation, payload never window-sorted") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val p = graft.functions.Dedup.exactDedup(docs, Seq("text"), "doc_id")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // min-per-key is a hash aggregate (map-side partial), joined back —
+    // not a row_number window dragging the payload through a sort
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("embedding LSH: banded self-join exchanges carry no vector column") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val normed = df.select(col("vec_id").as("__id"),
+      graft.functions.Similarity.normalize(col("embedding")).as("__v"))
+    val p = graft.functions.Similarity
+      .embeddingCandidatePairs(normed, dim = 2, bits = 4, tables = 2, maxBucketSize = 100)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // every Exchange in the candidate-pair plan ships (bucket, id) only:
+    // the vector column must be projected away before any shuffle
+    val exchangeBlocks = p.split("\n\n").filter(_.matches("(?s)\\(\\d+\\) Exchange.*"))
+    assert(exchangeBlocks.nonEmpty, p)
+    exchangeBlocks.foreach { b =>
+      assert(!b.contains("__v"), s"vector rides a shuffle:\n$b\n\nfull plan:\n$p")
+    }
   }
 
   test("ann brute force: corpus never shuffled, queries broadcast") {

@@ -159,7 +159,7 @@ class GraftSession(val spark: SparkSession) {
       rows: Int = 1000): org.apache.spark.sql.types.StructType = {
     val resolved =
       if (graft.io.RemoteFetch.isRemote(file.path))
-        file.copy(path = graft.io.RemoteFetch.fetchToLocal(file.path))
+        file.copy(path = graft.io.RemoteFetch.fetch(spark, file.path))
       else file
     val first = getFileList(resolved.path).sorted.headOption.getOrElse(resolved.path)
     val fmt = resolved.resolvedFormat
@@ -205,13 +205,14 @@ class GraftSession(val spark: SparkSession) {
       includeFileName: Boolean = false,
       inferFromFirstFileOnly: Boolean = false,
       autodetectRowsCount: Int = 1000): DataFrame = {
-    // http(s)/ftp URLs: driver-side stream to a local temp file, then the
-    // distributed reader takes over (files/locations/http.py parity —
-    // SURVEY §2.1). Hadoop-FS schemes (s3a/gs/wasbs/file) pass straight
-    // through and stay fully parallel.
+    // http(s)/ftp URLs: driver-side stream to a temp location the
+    // executors can read — local temp on local[*], the shared Hadoop FS on
+    // a cluster — then the distributed reader takes over
+    // (files/locations/http.py parity — SURVEY §2.1). Hadoop-FS schemes
+    // (s3a/gs/wasbs/file) pass straight through and stay fully parallel.
     val resolved =
       if (graft.io.RemoteFetch.isRemote(file.path))
-        file.copy(path = graft.io.RemoteFetch.fetchToLocal(file.path))
+        file.copy(path = graft.io.RemoteFetch.fetch(spark, file.path))
       else file
     val fmt = resolved.resolvedFormat
     if (fmt == FileFormat.Xlsx) {

@@ -371,10 +371,58 @@ object OperatorQueries {
   }
 
   // ---------------------------------------------------------------
+  // scale layout + sampling (ops.Scale / functions.Sampling)
+  // ---------------------------------------------------------------
+
+  /** Bucketed-layout join (ops.Scale.writeBucketed): both sides written
+    * bucketed+sorted on the join key, then joined SHUFFLE-FREE — the
+    * pay-once layout for repeated 100 TB fact/fact joins. The
+    * exchange-free plan property is asserted at build time (broadcast
+    * disabled so the bucketed path is actually exercised — a regression
+    * fails the query, turning the CORRECTNESS row red); the aggregated
+    * join result is value-checked against a plain-join oracle. */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    gs(spark, sfDir)
+    graft.ops.Scale.writeBucketed(
+      spark.table("customer").select("c_custkey", "c_mktsegment"),
+      "op_bkt_customer", Seq("c_custkey"), numBuckets = 8, sortCols = Seq("c_custkey"))
+    graft.ops.Scale.writeBucketed(
+      spark.table("orders").select(col("o_custkey").as("c_custkey"), col("o_totalprice")),
+      "op_bkt_orders", Seq("c_custkey"), numBuckets = 8, sortCols = Seq("c_custkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("op_bkt_customer")
+        .join(spark.table("op_bkt_orders"), Seq("c_custkey"))
+      val plan = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      require(!plan.contains("Exchange"), "bucketed join must not shuffle:\n" + plan)
+      joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint").as("total_cents"))
+        .orderBy("c_mktsegment")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  /** Per-group top-k sampling (functions.Sampling.topKPerGroup): the
+    * best-balance customers per nation — the deterministic
+    * corpus-construction sampler, oracled by a row_number window. */
+  def topkSample(spark: SparkSession, sfDir: String): DataFrame = {
+    gs(spark, sfDir)
+    graft.functions.Sampling.topKPerGroup(
+      spark.table("customer").select("c_custkey", "c_nationkey", "c_acctbal"),
+      Seq("c_nationkey"), Seq(col("c_acctbal").desc, col("c_custkey")), k = 3)
+      .select("c_nationkey", "c_custkey")
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
+  // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_bucketed_join" -> (bucketedJoin _),
+    "op_topk_sample" -> (topkSample _),
     "op_load_csv_roundtrip" -> (loadCsvRoundtrip _),
     "op_load_http" -> (loadHttp _),
     "op_export_parquet_roundtrip" -> (exportParquetRoundtrip _),
@@ -399,6 +447,19 @@ object OperatorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "op_bucketed_join" ->
+      """SELECT c.c_mktsegment, cast(count(*) as bigint) AS n_orders,
+        |  cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS total_cents
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "op_topk_sample" ->
+      """SELECT c_nationkey, c_custkey FROM (
+        |  SELECT c_nationkey, c_custkey,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer) t
+        |WHERE rk <= 3 ORDER BY c_nationkey, c_custkey""".stripMargin,
+
     "op_load_csv_roundtrip" ->
       "SELECT p_partkey, p_name, p_brand, p_size FROM part ORDER BY p_partkey",
 

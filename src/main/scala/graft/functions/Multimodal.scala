@@ -29,7 +29,10 @@ object Multimodal {
       height: Int,
       duration_ms: Long)
 
-  /** Extracted features: fixed-width vector + decoded properties. */
+  /** Extracted features: fixed-width vector + decoded properties. Audio
+    * fields (`sample_rate`, `channels`, `decoded_duration_ms`) are parsed
+    * from the payload bytes for WAV; zero for images, passthrough for the
+    * still-stubbed video modality. */
   case class MediaFeatures(
       media_id: Long,
       modality: String,
@@ -38,6 +41,9 @@ object Multimodal {
       decoded_width: Int,
       decoded_height: Int,
       frames_sampled: Int,
+      sample_rate: Int,
+      channels: Int,
+      decoded_duration_ms: Long,
       feature: Array[Float])
 
   /** Minimal real encoders/decoders for the two ubiquitous public image
@@ -123,10 +129,70 @@ object Multimodal {
     }
   }
 
-  /** Deterministic fake decoder for the modalities without a real codec
-    * in this container (audio/video) — the `???` boundary a real codec
-    * plugs into. Derives pseudo-features from a rolling hash of the
-    * payload so outputs are stable for tests; DOES NOT decode media. */
+  /** Minimal real encoder/decoder for the canonical PCM audio container —
+    * RIFF/WAVE (public format): 12-byte RIFF header, `fmt ` chunk
+    * (channels at offset 2, sample rate at 4, byte rate at 8, bits at 14,
+    * all little-endian), then chunks walked to `data`. Duration is derived
+    * from the data chunk length and the byte rate — parsed from the BYTES,
+    * not echoed from metadata, same standard as [[ImageHeader]]. */
+  object AudioHeader {
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+    /** (sampleRate, channels, durationMs) from WAV bytes; None if the
+      * container doesn't parse. Walks chunks so extra chunks (LIST, fact)
+      * before `data` are handled. */
+    def decode(b: Array[Byte]): Option[(Int, Int, Long)] = {
+      if (b.length < 44 ||
+        new String(b.slice(0, 4), "US-ASCII") != "RIFF" ||
+        new String(b.slice(8, 12), "US-ASCII") != "WAVE") return None
+      var sampleRate = 0; var channels = 0; var byteRate = 0
+      var dataLen = -1L
+      var i = 12
+      while (i + 8 <= b.length && dataLen < 0) {
+        val id = new String(b.slice(i, i + 4), "US-ASCII")
+        val len = le32(b, i + 4)
+        if (id == "fmt " && i + 8 + 16 <= b.length) {
+          channels = le16(b, i + 10)
+          sampleRate = le32(b, i + 12)
+          byteRate = le32(b, i + 16)
+        } else if (id == "data") dataLen = len.toLong & 0xffffffffL
+        i += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (sampleRate <= 0 || channels <= 0 || byteRate <= 0 || dataLen < 0) None
+      else Some((sampleRate, channels, dataLen * 1000L / byteRate))
+    }
+
+    /** Structurally valid 16-bit PCM WAV whose data chunk is `payload`:
+      * 44 + payload.length bytes (+1 pad byte if the payload length is
+      * odd — RIFF chunks are word-aligned). */
+    def synthWav(sampleRate: Int, channels: Int, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      val pad = payload.length & 1
+      tag("RIFF"); w32(36 + payload.length + pad); tag("WAVE")
+      tag("fmt "); w32(16)
+      w16(1) // PCM
+      w16(channels)
+      w32(sampleRate)
+      w32(sampleRate * channels * 2) // byte rate, 16-bit samples
+      w16(channels * 2) // block align
+      w16(16) // bits per sample
+      tag("data"); w32(payload.length)
+      out.write(payload)
+      if (pad == 1) out.write(0)
+      out.toByteArray
+    }
+  }
+
+  /** Deterministic fake decoder for the one modality without a real codec
+    * in this container (video) — the `???` boundary a real codec plugs
+    * into. Derives pseudo-features from a rolling hash of the payload so
+    * outputs are stable for tests; DOES NOT decode video. */
   object FakeDecoder {
     val FeatureDim = 8
 
@@ -140,9 +206,11 @@ object Multimodal {
     }
 
     /** Decode: images get REAL header parsing (PNG/JPEG dimensions read
-      * from the bytes; unparseable images surface as -1×-1 rather than
-      * echoing source metadata); audio/video dimensions/durations remain
-      * passthrough until a real codec plugs in. */
+      * from the bytes), audio gets REAL WAV/RIFF parsing (sample rate,
+      * channels, duration from the fmt/data chunks); unparseable payloads
+      * surface as -1 rather than echoing source metadata. Video
+      * dimensions/durations remain passthrough until a real codec plugs
+      * in. */
     def decode(rec: MediaRecord): MediaFeatures = {
       val h = hashBytes(rec.content)
       val feat = Array.tabulate(FeatureDim) { i =>
@@ -158,10 +226,16 @@ object Multimodal {
       }
       val (dw, dh) = rec.modality match {
         case "image" => ImageHeader.decode(rec.content).getOrElse((-1, -1))
+        case "audio" => (0, 0) // audio has no spatial dimensions
         case _       => (rec.width, rec.height)
       }
+      val (rate, ch, durMs) = rec.modality match {
+        case "audio" => AudioHeader.decode(rec.content).getOrElse((-1, -1, -1L))
+        case "video" => (0, 0, rec.duration_ms) // stub passthrough
+        case _       => (0, 0, 0L)
+      }
       MediaFeatures(rec.media_id, rec.modality, rec.content.length.toLong, h,
-        dw, dh, frames, feat)
+        dw, dh, frames, rate, ch, durMs, feat)
     }
   }
 
@@ -178,8 +252,11 @@ object Multimodal {
 
   /** Demo media table derived deterministically from the documents table:
     * image rows carry REAL synthesized PNG (even ids) / JPEG (odd ids)
-    * payloads with the text embedded as an ancillary chunk, so the decode
-    * path parses genuine bytes; audio/video carry the raw text bytes. */
+    * payloads with the text embedded as an ancillary chunk, audio rows
+    * carry REAL synthesized 16-bit PCM WAV (rate 8/12/16/20 kHz and 1-2
+    * channels derived from the id, text bytes as the data chunk), so both
+    * decode paths parse genuine bytes; video carries the raw text bytes
+    * (decode stubbed). */
   def mediaFromDocuments(documents: DataFrame): Dataset[MediaRecord] = {
     implicit val enc = Encoders.product[MediaRecord]
     implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong)
@@ -198,6 +275,8 @@ object Multimodal {
         val content = modality match {
           case "image" if id % 2 == 0 => ImageHeader.synthPng(w, h, textBytes)
           case "image"                => ImageHeader.synthJpeg(w, h, textBytes)
+          case "audio" =>
+            AudioHeader.synthWav((8000 + (id % 4) * 4000).toInt, (1 + id % 2).toInt, textBytes)
           case _                      => textBytes
         }
         MediaRecord(id, modality, s"mem://doc/$id", content, w, h, nChars * 10L)

@@ -46,21 +46,17 @@ object RemoteFetch {
     if (seg.nonEmpty) seg else "download"
   }
 
-  /** Stream `url` to a local temp file; returns the local path. */
-  def fetchToLocal(
-      url: String,
-      connectTimeoutMs: Int = 15000,
-      readTimeoutMs: Int = 120000): String = {
+  private def rejectUnsupported(url: String): Unit =
     scheme(url).foreach { s =>
       if (unsupportedSchemes(s))
         throw new UnsupportedOperationException(
           s"$s:// locations are not supported (need an $s client library); " +
             "fetch the file to a reachable filesystem first")
     }
-    val uri = URI.create(url)
-    val dir = Files.createTempDirectory("graft_remote_")
-    dir.toFile.deleteOnExit()
-    val dest: Path = dir.resolve(fileName(uri))
+
+  /** Open the remote stream with timeouts + redirect handling. */
+  private def openStream(
+      uri: URI, connectTimeoutMs: Int, readTimeoutMs: Int): (java.io.InputStream, () => Unit) = {
     val conn = uri.toURL.openConnection()
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setReadTimeout(readTimeoutMs)
@@ -71,12 +67,77 @@ object RemoteFetch {
       case _ => ()
     }
     val in = conn.getInputStream
+    (in, () => conn match { case h: HttpURLConnection => h.disconnect(); case _ => () })
+  }
+
+  /** Stream `url` to a local temp file; returns the local path. Only
+    * correct when executors share the driver's filesystem (local master) —
+    * cluster deployments must use [[fetchToSharedFs]]/[[fetch]]. */
+  def fetchToLocal(
+      url: String,
+      connectTimeoutMs: Int = 15000,
+      readTimeoutMs: Int = 120000): String = {
+    rejectUnsupported(url)
+    val uri = URI.create(url)
+    val dir = Files.createTempDirectory("graft_remote_")
+    dir.toFile.deleteOnExit()
+    val dest: Path = dir.resolve(fileName(uri))
+    val (in, close) = openStream(uri, connectTimeoutMs, readTimeoutMs)
     try Files.copy(in, dest)
-    finally {
-      in.close()
-      conn match { case h: HttpURLConnection => h.disconnect(); case _ => () }
-    }
+    finally { in.close(); close() }
     dest.toFile.deleteOnExit()
     dest.toString
   }
+
+  /** Stream `url` to a Hadoop filesystem path every executor can read —
+    * the cluster-correct fetch: a driver-local temp file is invisible to
+    * executors, so `spark.read` over it fails off-`local[*]`. The staging
+    * root is `spark.graft.remoteStagingDir` if set (any Hadoop FS URI),
+    * else `<default FS home>/.graft_remote_staging`; the file lands under
+    * a fresh UUID directory and is returned as a fully-qualified URI. */
+  def fetchToSharedFs(
+      spark: org.apache.spark.sql.SparkSession,
+      url: String,
+      connectTimeoutMs: Int = 15000,
+      readTimeoutMs: Int = 120000): String = {
+    rejectUnsupported(url)
+    val uri = URI.create(url)
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = spark.conf.getOption("spark.graft.remoteStagingDir") match {
+      case Some(dir) => new org.apache.hadoop.fs.Path(dir)
+      case None =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(hconf)
+        new org.apache.hadoop.fs.Path(fs.getHomeDirectory, ".graft_remote_staging")
+    }
+    val fs = root.getFileSystem(hconf)
+    val dest = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root,
+        "fetch_" + java.util.UUID.randomUUID().toString.take(12)),
+      fileName(uri))
+    val (in, close) = openStream(uri, connectTimeoutMs, readTimeoutMs)
+    val out = fs.create(dest, true)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally {
+      out.close(); in.close(); close()
+    }
+    fs.makeQualified(dest).toString
+  }
+
+  /** Fetch `url` somewhere Spark can read it: local temp on a `local[*]`
+    * master (fast, no staging cleanup), shared Hadoop FS otherwise. */
+  def fetch(
+      spark: org.apache.spark.sql.SparkSession,
+      url: String,
+      connectTimeoutMs: Int = 15000,
+      readTimeoutMs: Int = 120000): String =
+    if (spark.sparkContext.master.startsWith("local") &&
+      spark.conf.getOption("spark.graft.remoteStagingDir").isEmpty)
+      fetchToLocal(url, connectTimeoutMs, readTimeoutMs)
+    else fetchToSharedFs(spark, url, connectTimeoutMs, readTimeoutMs)
 }

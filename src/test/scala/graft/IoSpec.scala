@@ -169,4 +169,46 @@ class IoSpec extends GraftSuite {
       output = Some(TableRef("selfref")))
     assert(spark.table("selfref").collect()(0).getInt(1) == 2)
   }
+
+  test("remote fetch stages on a shared (non-file-scheme) Hadoop FS for cluster reads") {
+    // register a mock shared filesystem under its own scheme so the test
+    // exercises the exact cluster path: fetch → non-file:// staging URI →
+    // distributed spark.read through that FS
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockSharedFs].getName)
+    val staging = tmp("graft_mockfs_staging")
+    val dir = tmp("graft_http_shared")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "data.csv"), "k,v\n1,a\n2,b\n")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (exchange: com.sun.net.httpserver.HttpExchange) => {
+      val f = new java.io.File(dir, exchange.getRequestURI.getPath.stripPrefix("/"))
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      exchange.sendResponseHeaders(200, bytes.length.toLong)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      spark.conf.set("spark.graft.remoteStagingDir", s"mockfs:$staging")
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data.csv"
+      val fetched = graft.io.RemoteFetch.fetch(spark, url)
+      assert(fetched.startsWith("mockfs:"), fetched)
+      val back = g.loadFile(FileRef(fetched, Some(FileFormat.Csv))).orderBy("k").collect()
+      assert(back.length == 2 && back(1).getString(1) == "b")
+      // and loadFile end-to-end routes the URL through the same staging
+      val direct = g.loadFile(FileRef(url, Some(FileFormat.Csv))).orderBy("k").collect()
+      assert(direct.length == 2)
+    } finally {
+      spark.conf.unset("spark.graft.remoteStagingDir")
+      server.stop(0)
+    }
+  }
+}
+
+/** Test-only "shared" filesystem: local disk exposed under the `mockfs://`
+  * scheme, standing in for HDFS/S3 in the cluster-staging test. */
+class MockSharedFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
 }

@@ -306,6 +306,21 @@ class PipelineSpec extends GraftSuite {
     assert(ImageHeader.decode(png.take(20)).isEmpty) // truncated
   }
 
+  test("audio header synth/decode roundtrip: WAV fmt/data chunks") {
+    import Multimodal.AudioHeader
+    val payload = "pcm sample bytes!".getBytes("UTF-8") // 17 bytes, odd
+    val wav = AudioHeader.synthWav(16000, 2, payload)
+    assert(wav.length == 44 + payload.length + 1) // word-align pad
+    // duration = dataLen * 1000 / (rate * ch * 2)
+    assert(AudioHeader.decode(wav).contains((16000, 2, 17L * 1000 / (16000 * 2 * 2))))
+    val even = AudioHeader.synthWav(8000, 1, "even data!".getBytes)
+    assert(even.length == 44 + 10)
+    assert(AudioHeader.decode(even).contains((8000, 1, 10L * 1000 / 16000)))
+    assert(AudioHeader.decode("RIFFnot really a wav".getBytes).isEmpty)
+    assert(AudioHeader.decode(Array.emptyByteArray).isEmpty)
+    assert(AudioHeader.decode(wav.take(30)).isEmpty) // truncated
+  }
+
   test("multimodal feature extraction is deterministic with real plumbing") {
     val docsDf = Seq((1L, "hello world content", "en", "src0", 19L),
       (2L, "another payload here", "en", "src1", 20L),
@@ -316,7 +331,12 @@ class PipelineSpec extends GraftSuite {
     val feats = Multimodal.extractFeatures(media, batchSize = 1).collect().sortBy(_.media_id)
     assert(feats.length == 4)
     assert(feats(0).feature.length == Multimodal.FakeDecoder.FeatureDim)
-    assert(feats(0).n_bytes == 19L)
+    // audio id 1 → WAV container: 19-byte odd payload + 44B header + pad
+    assert(feats(0).modality == "audio" && feats(0).n_bytes == 19L + 44 + 1)
+    // audio rate/channels/duration parsed from the WAV bytes
+    assert(feats(0).sample_rate == 8000 + (1 % 4) * 4000)
+    assert(feats(0).channels == (1 + 1 % 2).toInt)
+    assert(feats(0).decoded_duration_ms == 19L * 1000 / (12000L * 2 * 2))
     // image dims parsed from the actual PNG/JPEG bytes, not metadata
     val jpegImg = feats.find(_.media_id == 3L).get // odd image id → JPEG
     assert(jpegImg.modality == "image" && jpegImg.n_bytes == 20L + 27)

@@ -19,9 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ — fixed left-to-right fold: deterministic across runs. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ — fixed left-to-right double fold: deterministic across
+    * runs. Backed by the codegen'd [[DotExpr]]: one fused loop per row
+    * instead of an interpreted `aggregate(zip_with(...))` closure pair
+    * (higher-order functions execute their lambdas interpreted per
+    * element — the dominant CPU cost of the ANN scans). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(DotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -30,10 +36,12 @@ object Similarity {
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
-  /** L2-normalize an embedding (zero vectors pass through unchanged). */
+  /** L2-normalize a float embedding (zero vectors pass through
+    * unchanged) — fused norm+scale loop ([[NormalizeExpr]]), same
+    * arithmetic as `transform(a, x => (x / sqrt(dot(a,a))).cast("float"))`. */
   def normalize(a: Column): Column = {
-    val n = l2Norm(a)
-    when(n === 0, a).otherwise(transform(a, x => (x / n).cast("float")))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(NormalizeExpr(ColumnBridge.expression(a)))
   }
 
   /** Same total order as the final ranking window: cosine desc, id asc.
@@ -273,6 +281,101 @@ object Similarity {
     val pruned = localTopK(scored, queryIdCol, idCol, k)
     val w = Window.partitionBy(queryIdCol).orderBy(col("cosine").desc, col(idCol))
     pruned.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}
+
+/** Σ aᵢ·bᵢ over two numeric arrays (float or double elements, each side
+  * independently typed) as one codegen'd loop: elements widen to double,
+  * products accumulate left-to-right in a double — bit-identical to the
+  * `aggregate(zip_with(...))` Column form it replaces, without the
+  * per-element interpreted lambda dispatch and zipped-array allocation.
+  */
+case class DotExpr(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+  override def dataType: DataType = DoubleType
+
+  private def isFloat(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotExpr.dot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloat(left),
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DotExpr.dot($a, ${isFloat(left)}, $b, ${isFloat(right)});")
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression) =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_dot"
+}
+
+object DotExpr {
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData, aFloat: Boolean,
+      b: org.apache.spark.sql.catalyst.util.ArrayData, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+}
+
+/** L2-normalize a float array in one codegen'd pass: norm accumulates
+  * left-to-right in a double (same fold as [[DotExpr]] on itself), each
+  * element is `(float)(x / norm)`; zero vectors pass through unchanged.
+  */
+case class NormalizeExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.DataType
+
+  override def dataType: DataType = child.dataType
+
+  override def nullSafeEval(input: Any): Any =
+    NormalizeExpr.normalize(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NormalizeExpr.normalize($c);")
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "vec_normalize"
+}
+
+object NormalizeExpr {
+  def normalize(a: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      acc += x * x
+      i += 1
+    }
+    val norm = math.sqrt(acc)
+    if (norm == 0.0) return a
+    val out = new Array[Float](n)
+    i = 0
+    while (i < n) {
+      out(i) = (a.getFloat(i) / norm).toFloat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 

@@ -196,6 +196,12 @@ class GraftSession(val spark: SparkSession) {
     * @param inferFromFirstFileOnly sample the schema from the first file
     *        only (see [[inferSchemaFromFirstFile]]); ignored when an
     *        explicit `schema` is given.
+    * @param columns column subset to load (PandasLoadOptions.columns,
+    *        options.py:6-111) — expressed as a `select`, so Catalyst
+    *        prunes the scan to exactly these columns (the parquet/orc
+    *        reader never materializes the rest).
+    * @param dtype per-column cast overrides (PandasLoadOptions.dtype) —
+    *        Spark SQL type names, e.g. "bigint", "double", "string".
     */
   def readFile(
       file: FileRef,
@@ -204,7 +210,9 @@ class GraftSession(val spark: SparkSession) {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       includeFileName: Boolean = false,
       inferFromFirstFileOnly: Boolean = false,
-      autodetectRowsCount: Int = 1000): DataFrame = {
+      autodetectRowsCount: Int = 1000,
+      columns: Seq[String] = Nil,
+      dtype: Map[String, String] = Map.empty): DataFrame = {
     // http(s)/ftp URLs: driver-side stream to a temp location the
     // executors can read — local temp on local[*], the shared Hadoop FS on
     // a cluster — then the distributed reader takes over
@@ -215,9 +223,18 @@ class GraftSession(val spark: SparkSession) {
         file.copy(path = graft.io.RemoteFetch.fetch(spark, file.path))
       else file
     val fmt = resolved.resolvedFormat
-    if (fmt == FileFormat.Xlsx) {
-      val df = graft.io.Excel.readXlsx(spark, resolved.path)
-      return Flatten.applyCapitalization(Flatten.replaceIllegalColumnChars(df), capitalization)
+    def postProcess(df0: DataFrame): DataFrame = {
+      var df = df0
+      if (columns.nonEmpty) df = df.select(columns.map(col): _*)
+      dtype.foreach { case (c, t) => df = df.withColumn(c, col(c).cast(t)) }
+      df
+    }
+    if (fmt == FileFormat.Xlsx || fmt == FileFormat.Xls) {
+      val df =
+        if (fmt == FileFormat.Xlsx) graft.io.Excel.readXlsx(spark, resolved.path)
+        else graft.io.ExcelBiff.readXls(spark, resolved.path)
+      return postProcess(
+        Flatten.applyCapitalization(Flatten.replaceIllegalColumnChars(df), capitalization))
     }
     val effSchema = schema.orElse(
       if (inferFromFirstFileOnly) Some(inferSchemaFromFirstFile(resolved, autodetectRowsCount))
@@ -238,7 +255,7 @@ class GraftSession(val spark: SparkSession) {
     val isJson = fmt == FileFormat.Json || fmt == FileFormat.Ndjson
     if (isJson) ndjsonNormalizeSep.foreach { sep => df = Flatten.flatten(df, sep) }
     df = Flatten.replaceIllegalColumnChars(df)
-    Flatten.applyCapitalization(df, capitalization)
+    postProcess(Flatten.applyCapitalization(df, capitalization))
   }
 
   /** load_file: file(s) → table; or → DataFrame when no output table, like
@@ -253,9 +270,11 @@ class GraftSession(val spark: SparkSession) {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       includeFileName: Boolean = false,
       inferFromFirstFileOnly: Boolean = false,
-      autodetectRowsCount: Int = 1000): DataFrame = {
+      autodetectRowsCount: Int = 1000,
+      columns: Seq[String] = Nil,
+      dtype: Map[String, String] = Map.empty): DataFrame = {
     val df = readFile(file, ndjsonNormalizeSep, capitalization, schema,
-      includeFileName, inferFromFirstFileOnly, autodetectRowsCount)
+      includeFileName, inferFromFirstFileOnly, autodetectRowsCount, columns, dtype)
     logOp("load_file", Seq(file.path), outputTable.map(_.qualifiedName).toSeq)
     outputTable match {
       case None => df
@@ -295,6 +314,10 @@ class GraftSession(val spark: SparkSession) {
     val fmt = output.resolvedFormat
     if (fmt == FileFormat.Xlsx) {
       graft.io.Excel.writeXlsx(input, output.path)
+      return output.path
+    }
+    if (fmt == FileFormat.Xls) {
+      graft.io.ExcelBiff.writeXls(input, output.path)
       return output.path
     }
     val mode = ifExists match {

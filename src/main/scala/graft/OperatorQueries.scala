@@ -370,6 +370,21 @@ object OperatorQueries {
     Seq((before, dropped, remaining)).toDF("tmp_before", "dropped", "remaining")
   }
 
+  /** exportToFile(.xls) → loadFile roundtrip: legacy BIFF8 Excel parsed
+    * dependency-free (CFB container + BIFF8 records — files/types/xls.py
+    * parity; the reference reads it via pandas/xlrd). */
+  def loadXlsRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val dir = tmpDir("graft_xls")
+    val src = spark.table("customer")
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    g.exportToFile(src, FileRef(s"$dir/customer.xls"))
+    g.loadFile(FileRef(s"$dir/customer.xls"))
+      .select(col("c_custkey").cast("bigint"), col("c_name"),
+        col("c_mktsegment"), col("c_acctbal").cast("double"))
+      .orderBy("c_custkey")
+  }
+
   // ---------------------------------------------------------------
   // scale layout + sampling (ops.Scale / functions.Sampling)
   // ---------------------------------------------------------------
@@ -423,6 +438,7 @@ object OperatorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_bucketed_join" -> (bucketedJoin _),
     "op_topk_sample" -> (topkSample _),
+    "op_load_xls_roundtrip" -> (loadXlsRoundtrip _),
     "op_load_csv_roundtrip" -> (loadCsvRoundtrip _),
     "op_load_http" -> (loadHttp _),
     "op_export_parquet_roundtrip" -> (exportParquetRoundtrip _),
@@ -462,6 +478,9 @@ object OperatorQueries {
 
     "op_load_csv_roundtrip" ->
       "SELECT p_partkey, p_name, p_brand, p_size FROM part ORDER BY p_partkey",
+
+    "op_load_xls_roundtrip" ->
+      "SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer ORDER BY c_custkey",
 
     "op_load_http" ->
       "SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer ORDER BY c_custkey",

@@ -68,6 +68,8 @@ object FileFormat {
   case object Text extends FileFormat("text")
   /** Driver-side OOXML path (graft.io.Excel), no Spark datasource. */
   case object Xlsx extends FileFormat("xlsx")
+  /** Driver-side legacy BIFF8 path (graft.io.ExcelBiff). */
+  case object Xls extends FileFormat("xls")
 
   /** Infer from path extension, parity with files/types/__init__.py
     * `create_file_type` dispatch-by-suffix. */
@@ -83,11 +85,9 @@ object FileFormat {
       case "orc"             => Orc
       case "txt" | "text"    => Text
       case "xlsx"            => Xlsx
-      // The reference reads legacy BIFF .xls via pandas/xlrd
-      // (files/types/excel.py:19-46); our OOXML parser cannot, and routing
-      // it there would fail with an opaque zip error — fail honestly instead.
-      case "xls" => throw new UnsupportedOperationException(
-        "Legacy .xls (BIFF) is not supported: convert to .xlsx")
+      // Legacy BIFF8 .xls (files/types/xls.py, read via pandas/xlrd in
+      // the reference) — dependency-free CFB+BIFF8 parser in ExcelBiff.
+      case "xls"             => Xls
       case _                 => Parquet // directories / extension-less paths
     }
   }

@@ -1,0 +1,600 @@
+package graft.io
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Dependency-free legacy Excel `.xls` (BIFF8) support, closing the
+  * reference's second Excel format (`files/types/xls.py`, read through
+  * pandas/xlrd there). Both layers are public Microsoft specs:
+  *
+  *  - [MS-CFB] Compound File Binary: 512-byte header with a DIFAT, FAT
+  *    sector chains, a directory of 128-byte entries, and a mini-FAT for
+  *    streams under 4096 bytes (carried inside the root entry's stream).
+  *  - [MS-XLS] BIFF8 records inside the `Workbook` stream: globals
+  *    substream (BOF, SST + CONTINUE, BOUNDSHEET) and per-sheet
+  *    substreams (NUMBER, RK, MULRK, LABELSST, LABEL, BOOLERR, FORMULA).
+  *
+  * Deliberately driver-side like [[Excel]]: xls is a small-file
+  * interchange format (31-bit sector offsets cap the container at 2 GB),
+  * not a lake format; the reference funnels it through pandas on one
+  * worker too. BIFF5 (`Book` stream, byte strings) raises a clear error.
+  */
+object ExcelBiff {
+
+  // ---------------------------------------------------------------
+  // little-endian helpers
+  // ---------------------------------------------------------------
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def u16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def i32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+  private def f64(b: Array[Byte], i: Int): Double =
+    java.lang.Double.longBitsToDouble {
+      var v = 0L
+      var j = 7
+      while (j >= 0) { v = (v << 8) | (b(i + j) & 0xffL); j -= 1 }
+      v
+    }
+
+  // ---------------------------------------------------------------
+  // CFB container (read)
+  // ---------------------------------------------------------------
+
+  private val CfbMagic = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte)
+  private final val EndOfChain = -2 // 0xFFFFFFFE
+  private final val FreeSect = -1 // 0xFFFFFFFF
+
+  /** The `Workbook`/`Book` stream bytes out of a CFB file. */
+  private[io] def workbookStream(all: Array[Byte]): Array[Byte] = {
+    require(all.length >= 512 && all.take(8).sameElements(CfbMagic),
+      "not a CFB (compound) file — is this really a .xls?")
+    val sectorShift = u16(all, 30)
+    val sectorSize = 1 << sectorShift
+    val miniShift = u16(all, 32)
+    val miniSize = 1 << miniShift
+    val numFatSectors = i32(all, 44)
+    val firstDirSector = i32(all, 48)
+    val miniCutoff = i32(all, 56)
+    val firstMiniFatSector = i32(all, 60)
+    val firstDifatSector = i32(all, 68)
+    val numDifatSectors = i32(all, 72)
+
+    def sectorBytes(sector: Int): Array[Byte] = {
+      val off = 512 + sector * sectorSize
+      java.util.Arrays.copyOfRange(all, off, math.min(off + sectorSize, all.length))
+    }
+
+    // DIFAT: 109 entries in the header, then a chain of DIFAT sectors
+    // (each holding sectorSize/4 - 1 FAT ids + a next-DIFAT pointer).
+    val fatSectorIds = mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < 109 && fatSectorIds.length < numFatSectors) {
+      val v = i32(all, 76 + i * 4)
+      if (v >= 0) fatSectorIds += v
+      i += 1
+    }
+    var difat = firstDifatSector
+    var difatGuard = 0
+    while (difat >= 0 && difatGuard <= numDifatSectors + 1) {
+      val s = sectorBytes(difat)
+      var j = 0
+      while (j < sectorSize / 4 - 1) {
+        val v = i32(s, j * 4)
+        if (v >= 0) fatSectorIds += v
+        j += 1
+      }
+      difat = i32(s, sectorSize - 4)
+      difatGuard += 1
+    }
+
+    val fat = new Array[Int](fatSectorIds.length * (sectorSize / 4))
+    fatSectorIds.zipWithIndex.foreach { case (sid, k) =>
+      val s = sectorBytes(sid)
+      var j = 0
+      while (j < sectorSize / 4) {
+        fat(k * (sectorSize / 4) + j) = i32(s, j * 4)
+        j += 1
+      }
+    }
+
+    def readChain(start: Int, size: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var s = start
+      var guard = 0
+      while (s >= 0 && guard < fat.length + 1) {
+        out.write(sectorBytes(s))
+        s = fat(s)
+        guard += 1
+      }
+      val full = out.toByteArray
+      java.util.Arrays.copyOfRange(full, 0, math.min(size, full.length.toLong).toInt)
+    }
+
+    // directory entries: 128 bytes each, walked from the directory chain
+    val dir = readChain(firstDirSector, Long.MaxValue)
+    case class Entry(name: String, objType: Int, startSector: Int, size: Long)
+    val entries = (0 until dir.length / 128).map { e =>
+      val off = e * 128
+      val nameLen = u16(dir, off + 64) // bytes incl. terminator
+      val name = if (nameLen >= 2)
+        new String(dir, off, nameLen - 2, java.nio.charset.StandardCharsets.UTF_16LE)
+      else ""
+      Entry(name, u8(dir, off + 66), i32(dir, off + 116),
+        i32(dir, off + 120).toLong & 0xffffffffL)
+    }
+    val root = entries.find(_.objType == 5)
+      .getOrElse(throw new IllegalArgumentException("CFB: no root directory entry"))
+    val wb = entries.find(e => e.objType == 2 && (e.name == "Workbook" || e.name == "Book"))
+      .getOrElse(throw new IllegalArgumentException(
+        "CFB: no Workbook stream — not an Excel .xls file"))
+
+    if (wb.size >= miniCutoff) readChain(wb.startSector, wb.size)
+    else {
+      // mini stream: 64-byte sectors inside the root entry's chain,
+      // linked through the mini-FAT
+      val miniStream = readChain(root.startSector, root.size)
+      val miniFatBytes = readChain(firstMiniFatSector, Long.MaxValue)
+      val out = new java.io.ByteArrayOutputStream()
+      var s = wb.startSector
+      var guard = 0
+      while (s >= 0 && guard < miniFatBytes.length / 4 + 1) {
+        val off = s * miniSize
+        out.write(java.util.Arrays.copyOfRange(miniStream, off,
+          math.min(off + miniSize, miniStream.length)))
+        s = i32(miniFatBytes, s * 4)
+        guard += 1
+      }
+      java.util.Arrays.copyOfRange(out.toByteArray, 0, wb.size.toInt)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // BIFF8 records (read)
+  // ---------------------------------------------------------------
+
+  private final val RecBofBiff8 = 0x0809
+  private final val RecEof = 0x000a
+  private final val RecBoundSheet = 0x0085
+  private final val RecSst = 0x00fc
+  private final val RecContinue = 0x003c
+  private final val RecLabelSst = 0x00fd
+  private final val RecNumber = 0x0203
+  private final val RecRk = 0x027e
+  private final val RecMulRk = 0x00bd
+  private final val RecLabel = 0x0204
+  private final val RecBoolErr = 0x0205
+  private final val RecFormula = 0x0006
+  private final val RecString = 0x0207
+
+  private case class Rec(id: Int, data: Array[Byte], offset: Int)
+
+  private def records(stream: Array[Byte]): IndexedSeq[Rec] = {
+    val out = mutable.ArrayBuffer[Rec]()
+    var i = 0
+    while (i + 4 <= stream.length) {
+      val id = u16(stream, i)
+      val len = u16(stream, i + 2)
+      if (id == 0 && len == 0 && out.nonEmpty && out.last.id == RecEof) i = stream.length
+      else {
+        out += Rec(id, java.util.Arrays.copyOfRange(stream, i + 4, i + 4 + len), i)
+        i += 4 + len
+      }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Cursor over the logical byte stream formed by a record plus its
+    * CONTINUE records — the SST's strings may split at any record
+    * boundary, and character data restarts with a fresh flags byte there. */
+  private final class ContinueCursor(recs: Seq[Array[Byte]]) {
+    private var r = 0
+    private var p = 0
+    private def ensure(): Unit = {
+      while (r < recs.length && p >= recs(r).length) { r += 1; p = 0 }
+    }
+    def recordIndex: Int = { ensure(); r }
+    def remainingInRecord: Int = { ensure(); if (r < recs.length) recs(r).length - p else 0 }
+    def u8n(): Int = {
+      ensure()
+      if (r >= recs.length) throw new IllegalArgumentException("BIFF8 SST: truncated")
+      val v = recs(r)(p) & 0xff; p += 1; v
+    }
+    def u16n(): Int = u8n() | (u8n() << 8)
+    def i32n(): Int = u8n() | (u8n() << 8) | (u8n() << 16) | (u8n() << 24)
+    def skip(n: Int): Unit = {
+      var left = n
+      while (left > 0) {
+        ensure()
+        val take = math.min(left, remainingInRecord)
+        if (take == 0) throw new IllegalArgumentException("BIFF8 SST: truncated")
+        p += take; left -= take
+      }
+    }
+    /** XLUnicodeRichExtendedString at the cursor. Character data that
+      * crosses into a CONTINUE record restarts with a fresh flags byte
+      * there ([MS-XLS] 2.5.293); header and rich/ext payloads cross
+      * record boundaries without one. */
+    def readString(): String = {
+      val cch = u16n()
+      var grbit = u8n()
+      val rich = (grbit & 0x08) != 0
+      val ext = (grbit & 0x04) != 0
+      val cRun = if (rich) u16n() else 0
+      val cbExt = if (ext) i32n() else 0
+      val sb = new java.lang.StringBuilder(cch)
+      var left = cch
+      var chunkRec = recordIndex
+      while (left > 0) {
+        if (recordIndex != chunkRec) { // crossed into a CONTINUE
+          chunkRec = recordIndex
+          grbit = u8n()
+        }
+        val wide = (grbit & 0x01) != 0
+        val charBytes = if (wide) 2 else 1
+        val avail = remainingInRecord / charBytes
+        if (avail == 0)
+          throw new IllegalArgumentException("BIFF8 SST: malformed split")
+        val take = math.min(left, avail)
+        var k = 0
+        while (k < take) {
+          val c = if (wide) u16n() else u8n()
+          sb.append(c.toChar)
+          k += 1
+        }
+        left -= take
+      }
+      skip(cRun * 4 + cbExt)
+      sb.toString
+    }
+  }
+
+  /** RKNumber: 30-bit payload with scale/type flags. */
+  private def decodeRk(rk: Int): Double = {
+    val div100 = (rk & 0x1) != 0
+    val isInt = (rk & 0x2) != 0
+    val v =
+      if (isInt) (rk >> 2).toDouble
+      else java.lang.Double.longBitsToDouble((rk.toLong & 0xfffffffcL) << 32)
+    if (div100) v / 100 else v
+  }
+
+  /** Inline XLUnicodeString (LABEL / STRING records, no CONTINUE). */
+  private def inlineString(b: Array[Byte], off: Int): String = {
+    val cch = u16(b, off)
+    val grbit = u8(b, off + 2)
+    val rich = (grbit & 0x08) != 0
+    val ext = (grbit & 0x04) != 0
+    var p = off + 3
+    if (rich) p += 2
+    if (ext) p += 4
+    if ((grbit & 0x01) != 0)
+      new String(b, p, cch * 2, java.nio.charset.StandardCharsets.UTF_16LE)
+    else {
+      val sb = new java.lang.StringBuilder(cch)
+      var k = 0
+      while (k < cch) { sb.append((b(p + k) & 0xff).toChar); k += 1 }
+      sb.toString
+    }
+  }
+
+  /** Parse the first worksheet into sparse (row, col) → cell values. */
+  private[io] def parseCells(stream: Array[Byte]): mutable.SortedMap[Int, mutable.SortedMap[Int, Any]] = {
+    val recs = records(stream)
+    require(recs.nonEmpty && recs.head.id == RecBofBiff8, "not a BIFF stream (no BOF)")
+    val ver = u16(recs.head.data, 0)
+    require(ver == 0x0600,
+      f"unsupported BIFF version 0x$ver%04x — only BIFF8 (Excel 97+) .xls is readable; " +
+        "convert older files to .xlsx")
+
+    // globals: SST (+ CONTINUEs) and the first BOUNDSHEET offset
+    val sst = mutable.ArrayBuffer[String]()
+    var sheetOffset = -1
+    var gi = 0
+    var depth = 0
+    var done = false
+    while (gi < recs.length && !done) {
+      val rec = recs(gi)
+      rec.id match {
+        case RecBofBiff8 => depth += 1
+        case RecEof => depth -= 1; if (depth == 0) done = true
+        case RecBoundSheet if sheetOffset < 0 && depth == 1 =>
+          sheetOffset = i32(rec.data, 0)
+        case RecSst if depth == 1 =>
+          val conts = mutable.ArrayBuffer(rec.data)
+          var j = gi + 1
+          while (j < recs.length && recs(j).id == RecContinue) {
+            conts += recs(j).data; j += 1
+          }
+          val cur = new ContinueCursor(conts.toSeq)
+          cur.i32n() // total refs
+          val unique = cur.i32n()
+          var k = 0
+          while (k < unique) { sst += cur.readString(); k += 1 }
+        case _ => ()
+      }
+      gi += 1
+    }
+    require(sheetOffset >= 0, "BIFF8: no BOUNDSHEET record (no worksheet)")
+
+    val cells = mutable.SortedMap[Int, mutable.SortedMap[Int, Any]]()
+    def put(row: Int, col: Int, v: Any): Unit =
+      cells.getOrElseUpdate(row, mutable.SortedMap[Int, Any]())(col) = v
+
+    val startIdx = recs.indexWhere(_.offset == sheetOffset)
+    require(startIdx >= 0 && recs(startIdx).id == RecBofBiff8,
+      "BIFF8: BOUNDSHEET offset does not land on a sheet BOF")
+    var si = startIdx + 1
+    var sdepth = 1
+    while (si < recs.length && sdepth > 0) {
+      val rec = recs(si)
+      val d = rec.data
+      rec.id match {
+        case RecBofBiff8 => sdepth += 1
+        case RecEof => sdepth -= 1
+        case RecLabelSst => put(u16(d, 0), u16(d, 2), sst(i32(d, 6)))
+        case RecNumber => put(u16(d, 0), u16(d, 2), f64(d, 6))
+        case RecRk => put(u16(d, 0), u16(d, 2), decodeRk(i32(d, 6)))
+        case RecMulRk =>
+          val row = u16(d, 0)
+          val colFirst = u16(d, 2)
+          val n = (d.length - 6) / 6
+          var k = 0
+          while (k < n) {
+            put(row, colFirst + k, decodeRk(i32(d, 4 + k * 6 + 2)))
+            k += 1
+          }
+        case RecLabel => put(u16(d, 0), u16(d, 2), inlineString(d, 6))
+        case RecBoolErr if u8(d, 7) == 0 => put(u16(d, 0), u16(d, 2), u8(d, 6) != 0)
+        case RecFormula =>
+          val row = u16(d, 0); val col = u16(d, 2)
+          if (u16(d, 12) == 0xffff) {
+            u8(d, 6) match {
+              case 0 => // string result: cached in the following STRING
+                // record (at most SHRFMLA/ARRAY/TABLE sit in between)
+                val next = recs.indexWhere(r => r.id == RecString, si + 1)
+                if (next >= 0 && next <= si + 3) put(row, col, inlineString(recs(next).data, 0))
+              case 1 => put(row, col, u8(d, 8) != 0) // bool result
+              case _ => () // error / blank result
+            }
+          } else put(row, col, f64(d, 6))
+        case _ => ()
+      }
+      si += 1
+    }
+    cells
+  }
+
+  // ---------------------------------------------------------------
+  // DataFrame bridge (read)
+  // ---------------------------------------------------------------
+
+  /** Whole-number doubles render as longs so integer columns written as
+    * NUMBER/RK records infer back to LongType (pandas-like roundtrip). */
+  private def cellText(v: Any): String = v match {
+    case d: Double if d == math.rint(d) && math.abs(d) <= 1e15 => d.toLong.toString
+    case other => other.toString
+  }
+
+  /** Read the first worksheet of a BIFF8 .xls into a DataFrame with
+    * header row + type inference, mirroring [[Excel.readXlsx]]. */
+  def readXls(spark: SparkSession, path: String): DataFrame = {
+    val all = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val cells = parseCells(workbookStream(all))
+    require(cells.nonEmpty, s"$path: empty sheet")
+    val headerRowIdx = cells.firstKey
+    val header = cells(headerRowIdx)
+    val width = header.keys.max + 1
+    val names = (0 until width).map(c => header.get(c).map(_.toString).getOrElse(s"_c$c"))
+    val data = cells.iterator.filter(_._1 != headerRowIdx).map { case (_, rowMap) =>
+      (0 until width).map(c => rowMap.get(c).map(cellText)).toArray
+    }.toSeq
+
+    def inferType(i: Int): DataType = {
+      val vals = data.flatMap(r => r(i))
+      if (vals.isEmpty) StringType
+      else if (vals.forall(_.toLongOption.isDefined)) LongType
+      else if (vals.forall(_.toDoubleOption.isDefined)) DoubleType
+      else StringType
+    }
+    val types = (0 until width).map(inferType)
+    val schema = StructType(names.zip(types).map { case (n, t) => StructField(n, t) })
+    val rows = data.map { r =>
+      Row.fromSeq((0 until width).map { i =>
+        r(i).map { v =>
+          types(i) match {
+            case LongType   => v.toLong
+            case DoubleType => v.toDouble
+            case _          => v
+          }
+        }.orNull
+      })
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+  }
+
+  // ---------------------------------------------------------------
+  // write (BIFF8 + minimal CFB container)
+  // ---------------------------------------------------------------
+
+  private def leBytes16(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+  private def leBytes32(v: Int): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+  private def record(id: Int, data: Array[Byte]): Array[Byte] =
+    leBytes16(id) ++ leBytes16(data.length) ++ data
+
+  /** ShortXLUnicodeString (1-byte length — BOUNDSHEET sheet names). */
+  private def shortBiffString(s: String): Array[Byte] = {
+    val wide = s.exists(_ > 0xff)
+    val chars =
+      if (wide) s.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+      else s.map(_.toByte).toArray
+    Array(s.length.toByte, (if (wide) 1 else 0).toByte) ++ chars
+  }
+
+  /** Write a DataFrame to a single BIFF8 .xls file (driver-side collect,
+    * mirroring [[Excel.writeXlsx]]). `maxRecordBytes` caps SST record
+    * payloads and is a test seam: a small cap forces CONTINUE splits,
+    * which exercises the reader's split-string handling. */
+  def writeXls(df: DataFrame, path: String, maxRecordBytes: Int = 8160): Unit = {
+    val schema = df.schema
+    val rows = df.collect()
+    val isNum = schema.fields.map(f => f.dataType.isInstanceOf[NumericType])
+
+    // shared string table: header names + every non-numeric cell
+    val sstIndex = mutable.LinkedHashMap[String, Int]()
+    def intern(s: String): Int = sstIndex.getOrElseUpdate(s, sstIndex.size)
+    schema.fieldNames.foreach(intern)
+    rows.foreach { r =>
+      (0 until schema.length).foreach { j =>
+        if (!isNum(j) && !r.isNullAt(j)) intern(String.valueOf(r.get(j)))
+      }
+    }
+    var totalRefs = schema.length
+    rows.foreach { r =>
+      (0 until schema.length).foreach(j => if (!isNum(j) && !r.isNullAt(j)) totalRefs += 1)
+    }
+
+    // SST with CONTINUE splits: strings append whole-or-split; a split
+    // resumes in a CONTINUE whose first byte is a fresh flags byte
+    val sstRecs = mutable.ArrayBuffer[Array[Byte]]()
+    val cur = new java.io.ByteArrayOutputStream()
+    cur.write(leBytes32(totalRefs)); cur.write(leBytes32(sstIndex.size))
+    def room: Int = maxRecordBytes - cur.size
+    sstIndex.keys.foreach { s =>
+      val wide = s.exists(_ > 0xff)
+      val cw = if (wide) 2 else 1
+      if (room < 3 + cw) { sstRecs += cur.toByteArray; cur.reset() }
+      cur.write(leBytes16(s.length)); cur.write(if (wide) 1 else 0)
+      var emitted = 0
+      while (emitted < s.length) {
+        if (room < cw) {
+          sstRecs += cur.toByteArray; cur.reset()
+          cur.write(if (wide) 1 else 0) // fresh flags byte in the CONTINUE
+        }
+        val take = math.min(s.length - emitted, room / cw)
+        var k = 0
+        while (k < take) {
+          val c = s.charAt(emitted + k)
+          if (wide) { cur.write(c & 0xff); cur.write((c >> 8) & 0xff) }
+          else cur.write(c & 0xff)
+          k += 1
+        }
+        emitted += take
+      }
+    }
+    sstRecs += cur.toByteArray
+
+    // sheet substream
+    val sheet = new java.io.ByteArrayOutputStream()
+    sheet.write(record(RecBofBiff8, leBytes16(0x0600) ++ leBytes16(0x0010) ++ Array.fill(12)(0.toByte)))
+    def cellHead(row: Int, col: Int): Array[Byte] =
+      leBytes16(row) ++ leBytes16(col) ++ leBytes16(0)
+    def writeCell(row: Int, col: Int, v: Any, numeric: Boolean): Unit =
+      if (numeric) {
+        val d = v match { case n: java.lang.Number => n.doubleValue; case x => x.toString.toDouble }
+        val bits = java.lang.Double.doubleToLongBits(d)
+        val nb = (0 until 8).map(j => ((bits >> (8 * j)) & 0xff).toByte).toArray
+        sheet.write(record(RecNumber, cellHead(row, col) ++ nb))
+      } else {
+        val idx = sstIndex(String.valueOf(v))
+        sheet.write(record(RecLabelSst, cellHead(row, col) ++ leBytes32(idx)))
+      }
+    schema.fieldNames.zipWithIndex.foreach { case (n, c) => writeCell(0, c, n, numeric = false) }
+    rows.zipWithIndex.foreach { case (r, i) =>
+      (0 until schema.length).foreach { j =>
+        if (!r.isNullAt(j)) writeCell(i + 1, j, r.get(j), isNum(j))
+      }
+    }
+    sheet.write(record(RecEof, Array.emptyByteArray))
+    val sheetBytes = sheet.toByteArray
+
+    // globals substream (BOUNDSHEET offset = globals length, patched below)
+    def globals(sheetOffset: Int): Array[Byte] = {
+      val g = new java.io.ByteArrayOutputStream()
+      g.write(record(RecBofBiff8, leBytes16(0x0600) ++ leBytes16(0x0005) ++ Array.fill(12)(0.toByte)))
+      g.write(record(RecBoundSheet,
+        leBytes32(sheetOffset) ++ Array(0.toByte, 0.toByte) ++ shortBiffString("Sheet1")))
+      g.write(record(RecSst, sstRecs.head))
+      sstRecs.tail.foreach(c => g.write(record(RecContinue, c)))
+      g.write(record(RecEof, Array.emptyByteArray))
+      g.toByteArray
+    }
+    val globalsLen = globals(0).length // offset value doesn't change the length
+    val stream = globals(globalsLen) ++ sheetBytes
+
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), cfbContainer(stream))
+  }
+
+  /** Minimal valid CFB v3 container holding one `Workbook` stream. The
+    * stream is padded to the 4096-byte mini cutoff so it lives in regular
+    * FAT sectors (no mini-FAT needed on the write side; the reader
+    * handles both). */
+  private def cfbContainer(workbook0: Array[Byte]): Array[Byte] = {
+    val sectorSize = 512
+    val workbook = workbook0 ++ Array.fill(math.max(0, 4096 - workbook0.length))(0.toByte)
+    val wbSectors = (workbook.length + sectorSize - 1) / sectorSize
+    val dirSectors = 1 // 4 entries of 128B
+    // layout: [FAT sectors][dir][workbook]; compute FAT count by fixpoint
+    var fatSectors = 1
+    while ((fatSectors + dirSectors + wbSectors + 127) / 128 > fatSectors)
+      fatSectors += 1
+    val totalSectors = fatSectors + dirSectors + wbSectors
+    val fat = Array.fill((fatSectors * sectorSize) / 4)(FreeSect)
+    (0 until fatSectors).foreach(i => fat(i) = -3) // FATSECT marker
+    val dirStart = fatSectors
+    fat(dirStart) = EndOfChain
+    val wbStart = fatSectors + dirSectors
+    (0 until wbSectors).foreach { i =>
+      fat(wbStart + i) = if (i == wbSectors - 1) EndOfChain else wbStart + i + 1
+    }
+
+    val out = java.nio.ByteBuffer.allocate(512 + totalSectors * sectorSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(CfbMagic)
+    out.put(new Array[Byte](16)) // clsid
+    out.putShort(0x003e.toShort) // minor
+    out.putShort(0x0003.toShort) // major (v3)
+    out.putShort(0xfffe.toShort) // little-endian marker
+    out.putShort(9.toShort) // sector shift
+    out.putShort(6.toShort) // mini shift
+    out.put(new Array[Byte](6))
+    out.putInt(0) // dir sector count (v3: 0)
+    out.putInt(fatSectors)
+    out.putInt(dirStart)
+    out.putInt(0) // transaction
+    out.putInt(4096) // mini cutoff
+    out.putInt(EndOfChain) // first miniFAT sector (none)
+    out.putInt(0) // miniFAT count
+    out.putInt(EndOfChain) // first DIFAT sector (header-only)
+    out.putInt(0) // DIFAT sector count
+    (0 until 109).foreach(i => out.putInt(if (i < fatSectors) i else FreeSect))
+    fat.foreach(out.putInt)
+
+    // directory: Root, Workbook, 2 free
+    def dirEntry(name: String, objType: Int, start: Int, size: Int,
+        child: Int = -1, left: Int = -1, right: Int = -1): Unit = {
+      val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+      out.put(java.util.Arrays.copyOf(nameBytes, 64))
+      out.putShort((nameBytes.length + 2).toShort)
+      out.put(objType.toByte)
+      out.put(1.toByte) // black
+      out.putInt(left); out.putInt(right); out.putInt(child)
+      out.put(new Array[Byte](36)) // clsid + state + times
+      out.putInt(start)
+      out.putInt(size)
+      out.putInt(0)
+    }
+    dirEntry("Root Entry", 5, EndOfChain, 0, child = 1)
+    dirEntry("Workbook", 2, wbStart, workbook.length)
+    out.put(new Array[Byte](2 * 128))
+
+    out.put(workbook)
+    out.array()
+  }
+}

@@ -45,10 +45,9 @@ class CoreSpec extends AnyFunSuite {
     assert(SqlIdentifiers.literal("x\\' OR 1=1 --") == "'x\\\\'' OR 1=1 --'")
   }
 
-  test(".xls is rejected honestly, not routed to the OOXML parser") {
-    intercept[UnsupportedOperationException] {
-      FileFormat.fromPath("/a/b/legacy.xls")
-    }
+  test(".xls routes to the BIFF8 path, not the OOXML parser") {
+    assert(FileFormat.fromPath("/a/b/legacy.xls") == FileFormat.Xls)
+    assert(FileFormat.fromPath("/a/b/modern.xlsx") == FileFormat.Xlsx)
   }
 
   test("template renders table refs and literals") {

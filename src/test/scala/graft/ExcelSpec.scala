@@ -49,10 +49,63 @@ class ExcelSpec extends GraftSuite {
     assert(df.na.drop("all").count() == df.count())
   }
 
-  test("format inference routes .xlsx to the Excel path; .xls is rejected") {
+  test("format inference routes .xlsx and .xls to their Excel paths") {
     assert(graft.core.FileFormat.fromPath("/a/b.xlsx") == graft.core.FileFormat.Xlsx)
-    intercept[UnsupportedOperationException] {
-      graft.core.FileFormat.fromPath("/a/b.xls")
-    }
+    assert(graft.core.FileFormat.fromPath("/a/b.xls") == graft.core.FileFormat.Xls)
+  }
+
+  test("xls (BIFF8) write → read roundtrip preserves values and types") {
+    val dir = tmp()
+    val df = Seq(
+      (1L, "alpha", 1.5, "x & <y>"),
+      (2L, "beta", -2.25, "quote\"d ünïcode"),
+      (3L, "gamma", 0.0, "plain"))
+      .toDF("id", "name", "score", "notes")
+    g.exportToFile(df, FileRef(s"$dir/out.xls"))
+    val back = g.loadFile(FileRef(s"$dir/out.xls")).orderBy("id")
+    assert(back.schema.map(_.dataType.typeName).toSeq == Seq("long", "string", "double", "string"))
+    val rows = back.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(1).getString(3) == "quote\"d ünïcode")
+    assert(rows(1).getDouble(2) == -2.25)
+  }
+
+  test("xls SST CONTINUE splits: strings crossing record boundaries survive") {
+    val strings = (0 until 200).map(i => s"string body number $i with some filler text")
+    val df = strings.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val dir = tmp()
+    // a 64-byte record cap forces many CONTINUE records and mid-string
+    // splits with fresh flag bytes — the hairy part of the SST format
+    graft.io.ExcelBiff.writeXls(df, s"$dir/split.xls", maxRecordBytes = 64)
+    val back = g.loadFile(FileRef(s"$dir/split.xls")).orderBy("id").collect()
+    assert(back.length == 200)
+    assert(back.map(_.getString(1)).toSeq == strings)
+    // wide (UTF-16) strings split the same way
+    val wide = (0 until 50).map(i => s"целая строка № $i с юникодом")
+    val dfw = wide.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    graft.io.ExcelBiff.writeXls(dfw, s"$dir/wide.xls", maxRecordBytes = 64)
+    val backW = g.loadFile(FileRef(s"$dir/wide.xls")).orderBy("id").collect()
+    assert(backW.map(_.getString(1)).toSeq == wide)
+  }
+
+  test("xls with nulls, RK decode, and empty cells") {
+    val dir = tmp()
+    val df = Seq((Some("a"), Some(1)), (None, Some(2)), (Some("c"), None))
+      .toDF("s", "n")
+    g.exportToFile(df, FileRef(s"$dir/nulls.xls"))
+    val back = g.loadFile(FileRef(s"$dir/nulls.xls")).orderBy("n")
+    assert(back.count() == 3)
+    assert(back.where("s IS NULL").count() == 1)
+    assert(back.where("n IS NULL").count() == 1)
+    // RK decode unit checks via a hand-built record set are covered by the
+    // roundtrip (writer emits NUMBER); decode the 4 RK encodings directly:
+    // int, int/100, float, float/100
+    import graft.io.ExcelBiff
+    val m = ExcelBiff.getClass.getDeclaredMethods.find(_.getName.endsWith("decodeRk")).get
+    m.setAccessible(true)
+    assert(m.invoke(ExcelBiff, Int.box(1234 << 2 | 0x2)) == 1234.0)
+    assert(m.invoke(ExcelBiff, Int.box(1234 << 2 | 0x3)) == 12.34)
+    val dblBits = java.lang.Double.doubleToLongBits(2.5)
+    assert(m.invoke(ExcelBiff, Int.box(((dblBits >>> 32) & 0xfffffffcL).toInt)) == 2.5)
   }
 }

@@ -170,6 +170,22 @@ class IoSpec extends GraftSuite {
     assert(spark.table("selfref").collect()(0).getInt(1) == 2)
   }
 
+  test("loadFile columns/dtype knobs: scan pruned to the subset, casts applied") {
+    val dir = tmp("graft_loadopts")
+    Seq((1L, "a", 1.5, "x"), (2L, "b", 2.5, "y")).toDF("k", "s", "v", "extra")
+      .write.parquet(s"$dir/t")
+    val df = g.loadFile(FileRef(s"$dir/t", Some(graft.core.FileFormat.Parquet)),
+      columns = Seq("k", "v"), dtype = Map("v" -> "string"))
+    assert(df.columns.toSeq == Seq("k", "v"))
+    assert(df.schema("v").dataType.typeName == "string")
+    // the subset is a select, so Catalyst prunes the parquet ReadSchema —
+    // the unused columns are never read
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("extra"), plan)
+    assert(df.orderBy("k").collect().map(_.getString(1)).toSeq == Seq("1.5", "2.5"))
+  }
+
   test("remote fetch stages on a shared (non-file-scheme) Hadoop FS for cluster reads") {
     // register a mock shared filesystem under its own scheme so the test
     // exercises the exact cluster path: fetch → non-file:// staging URI →

@@ -141,8 +141,7 @@ object PipelineQueries {
   def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     val toks = TextAnalysis.tokenCount(col("text"))
-    val stop = size(filter(split(trim(col("text")), "\\s+"),
-      t => array_contains(lit(TextAnalysis.EnStopwords.toArray), lower(t))))
+    val stop = TextAnalysis.stopwordHits(col("text"), TextAnalysis.EnStopwords)
     d.select(
       col("doc_id"),
       length(col("text")).cast("bigint").as("n_chars_m"),

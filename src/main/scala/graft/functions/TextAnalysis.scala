@@ -28,6 +28,15 @@ object TextAnalysis {
       (acc, t) => acc + greatest(lit(1), ceil(length(t) / lit(4)).cast("int")))
   }
 
+  /** Tokens of `c` (split(trim, "\\s+") semantics) whose lowercase form
+    * is in `words` — one codegen'd pass ([[StopwordHitsExpr]]) instead of
+    * an interpreted `filter(toks, t => array_contains(...))` that walks
+    * the word list per token. */
+  def stopwordHits(c: Column, words: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(StopwordHitsExpr(ColumnBridge.expression(trim(c)), words))
+  }
+
   /** Quality metrics in one projection: char/token counts, mean token
     * length, ratios of punctuation / digits / uppercase / whitespace,
     * stopword ratio (en). Output column names are stable API. */
@@ -38,7 +47,7 @@ object TextAnalysis {
     def classRatio(pattern: String): Column =
       when(nChars === 0, lit(0.0))
         .otherwise((nChars - length(regexp_replace(c, pattern, ""))).cast("double") / nChars)
-    val stopHits = size(filter(toks, t => array_contains(lit(EnStopwords.toArray), lower(t))))
+    val stopHits = stopwordHits(c, EnStopwords)
     Seq(
       "n_chars" -> nChars.cast("long"),
       "n_tokens" -> nToks.cast("long"),
@@ -56,11 +65,8 @@ object TextAnalysis {
     * heuristic good enough for coarse routing; scores are exposed for
     * thresholding. */
   def langId(c: Column): Column = {
-    val toks = transform(split(trim(c), "\\s+"), lower _)
     val scored = LangProfiles.map { case (lang, words) =>
-      struct(
-        size(filter(toks, t => array_contains(lit(words.toArray), t))).as("hits"),
-        lit(lang).as("lang"))
+      struct(stopwordHits(c, words).as("hits"), lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)
     when(best.getField("hits") <= 0, lit("und")).otherwise(best.getField("lang"))
@@ -132,6 +138,64 @@ object TextAnalysis {
     "it" -> Seq("il", "lo", "la", "gli", "di", "che", "e", "un", "una", "per", "con", "non", "sono"),
     "pt" -> Seq("o", "a", "os", "as", "de", "que", "e", "em", "um", "uma", "para", "com", "não"),
     "nl" -> Seq("de", "het", "een", "en", "van", "is", "dat", "op", "te", "zijn", "met", "voor"))
+}
+
+/** Count of whitespace-separated tokens whose lowercase form is in a
+  * fixed word set, as one codegen'd pass: tokenize on whitespace runs
+  * (Java `split("\\s+")` semantics — a leading empty token can't match a
+  * non-empty word, so it is skipped), lowercase each token with
+  * `UTF8String.toLowerCase` (bit-identical to Spark's `lower()`), probe a
+  * prebuilt hash set. Replaces an interpreted
+  * `filter(toks, t => array_contains(lit(words), lower(t)))`, which walks
+  * the word array per token through the interpreted-lambda path.
+  */
+case class StopwordHitsExpr(child: Expression, words: Seq[String]) extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.length * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    StopwordHitsExpr.hits(input.asInstanceOf[UTF8String].getBytes, set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopwords", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.StopwordHitsExpr.hits($c.getBytes(), $setRef);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "stopword_hits"
+}
+
+object StopwordHitsExpr {
+  private def isWs(b: Byte): Boolean =
+    b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
+      b == 0x0b.toByte || b == '\f'.toByte || b == '\r'.toByte
+
+  /** Matching-token count (called from codegen). */
+  def hits(bytes: Array[Byte], set: java.util.HashSet[UTF8String]): Int = {
+    var count = 0
+    var i = 0
+    var start = -1
+    val len = bytes.length
+    def probe(s: Int, e: Int): Unit = {
+      val t = UTF8String.fromBytes(bytes, s, e - s).toLowerCase
+      if (set.contains(t)) count += 1
+    }
+    while (i < len) {
+      if (isWs(bytes(i))) {
+        if (start >= 0) { probe(start, i); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    if (start >= 0) probe(start, len)
+    count
+  }
 }
 
 /** FNV-1a-style 64-bit rolling hash over a string's UTF-8 bytes, with full

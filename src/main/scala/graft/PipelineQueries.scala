@@ -80,6 +80,24 @@ object PipelineQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: training docs (the documents table)
+    * flagged against a held-out reference set (a shifted-id copy of every
+    * 10th doc). Oracle-checked against exact all-pairs cross Jaccard —
+    * valid for the same bimodality reason as [[dedupMinHash]] (matching
+    * pairs are exact copies at j = 1 or cluster-mates ≥ 0.8; everything
+    * else ≤ 0.03; band-miss probability ≤ (1−0.8²)³² ≈ 5e-15). */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val ref = d.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000).as("ref_id"), col("text"))
+    Dedup.crossCorpusNearDupPairs(d, "doc_id", "text", ref, "ref_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.6,
+      maxBucketSize = 100000)
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
   def dedupSimHash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simHashNearDupPairs(docsWithNearDups(spark, sfDir), "doc_id", "text", maxHamming = 3)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
@@ -263,6 +281,7 @@ object PipelineQueries {
     "p_dedup_exact" -> (dedupExact _),
     "p_dedup_minhash" -> (dedupMinHash _),
     "p_dedup_minhash_scale" -> (dedupMinHashScale _),
+    "p_decontaminate" -> (decontaminate _),
     "p_dedup_simhash" -> (dedupSimHash _),
     "p_dedup_ngram" -> (dedupNgram _),
     "p_dedup_embedding" -> (dedupEmbedding _),
@@ -325,6 +344,19 @@ object PipelineQueries {
     "p_dedup_minhash" -> keepFirstJaccardOracle(shingleSetsSql, 0.6),
 
     "p_dedup_ngram" -> keepFirstJaccardOracle(ngramSetsSql, 0.55),
+
+    "p_decontaminate" ->
+      """WITH mk AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)),
+        |l AS (SELECT doc_id, s FROM mk),
+        |r AS (SELECT doc_id + 500000 AS ref_id, s FROM mk WHERE doc_id % 10 = 0)
+        |SELECT l.doc_id AS id_a, r.ref_id AS id_b
+        |FROM l JOIN r ON len(list_intersect(l.s, r.s))::double
+        |  / (len(l.s) + len(r.s) - len(list_intersect(l.s, r.s))) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "p_dedup_embedding" ->
       """WITH ec AS (

@@ -40,10 +40,30 @@ object GraftFunctions {
     register1("graft_mask_pii", TextAnalysis.maskPii)
     register1("graft_repetition_ratio3", TextAnalysis.repetitionRatio(_, 3))
     register1("graft_l2norm", Similarity.l2Norm)
+    register1("graft_normalize", Similarity.normalize) // native NormalizeExpr
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
       exprs => ColumnBridge.expressionEager(
         Similarity.cosine(ColumnBridge.column(exprs(0)), ColumnBridge.column(exprs(1)))),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      exprs => DotExpr(exprs(0), exprs(1)),
+      "built-in")
+    // shingle/minhash primitives, so corpus pipelines compose in pure SQL
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_shingles3",
+      exprs => ColumnBridge.expressionEager {
+        val c = ColumnBridge.column(exprs.head)
+        import org.apache.spark.sql.functions.{lower, regexp_replace, trim}
+        ColumnBridge.column(ShingleSetExpr(
+          ColumnBridge.expression(regexp_replace(lower(trim(c)), "\\s+", " ")),
+          3, byWord = true))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig64",
+      exprs => MinHashSigExpr(exprs.head, 64),
       "built-in")
   }
 }

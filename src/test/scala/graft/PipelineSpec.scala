@@ -22,6 +22,21 @@ class PipelineSpec extends GraftSuite {
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L, 5L))
   }
 
+  test("crossCorpusNearDupPairs flags only contaminated training docs") {
+    val train = docs // ids 1..5: 1,2 identical; 3 near-dup of 1
+    val ref = Seq((101L, base), // contaminates 1, 2, 3
+      (102L, "reference only benchmark row about astronomy and telescopes tonight"))
+      .toDF("ref_id", "text")
+    val pairs = graft.functions.Dedup.crossCorpusNearDupPairs(
+      train, "doc_id", "text", ref, "ref_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 101L)) && pairs.contains((2L, 101L)))
+    assert(pairs.contains((3L, 101L))) // near-dup crosses the corpus line
+    assert(!pairs.exists { case (a, b) => a == 4L || a == 5L || b == 102L })
+    // no train-train pairs ever appear
+    assert(pairs.forall { case (_, b) => b >= 100L })
+  }
+
   test("minhash LSH finds near-dup pair and skips unrelated docs") {
     val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

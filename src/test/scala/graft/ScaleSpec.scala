@@ -66,4 +66,18 @@ class ScaleSpec extends GraftSuite {
       .select(graft.functions.TextAnalysis.fingerprint64($"t")).as[Long].collect()(0)
     assert(row.getAs[Long]("fp") == viaColumn)
   }
+
+  test("SQL-registered shingle/minhash/vector primitives compose in pure SQL") {
+    GraftFunctions.registerAll(spark)
+    Seq((1L, "one two three four", Seq(3.0f, 4.0f)), (2L, "one two three four", Seq(6.0f, 8.0f)))
+      .toDF("id", "t", "v").createOrReplaceTempView("fn_prims")
+    val rows = spark.sql(
+      """SELECT id, graft_minhash_sig64(graft_word_shingles3(t)) AS sig,
+        |  graft_dot(graft_normalize(v), graft_normalize(v)) AS unit_dot
+        |FROM fn_prims ORDER BY id""".stripMargin).collect()
+    assert(rows(0).getSeq[Long](1).length == 64)
+    // identical texts → identical signatures; normalized self-dot = 1
+    assert(rows(0).getSeq[Long](1) == rows(1).getSeq[Long](1))
+    assert(math.abs(rows(0).getDouble(2) - 1.0) < 1e-6) // float components
+  }
 }

@@ -21,11 +21,13 @@ object TextAnalysis {
       .otherwise(size(split(trim(c), "\\s+")))
 
   /** A BPE-ish subword count: word tokens plus an extra unit per 4 chars of
-    * long words (crude but deterministic proxy for tokenizer load). */
+    * long words (crude but deterministic proxy for tokenizer load). One
+    * codegen'd pass ([[TokenFoldExpr]]) — `Σ max(1, ceil(len/4))` over
+    * whitespace tokens, token length in codepoints, matching the
+    * interpreted `aggregate(split(...))` form bit-for-bit. */
   def subwordCount(c: Column): Column = {
-    val toks = split(trim(c), "\\s+")
-    aggregate(toks, lit(0),
-      (acc, t) => acc + greatest(lit(1), ceil(length(t) / lit(4)).cast("int")))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(TokenFoldExpr(ColumnBridge.expression(trim(c))))
   }
 
   /** Tokens of `c` (split(trim, "\\s+") semantics) whose lowercase form
@@ -101,23 +103,16 @@ object TextAnalysis {
     * (1 − distinct/total). High values flag boilerplate/spam. Returns a
     * double in [0, 1]; 0 for texts shorter than n tokens.
     *
-    * Grams are built by zipping n progressively-shifted copies of the
-    * token array (null-padded tails mark incomplete windows) — linear
-    * work per row. The natural `transform(sequence(…), i =>
-    * slice(toks, …))` shape re-evaluates the lambda-captured
-    * tokenization per gram (O(len²) split cost), and a rolling
-    * `aggregate` fold copies its accumulator array per token — both
-    * measured slower on the text-clean pipeline. */
+    * One codegen'd pass ([[RepetitionRatioExpr]]): grams are XXH64 of the
+    * byte range spanning n consecutive tokens of the whitespace-normalized
+    * text, deduped in a per-row open-address set — same counts as
+    * distinct-gram-strings up to a ~2⁻⁵⁰ per-doc hash-collision
+    * probability, with none of the interpreted `zip_with` chain the
+    * previous Column form paid. */
   def repetitionRatio(c: Column, n: Int): Column = {
-    def toks = split(lower(trim(c)), "\\s+")
-    val total = greatest(size(toks) - (n - 1), lit(0))
-    val grams = (2 to n).foldLeft(toks.cast("array<string>")) { (acc, j) =>
-      zip_with(acc, slice(toks, lit(j), size(toks)), (g, t) =>
-        when(g.isNull || t.isNull, lit(null)).otherwise(concat(g, lit(" "), t)))
-    }
-    val distinctGrams = size(array_distinct(filter(grams, g => g.isNotNull)))
-    when(total <= 0, lit(0.0))
-      .otherwise(lit(1.0) - distinctGrams.cast("double") / total)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val normalized = regexp_replace(lower(trim(c)), "\\s+", " ")
+    ColumnBridge.column(RepetitionRatioExpr(ColumnBridge.expression(normalized), n))
   }
 
   /** English stopwords (public, standard list excerpt). */
@@ -195,6 +190,111 @@ object StopwordHitsExpr {
     }
     if (start >= 0) probe(start, len)
     count
+  }
+}
+
+/** `Σ max(1, ceil(codepoints/4))` over whitespace tokens in one codegen'd
+  * pass — the subword-count fold, replacing an interpreted
+  * `aggregate(split(...))` higher-order function. Java `split("\\s+")`
+  * parity: an empty or leading-separator input contributes one empty
+  * token (counted as 1 subword), matching the Column form exactly. */
+case class TokenFoldExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TokenFoldExpr.subwords(input.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenFoldExpr.subwords($c.getBytes());")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "subword_count"
+}
+
+object TokenFoldExpr {
+  private def isWs(b: Byte): Boolean =
+    b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
+      b == 0x0b.toByte || b == '\f'.toByte || b == '\r'.toByte
+
+  def subwords(bytes: Array[Byte]): Int = {
+    val len = bytes.length
+    var total = 0
+    var chars = 0
+    var inTok = false
+    def flush(): Unit = { total += math.max(1, (chars + 3) / 4); chars = 0 }
+    // split("\\s+") emits one empty token for "" and for leading separators
+    if (len == 0 || isWs(bytes(0))) total += 1
+    var i = 0
+    while (i < len) {
+      if (isWs(bytes(i))) {
+        if (inTok) { flush(); inTok = false }
+      } else {
+        if ((bytes(i) & 0xc0) != 0x80) chars += 1 // codepoint leading byte
+        inTok = true
+      }
+      i += 1
+    }
+    if (inTok) flush()
+    total
+  }
+}
+
+/** Duplicate-n-gram ratio of a whitespace-normalized string in one
+  * codegen'd pass: tokens are single-space runs, each n-gram is XXH64 of
+  * the byte range spanning n consecutive tokens, distinct counted in a
+  * per-row open-address set; result = 1 − distinct/total (0 when fewer
+  * than n tokens). */
+case class RepetitionRatioExpr(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.DoubleType
+  require(n >= 1, "n-gram size must be >= 1")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    RepetitionRatioExpr.ratio(input.asInstanceOf[UTF8String].getBytes, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RepetitionRatioExpr.ratio($c.getBytes(), $n);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "repetition_ratio"
+}
+
+object RepetitionRatioExpr {
+  def ratio(bytes: Array[Byte], n: Int): Double = {
+    val len = bytes.length
+    // token start offsets in the single-space-normalized text; a leading
+    // space yields a leading empty token (split("\\s+") parity)
+    var offs = new Array[Int](math.max(16, len / 2 + 2))
+    var count = 0
+    def push(v: Int): Unit = {
+      if (count == offs.length) offs = java.util.Arrays.copyOf(offs, offs.length * 2)
+      offs(count) = v; count += 1
+    }
+    push(0)
+    var i = 0
+    while (i < len) {
+      if (bytes(i) == ' '.toByte) push(i + 1)
+      i += 1
+    }
+    push(len + 1)
+    val tokens = count - 1
+    val total = tokens - (n - 1)
+    if (total <= 0) return 0.0
+    var cap = 16
+    while (cap < total * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    var distinct = 0
+    var w = 0
+    while (w < total) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + offs(w),
+        (offs(w + n) - 1) - offs(w), 42L)
+      var idx = (scala.util.hashing.byteswap64(h) & (cap - 1)).toInt
+      while (used(idx) && table(idx) != h) idx = (idx + 1) & (cap - 1)
+      if (!used(idx)) { used(idx) = true; table(idx) = h; distinct += 1 }
+      w += 1
+    }
+    1.0 - distinct.toDouble / total
   }
 }
 

@@ -22,6 +22,19 @@ class PipelineSpec extends GraftSuite {
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L, 5L))
   }
 
+  test("MinHashSigExpr is bit-identical to the Column min-wise form") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sets = Dedup.wordShingleSets(docs, "doc_id", "text", 3)
+    val viaColumn = sets.select($"__id",
+      Dedup.minHashSignature($"sets", 32).as("sig"))
+    val viaExpr = sets.select($"__id",
+      ColumnBridge.column(graft.functions.MinHashSigExpr(
+        ColumnBridge.expression($"sets"), 32)).as("sig"))
+    val mismatches = viaColumn.as("c").join(viaExpr.as("e"), "__id")
+      .where(col("c.sig") =!= col("e.sig")).count()
+    assert(mismatches == 0)
+  }
+
   test("crossCorpusNearDupPairs flags only contaminated training docs") {
     val train = docs // ids 1..5: 1,2 identical; 3 near-dup of 1
     val ref = Seq((101L, base), // contaminates 1, 2, 3

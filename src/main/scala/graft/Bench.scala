@@ -9,6 +9,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // 60 queries × several codegen'd stages overflow the default
+      // 100-entry generated-class cache, so pass 2 re-compiles (and
+      // re-JITs) evicted classes — the min-of-2 then measures janino, not
+      // the query. Static conf: must be set before the session starts.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.warehouse.dir",
         "/tmp/graft-bench-warehouse-" + java.util.UUID.randomUUID().toString.take(8))
       .config("spark.ui.enabled", "false")

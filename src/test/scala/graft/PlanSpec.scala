@@ -67,6 +67,22 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("fused expressions are in the plans (no interpreted HOF fallback)") {
+    // the dedup/ANN/text hot paths must run through the codegen'd custom
+    // expressions — a refactor back to transform/zip_with/aggregate
+    // higher-order functions would be silently 10-100× slower
+    val mh = plan("p_dedup_minhash")
+    assert(mh.contains("word_shingle_set") && mh.contains("minhash_sig"), mh)
+    val ng = plan("p_dedup_ngram")
+    assert(ng.contains("char_ngram_set"), ng)
+    val ann = plan("p_ann_bruteforce")
+    assert(ann.contains("vec_dot") && ann.contains("vec_normalize"), ann)
+    val lang = plan("p_text_lang_fingerprint")
+    assert(lang.contains("stopword_hits"), lang)
+    val clean = plan("p_text_clean")
+    assert(clean.contains("repetition_ratio"), clean)
+  }
+
   test("embedding LSH: banded self-join exchanges carry no vector column") {
     import spark.implicits._
     val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")

@@ -207,6 +207,25 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary stats: top-50 corpus tokens by frequency (map-side
+    * combinable counts + TakeOrdered; full SQL oracle). */
+  def topTokens(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.topTokens(docs(spark, sfDir), "text", 50)
+      .select(col("token"), col("n").cast("bigint").as("n"))
+      .orderBy(col("n").desc, col("token"))
+
+  /** Greedy sequence packing: documents packed into 500-token training
+    * sequences per language shard (floor-of-cumsum rule — deterministic
+    * and windowed, so the whole assignment is one shuffle and packs as
+    * wide as the shard count at 100 TB). */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("bigint").as("ntok"))
+    graft.functions.Sampling.packSequences(d, Seq("lang"), "doc_id", "ntok", budget = 500L)
+      .select("doc_id", "lang", "seq_id", "seq_pos")
+      .orderBy("doc_id")
+  }
+
   /** Backward as-of join: each view/click event attaches the user's most
     * recent prior purchase value; oracle = DuckDB's native ASOF JOIN. */
   def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
@@ -288,6 +307,8 @@ object PipelineQueries {
     "p_ann_bruteforce" -> (annBruteForce _),
     "p_ann_ivf" -> (annIvf _),
     "p_text_quality" -> (textQuality _),
+    "p_top_tokens" -> (topTokens _),
+    "p_pack_sequences" -> (packSequences _),
     "p_text_lang_fingerprint" -> (textLangFingerprint _),
     "p_text_clean" -> (textClean _),
     "p_asof_join" -> (asofJoin _),
@@ -407,6 +428,30 @@ object PipelineQueries {
         |         / greatest(len(toks) - 2, 0) END AS rep3
         |FROM toked
         |ORDER BY doc_id""".stripMargin),
+
+    "p_top_tokens" ->
+      """SELECT token, cast(count(*) as bigint) AS n
+        |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)
+        |WHERE len(token) > 0
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 50""".stripMargin,
+
+    "p_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    cast(len(string_split_regex(trim(text), '\s+')) as bigint) AS ntok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, ntok,
+        |    coalesce(sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM t),
+        |s AS (SELECT doc_id, lang, cast(floor(pre / 500.0) as bigint) AS seq_id FROM c)
+        |SELECT doc_id, lang, seq_id,
+        |  cast(row_number() OVER (PARTITION BY lang, seq_id ORDER BY doc_id) - 1 as bigint) AS seq_pos
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
 
     "p_range_join" ->
       """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),

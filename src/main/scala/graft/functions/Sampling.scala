@@ -48,4 +48,29 @@ object Sampling {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
     df.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k).drop("__rk")
   }
+
+  /** Greedy sequence packing for training batches: within each group
+    * (e.g. language shard), documents are taken in `orderCol` order and
+    * assigned to fixed-`budget` token sequences — doc d lands in sequence
+    * `floor(cumulative_tokens_before_d / budget)`, so a sequence may
+    * overflow by at most one document (the standard greedy packer;
+    * oversized docs occupy their own sequences). One shuffle (the
+    * per-group window); groups pack independently, so 100 TB packs as
+    * wide as the grouping key's cardinality. Adds `seq_id` (0-based per
+    * group) and `seq_pos` (0-based slot within the sequence). */
+  def packSequences(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+    val before = coalesce(
+      sum(col(tokenCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val seqId = floor(before / budget)
+    val wSeq = Window.partitionBy((groupCols.map(col) :+ seqId): _*).orderBy(col(orderCol))
+    df.withColumn("seq_id", seqId.cast("bigint"))
+      .withColumn("seq_pos", (row_number().over(wSeq) - 1).cast("bigint"))
+  }
 }

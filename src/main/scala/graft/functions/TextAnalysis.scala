@@ -115,6 +115,16 @@ object TextAnalysis {
     ColumnBridge.column(RepetitionRatioExpr(ColumnBridge.expression(normalized), n))
   }
 
+  /** Corpus vocabulary stats: top-k tokens by frequency, ties broken
+    * lexicographically. Explode → count is fully map-side combinable
+    * (partial aggregation), and the final top-k is a TakeOrdered — no
+    * global sort of the vocabulary. */
+  def topTokens(df: org.apache.spark.sql.DataFrame, textCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+
   /** English stopwords (public, standard list excerpt). */
   val EnStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "but", "if", "then", "else", "of", "to",

@@ -22,6 +22,23 @@ class PipelineSpec extends GraftSuite {
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L, 5L))
   }
 
+  test("packSequences: floor-of-cumsum greedy packing per group") {
+    val d = Seq(
+      (1L, "en", 300L), (2L, "en", 300L), (3L, "en", 300L), // cum-before: 0,300,600
+      (4L, "en", 900L), // before=900 → seq 1 (overflows it — own doc allowed)
+      (5L, "de", 100L), (6L, "de", 600L)) // de packs independently
+      .toDF("doc_id", "lang", "ntok")
+    val rows = graft.functions.Sampling
+      .packSequences(d, Seq("lang"), "doc_id", "ntok", budget = 500L)
+      .select("doc_id", "seq_id", "seq_pos").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(1L) == ((0L, 0L))) // before 0
+    assert(rows(2L) == ((0L, 1L))) // before 300
+    assert(rows(3L) == ((1L, 0L))) // before 600 → seq 1
+    assert(rows(4L) == ((1L, 1L))) // before 900 → still seq 1 (greedy overflow)
+    assert(rows(5L) == ((0L, 0L)) && rows(6L) == ((0L, 1L))) // de independent
+  }
+
   test("MinHashSigExpr is bit-identical to the Column min-wise form") {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val sets = Dedup.wordShingleSets(docs, "doc_id", "text", 3)

@@ -72,6 +72,45 @@ class StreamingSpec extends GraftSuite {
       batch.map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getLong(4))))
   }
 
+  test("stateful sessionization runs on the RocksDB state store (large-state path)") {
+    // the default HDFS-backed store keeps all state on-heap — at 100 TB of
+    // keyed state that OOMs; RocksDB spills to local disk. Same semantics,
+    // different provider: the streaming result must still equal batch.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val q = Streams.sessionizeStream(mem.toDS(), gapMinutes = 30).toDF()
+        .writeStream.format("memory").queryName("sess_rocks")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(batch1: _*)
+        q.processAllAvailable()
+        mem.addData(batch2: _*)
+        q.processAllAvailable()
+        mem.addData(Event(7, ts(600), 4L, "view", 0.0))
+        q.processAllAvailable()
+        mem.addData(Event(8, ts(900), 4L, "view", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("sess_rocks")
+        .where(col("user_id") <= 3)
+        .orderBy("user_id", "session_start").collect().toSeq
+      val batch = Streams.sessionizeBatch((batch1 ++ batch2).toDF(), gapMinutes = 30)
+        .orderBy("user_id", "session_start").collect().toSeq
+      assert(streamed.map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getLong(4))) ==
+        batch.map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getLong(4))))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("file-source stream over parquet events runs end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     (batch1 ++ batch2).toDF().write.mode("overwrite").parquet(s"$dir/events")

@@ -154,6 +154,9 @@ object Multimodal {
       while (i + 8 <= b.length && dataLen < 0) {
         val id = new String(b.slice(i, i + 4), "US-ASCII")
         val len = le32(b, i + 4)
+        // a negative (or cursor-overflowing) chunk length is malformed —
+        // stepping by it would loop forever or walk backwards
+        if (len < 0 || i + 8 + len < i) return None
         if (id == "fmt " && i + 8 + 16 <= b.length) {
           channels = le16(b, i + 10)
           sampleRate = le32(b, i + 12)

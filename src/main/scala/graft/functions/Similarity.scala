@@ -186,7 +186,10 @@ object Similarity {
       bits: Int = 12,
       tables: Int = 4,
       maxBucketSize: Int = 10000): DataFrame = {
-    val normed = df.select(col(idCol).as("__id"), normalize(col(vecCol)).as("__v"))
+    // the normalized relation feeds candidate generation and both vector
+    // join-backs — cache it (conf-gated like the MinHash signatures)
+    val normed = Dedup.maybeCache(
+      df.select(col(idCol).as("__id"), normalize(col(vecCol)).as("__v")))
     val pairs = embeddingCandidatePairs(normed, dim, bits, tables, maxBucketSize)
     pairs
       .join(normed.select(col("__id").as("id_a"), col("__v").as("__va")), Seq("id_a"))
@@ -284,44 +287,54 @@ object Similarity {
   }
 }
 
-/** Σ aᵢ·bᵢ over two numeric arrays (float or double elements, each side
-  * independently typed) as one codegen'd loop: elements widen to double,
-  * products accumulate left-to-right in a double — bit-identical to the
-  * `aggregate(zip_with(...))` Column form it replaces, without the
-  * per-element interpreted lambda dispatch and zipped-array allocation.
+/** Σ aᵢ·bᵢ over two numeric arrays (int/long/float/double elements, each
+  * side independently typed) as one codegen'd loop: elements widen to
+  * double, products accumulate left-to-right in a double — matching the
+  * `aggregate(zip_with(...))` Column form it replaces, including its
+  * null semantics (length mismatch or a null element → null result,
+  * because `zip_with` null-pads the shorter side and `acc + null` is
+  * null), without the per-element interpreted lambda dispatch and
+  * zipped-array allocation.
   */
 case class DotExpr(
     left: org.apache.spark.sql.catalyst.expressions.Expression,
     right: org.apache.spark.sql.catalyst.expressions.Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-  import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+  import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(e: org.apache.spark.sql.catalyst.expressions.Expression) = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
-      case _ => false
+  private def kindOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e.dataType match {
+      case ArrayType(FloatType, _) => 0
+      case ArrayType(DoubleType, _) => 1
+      case ArrayType(IntegerType, _) => 2
+      case ArrayType(LongType, _) => 3
+      case _ => -1
     }
-    if (ok(left) && ok(right))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (kindOf(left) >= 0 && kindOf(right) >= 0)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"vec_dot expects array<float>/array<double> arguments, got " +
+      s"vec_dot expects numeric array arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-  }
-
-  private def isFloat(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(a: Any, b: Any): Any =
     DotExpr.dot(
-      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloat(left),
-      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloat(right))
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], kindOf(left),
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], kindOf(right))
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val result = ctx.freshName("dotResult")
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.DotExpr.dot($a, ${isFloat(left)}, $b, ${isFloat(right)});")
+      s"""java.lang.Double $result =
+         |  graft.functions.DotExpr.dot($a, ${kindOf(left)}, $b, ${kindOf(right)});
+         |if ($result == null) { ${ev.isNull} = true; } else { ${ev.value} = $result; }
+       """.stripMargin)
+  }
   override protected def withNewChildrenInternal(
       newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
       newRight: org.apache.spark.sql.catalyst.expressions.Expression) =
@@ -330,15 +343,25 @@ case class DotExpr(
 }
 
 object DotExpr {
-  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData, aFloat: Boolean,
-      b: org.apache.spark.sql.catalyst.util.ArrayData, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  private def elem(a: org.apache.spark.sql.catalyst.util.ArrayData, i: Int, kind: Int): Double =
+    kind match {
+      case 0 => a.getFloat(i).toDouble
+      case 1 => a.getDouble(i)
+      case 2 => a.getInt(i).toDouble
+      case _ => a.getLong(i).toDouble
+    }
+
+  /** Boxed so a null result can signal length-mismatch / null elements
+    * (the zip_with-form semantics); called from codegen. */
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData, aKind: Int,
+      b: org.apache.spark.sql.catalyst.util.ArrayData, bKind: Int): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      acc += x * y
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += elem(a, i, aKind) * elem(b, i, bKind)
       i += 1
     }
     acc
@@ -347,7 +370,9 @@ object DotExpr {
 
 /** L2-normalize a float array in one codegen'd pass: norm accumulates
   * left-to-right in a double (same fold as [[DotExpr]] on itself), each
-  * element is `(float)(x / norm)`; zero vectors pass through unchanged.
+  * element is `(float)(x / norm)`; zero vectors pass through unchanged;
+  * an array containing null elements normalizes to null (a malformed
+  * embedding should drop out of similarity filters, not produce garbage).
   */
 case class NormalizeExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -355,6 +380,7 @@ case class NormalizeExpr(child: org.apache.spark.sql.catalyst.expressions.Expres
   import org.apache.spark.sql.types.{ArrayType, DataType, FloatType}
 
   override def dataType: DataType = child.dataType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -368,9 +394,14 @@ case class NormalizeExpr(child: org.apache.spark.sql.catalyst.expressions.Expres
   override def nullSafeEval(input: Any): Any =
     NormalizeExpr.normalize(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val result = ctx.freshName("normResult")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.NormalizeExpr.normalize($c);")
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $result =
+         |  graft.functions.NormalizeExpr.normalize($c);
+         |if ($result == null) { ${ev.isNull} = true; } else { ${ev.value} = $result; }
+       """.stripMargin)
+  }
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression) =
     copy(child = newChild)
@@ -378,12 +409,14 @@ case class NormalizeExpr(child: org.apache.spark.sql.catalyst.expressions.Expres
 }
 
 object NormalizeExpr {
+  /** Null on null elements (see class doc); called from codegen. */
   def normalize(a: org.apache.spark.sql.catalyst.util.ArrayData)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble
       acc += x * x
       i += 1

@@ -196,6 +196,10 @@ object ExcelBiff {
       while (r < recs.length && p >= recs(r).length) { r += 1; p = 0 }
     }
     def recordIndex: Int = { ensure(); r }
+    /** Record index WITHOUT advancing an exhausted cursor — so a string
+      * header ending flush with a record boundary still registers the
+      * following char data as having crossed into the CONTINUE. */
+    def rawRecordIndex: Int = r
     def remainingInRecord: Int = { ensure(); if (r < recs.length) recs(r).length - p else 0 }
     def u8n(): Int = {
       ensure()
@@ -226,7 +230,10 @@ object ExcelBiff {
       val cbExt = if (ext) i32n() else 0
       val sb = new java.lang.StringBuilder(cch)
       var left = cch
-      var chunkRec = recordIndex
+      // raw index: if the header ended exactly at a record boundary, the
+      // char data that starts in the CONTINUE must still see a fresh
+      // flags byte ([MS-XLS] allows the split right after the header)
+      var chunkRec = rawRecordIndex
       while (left > 0) {
         if (recordIndex != chunkRec) { // crossed into a CONTINUE
           chunkRec = recordIndex
@@ -386,7 +393,9 @@ object ExcelBiff {
     require(cells.nonEmpty, s"$path: empty sheet")
     val headerRowIdx = cells.firstKey
     val header = cells(headerRowIdx)
-    val width = header.keys.max + 1
+    // width spans ALL rows: data rows wider than the header keep their
+    // cells under synthesized _cN names instead of silently dropping them
+    val width = cells.valuesIterator.map(_.keys.max).max + 1
     val names = (0 until width).map(c => header.get(c).map(_.toString).getOrElse(s"_c$c"))
     val data = cells.iterator.filter(_._1 != headerRowIdx).map { case (_, rowMap) =>
       (0 until width).map(c => rowMap.get(c).map(cellText)).toArray

@@ -126,6 +126,11 @@ object RemoteFetch {
     } finally {
       out.close(); in.close(); close()
     }
+    // best-effort staging GC, mirroring fetchToLocal's deleteOnExit: the
+    // per-fetch UUID directory is removed when this JVM exits (Hadoop
+    // runs its deleteOnExit set in a shutdown hook), so repeated fetches
+    // don't accumulate on the shared filesystem across job runs
+    fs.deleteOnExit(dest.getParent)
     fs.makeQualified(dest).toString
   }
 

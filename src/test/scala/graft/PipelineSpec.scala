@@ -366,6 +366,32 @@ class PipelineSpec extends GraftSuite {
     assert(AudioHeader.decode(wav.take(30)).isEmpty) // truncated
   }
 
+  test("AudioHeader.decode rejects malformed chunk lengths without hanging") {
+    import Multimodal.AudioHeader
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    out.write("RIFF".getBytes); b(100, 0, 0, 0); out.write("WAVE".getBytes)
+    out.write("JUNK".getBytes); b(0xf8, 0xff, 0xff, 0xff) // length -8: cursor would never advance
+    out.write(new Array[Byte](32))
+    assert(AudioHeader.decode(out.toByteArray).isEmpty) // must return, not loop
+  }
+
+  test("dot/normalize propagate null on malformed vectors (no garbage results)") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), Seq(1.0f, 2.0f)), // well-formed
+      (2L, Seq(1.0f, 2.0f), Seq(1.0f)))       // length mismatch
+      .toDF("id", "a", "b")
+    val dots = df.select($"id", Similarity.dot($"a", $"b").as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(dots(1L).contains(5.0))
+    assert(dots(2L).isEmpty) // mismatched dims -> null, like the zip_with form
+    val withNullElem = spark.sql(
+      "SELECT array(cast(1.0 as float), cast(null as float)) AS v")
+      .select(Similarity.normalize($"v").as("n"), Similarity.dot($"v", $"v").as("d"))
+      .collect()(0)
+    assert(withNullElem.isNullAt(0) && withNullElem.isNullAt(1))
+  }
+
   test("multimodal feature extraction is deterministic with real plumbing") {
     val docsDf = Seq((1L, "hello world content", "en", "src0", 19L),
       (2L, "another payload here", "en", "src1", 20L),

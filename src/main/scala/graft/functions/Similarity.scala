@@ -198,6 +198,38 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** Top-`topN` nearest centroids of a vector as `array<int>` of matrix
+    * row indices (score desc, index desc on ties — the `greatest(struct)`
+    * order of the expression tree this replaces). One fused row-loop over
+    * the centroid matrix ([[NearestCentroidsExpr]], matrix shipped via the
+    * codegen reference mechanism) — a per-centroid `greatest(struct(dot…))`
+    * tree stops codegen'ing past a few dozen centroids (64KB method /
+    * constant-pool limits) and pays O(nCentroids) interpreted dispatches
+    * per row, which is fatal at the √N ≈ tens-of-thousands cells IVF wants
+    * at corpus scale. */
+  private[graft] def nearestCentroids(v: Column, centroids: Seq[Seq[Float]], topN: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(NearestCentroidsExpr(ColumnBridge.expression(v), centroids, topN))
+  }
+
+  /** One Lloyd refinement pass over an assigned corpus (`__cid`, `__cv`):
+    * per-cell mean vector, L2-renormalized. The per-cell sums come from a
+    * vector-sum partial aggregate ([[VecSumAgg]]) — map-side combine means
+    * the shuffle carries O(partitions × nCentroids × dim) doubles, where
+    * the `posexplode` plan it replaces shuffled N × dim (cid, pos, x)
+    * rows, i.e. the whole corpus re-keyed. */
+  private[graft] def lloydRefine(assigned: DataFrame, dim: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val vecSum = ColumnBridge.column(
+      VecSumAgg(ColumnBridge.expression(col("__cv")), dim).toAggregateExpression())
+    assigned
+      .groupBy("__cid")
+      .agg(vecSum.as("__sum"), count(lit(1)).as("__n"))
+      .select(col("__cid"),
+        normalize(transform(col("__sum"),
+          x => (x / col("__n")).cast("float"))).as("__centroid"))
+  }
+
   /** IVF (inverted-file) approximate top-k: corpus is partitioned into
     * `nCentroids` Voronoi cells (deterministic seed centroids = evenly
     * strided corpus vectors, one Lloyd refinement pass); a query scans only
@@ -239,12 +271,10 @@ object Similarity {
       .withColumn("__cid", (row_number().over(Window.orderBy("__h")) - 1).cast("int"))
       .select(col("__cid"), col("__cv").as("__centroid"))
 
-    def nearestCid(centroids: Array[(Int, Seq[Float])], v: Column): Column = {
-      val scored = centroids.map { case (cid, cvec) =>
-        struct(dot(v, lit(cvec.toArray)).as("s"), lit(cid).as("cid"))
-      }
-      greatest(scored.toIndexedSeq: _*).getField("cid")
-    }
+    // Cell labels are matrix row indices — consistent between the corpus
+    // assignment and the query probes because both use the same matrix.
+    def nearestCid(matrix: Seq[Seq[Float]], v: Column): Column =
+      nearestCentroids(v, matrix, 1).getItem(0)
 
     var seedArr = seeds.as[(Int, Seq[Float])].collect()
     // The probabilistic threshold can under-sample a small corpus; top up
@@ -255,29 +285,20 @@ object Similarity {
         .select(col("__cid"), col("__cv").as("__centroid"))
         .as[(Int, Seq[Float])].collect()
     }
+    val seedMatrix = seedArr.sortBy(_._1).map(_._2).toSeq
 
-    // One Lloyd pass: assign → per-cell mean → renormalize.
-    val assigned = normed.withColumn("__cid", nearestCid(seedArr, col("__cv")))
-    val dim = seedArr.head._2.length
-    val refined = assigned
-      .select(col("__cid"), posexplode(col("__cv")).as(Seq("__pos", "__x")))
-      .groupBy("__cid", "__pos").agg(avg("__x").as("__mx"))
-      .groupBy("__cid").agg(array_sort(collect_list(struct(col("__pos"), col("__mx")))).as("__pairs"))
-      .select(col("__cid"), transform(col("__pairs"), p => p.getField("__mx").cast("float")).as("__centroid"))
-    val centroids = refined.select(col("__cid"), normalize(col("__centroid")).as("__centroid"))
-      .as[(Int, Seq[Float])].collect()
+    // One Lloyd pass: assign → per-cell vector-sum aggregate → renormalize.
+    val dim = seedMatrix.head.length
+    val assigned = normed.withColumn("__cid", nearestCid(seedMatrix, col("__cv")))
+    val centroids = lloydRefine(assigned, dim)
+      .as[(Int, Seq[Float])].collect().sortBy(_._1).map(_._2).toSeq
 
     val cells = normed.withColumn("__cid", nearestCid(centroids, col("__cv")))
 
     // Queries probe their nProbe nearest centroids.
     val qn = queries.select(col(queryIdCol), normalize(col(queryVecCol)).as("__qv"))
-    val probes = qn.withColumn("__cid", explode(array((0 until nProbe).map { p =>
-      val scored = centroids.map { case (cid, cvec) =>
-        struct(dot(col("__qv"), lit(cvec.toArray)).as("s"), lit(cid).as("cid"))
-      }
-      // p-th best centroid: sort descending by score, pick element p
-      sort_array(array(scored.toIndexedSeq: _*), asc = false).getItem(p).getField("cid")
-    }: _*)))
+    val probes = qn.withColumn("__cid",
+      explode(nearestCentroids(col("__qv"), centroids, nProbe)))
 
     val scored = cells.join(broadcast(probes), Seq("__cid"))
       .select(col(queryIdCol), col(idCol), dot(col("__qv"), col("__cv")).as("cosine"))
@@ -518,4 +539,189 @@ object HyperplaneSigsExpr {
     }
     out
   }
+}
+
+/** Indices of the `topN` best-scoring rows of a centroid matrix against a
+  * float vector, as one codegen'd loop: score = Σ vᵢ·cᵢ (floats widened to
+  * double, left-to-right accumulation — the [[DotExpr]] fold), order =
+  * score desc then index desc (the `greatest(struct(score, cid))` /
+  * `sort_array(desc)` order of the per-centroid expression tree this
+  * replaces). The matrix ships once via the codegen reference mechanism
+  * (`ctx.addReferenceObj`) instead of as nCentroids expression-tree
+  * literals — a per-centroid `greatest` tree blows the JVM method /
+  * constant-pool limits and falls back to interpreted O(nCentroids)
+  * dispatch per row once cells number in the thousands (√N at corpus
+  * scale). Null vector → null; null elements read as 0 (callers feed
+  * [[NormalizeExpr]] output, which nulls whole malformed vectors).
+  */
+case class NearestCentroidsExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    centroids: Seq[Seq[Float]],
+    topN: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+
+  require(centroids.nonEmpty, "nearest_centroids needs at least one centroid")
+  require(topN >= 1, "topN must be >= 1")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroids expects array<float>, got ${other.simpleString}")
+    }
+
+  private val dim: Int = centroids.head.length
+  @transient private lazy val matrix: Array[Float] = {
+    val out = new Array[Float](centroids.length * dim)
+    var i = 0
+    centroids.foreach { c =>
+      require(c.length == dim, "ragged centroid matrix")
+      c.foreach { x => out(i) = x; i += 1 }
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      NearestCentroidsExpr.topCids(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        matrix, dim, topN))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matrixRef = ctx.addReferenceObj("centroidMatrix", matrix, "float[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.NearestCentroidsExpr.topCids($c, $matrixRef, $dim, $topN));
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_centroids"
+}
+
+object NearestCentroidsExpr {
+  /** Top-N centroid indices by (score desc, index desc); called from
+    * codegen. One pass over the matrix, insertion into a topN-sized
+    * sorted buffer (topN = nProbe, single digits in practice). */
+  def topCids(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+      cents: Array[Float], dim: Int, topN: Int): Array[Int] = {
+    val nCent = cents.length / dim
+    val n = math.min(dim, vec.numElements())
+    val k = math.min(topN, nCent)
+    val bestS = new Array[Double](k)
+    val bestC = new Array[Int](k)
+    var filled = 0
+    var c = 0
+    while (c < nCent) {
+      val base = c * dim
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        if (!vec.isNullAt(j)) acc += vec.getFloat(j).toDouble * cents(base + j)
+        j += 1
+      }
+      // insert (acc, c) if it beats the current worst kept entry
+      if (filled < k || acc > bestS(filled - 1) ||
+        (acc == bestS(filled - 1) && c > bestC(filled - 1))) {
+        var pos = if (filled < k) filled else k - 1
+        while (pos > 0 && (acc > bestS(pos - 1) ||
+          (acc == bestS(pos - 1) && c > bestC(pos - 1)))) {
+          bestS(pos) = bestS(pos - 1); bestC(pos) = bestC(pos - 1); pos -= 1
+        }
+        bestS(pos) = acc; bestC(pos) = c
+        if (filled < k) filled += 1
+      }
+      c += 1
+    }
+    if (filled == k) bestC else java.util.Arrays.copyOf(bestC, filled)
+  }
+}
+
+/** Element-wise sum of `array<float>` vectors as a typed partial aggregate
+  * (buffer = `double[dim]`): map-side combine makes the Lloyd-refinement
+  * shuffle O(partitions × nCentroids × dim) instead of the N × dim rows a
+  * `posexplode` + per-position aggregation plan re-keys. Null or
+  * wrong-length inputs are skipped (a malformed embedding should not
+  * poison its cell's centroid). Accumulation is double, merge order
+  * follows Spark's partial-merge order — centroid arithmetic, not
+  * bit-exactness, is the contract here (IVF is approximate by nature).
+  */
+case class VecSumAgg(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Double]] {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+  override def children: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_sum expects array<float>, got ${other.simpleString}")
+    }
+
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](dim)
+
+  override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      if (arr.numElements() == dim) {
+        var i = 0
+        while (i < dim) {
+          if (!arr.isNullAt(i)) buffer(i) += arr.getFloat(i).toDouble
+          i += 1
+        }
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Double], other: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < dim) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Double]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(dim * 8)
+    var i = 0
+    while (i < dim) { bb.putDouble(buffer(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { out(i) = bb.getDouble(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+    copy(child = newChildren.head)
+  override def prettyName: String = "vec_sum"
 }

@@ -337,6 +337,24 @@ class PipelineSpec extends GraftSuite {
     assert(ivf.intersect(brute).size >= 7, s"IVF recall too low: ${ivf.intersect(brute).size}/10")
   }
 
+  test("ivfTopK holds recall at 256 centroids (fused matrix path) on sf0.1 embeddings") {
+    // 256 cells over the sf0.1 corpus exercises the centroid-matrix loop at
+    // a width where the old per-centroid expression tree could not codegen
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val q = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "qid", "qv", k = 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", q, "qid", "qv", k = 10,
+      nCentroids = 256, nProbe = 64)
+      .select("qid", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+    brute.foreach { case (qid, hits) =>
+      val recall = ivf.getOrElse(qid, Array.empty).map(_._2).toSet
+        .intersect(hits.map(_._2).toSet).size
+      assert(recall >= 7, s"IVF recall too low for query $qid: $recall/10")
+    }
+  }
+
   test("image header synth/decode roundtrip: PNG IHDR + JPEG SOF0") {
     import Multimodal.ImageHeader
     val payload = "embedded text".getBytes("UTF-8")

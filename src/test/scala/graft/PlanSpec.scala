@@ -123,6 +123,29 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("ivf: centroid assignment is the fused matrix loop, not a per-centroid tree") {
+    val p = plan("p_ann_ivf")
+    // a greatest(struct(dot…)) tree per centroid stops codegen'ing past a
+    // few dozen cells; the fused expression must be in the final plan
+    assert(p.contains("nearest_centroids"), p)
+  }
+
+  test("ivf: Lloyd refinement is a vector-sum aggregate, no corpus explode") {
+    import spark.implicits._
+    val vecs = (0 until 20).map(i => (i.toLong, Array.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val assigned = vecs.select(
+      graft.functions.Similarity.normalize(col("embedding")).as("__cv"),
+      (col("vec_id") % 3).cast("int").as("__cid"))
+    val p = graft.functions.Similarity.lloydRefine(assigned, dim = 4)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // posexplode re-keys N×dim rows; the aggregate shuffles
+    // O(partitions × nCentroids × dim) partial sums instead
+    assert(!p.contains("Generate"), p)
+    assert(p.contains("vec_sum"), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
   test("simhash pairs: bucket-size cap adds no window over the banded relation") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")

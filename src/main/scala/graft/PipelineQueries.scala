@@ -528,27 +528,30 @@ object PipelineQueries {
     // (odd ids, 27B overhead) containers with the text embedded; audio
     // payloads are synthesized 16-bit PCM WAV (44B header + word-align
     // pad, rate/channels derived from the id, text bytes as the data
-    // chunk). Decoded dims/rates/durations come from the engine PARSING
-    // those bytes, so a parse bug diverges from the formulas below.
+    // chunk); video payloads are synthesized AVI (108B container + pad,
+    // 25 fps, greatest(1, n_chars/4) frames → parsed duration frames×40ms,
+    // deliberately ≠ the duration_ms metadata). Decoded dims/rates/frame
+    // counts/durations come from the engine PARSING those bytes, so a
+    // parse bug (or a metadata echo) diverges from the formulas below.
     "p_multimodal" ->
       """SELECT doc_id AS media_id,
         |  CASE cast(doc_id % 3 as int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
         |  cast(octet_length(encode(text)) +
         |    CASE WHEN doc_id % 3 = 0 THEN CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 27 END
         |         WHEN doc_id % 3 = 1 THEN 44 + octet_length(encode(text)) % 2
-        |         ELSE 0 END as bigint) AS n_bytes,
+        |         ELSE 108 + octet_length(encode(text)) % 2 END as bigint) AS n_bytes,
         |  cast(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE doc_id % 640 + 1 END as int) AS decoded_width,
         |  cast(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE doc_id % 480 + 1 END as int) AS decoded_height,
         |  cast(CASE cast(doc_id % 3 as int)
         |    WHEN 0 THEN 1
         |    WHEN 1 THEN 0
-        |    ELSE greatest(1, (n_chars * 10) // 1000) END as int) AS frames_sampled,
+        |    ELSE greatest(1, (greatest(1, n_chars // 4) * 40) // 1000) END as int) AS frames_sampled,
         |  cast(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 4) * 4000 ELSE 0 END as int) AS sample_rate,
         |  cast(CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2 ELSE 0 END as int) AS channels,
         |  cast(CASE WHEN doc_id % 3 = 1
         |         THEN (octet_length(encode(text)) * 1000)
         |              // ((8000 + (doc_id % 4) * 4000) * (1 + doc_id % 2) * 2)
-        |       WHEN doc_id % 3 = 2 THEN n_chars * 10
+        |       WHEN doc_id % 3 = 2 THEN greatest(1, n_chars // 4) * 40
         |       ELSE 0 END as bigint) AS decoded_duration_ms
         |FROM documents
         |ORDER BY media_id""".stripMargin,

@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * pipelines: media as opaque `binary` content columns plus typed
   * metadata, processed per-partition in batches.
   *
-  * Image decode is REAL: PNG IHDR and JPEG SOF frame headers are parsed
-  * from the payload bytes ([[ImageHeader]] — both are public formats,
-  * dependency-free). Audio/video decode remains STUBBED (this container
-  * ships no codecs — see `FakeDecoder`): a deterministic stand-in with
-  * the exact signature a real decoder (JNI FFmpeg, or a Python
-  * `mapInPandas` worker in PySpark) would have. Everything around the
-  * stub — schema, batching, partition sizing, output contract — is real
-  * Spark and tested.
+  * Container decode is REAL for all three modalities: PNG IHDR / JPEG SOF
+  * frame headers ([[ImageHeader]]), WAV/RIFF fmt+data chunks
+  * ([[AudioHeader]]), and AVI/RIFF avih headers ([[VideoHeader]]) are all
+  * parsed from the payload bytes — public formats, dependency-free. Only
+  * the *feature vector* is a stand-in (a content-hash projection — this
+  * container ships no embedding model); a real featurizer (JNI FFmpeg
+  * frames → model, or a Python `mapInPandas` worker in PySpark) plugs
+  * into the same [[Decoder.decode]] boundary. Everything around it —
+  * schema, batching, partition sizing, output contract — is real Spark
+  * and tested.
   */
 object Multimodal {
 
@@ -31,8 +33,8 @@ object Multimodal {
 
   /** Extracted features: fixed-width vector + decoded properties. Audio
     * fields (`sample_rate`, `channels`, `decoded_duration_ms`) are parsed
-    * from the payload bytes for WAV; zero for images, passthrough for the
-    * still-stubbed video modality. */
+    * from the payload bytes for WAV; video dims/frames/duration are parsed
+    * from AVI avih headers; zero for fields a modality doesn't have. */
   case class MediaFeatures(
       media_id: Long,
       modality: String,
@@ -192,11 +194,92 @@ object Multimodal {
     }
   }
 
-  /** Deterministic fake decoder for the one modality without a real codec
-    * in this container (video) — the `???` boundary a real codec plugs
-    * into. Derives pseudo-features from a rolling hash of the payload so
-    * outputs are stable for tests; DOES NOT decode video. */
-  object FakeDecoder {
+  /** Minimal real decoder/encoder for the canonical video container —
+    * AVI/RIFF (public format, documented in the Microsoft multimedia file
+    * format specs): 12-byte RIFF/`AVI ` header, then a `LIST hdrl` whose
+    * `avih` chunk carries µs-per-frame at data offset 0, total frames at
+    * 16, width at 32 and height at 36 (all little-endian 32-bit). Frame
+    * count, dimensions and duration are derived from those BYTES — same
+    * standard as [[ImageHeader]]/[[AudioHeader]], no metadata echo. */
+  object VideoHeader {
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+    /** (width, height, totalFrames, durationMs) from AVI bytes; None if
+      * the container doesn't parse. Walks top-level chunks and the hdrl
+      * sub-chunks with the same malformed-length guards as WAV. */
+    def decode(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      if (b.length < 12 ||
+        new String(b.slice(0, 4), "US-ASCII") != "RIFF" ||
+        new String(b.slice(8, 12), "US-ASCII") != "AVI ") return None
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = new String(b.slice(i, i + 4), "US-ASCII")
+        val len = le32(b, i + 4)
+        if (len < 0 || i + 8 + len < i) return None
+        if (id == "LIST" && i + 12 <= b.length &&
+          new String(b.slice(i + 8, i + 12), "US-ASCII") == "hdrl") {
+          // walk hdrl sub-chunks to avih
+          var j = i + 12
+          val end = math.min(b.length, i + 8 + len)
+          while (j + 8 <= end) {
+            val sid = new String(b.slice(j, j + 4), "US-ASCII")
+            val slen = le32(b, j + 4)
+            if (slen < 0 || j + 8 + slen < j) return None
+            if (sid == "avih" && slen >= 40 && j + 8 + 40 <= b.length) {
+              val usPerFrame = le32(b, j + 8).toLong & 0xffffffffL
+              val frames = le32(b, j + 24)
+              val w = le32(b, j + 40)
+              val h = le32(b, j + 44)
+              if (usPerFrame <= 0 || frames < 0 || w <= 0 || h <= 0) return None
+              return Some((w, h, frames, frames.toLong * usPerFrame / 1000L))
+            }
+            j += 8 + slen + (slen & 1)
+          }
+          return None // hdrl without avih is malformed
+        }
+        i += 8 + len + (len & 1)
+      }
+      None
+    }
+
+    /** Structurally valid AVI: RIFF header + `LIST hdrl` with a 56-byte
+      * `avih` + `LIST movi` whose single `00db` chunk is `payload`.
+      * 108 + payload.length bytes (+1 pad if the payload length is odd). */
+    def synthAvi(w: Int, h: Int, frames: Int, usPerFrame: Int, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w32(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+        out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+      }
+      def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      val pad = payload.length & 1
+      val moviLen = 4 + 8 + payload.length + pad
+      tag("RIFF"); w32(4 + (8 + 68) + (8 + moviLen)); tag("AVI ")
+      tag("LIST"); w32(68); tag("hdrl")
+      tag("avih"); w32(56)
+      w32(usPerFrame)           // dwMicroSecPerFrame
+      w32(0); w32(0); w32(0)    // dwMaxBytesPerSec, dwPaddingGranularity, dwFlags
+      w32(frames)               // dwTotalFrames
+      w32(0); w32(1)            // dwInitialFrames, dwStreams
+      w32(0)                    // dwSuggestedBufferSize
+      w32(w); w32(h)            // dwWidth, dwHeight
+      w32(0); w32(0); w32(0); w32(0) // dwReserved[4]
+      tag("LIST"); w32(moviLen); tag("movi")
+      tag("00db"); w32(payload.length)
+      out.write(payload)
+      if (pad == 1) out.write(0)
+      out.toByteArray
+    }
+  }
+
+  /** Batched media decoder: container headers are parsed from the payload
+    * bytes for all three modalities (PNG/JPEG, WAV, AVI); unparseable
+    * payloads surface as -1 rather than echoing source metadata. The
+    * feature vector is a deterministic content-hash projection — the one
+    * remaining stand-in (no embedding model ships in this container); a
+    * real featurizer plugs into this same boundary. */
+  object Decoder {
     val FeatureDim = 8
 
     def hashBytes(bytes: Array[Byte]): Long = {
@@ -208,12 +291,6 @@ object Multimodal {
       h
     }
 
-    /** Decode: images get REAL header parsing (PNG/JPEG dimensions read
-      * from the bytes), audio gets REAL WAV/RIFF parsing (sample rate,
-      * channels, duration from the fmt/data chunks); unparseable payloads
-      * surface as -1 rather than echoing source metadata. Video
-      * dimensions/durations remain passthrough until a real codec plugs
-      * in. */
     def decode(rec: MediaRecord): MediaFeatures = {
       val h = hashBytes(rec.content)
       val feat = Array.tabulate(FeatureDim) { i =>
@@ -222,19 +299,21 @@ object Multimodal {
         z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
         (z.toDouble / Long.MaxValue.toDouble).toFloat
       }
+      val video = if (rec.modality == "video") VideoHeader.decode(rec.content) else None
       val frames = rec.modality match {
-        case "video" => math.max(1, (rec.duration_ms / 1000L).toInt) // 1 fps sample
+        // 1-fps sampling of the PARSED duration
+        case "video" => video.map { case (_, _, _, d) => math.max(1, (d / 1000L).toInt) }.getOrElse(-1)
         case "image" => 1
         case _       => 0
       }
       val (dw, dh) = rec.modality match {
         case "image" => ImageHeader.decode(rec.content).getOrElse((-1, -1))
         case "audio" => (0, 0) // audio has no spatial dimensions
-        case _       => (rec.width, rec.height)
+        case _       => video.map { case (w, ht, _, _) => (w, ht) }.getOrElse((-1, -1))
       }
       val (rate, ch, durMs) = rec.modality match {
         case "audio" => AudioHeader.decode(rec.content).getOrElse((-1, -1, -1L))
-        case "video" => (0, 0, rec.duration_ms) // stub passthrough
+        case "video" => (0, 0, video.map(_._4).getOrElse(-1L))
         case _       => (0, 0, 0L)
       }
       MediaFeatures(rec.media_id, rec.modality, rec.content.length.toLong, h,
@@ -249,7 +328,7 @@ object Multimodal {
     implicit val enc = Encoders.product[MediaFeatures]
     media.mapPartitions { it =>
       // Batch iterator: a real decoder amortizes codec init per batch.
-      it.grouped(batchSize).flatMap { batch => batch.map(FakeDecoder.decode) }
+      it.grouped(batchSize).flatMap { batch => batch.map(Decoder.decode) }
     }
   }
 
@@ -257,9 +336,12 @@ object Multimodal {
     * image rows carry REAL synthesized PNG (even ids) / JPEG (odd ids)
     * payloads with the text embedded as an ancillary chunk, audio rows
     * carry REAL synthesized 16-bit PCM WAV (rate 8/12/16/20 kHz and 1-2
-    * channels derived from the id, text bytes as the data chunk), so both
-    * decode paths parse genuine bytes; video carries the raw text bytes
-    * (decode stubbed). */
+    * channels derived from the id, text bytes as the data chunk), and
+    * video rows carry REAL synthesized AVI (25 fps, ~n_chars/4 frames,
+    * text bytes as the movi payload) — all three decode paths parse
+    * genuine container bytes. The AVI's parsed duration (frames × 40 ms)
+    * deliberately differs from the `duration_ms` metadata column, so a
+    * decoder that echoes metadata diverges from the oracle. */
   def mediaFromDocuments(documents: DataFrame): Dataset[MediaRecord] = {
     implicit val enc = Encoders.product[MediaRecord]
     implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong)
@@ -280,7 +362,8 @@ object Multimodal {
           case "image"                => ImageHeader.synthJpeg(w, h, textBytes)
           case "audio" =>
             AudioHeader.synthWav((8000 + (id % 4) * 4000).toInt, (1 + id % 2).toInt, textBytes)
-          case _                      => textBytes
+          case _ =>
+            VideoHeader.synthAvi(w, h, math.max(1L, nChars / 4L).toInt, 40000, textBytes)
         }
         MediaRecord(id, modality, s"mem://doc/$id", content, w, h, nChars * 10L)
       }

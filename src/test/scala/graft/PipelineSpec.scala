@@ -419,7 +419,7 @@ class PipelineSpec extends GraftSuite {
     val media = Multimodal.mediaFromDocuments(docsDf)
     val feats = Multimodal.extractFeatures(media, batchSize = 1).collect().sortBy(_.media_id)
     assert(feats.length == 4)
-    assert(feats(0).feature.length == Multimodal.FakeDecoder.FeatureDim)
+    assert(feats(0).feature.length == Multimodal.Decoder.FeatureDim)
     // audio id 1 → WAV container: 19-byte odd payload + 44B header + pad
     assert(feats(0).modality == "audio" && feats(0).n_bytes == 19L + 44 + 1)
     // audio rate/channels/duration parsed from the WAV bytes
@@ -437,8 +437,27 @@ class PipelineSpec extends GraftSuite {
     val again = Multimodal.extractFeatures(media, batchSize = 64).collect().sortBy(_.media_id)
     assert(feats(0).content_hash == again(0).content_hash)
     assert(feats(0).feature.toSeq == again(0).feature.toSeq)
-    // modality-dependent frame sampling
-    val video = feats.find(_.modality == "video")
-    video.foreach(v => assert(v.frames_sampled >= 1))
+    // video dims/frames/duration parsed from the AVI bytes, not metadata:
+    // id 2 → 20 chars → max(1, 20/4) = 5 frames at 40 ms → 200 ms
+    val vid = feats.find(_.media_id == 2L).get
+    assert(vid.modality == "video" && vid.n_bytes == 20L + 108)
+    assert((vid.decoded_width, vid.decoded_height) == (2 % 640 + 1, 2 % 480 + 1))
+    assert(vid.decoded_duration_ms == 5L * 40)
+    assert(vid.frames_sampled == 1) // 1-fps sample of a 200 ms clip
+  }
+
+  test("video header synth/decode roundtrip: AVI avih chunk") {
+    import Multimodal.VideoHeader
+    val payload = "frame data bytes!".getBytes("UTF-8") // 17 bytes, odd
+    val avi = VideoHeader.synthAvi(320, 240, 250, 40000, payload)
+    assert(avi.length == 108 + payload.length + 1) // word-align pad
+    assert(VideoHeader.decode(avi).contains((320, 240, 250, 10000L))) // 250 × 40 ms
+    assert(VideoHeader.decode("not a video".getBytes).isEmpty)
+    assert(VideoHeader.decode(Array.emptyByteArray).isEmpty)
+    assert(VideoHeader.decode(avi.take(30)).isEmpty) // truncated hdrl
+    // malformed negative chunk length must return, not loop
+    val bad = avi.clone()
+    bad(16) = 0xf8.toByte; bad(17) = 0xff.toByte; bad(18) = 0xff.toByte; bad(19) = 0xff.toByte
+    assert(VideoHeader.decode(bad).isEmpty)
   }
 }

@@ -525,7 +525,10 @@ class GraftSession(val spark: SparkSession) {
       spark.table(source.qualifiedName),
       spark.table(target.qualifiedName),
       columns, targetConflictColumns, ifConflicts)
-    replaceTable(merged, target)
+    // conflict validation rides the merge plan itself (one job, no eager
+    // pre-scan); surface its raise_error as the typed exception — the
+    // swap-pointer write only commits if the job succeeded
+    Merge.surfacingConflicts { replaceTable(merged, target) }
     logOp("merge", Seq(source.qualifiedName), Seq(target.qualifiedName))
     target
   }

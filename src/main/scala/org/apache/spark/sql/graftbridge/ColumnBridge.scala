@@ -17,4 +17,9 @@ object ColumnBridge {
     * FunctionRegistry builder — this walks the column node tree now. */
   def expressionEager(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** Drain the async listener bus (test support: job-count assertions
+    * need delivered events before reading their counters). */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

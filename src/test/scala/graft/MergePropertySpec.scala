@@ -58,9 +58,13 @@ object MergePropertySpec extends Properties("Merge") {
   property("exception: throws iff key sets intersect") =
     Prop.forAll(rowsGen, rowsGen) { (t, s) =>
       val overlap = t.map(_._1).toSet.intersect(s.map(_._1).toSet).nonEmpty
-      def run() = Merge.mergePlan(s.toDF("k", "v", "s"), t.toDF("k", "v", "s"),
-        columns = Seq("k" -> "k", "v" -> "v"),
-        conflictKeys = Seq("k"), strategy = ConflictStrategy.Exception).count()
+      // materialize the rows (not count()): validation rides the output
+      // projection, and a bare count prunes every column away
+      def run() = Merge.surfacingConflicts {
+        Merge.mergePlan(s.toDF("k", "v", "s"), t.toDF("k", "v", "s"),
+          columns = Seq("k" -> "k", "v" -> "v"),
+          conflictKeys = Seq("k"), strategy = ConflictStrategy.Exception).collect().length
+      }
       if (overlap)
         Prop.throws(classOf[graft.core.MergeConflictException])(run()): Prop
       else Prop(run() == t.size + s.size): Prop

@@ -72,11 +72,15 @@ class MergeSpec extends GraftSuite {
   }
 
   test("exception mode raises on key collision") {
+    // validation is in-plan (no eager job): the raise fires when the plan
+    // executes and surfacingConflicts recovers the typed exception
     intercept[MergeConflictException] {
-      Merge.mergePlan(source, target,
-        columns = Seq("list" -> "list"),
-        conflictKeys = Seq("list"),
-        strategy = ConflictStrategy.Exception).collect()
+      Merge.surfacingConflicts {
+        Merge.mergePlan(source, target,
+          columns = Seq("list" -> "list"),
+          conflictKeys = Seq("list"),
+          strategy = ConflictStrategy.Exception).collect()
+      }
     }
   }
 
@@ -101,14 +105,16 @@ class MergeSpec extends GraftSuite {
     assert(rows(240).isNullAt(rows(240).fieldIndex("taxes")))
   }
 
-  test("update fails fast on duplicate source conflict keys") {
+  test("update fails on duplicate source conflict keys (in-plan, at execution)") {
     import spark.implicits._
     val dup = source.unionAll(Seq((142, 160, 2.0)).toDF("sell", "list", "age"))
     intercept[MergeConflictException] {
-      Merge.mergePlan(dup, target,
-        columns =Seq("list" -> "list", "sell" -> "sell", "age" -> "taxes"),
-        conflictKeys = Seq("list", "sell"),
-        strategy = ConflictStrategy.Update)
+      Merge.surfacingConflicts {
+        Merge.mergePlan(dup, target,
+          columns = Seq("list" -> "list", "sell" -> "sell", "age" -> "taxes"),
+          conflictKeys = Seq("list", "sell"),
+          strategy = ConflictStrategy.Update).collect()
+      }
     }
   }
 

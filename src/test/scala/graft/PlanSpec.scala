@@ -171,6 +171,34 @@ class PlanSpec extends GraftSuite {
       "range join must bin into an equi-join\n" + p)
   }
 
+  test("merge update/exception: validation rides the plan — zero jobs at build time") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import spark.implicits._
+    val t = Seq((1, "a"), (2, "b")).toDF("k", "s")
+    val s = Seq((2, "x"), (3, "y")).toDF("k", "s")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val up = graft.ops.Merge.mergePlan(s, t, Seq("k" -> "k", "s" -> "s"), Seq("k"),
+        graft.core.ConflictStrategy.Update)
+      val ex = graft.ops.Merge.mergePlan(s, t, Seq("k" -> "k"), Seq("k"),
+        graft.core.ConflictStrategy.Exception)
+      val pUp = up.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      val pEx = ex.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      org.apache.spark.sql.graftbridge.ColumnBridge.drainListenerBus(spark.sparkContext)
+      // the old shape ran an eager isEmpty() validation job during plan
+      // construction — two scans of the key columns per merge at scale
+      assert(jobs.get() == 0, s"plan construction ran ${jobs.get()} eager job(s)")
+      // the fail-fast checks must still exist, as in-plan raise_error guards
+      assert(pUp.contains("raise_error"), pUp)
+      assert(pEx.contains("raise_error"), pEx)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("merge ignore: single equi-join on keys, target read once") {
     import spark.implicits._
     val t = Seq((1, "a"), (2, "b")).toDF("k", "s")

@@ -51,14 +51,49 @@ object Bench {
     val pass1 = ordered.map { case (n, f) => n -> runOnce(n, f) }.toMap
     val pass2 = ordered.reverse.map { case (n, f) => n -> runOnce(n, f) }.toMap
     val results = pass1.map { case (n, t) => n -> math.min(t, pass2(n)) }
+
+    // Scale curve (round-3 verdict): the dedup/LSH family measured at m×
+    // corpus multiples, so the 100 TB linearity claims carry an actual
+    // scaling signature instead of a single point. Each multiple is a
+    // synthetic corpus (ops.Scale.scaleDocuments/scaleEmbeddings: replica
+    // vocabularies disjoint, ids salted) materialized to parquet OUTSIDE
+    // the timed region; the same SparkEntry query fns then run against the
+    // scaled dir, one timed pass each. Near-linear growth on the
+    // bucket-min/decontaminate rows is the expected signature — superlinear
+    // growth here means a plan regressed to all-pairs behavior.
+    val scaleQueries = Seq(
+      "p_dedup_exact", "p_dedup_minhash_scale", "p_decontaminate", "p_dedup_embedding")
+    val multiples = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTIPLES", "1,3,10")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+    val scaleRoot = "/tmp/graft-bench-scale-" + java.util.UUID.randomUUID().toString.take(8)
+    val curve = multiples.map { m =>
+      val dir = s"$scaleRoot/x$m"
+      val docs = graft.ops.Scale.scaleDocuments(Tables.read(spark, sfDir, "documents"), m)
+      val embs = graft.ops.Scale.scaleEmbeddings(Tables.read(spark, sfDir, "embeddings"), m, dim = 64)
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      embs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      val times = scaleQueries.map { n =>
+        n -> runOnce(s"scale_x${m}_$n", (s, _) => SparkEntry.queries(n)(s, dir))
+      }
+      m -> (nDocs, times)
+    }
+    val scaleRootPath = new org.apache.hadoop.fs.Path(scaleRoot)
+    scaleRootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(scaleRootPath, true)
+
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val curveJson = curve.map { case (m, (rows, times)) =>
+      jstr(s"x$m") + ":{\"rows_documents\":" + rows + ",\"queries\":" +
+        times.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}") + "}"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"scale_curve":$curveJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,6 +33,41 @@ object Scale {
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
 
+  /** Synthesize an `m`× documents corpus for scaling measurements. Replica 0
+    * is the original; replica i > 0 salts `doc_id` by i·10⁷ and suffixes
+    * every token with `_i`, making replica vocabularies pairwise disjoint —
+    * so the near-dup/dup density per replica matches the base corpus instead
+    * of every row gaining m−1 artificial twins (which would measure a
+    * different, quadratically harder workload, not a bigger one).
+    */
+  def scaleDocuments(df: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, "multiplier must be >= 1")
+    (1 until m).foldLeft(df) { (acc, i) =>
+      acc.unionByName(df.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), "\\s+"),
+          t => concat(t, lit(s"_$i"))), " ").as("text"),
+        col("lang"), col("source"),
+        col("n_chars")))
+    }
+  }
+
+  /** Synthesize an `m`× embeddings corpus: replica i > 0 salts `vec_id` by
+    * i·10⁷ and rotates the vector left by i positions — norms and the
+    * within-replica cosine structure are preserved while cross-replica
+    * cosines stay far from 1 for non-degenerate vectors.
+    */
+  def scaleEmbeddings(df: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(m >= 1, "multiplier must be >= 1")
+    (1 until m).foldLeft(df) { (acc, i) =>
+      acc.unionByName(df.select(
+        (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        concat(slice(col("embedding"), i + 1, dim - i),
+          slice(col("embedding"), 1, i)).as("embedding"),
+        col("label")))
+    }
+  }
+
   /** Write a table bucketed (and sorted) by join keys: subsequent equi-joins
     * between tables bucketed the same way run shuffle-free — the layout a
     * 100 TB fact/fact join needs. In-memory-catalog limitation: bucketed

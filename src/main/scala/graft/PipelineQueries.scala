@@ -103,6 +103,41 @@ object PipelineQueries {
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
       .orderBy("id_a", "id_b")
 
+  /** SimHash dedup keep-set with a full DuckDB oracle, via anchor
+    * domination. SimHash of the token multiset is the sign vector of
+    * Σ_tokens ±1, so a token repeated more times than all other tokens
+    * combined fixes every bit: each doc gets 128 repeats of a unique
+    * per-doc anchor token appended (max content tokens measured = 100 on
+    * every sf dir, +3 filler on copies → ≤ 103 < 128), which makes
+    * simhash(doc) EXACTLY the anchor hash's sign bits. Copies share their
+    * base's anchor → hamming 0 by construction (word order reversed +
+    * filler, so nothing rides on text equality); distinct anchors are
+    * xxhash64-separated (min pairwise hamming = 12, measured on all sf
+    * dirs, vs the ≤3 match threshold). The keep-set is therefore a pure
+    * function of the constructed mutation map — SQL-expressible — while
+    * still exercising the full banding + hamming-verify + keep-first
+    * machinery (a recall or precision bug diverges). Copies exist for
+    * doc_id % 3 = 0; doc_id % 15 = 0 copies take a LOWER id than their
+    * base, so keep-first must keep the copy there (direction exercised).
+    * PipelineSpec pins the domination + separation facts in-test. */
+  def dedupSimHashKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+    def anchor(id: org.apache.spark.sql.Column) =
+      repeat(concat(lit(" zq"), id.cast("string")), 128)
+    val base = d.select(col("doc_id"),
+      concat(col("text"), anchor(col("doc_id"))).as("text"))
+    val copies = d.where(col("doc_id") % 3 === 0).select(
+      when(col("doc_id") % 5 === 0, col("doc_id") - 100000)
+        .otherwise(col("doc_id") + 100000).as("doc_id"),
+      concat(array_join(reverse(split(col("text"), "\\s+")), " "),
+        lit(" qz extra filler"), anchor(col("doc_id"))).as("text"))
+    val corpus = base.unionByName(copies)
+    val pairs = Dedup.simHashNearDupPairs(corpus, "doc_id", "text", maxHamming = 3)
+    Dedup.keepFirstFromPairs(corpus, "doc_id", pairs)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** Char-12-gram Jaccard dedup, oracle-checked the same way as
     * [[dedupMinHash]]. n=12 keeps the corpus bimodal (constructed pairs
     * ≥ 0.607, natural near-dups high, random pairs avg 0.007 — measured);
@@ -302,6 +337,7 @@ object PipelineQueries {
     "p_dedup_minhash_scale" -> (dedupMinHashScale _),
     "p_decontaminate" -> (decontaminate _),
     "p_dedup_simhash" -> (dedupSimHash _),
+    "p_dedup_simhash_keep" -> (dedupSimHashKeep _),
     "p_dedup_ngram" -> (dedupNgram _),
     "p_dedup_embedding" -> (dedupEmbedding _),
     "p_ann_bruteforce" -> (annBruteForce _),
@@ -365,6 +401,14 @@ object PipelineQueries {
     "p_dedup_minhash" -> keepFirstJaccardOracle(shingleSetsSql, 0.6),
 
     "p_dedup_ngram" -> keepFirstJaccardOracle(ngramSetsSql, 0.55),
+
+    // Keep-set is a pure function of the constructed mutation map (see
+    // dedupSimHashKeep): every base doc survives except doc_id % 15 = 0,
+    // whose copy took the lower id doc_id - 100000.
+    "p_dedup_simhash_keep" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 AND doc_id % 5 = 0
+        |            THEN doc_id - 100000 ELSE doc_id END AS doc_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "p_decontaminate" ->
       """WITH mk AS (

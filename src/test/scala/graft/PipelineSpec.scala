@@ -118,6 +118,65 @@ class PipelineSpec extends GraftSuite {
     assert(banded == brute, s"banded=$banded brute=$brute")
   }
 
+  test("simhash keep-set oracle: anchor domination pins hamming-0 pairs and >3 separation") {
+    // Pin the two facts p_dedup_simhash_keep's DuckDB oracle rests on
+    // (PipelineQueries.dedupSimHashKeep scaladoc): (1) 128 anchor repeats
+    // dominate every content token, so a base and its mutated copy (same
+    // anchor) have IDENTICAL simhashes; (2) distinct anchors sit far apart
+    // (> 3 hamming) so no cross pair can qualify.
+    val sfDir = "/root/testdata/sf0.001"
+    val d = Tables.read(spark, sfDir, "documents").select("doc_id", "text")
+    def anchor(id: org.apache.spark.sql.Column) =
+      repeat(concat(lit(" zq"), id.cast("string")), 128)
+    val baseSh = d.select($"doc_id",
+        Dedup.simHash64(concat($"text", anchor($"doc_id"))).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val copySh = d.where($"doc_id" % 3 === 0).select($"doc_id",
+        Dedup.simHash64(concat(
+          array_join(reverse(split($"text", "\\s+")), " "),
+          lit(" qz extra filler"), anchor($"doc_id"))).as("sh"))
+      .as[(Long, Long)].collect()
+    copySh.foreach { case (id, sh) =>
+      assert(sh == baseSh(id), s"copy of $id drifted from its base simhash")
+    }
+    val hs = baseSh.values.toArray
+    val minCross = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+    } yield java.lang.Long.bitCount(hs(i) ^ hs(j))).min
+    assert(minCross > 3, s"cross-anchor hamming $minCross would admit false pairs")
+    // and the end-to-end keep-set equals the mutation-map prediction
+    val kept = PipelineQueries.dedupSimHashKeep(spark, sfDir)
+      .as[Long].collect().toSeq
+    val expected = d.select("doc_id").as[Long].collect()
+      .map(id => if (id % 15 == 0) id - 100000 else id).sorted.toSeq
+    assert(kept == expected)
+  }
+
+  test("scaleDocuments: m× rows, disjoint replica vocabularies, salted ids") {
+    val d = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val scaled = graft.ops.Scale.scaleDocuments(d, 3)
+    assert(scaled.count() == 3 * d.count())
+    def vocab(rep: Int) = scaled
+      .where($"doc_id" >= rep * 10000000L && $"doc_id" < (rep + 1) * 10000000L)
+      .select(explode(split($"text", "\\s+")).as("t")).distinct()
+    assert(vocab(0).intersect(vocab(1)).count() == 0)
+    assert(vocab(1).intersect(vocab(2)).count() == 0)
+    assert(scaled.select("doc_id").distinct().count() == scaled.count())
+  }
+
+  test("scaleEmbeddings: m× rows, norm-preserving rotation") {
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val scaled = graft.ops.Scale.scaleEmbeddings(e, 3, dim = 64)
+    assert(scaled.count() == 3 * e.count())
+    val norms = scaled.select(
+        ($"vec_id" % 10000000L).as("base_id"),
+        round(aggregate($"embedding", lit(0.0d),
+          (acc, x) => acc + x * x), 4).as("n2"))
+      .groupBy("base_id").agg(countDistinct("n2").as("k"))
+      .where($"k" > 1).count()
+    assert(norms == 0, "rotation must preserve the norm of every replica")
+  }
+
   test("simhash: identical text → distance 0; near text → small distance") {
     val sh = docs.select($"doc_id", Dedup.simHash64($"text").as("sh"))
       .as[(Long, Long)].collect().toMap

@@ -334,9 +334,25 @@ class GraftSession(val spark: SparkSession) {
       val fs = hadoopFs(outPath)
       // Append to a single file = read the existing file back and rewrite
       // the union; without this the rename below would silently replace the
-      // old contents with only the new rows.
+      // old contents with only the new rows. Repeated single-file appends
+      // are therefore O(n²) in total bytes rewritten — fine for the
+      // report-sized exports the mode exists for, wrong for a growing
+      // dataset. The guard below fails fast once the existing file passes
+      // `spark.graft.singleFileAppendMaxBytes` (default 1 GiB) instead of
+      // silently rewriting ever-larger files; raise the conf or use
+      // directory mode (`singleFile=false`) for large appends.
       val toWrite =
         if (mode == SaveMode.Append && fs.exists(outPath)) {
+          val maxBytes = spark.conf
+            .getOption("spark.graft.singleFileAppendMaxBytes")
+            .map(_.toLong).getOrElse(1L << 30)
+          val existing = fs.getFileStatus(outPath).getLen
+          if (existing > maxBytes)
+            throw new IllegalStateException(
+              s"single-file append would rewrite ${existing} bytes of ${output.path} " +
+                s"(limit $maxBytes; each such append rewrites the whole file — O(n²) " +
+                "as it grows). Use exportToFile(..., singleFile = false) for a " +
+                "directory-mode append, or raise spark.graft.singleFileAppendMaxBytes.")
           var r = spark.read.format(fmt.sparkFormat).schema(input.schema)
             .options(output.options)
           if (fmt == FileFormat.Csv) r = r.option("header", "true")

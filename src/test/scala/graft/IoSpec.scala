@@ -63,6 +63,23 @@ class IoSpec extends GraftSuite {
     assert(back.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a"), (2, "b")))
   }
 
+  test("single-file append guard: fails past singleFileAppendMaxBytes with guidance") {
+    val dir = tmp("graft_io_appendguard")
+    val path = s"$dir/out.csv"
+    g.exportToFile(Seq((1L, "a")).toDF("k", "s"), FileRef(path), singleFile = true)
+    spark.conf.set("spark.graft.singleFileAppendMaxBytes", "1")
+    try {
+      val e = intercept[IllegalStateException] {
+        g.exportToFile(Seq((2L, "b")).toDF("k", "s"), FileRef(path),
+          ifExists = IfExists.Append, singleFile = true)
+      }
+      assert(e.getMessage.contains("singleFile = false"))
+      // the failed append must not have clobbered the existing file
+      val back = g.loadFile(FileRef(path)).collect()
+      assert(back.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a")))
+    } finally spark.conf.unset("spark.graft.singleFileAppendMaxBytes")
+  }
+
   test("export strict mode raises when file exists") {
     val dir = tmp("graft_io_strict")
     val df = Seq((1, 2)).toDF("a", "b")

@@ -19,7 +19,8 @@ import org.apache.spark.sql.types._
   * Deliberately driver-side like [[Excel]]: xls is a small-file
   * interchange format (31-bit sector offsets cap the container at 2 GB),
   * not a lake format; the reference funnels it through pandas on one
-  * worker too. BIFF5 (`Book` stream, byte strings) raises a clear error.
+  * worker too. Reads both BIFF8 (Excel 97+, unicode + SST) and BIFF5
+  * (Excel 5.0/95 `Book` stream, inline byte strings); writes BIFF8.
   */
 object ExcelBiff {
 
@@ -168,6 +169,7 @@ object ExcelBiff {
   private final val RecBoolErr = 0x0205
   private final val RecFormula = 0x0006
   private final val RecString = 0x0207
+  private final val RecRString = 0x00d6 // BIFF5 rich-text label
 
   private case class Rec(id: Int, data: Array[Byte], offset: Int)
 
@@ -268,6 +270,17 @@ object ExcelBiff {
     if (div100) v / 100 else v
   }
 
+  /** BIFF5 byte string (cch u16 + 8-bit chars — LABEL / STRING / RSTRING
+    * payloads in the Excel 5.0/95 dialect). Decoded as cp1252≈latin-1,
+    * matching xlrd's default when no CODEPAGE record says otherwise. */
+  private def byteString(b: Array[Byte], off: Int): String = {
+    val cch = u16(b, off)
+    val sb = new java.lang.StringBuilder(cch)
+    var k = 0
+    while (k < cch) { sb.append((b(off + 2 + k) & 0xff).toChar); k += 1 }
+    sb.toString
+  }
+
   /** Inline XLUnicodeString (LABEL / STRING records, no CONTINUE). */
   private def inlineString(b: Array[Byte], off: Int): String = {
     val cch = u16(b, off)
@@ -292,9 +305,10 @@ object ExcelBiff {
     val recs = records(stream)
     require(recs.nonEmpty && recs.head.id == RecBofBiff8, "not a BIFF stream (no BOF)")
     val ver = u16(recs.head.data, 0)
-    require(ver == 0x0600,
-      f"unsupported BIFF version 0x$ver%04x — only BIFF8 (Excel 97+) .xls is readable; " +
-        "convert older files to .xlsx")
+    val biff5 = ver == 0x0500 // Excel 5.0/95: no SST, inline byte strings
+    require(ver == 0x0600 || biff5,
+      f"unsupported BIFF version 0x$ver%04x — only BIFF8 (Excel 97+) and " +
+        "BIFF5 (Excel 5.0/95) .xls are readable; convert older files to .xlsx")
 
     // globals: SST (+ CONTINUEs) and the first BOUNDSHEET offset
     val sst = mutable.ArrayBuffer[String]()
@@ -353,7 +367,12 @@ object ExcelBiff {
             put(row, colFirst + k, decodeRk(i32(d, 4 + k * 6 + 2)))
             k += 1
           }
-        case RecLabel => put(u16(d, 0), u16(d, 2), inlineString(d, 6))
+        case RecLabel =>
+          put(u16(d, 0), u16(d, 2), if (biff5) byteString(d, 6) else inlineString(d, 6))
+        case RecRString if biff5 =>
+          // byte string + trailing format runs; the runs follow the chars
+          // and are ignored (cell text only, like xlrd)
+          put(u16(d, 0), u16(d, 2), byteString(d, 6))
         case RecBoolErr if u8(d, 7) == 0 => put(u16(d, 0), u16(d, 2), u8(d, 6) != 0)
         case RecFormula =>
           val row = u16(d, 0); val col = u16(d, 2)
@@ -362,7 +381,9 @@ object ExcelBiff {
               case 0 => // string result: cached in the following STRING
                 // record (at most SHRFMLA/ARRAY/TABLE sit in between)
                 val next = recs.indexWhere(r => r.id == RecString, si + 1)
-                if (next >= 0 && next <= si + 3) put(row, col, inlineString(recs(next).data, 0))
+                if (next >= 0 && next <= si + 3)
+                  put(row, col, if (biff5) byteString(recs(next).data, 0)
+                    else inlineString(recs(next).data, 0))
               case 1 => put(row, col, u8(d, 8) != 0) // bool result
               case _ => () // error / blank result
             }
@@ -544,7 +565,7 @@ object ExcelBiff {
     * stream is padded to the 4096-byte mini cutoff so it lives in regular
     * FAT sectors (no mini-FAT needed on the write side; the reader
     * handles both). */
-  private def cfbContainer(workbook0: Array[Byte]): Array[Byte] = {
+  private[graft] def cfbContainer(workbook0: Array[Byte]): Array[Byte] = {
     val sectorSize = 512
     val workbook = workbook0 ++ Array.fill(math.max(0, 4096 - workbook0.length))(0.toByte)
     val wbSectors = (workbook.length + sectorSize - 1) / sectorSize

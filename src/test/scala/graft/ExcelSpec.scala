@@ -88,6 +88,49 @@ class ExcelSpec extends GraftSuite {
     assert(backW.map(_.getString(1)).toSeq == wide)
   }
 
+  test("xls BIFF5 (Excel 5.0/95): byte-string dialect reads") {
+    // No BIFF5 writer exists in this century's tooling to fixture from, so
+    // synthesize the stream per [MS-XLS]: BOF vers=0x0500, inline LABEL
+    // byte strings (cch u16 + 8-bit chars, no SST), NUMBER/RK cells, and
+    // an RSTRING (rich-text label whose format runs trail the chars).
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def rec(id: Int, data: Array[Byte]) = le16(id) ++ le16(data.length) ++ data
+    def bstr(s: String) = le16(s.length) ++ s.map(_.toByte).toArray
+    def label(row: Int, c: Int, s: String) =
+      rec(0x0204, le16(row) ++ le16(c) ++ le16(0) ++ bstr(s))
+    def rstring(row: Int, c: Int, s: String) = // chars + 1 format run (4B)
+      rec(0x00d6, le16(row) ++ le16(c) ++ le16(0) ++ bstr(s) ++ Array[Byte](1, 0, 0, 0))
+    def number(row: Int, c: Int, d: Double) = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      rec(0x0203, le16(row) ++ le16(c) ++ le16(0) ++
+        (0 until 8).map(j => ((bits >> (8 * j)) & 0xff).toByte).toArray)
+    }
+    def rk(row: Int, c: Int, intVal: Int) = // int-type RK encoding
+      rec(0x027e, le16(row) ++ le16(c) ++ le16(0) ++ le32(intVal << 2 | 0x2))
+    val sheet =
+      rec(0x0809, le16(0x0500) ++ le16(0x0010)) ++
+        label(0, 0, "name") ++ label(0, 1, "qty") ++ label(0, 2, "price") ++ label(0, 3, "note") ++
+        label(1, 0, "café") ++ rk(1, 1, 7) ++ number(1, 2, 1.25) ++ rstring(1, 3, "rich run") ++
+        label(2, 0, "plain") ++ rk(2, 1, -3) ++ number(2, 2, 10.0) ++ label(2, 3, "tail") ++
+        rec(0x000a, Array.emptyByteArray)
+    def globals(sheetOff: Int) =
+      rec(0x0809, le16(0x0500) ++ le16(0x0005)) ++
+        rec(0x0085, le32(sheetOff) ++ le16(0) ++
+          Array(6.toByte) ++ "Sheet1".map(_.toByte).toArray) ++ // BIFF5 short byte string
+        rec(0x000a, Array.emptyByteArray)
+    val stream = globals(globals(0).length) ++ sheet
+    val dir = tmp()
+    val path = s"$dir/biff5.xls"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      graft.io.ExcelBiff.cfbContainer(stream))
+    val back = g.loadFile(FileRef(path)).orderBy("qty").collect()
+    val cols = g.loadFile(FileRef(path)).columns.toSeq
+    assert(cols == Seq("name", "qty", "price", "note"))
+    assert(back.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSeq ==
+      Seq(("plain", -3L, 10.0, "tail"), ("café", 7L, 1.25, "rich run")))
+  }
+
   test("xls with nulls, RK decode, and empty cells") {
     val dir = tmp()
     val df = Seq((Some("a"), Some(1)), (None, Some(2)), (Some("c"), None))

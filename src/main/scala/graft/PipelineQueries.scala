@@ -261,6 +261,20 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Stratified exact-k sample: 20 docs per language, ranked by a hash
+    * both engines compute identically — md5 of the stringified id (Spark
+    * and DuckDB emit the same lowercase hex) — so the selected SET is
+    * fully oracle-checked, not just the counts. The production default
+    * ranks by xxhash64 (faster, codegen'd); md5 here is the portable
+    * choice that lets DuckDB replay the exact ranking. */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select("doc_id", "lang")
+    graft.functions.Sampling.stratifiedExactK(d, Seq("lang"), 20,
+      Seq(md5(col("doc_id").cast("string")), col("doc_id")))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   /** Backward as-of join: each view/click event attaches the user's most
     * recent prior purchase value; oracle = DuckDB's native ASOF JOIN. */
   def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
@@ -345,6 +359,7 @@ object PipelineQueries {
     "p_text_quality" -> (textQuality _),
     "p_top_tokens" -> (topTokens _),
     "p_pack_sequences" -> (packSequences _),
+    "p_sample_stratified" -> (sampleStratified _),
     "p_text_lang_fingerprint" -> (textLangFingerprint _),
     "p_text_clean" -> (textClean _),
     "p_asof_join" -> (asofJoin _),
@@ -495,6 +510,15 @@ object PipelineQueries {
         |SELECT doc_id, lang, seq_id,
         |  cast(row_number() OVER (PARTITION BY lang, seq_id ORDER BY doc_id) - 1 as bigint) AS seq_pos
         |FROM s
+        |ORDER BY doc_id""".stripMargin,
+
+    "p_sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(cast(doc_id AS varchar)), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 20
         |ORDER BY doc_id""".stripMargin,
 
     "p_range_join" ->

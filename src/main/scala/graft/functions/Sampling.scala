@@ -49,6 +49,35 @@ object Sampling {
     df.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k).drop("__rk")
   }
 
+  /** Exact-k-per-stratum deterministic sample: the k rows with the lowest
+    * stable rank per stratum — uniform within the stratum when the rank is
+    * a hash, with exact per-stratum counts (what fraction-based sampling
+    * can't give). Rank ties break on `rankBy`'s trailing columns; pass the
+    * id last for full determinism. Scale shape: `row_number() <= k` is
+    * rewritten by Catalyst into a partial WindowGroupLimit BEFORE the
+    * exchange (rank-limit pushdown), so each map task ships at most k rows
+    * per stratum — no full-stratum sort ever materializes
+    * (PlanSpec-asserted). */
+  def stratifiedExactK(
+      df: DataFrame,
+      strataCols: Seq[String],
+      k: Int,
+      rankBy: Seq[Column]): DataFrame = {
+    require(k > 0, "k must be positive")
+    topKPerGroup(df, strataCols, rankBy, k)
+  }
+
+  /** [[stratifiedExactK]] ranked by a salted stable hash of `keyCols` —
+    * the deterministic-uniform default. */
+  def stratifiedExactK(
+      df: DataFrame,
+      strataCols: Seq[String],
+      keyCols: Seq[String],
+      k: Int,
+      salt: Long): DataFrame =
+    stratifiedExactK(df, strataCols, k,
+      xxhash64(lit(salt) +: keyCols.map(col): _*) +: keyCols.map(col))
+
   /** Greedy sequence packing for training batches: within each group
     * (e.g. language shard), documents are taken in `orderCol` order and
     * assigned to fixed-`budget` token sequences — doc d lands in sequence

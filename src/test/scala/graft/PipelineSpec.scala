@@ -152,6 +152,24 @@ class PipelineSpec extends GraftSuite {
     assert(kept == expected)
   }
 
+  test("stratifiedExactK: exact per-stratum counts, deterministic, salt-independent membership") {
+    val d = (1L to 300L).map(i => (i, if (i % 3 == 0) "de" else "en")).toDF("doc_id", "lang")
+    val s1 = graft.functions.Sampling
+      .stratifiedExactK(d, Seq("lang"), Seq("doc_id"), k = 10, salt = 7L)
+    val counts = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("en" -> 10L, "de" -> 10L))
+    // deterministic: same call → same rows
+    val again = graft.functions.Sampling
+      .stratifiedExactK(d, Seq("lang"), Seq("doc_id"), k = 10, salt = 7L)
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+    // a different salt draws a different (independent) sample
+    val other = graft.functions.Sampling
+      .stratifiedExactK(d, Seq("lang"), Seq("doc_id"), k = 10, salt = 8L)
+    assert(other.select("doc_id").as[Long].collect().sorted.toSeq !=
+      s1.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("scaleDocuments: m× rows, disjoint replica vocabularies, salted ids") {
     val d = Tables.read(spark, "/root/testdata/sf0.001", "documents")
     val scaled = graft.ops.Scale.scaleDocuments(d, 3)

@@ -67,6 +67,14 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("stratified exact-k: rank-limit pushdown — partial WindowGroupLimit before the exchange") {
+    val p = plan("p_sample_stratified")
+    // row_number() <= k must rewrite to a map-side group limit, so each
+    // task ships at most k rows per stratum instead of sorting the stratum
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "expected partial + final WindowGroupLimit\n" + p)
+  }
+
   test("fused expressions are in the plans (no interpreted HOF fallback)") {
     // the dedup/ANN/text hot paths must run through the codegen'd custom
     // expressions — a refactor back to transform/zip_with/aggregate

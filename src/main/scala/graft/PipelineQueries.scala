@@ -123,6 +123,17 @@ object PipelineQueries {
   def dedupSimHashKeep(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir).select("doc_id", "text")
       .repartition(spark.sparkContext.defaultParallelism)
+    val (base, copies) = anchoredSimhashCorpus(d)
+    val corpus = base.unionByName(copies)
+    val pairs = Dedup.simHashNearDupPairs(corpus, "doc_id", "text", maxHamming = 3)
+    Dedup.keepFirstFromPairs(corpus, "doc_id", pairs)
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** The anchored (bases, copies) construction behind [[dedupSimHashKeep]]
+    * and the streaming variant — both verify against the same
+    * mutation-map oracle. `d` must have (doc_id, text). */
+  private[graft] def anchoredSimhashCorpus(d: DataFrame): (DataFrame, DataFrame) = {
     def anchor(id: org.apache.spark.sql.Column) =
       repeat(concat(lit(" zq"), id.cast("string")), 128)
     val base = d.select(col("doc_id"),
@@ -132,10 +143,7 @@ object PipelineQueries {
         .otherwise(col("doc_id") + 100000).as("doc_id"),
       concat(array_join(reverse(split(col("text"), "\\s+")), " "),
         lit(" qz extra filler"), anchor(col("doc_id"))).as("text"))
-    val corpus = base.unionByName(copies)
-    val pairs = Dedup.simHashNearDupPairs(corpus, "doc_id", "text", maxHamming = 3)
-    Dedup.keepFirstFromPairs(corpus, "doc_id", pairs)
-      .select("doc_id").orderBy("doc_id")
+    (base, copies)
   }
 
   /** Char-12-gram Jaccard dedup, oracle-checked the same way as

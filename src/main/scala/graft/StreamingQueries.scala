@@ -178,6 +178,42 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** Streaming NEAR-dup dedup: SimHash LSH with per-bucket state crossing
+    * micro-batches. The corpus is the anchor-domination construction from
+    * `p_dedup_simhash_keep` (constructed pairs hamming-0 by proof, cross
+    * pairs ≥ 12 measured), streamed as two micro-batches with every
+    * near-dup pair SPLIT ACROSS the batch boundary (bases first, mutated
+    * copies second) — so a correct result requires bucket state to survive
+    * batches. Candidate pairs stream out of `Streams.simhashPairsStream`;
+    * the keep-first resolution over the finite pair set is batch (the same
+    * `keepFirstFromPairs` rule), giving the identical mutation-map oracle
+    * as the batch query. */
+  def dedupNearDupStream(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    val d = Tables.read(spark, sfDir, "documents").select("doc_id", "text")
+    val (bases, copies) = PipelineQueries.anchoredSimhashCorpus(d)
+    val corpus = bases.unionByName(copies)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_neardup").toString
+    bases.coalesce(1).write.mode("overwrite").parquet(s"$dir/b0")
+    copies.coalesce(1).write.mode("overwrite").parquet(s"$dir/b1")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    Seq("b0", "b1").zipWithIndex.foreach { case (sub, i) =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .foreach { st =>
+          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(s"$dir/in$i.parquet"))
+          new java.io.File(s"$dir/in$i.parquet").setLastModified(1000000000000L + i * 60000L)
+        }
+    }
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val pairs = Streams.simhashPairsStream(stream, "doc_id", "text", maxHamming = 3)
+    val name = "graft_stream_neardup_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val pairsDf = Streams.runToMemorySink(pairs.toDF(), name, OutputMode.Append())
+      .dropDuplicates("id_a", "id_b")
+    graft.functions.Dedup.keepFirstFromPairs(corpus, "doc_id", pairsDf)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** Stream-stream inner join with an event-time interval condition:
     * each view pairs with the same user's purchases in the following
     * hour. Watermarks on both sides bound the join state (views evict
@@ -211,6 +247,7 @@ object StreamingQueries {
     "s_sessionize_batch" -> (sessionizeBatch _),
     "s_sessionize_stream" -> (sessionizeStream _),
     "s_dedup_stream" -> (dedupStream _),
+    "s_dedup_neardup_stream" -> (dedupNearDupStream _),
   )
 
   private val sessionizeOracle =
@@ -249,6 +286,13 @@ object StreamingQueries {
         |SELECT v.view_id, p.purchase_id
         |FROM v JOIN p ON v.user_id = p.user_id AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 1 HOUR
         |ORDER BY view_id, purchase_id""".stripMargin,
+
+    // identical mutation-map oracle as p_dedup_simhash_keep: the streaming
+    // LSH must find exactly the constructed pairs across the batch split
+    "s_dedup_neardup_stream" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 AND doc_id % 5 = 0
+        |            THEN doc_id - 100000 ELSE doc_id END AS doc_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "s_dedup_stream" ->
       """WITH corpus AS (

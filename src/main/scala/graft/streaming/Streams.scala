@@ -160,6 +160,73 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  // -----------------------------------------------------------------
+  // streaming near-dup dedup (SimHash LSH)
+  // -----------------------------------------------------------------
+
+  case class NearDupPair(id_a: Long, id_b: Long)
+
+  /** Per-bucket LSH state: every (id, simhash) seen in the bucket so far. */
+  case class LshBucketState(ids: Array[Long], sigs: Array[Long])
+
+  /** Streaming SimHash near-dup candidate pairs: the streaming counterpart
+    * of [[graft.functions.Dedup.simHashNearDupPairs]]. Each doc gets a
+    * codegen'd 64-bit SimHash (narrow projection — safe in streaming),
+    * explodes into the 4 16-bit band buckets (exact for hamming ≤ 3 by
+    * pigeonhole), and each bucket's state accumulates the (id, simhash)
+    * pairs seen across micro-batches; an arriving doc emits a pair for
+    * every stored neighbor within `maxHamming`. Pairs may be emitted once
+    * per shared band — dedupe downstream. State is bounded by
+    * `maxBucketSize` per bucket (beyond it, new arrivals in that bucket
+    * stop accumulating — the batch operator's oversized-bucket drop,
+    * expressed incrementally). No watermark/timeout: dedup state is
+    * corpus-lifetime by design, like the batch keep-first rule. */
+  def simhashPairsStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): Dataset[NearDupPair] = {
+    implicit val pairEnc = Encoders.product[NearDupPair]
+    implicit val stateEnc = Encoders.product[LshBucketState]
+    implicit val rowEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val keyEnc = Encoders.scalaLong
+    val sh = docs.select(col(idCol).as("doc_id"),
+      graft.functions.Dedup.simHash64(col(textCol)).as("sh"))
+    val chunked = sh.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map { i =>
+        shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL)) + lit(i * 65536L)
+      }: _*)).as("bucket"))
+
+    def update(bucket: Long, rows: Iterator[(Long, Long, Long)],
+        state: GroupState[LshBucketState]): Iterator[NearDupPair] = {
+      val st = state.getOption.getOrElse(LshBucketState(Array.empty, Array.empty))
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val sigs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      ids ++= st.ids; sigs ++= st.sigs
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+      // ascending id: deterministic emission within a batch
+      rows.toSeq.sortBy(_._1).foreach { case (id, sig, _) =>
+        if (ids.length < maxBucketSize) {
+          var i = 0
+          while (i < ids.length) {
+            if (ids(i) != id && java.lang.Long.bitCount(sigs(i) ^ sig) <= maxHamming)
+              out += NearDupPair(math.min(ids(i), id), math.max(ids(i), id))
+            i += 1
+          }
+          ids += id
+          sigs += sig
+        }
+      }
+      state.update(LshBucketState(ids.toArray, sigs.toArray))
+      out.iterator
+    }
+
+    chunked.as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Read a directory of parquet event files as a stream (the file-source
     * entry point a production pipeline would tail). */
   def eventFileStream(spark: SparkSession, dir: String): DataFrame = {

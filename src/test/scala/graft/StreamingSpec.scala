@@ -111,6 +111,38 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("streaming simhash near-dup pairs == batch banding, state crossing batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // constructed corpus: 2/102 identical (hamming 0), 3 near 1 (small
+    // hamming), 4/5 unrelated; the dup partners arrive in a LATER batch
+    val b1 = Seq(
+      (1L, "spark makes distributed data processing simple and fast for large analytics"),
+      (4L, "completely different content about cooking pasta with tomatoes and basil"),
+      (5L, "the quick brown fox jumps over the lazy dog near the river at dawn"))
+    val b2 = Seq(
+      (102L, "spark makes distributed data processing simple and fast for large analytics"),
+      (103L, "spark makes distributed data processing simple and fast for large analytics extra"))
+    val mem = MemoryStream[(Long, String)]
+    val pairs = Streams.simhashPairsStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", maxHamming = 8)
+    val q = pairs.toDF().writeStream.format("memory").queryName("neardup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("neardup_test")
+      .dropDuplicates("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val batch = graft.functions.Dedup.simHashNearDupPairs(
+      (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed.contains((1L, 102L)), "cross-batch exact pair must be found")
+    assert(streamed.exists { case (a, b) => a == 1L && b == 103L },
+      "cross-batch near pair must be found")
+  }
+
   test("file-source stream over parquet events runs end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     (batch1 ++ batch2).toDF().write.mode("overwrite").parquet(s"$dir/events")

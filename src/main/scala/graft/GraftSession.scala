@@ -312,12 +312,20 @@ class GraftSession(val spark: SparkSession) {
       ifExists: IfExists = IfExists.Replace,
       singleFile: Boolean = true): String = {
     val fmt = output.resolvedFormat
-    if (fmt == FileFormat.Xlsx) {
-      graft.io.Excel.writeXlsx(input, output.path)
-      return output.path
-    }
-    if (fmt == FileFormat.Xls) {
-      graft.io.ExcelBiff.writeXls(input, output.path)
+    if (fmt == FileFormat.Xlsx || fmt == FileFormat.Xls) {
+      // Excel is single-file by nature; Append follows the same
+      // read-back-and-rewrite semantics as the csv/json single-file path
+      // (it used to silently overwrite).
+      val outPath = new Path(output.path)
+      val toWrite =
+        if (ifExists == IfExists.Append && hadoopFs(outPath).exists(outPath)) {
+          val existing =
+            if (fmt == FileFormat.Xlsx) graft.io.Excel.readXlsx(spark, output.path)
+            else graft.io.ExcelBiff.readXls(spark, output.path)
+          existing.unionByName(input)
+        } else input
+      if (fmt == FileFormat.Xlsx) graft.io.Excel.writeXlsx(toWrite, output.path)
+      else graft.io.ExcelBiff.writeXls(toWrite, output.path)
       return output.path
     }
     val mode = ifExists match {

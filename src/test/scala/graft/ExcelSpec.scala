@@ -131,6 +131,19 @@ class ExcelSpec extends GraftSuite {
       Seq(("plain", -3L, 10.0, "tail"), ("café", 7L, 1.25, "rich run")))
   }
 
+  test("xlsx/xls append keeps existing rows (no silent overwrite)") {
+    val dir = tmp()
+    for (ext <- Seq("xlsx", "xls")) {
+      val path = s"$dir/app.$ext"
+      g.exportToFile(Seq((1L, "a")).toDF("k", "s"), FileRef(path))
+      g.exportToFile(Seq((2L, "b")).toDF("k", "s"), FileRef(path),
+        ifExists = graft.core.IfExists.Append)
+      val back = g.loadFile(FileRef(path)).orderBy("k").collect()
+      assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "a"), (2L, "b")), s"append lost rows for .$ext")
+    }
+  }
+
   test("xls with nulls, RK decode, and empty cells") {
     val dir = tmp()
     val df = Seq((Some("a"), Some(1)), (None, Some(2)), (Some("c"), None))

@@ -334,6 +334,21 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  /** Image resize-to-fit: media images (REAL PNG/JPEG containers) scaled
+    * into a 64×64 box. The decoded dims in the output come from PARSING
+    * the rewritten container bytes (PNG IHDR re-CRC'd, JPEG SOF patched),
+    * so a header-surgery bug diverges from the oracle's aspect-fit
+    * arithmetic. Both engines compute the scale in IEEE double — the
+    * floor() results are bit-identical. */
+  def mediaResize(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(docs(spark, sfDir))
+    val resized = Multimodal.resizeImagesToFit(media, 64, 64)
+    Multimodal.extractFeatures(resized).toDF()
+      .where(col("modality") === "image")
+      .select(col("media_id"), col("decoded_width"), col("decoded_height"))
+      .orderBy("media_id")
+  }
+
   /** Composed end-to-end training-data pipeline: quality filter → exact
     * dedup (keep-first) → per-language corpus stats. The full chain is
     * SQL-expressible, so the whole composition is oracle-checked. */
@@ -374,6 +389,7 @@ object PipelineQueries {
     "p_asof_forward" -> (asofForward _),
     "p_range_join" -> (rangeJoin _),
     "p_multimodal" -> (multimodal _),
+    "p_media_resize" -> (mediaResize _),
   )
 
   /** Word-3-shingle set expression shared by the minhash oracle. */
@@ -599,6 +615,20 @@ object PipelineQueries {
       """], lower(x)))) as bigint) AS stopword_hits
         |FROM documents
         |ORDER BY doc_id""".stripMargin),
+
+    // aspect-fit into 64×64 from the synthesized dims (w = id%640+1,
+    // h = id%480+1); scale/floor in double on both engines
+    "p_media_resize" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id,
+        |    cast(doc_id % 640 + 1 as double) AS w,
+        |    cast(doc_id % 480 + 1 as double) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |s AS (SELECT media_id, w, h, least(64.0 / w, 64.0 / h, 1.0) AS sc FROM img)
+        |SELECT media_id,
+        |  cast(greatest(1, floor(w * sc)) as int) AS decoded_width,
+        |  cast(greatest(1, floor(h * sc)) as int) AS decoded_height
+        |FROM s ORDER BY media_id""".stripMargin,
 
     // image payloads are synthesized PNG (even ids, 57B overhead) / JPEG
     // (odd ids, 27B overhead) containers with the text embedded; audio

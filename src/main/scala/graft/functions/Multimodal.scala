@@ -87,6 +87,45 @@ object Multimodal {
       None
     }
 
+    /** Rewrite the container's declared dimensions IN PLACE on a copy of
+      * the bytes: PNG IHDR width/height patched (big-endian 32-bit at data
+      * offsets 0/4) with the chunk CRC32 recomputed; JPEG SOFn
+      * height/width patched (big-endian 16-bit, no checksum in JPEG).
+      * Works on any structurally valid PNG/JPEG, not just synthesized
+      * ones. None if the bytes parse as neither. */
+    def rewriteDims(b: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+      if (b.length >= 24 && b.take(8).sameElements(PngSig) &&
+        new String(b.slice(12, 16), "US-ASCII") == "IHDR") {
+        val out = b.clone()
+        def w32(i: Int, v: Int): Unit = {
+          out(i) = (v >>> 24).toByte; out(i + 1) = (v >>> 16).toByte
+          out(i + 2) = (v >>> 8).toByte; out(i + 3) = v.toByte
+        }
+        w32(16, w); w32(20, h)
+        val crc = new java.util.zip.CRC32
+        crc.update(out, 12, 4 + 13) // chunk type + IHDR data
+        w32(29, crc.getValue.toInt)
+        Some(out)
+      } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+        require(w <= 0xffff && h <= 0xffff, "jpeg dims are 16-bit")
+        var i = 2
+        while (i + 3 < b.length) {
+          if ((b(i) & 0xff) != 0xff) return None
+          val m = b(i + 1) & 0xff
+          if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2
+          else if ((m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            if (i + 8 >= b.length) return None
+            val out = b.clone()
+            out(i + 5) = (h >>> 8).toByte; out(i + 6) = h.toByte
+            out(i + 7) = (w >>> 8).toByte; out(i + 8) = w.toByte
+            return Some(out)
+          } else if (m == 0xd9) return None
+          else i += 2 + be16(b, i + 2)
+        }
+        None
+      } else None
+    }
+
     // --- synthesis (for the hermetic verify corpus and tests) ---
 
     private def chunk(out: java.io.ByteArrayOutputStream, tpe: String, data: Array[Byte]): Unit = {
@@ -330,6 +369,34 @@ object Multimodal {
       // Batch iterator: a real decoder amortizes codec init per batch.
       it.grouped(batchSize).flatMap { batch => batch.map(Decoder.decode) }
     }
+  }
+
+  /** Aspect-preserving image resize to fit within (maxW, maxH): target
+    * dims come from the PARSED container header (never the metadata
+    * columns), scale = min(maxW/w, maxH/h, 1) — images already inside the
+    * box pass through unscaled. The container's declared dimensions are
+    * rewritten byte-level ([[ImageHeader.rewriteDims]]: PNG IHDR + CRC32,
+    * JPEG SOF), which is the real plumbing; the PIXEL kernel is the same
+    * declared stub boundary as [[Decoder]]'s feature vector (no codec
+    * ships in this container — a real scaler plugs in where the payload
+    * passes through). Non-image rows and unparseable payloads pass
+    * through untouched. Narrow per-partition map, no shuffle. */
+  def resizeImagesToFit(media: Dataset[MediaRecord], maxW: Int, maxH: Int): Dataset[MediaRecord] = {
+    require(maxW > 0 && maxH > 0, "resize box must be positive")
+    implicit val enc = Encoders.product[MediaRecord]
+    media.mapPartitions(_.map { rec =>
+      if (rec.modality != "image") rec
+      else ImageHeader.decode(rec.content) match {
+        case Some((w, h)) if w > 0 && h > 0 =>
+          val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+          val tw = math.max(1, math.floor(w * scale).toInt)
+          val th = math.max(1, math.floor(h * scale).toInt)
+          ImageHeader.rewriteDims(rec.content, tw, th)
+            .map(c => rec.copy(content = c, width = tw, height = th))
+            .getOrElse(rec)
+        case _ => rec
+      }
+    })
   }
 
   /** Demo media table derived deterministically from the documents table:

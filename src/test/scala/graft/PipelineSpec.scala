@@ -523,6 +523,41 @@ class PipelineSpec extends GraftSuite {
     assert(vid.frames_sampled == 1) // 1-fps sample of a 200 ms clip
   }
 
+  test("image dim rewrite: PNG IHDR re-CRC'd and JPEG SOF patched, decode roundtrips") {
+    import graft.functions.Multimodal.ImageHeader
+    val payload = "payload bytes".getBytes("UTF-8")
+    val png = ImageHeader.synthPng(640, 480, payload)
+    val png2 = ImageHeader.rewriteDims(png, 64, 48).get
+    assert(ImageHeader.decode(png2).contains((64, 48)))
+    // the rewritten IHDR CRC must be the one a strict PNG reader checks
+    val crc = new java.util.zip.CRC32
+    crc.update(png2, 12, 17)
+    val stored = ((png2(29) & 0xffL) << 24) | ((png2(30) & 0xffL) << 16) |
+      ((png2(31) & 0xffL) << 8) | (png2(32) & 0xffL)
+    assert(crc.getValue == stored, "IHDR CRC not recomputed")
+    val jpg = ImageHeader.synthJpeg(300, 200, payload)
+    val jpg2 = ImageHeader.rewriteDims(jpg, 30, 20).get
+    assert(ImageHeader.decode(jpg2).contains((30, 20)))
+    // payloads ride through untouched on both formats
+    assert(png2.length == png.length && jpg2.length == jpg.length)
+    assert(ImageHeader.rewriteDims("not an image".getBytes("UTF-8"), 1, 1).isEmpty)
+  }
+
+  test("resizeImagesToFit: aspect-preserving, no upscale, non-images untouched") {
+    import graft.functions.Multimodal
+    import graft.functions.Multimodal.{ImageHeader, MediaRecord}
+    val recs = Seq(
+      MediaRecord(1L, "image", "mem://1", ImageHeader.synthPng(640, 480, Array[Byte](1)), 640, 480, 0L),
+      MediaRecord(2L, "image", "mem://2", ImageHeader.synthJpeg(32, 16, Array[Byte](2)), 32, 16, 0L),
+      MediaRecord(3L, "audio", "mem://3", Array[Byte](1, 2, 3), 0, 0, 10L))
+    val out = Multimodal.resizeImagesToFit(recs.toDS(), 64, 64)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(ImageHeader.decode(out(1L).content).contains((64, 48))) // 640x480 → fit 64 box
+    assert(out(1L).width == 64 && out(1L).height == 48)
+    assert(ImageHeader.decode(out(2L).content).contains((32, 16))) // already inside: no upscale
+    assert(out(3L).content.toSeq == Seq[Byte](1, 2, 3)) // non-image passthrough
+  }
+
   test("video header synth/decode roundtrip: AVI avih chunk") {
     import Multimodal.VideoHeader
     val payload = "frame data bytes!".getBytes("UTF-8") // 17 bytes, odd

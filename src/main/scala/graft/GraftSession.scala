@@ -230,9 +230,21 @@ class GraftSession(val spark: SparkSession) {
       df
     }
     if (fmt == FileFormat.Xlsx || fmt == FileFormat.Xls) {
-      val df =
-        if (fmt == FileFormat.Xlsx) graft.io.Excel.readXlsx(spark, resolved.path)
-        else graft.io.ExcelBiff.readXls(spark, resolved.path)
+      // pattern paths expand like every other format
+      // (resolve_file_path_pattern parity); Excel is a driver-side
+      // single-file format, so each match reads through its local path
+      // form and the sheets union by column name
+      val paths =
+        if (resolved.path.exists(c => "*?[{".contains(c))) {
+          val expanded = getFileList(resolved.path)
+            .map(p => new Path(p).toUri.getPath).sorted
+          require(expanded.nonEmpty, s"${resolved.path}: no files match the pattern")
+          expanded
+        } else Seq(resolved.path)
+      def readOne(p: String) =
+        if (fmt == FileFormat.Xlsx) graft.io.Excel.readXlsx(spark, p)
+        else graft.io.ExcelBiff.readXls(spark, p)
+      val df = paths.map(readOne).reduce(_.unionByName(_, allowMissingColumns = true))
       return postProcess(
         Flatten.applyCapitalization(Flatten.replaceIllegalColumnChars(df), capitalization))
     }

@@ -131,6 +131,18 @@ class ExcelSpec extends GraftSuite {
       Seq(("plain", -3L, 10.0, "tail"), ("café", 7L, 1.25, "rich run")))
   }
 
+  test("xlsx pattern load unions matching files (resolve_file_path_pattern parity)") {
+    val dir = tmp()
+    g.exportToFile(Seq((1L, "a")).toDF("k", "s"), FileRef(s"$dir/p1.xlsx"))
+    g.exportToFile(Seq((2L, "b"), (3L, "c")).toDF("k", "s"), FileRef(s"$dir/p2.xlsx"))
+    val back = g.loadFile(FileRef(s"$dir/p*.xlsx")).orderBy("k").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    intercept[IllegalArgumentException] {
+      g.loadFile(FileRef(s"$dir/nomatch*.xlsx"))
+    }
+  }
+
   test("xlsx/xls append keeps existing rows (no silent overwrite)") {
     val dir = tmp()
     for (ext <- Seq("xlsx", "xls")) {

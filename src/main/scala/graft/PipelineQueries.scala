@@ -80,6 +80,49 @@ object PipelineQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** MinHash bucket-min (100 TB scale mode) keep-set with a full DuckDB
+    * oracle, via token tagging. Every token of every doc is prefixed with
+    * the doc's own id (`g<id>w<token>`), so distinct docs' word-shingle
+    * sets are DISJOINT BY CONSTRUCTION — Jaccard exactly 0, which the
+    * exact-Jaccard verification stage eliminates regardless of band
+    * collisions. Each doc_id % 3 = 0 doc gets a copy: the same tagged
+    * text plus three per-base sentinel tokens (`zs1g<id> …`), so
+    * j(base, copy) = m/(m+3) exactly, where m = the base's distinct
+    * shingle count (measured ≥ 8 on every sf dir, pinned in
+    * PipelineSpec → j ≥ 8/11 ≈ 0.727; per-pair band-miss probability at
+    * 64 hashes / 32 bands ≤ (1−0.727²)³² ≈ 4e-11). Sentinel shingles all
+    * contain a sentinel token, so they never appear in any base set, and
+    * per-base sentinels keep copy↔copy intersections empty too. The
+    * keep-set is therefore a pure function of the mutation map — the
+    * same SQL oracle as [[dedupSimHashKeep]] — while the query runs the
+    * full production scale path: shingle → fused signatures → banding →
+    * bucket-MIN pairing (linear, not quadratic) → exact verify →
+    * keep-first, including copies that take LOWER ids than their base
+    * (doc_id % 15 = 0). */
+  def dedupMinHashKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val tagged = d.select(col("doc_id"),
+      array_join(transform(split(lower(trim(col("text"))), "\\s+"),
+        t => concat(lit("g"), col("doc_id"), lit("w"), t)), " ").as("text"))
+    // col("doc_id") below resolves against `tagged` (the select's input),
+    // so sentinels are tagged with the BASE id even as the copy's id shifts.
+    val copies = tagged.where(col("doc_id") % 3 === 0).select(
+      when(col("doc_id") % 5 === 0, col("doc_id") - 100000)
+        .otherwise(col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"),
+        lit(" zs1g"), col("doc_id"), lit(" zs2g"), col("doc_id"),
+        lit(" zs3g"), col("doc_id")).as("text"))
+    val corpus = tagged.unionByName(copies)
+    val sets = Dedup.wordShingleSets(corpus, "doc_id", "text", k = 3)
+      .withColumnRenamed("__id", "doc_id").persist()
+    val pairs = Dedup.nearDupPairsFromSets(sets, "doc_id",
+      numHashes = 64, bands = 32, threshold = 0.6,
+      maxBucketSize = 100000, bucketMinOnly = true)
+    Dedup.keepFirstFromPairs(corpus, "doc_id", pairs)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: training docs (the documents table)
     * flagged against a held-out reference set (a shifted-id copy of every
     * 10th doc). Oracle-checked against exact all-pairs cross Jaccard —
@@ -372,6 +415,7 @@ object PipelineQueries {
     "p_dedup_exact" -> (dedupExact _),
     "p_dedup_minhash" -> (dedupMinHash _),
     "p_dedup_minhash_scale" -> (dedupMinHashScale _),
+    "p_dedup_minhash_keep" -> (dedupMinHashKeep _),
     "p_decontaminate" -> (decontaminate _),
     "p_dedup_simhash" -> (dedupSimHash _),
     "p_dedup_simhash_keep" -> (dedupSimHashKeep _),
@@ -445,6 +489,13 @@ object PipelineQueries {
     // dedupSimHashKeep): every base doc survives except doc_id % 15 = 0,
     // whose copy took the lower id doc_id - 100000.
     "p_dedup_simhash_keep" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 AND doc_id % 5 = 0
+        |            THEN doc_id - 100000 ELSE doc_id END AS doc_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Same mutation map as the simhash keep-set (see dedupMinHashKeep:
+    // token tagging makes the pair structure exact by construction).
+    "p_dedup_minhash_keep" ->
       """SELECT CASE WHEN doc_id % 3 = 0 AND doc_id % 5 = 0
         |            THEN doc_id - 100000 ELSE doc_id END AS doc_id
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -152,6 +152,27 @@ class PipelineSpec extends GraftSuite {
     assert(kept == expected)
   }
 
+  test("minhash keep-set oracle: shingle floor holds and keep-set equals the mutation map") {
+    // Pin the measured fact p_dedup_minhash_keep's DuckDB oracle rests on
+    // (PipelineQueries.dedupMinHashKeep scaladoc): every doc has >= 8
+    // distinct word-3-shingles, so j(base, copy) = m/(m+3) >= 8/11 > 0.6.
+    // (Token tagging makes distinct docs' sets disjoint STRUCTURALLY —
+    // same prefix only within one doc id — so only the floor needs
+    // measuring.) Tagging is injective per token, so the tagged text's
+    // distinct-shingle count equals the raw text's, measured here.
+    val sfDir = "/root/testdata/sf0.001"
+    val d = Tables.read(spark, sfDir, "documents").select("doc_id", "text")
+    val minShingles = d
+      .select(size(Dedup.wordShingles($"text", 3)).as("m"))
+      .agg(min($"m")).as[Int].head()
+    assert(minShingles >= 8, s"min distinct shingles $minShingles breaks the j >= 8/11 bound")
+    // end-to-end: the bucket-min LSH keep-set equals the mutation-map prediction
+    val kept = PipelineQueries.dedupMinHashKeep(spark, sfDir).as[Long].collect().toSeq
+    val expected = d.select("doc_id").as[Long].collect()
+      .map(id => if (id % 15 == 0) id - 100000 else id).sorted.toSeq
+    assert(kept == expected)
+  }
+
   test("stratifiedExactK: exact per-stratum counts, deterministic, salt-independent membership") {
     val d = (1L to 300L).map(i => (i, if (i % 3 == 0) "de" else "en")).toDF("doc_id", "lang")
     val s1 = graft.functions.Sampling

@@ -141,6 +141,20 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Exact decontamination through the Bloom-prefilter scale path,
+    * oracle-checked: the operator's semantics are a pure text-equality
+    * anti-join (SQL-expressible) no matter what the Bloom filter does —
+    * false positives are removed by the exact verify join, so even a
+    * deliberately saturated filter yields identical rows (pinned in
+    * PipelineSpec). */
+  def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val ref = d.where(col("doc_id") % 7 === 0).select("text")
+    Dedup.bloomDecontaminate(d, "text", ref, "text")
+      .select("doc_id").orderBy("doc_id")
+  }
+
   def dedupSimHash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simHashNearDupPairs(docsWithNearDups(spark, sfDir), "doc_id", "text", maxHamming = 3)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
@@ -417,6 +431,7 @@ object PipelineQueries {
     "p_dedup_minhash_scale" -> (dedupMinHashScale _),
     "p_dedup_minhash_keep" -> (dedupMinHashKeep _),
     "p_decontaminate" -> (decontaminate _),
+    "p_decontaminate_bloom" -> (decontaminateBloom _),
     "p_dedup_simhash" -> (dedupSimHash _),
     "p_dedup_simhash_keep" -> (dedupSimHashKeep _),
     "p_dedup_ngram" -> (dedupNgram _),
@@ -499,6 +514,14 @@ object PipelineQueries {
       """SELECT CASE WHEN doc_id % 3 = 0 AND doc_id % 5 = 0
         |            THEN doc_id - 100000 ELSE doc_id END AS doc_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Bloom prefilter changes the plan, never the result: text-equality
+    // anti-join semantics (see Dedup.bloomDecontaminate).
+    "p_decontaminate_bloom" ->
+      """SELECT d.doc_id FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents r
+        |                  WHERE r.doc_id % 7 = 0 AND r.text = d.text)
+        |ORDER BY doc_id""".stripMargin,
 
     "p_decontaminate" ->
       """WITH mk AS (

@@ -173,6 +173,23 @@ class PipelineSpec extends GraftSuite {
     assert(kept == expected)
   }
 
+  test("bloomDecontaminate: exact semantics survive a saturated filter; empty ref is identity") {
+    val corpus = (1L to 200L).map(i => (i, s"doc number $i")).toDF("id", "text")
+    val ref = corpus.where($"id" % 4 === 0).select($"text")
+    val expected = (1L to 200L).filterNot(_ % 4 == 0)
+    // deliberately undersized filter (expected=2 at fpp 0.5): most rows
+    // become candidates, yet the exact verify join restores the result
+    val loose = graft.functions.Dedup
+      .bloomDecontaminate(corpus, "text", ref, "text", expectedRefItems = 2, fpp = 0.5)
+    assert(loose.select("id").as[Long].collect().sorted.toSeq == expected)
+    val tight = graft.functions.Dedup.bloomDecontaminate(corpus, "text", ref, "text")
+    assert(tight.select("id").as[Long].collect().sorted.toSeq == expected)
+    // empty reference → corpus unchanged (no filter built at all)
+    val none = graft.functions.Dedup
+      .bloomDecontaminate(corpus, "text", ref.limit(0), "text")
+    assert(none.count() == 200)
+  }
+
   test("stratifiedExactK: exact per-stratum counts, deterministic, salt-independent membership") {
     val d = (1L to 300L).map(i => (i, if (i % 3 == 0) "de" else "en")).toDF("doc_id", "lang")
     val s1 = graft.functions.Sampling

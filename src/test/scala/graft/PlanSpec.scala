@@ -217,4 +217,24 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("bloom decontaminate: clean branch is shuffle-free; only candidates reach the anti-join") {
+    // parquet-backed (a toy LocalRelation constant-folds the filters away);
+    // bare operator, without the verify harness's repartition/orderBy
+    val d = Tables.read(spark, sfDir, "documents").select("doc_id", "text")
+    val ref = d.where(col("doc_id") % 7 === 0).select("text")
+    val p = graft.functions.Dedup.bloomDecontaminate(d, "text", ref, "text")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the Bloom prefilter appears as a codegen'd filter on both branches
+    assert("bloom_might_contain".r.findAllIn(p).size >= 2, p)
+    // the union's clean branch (NOT bloom_might_contain) must reach the
+    // union without any Exchange: in the formatted plan every Exchange
+    // block must sit under the anti-join subtree, never between the
+    // negated filter and the Union. Cheap structural proxy: the anti-join
+    // exists and there are at most 2 exchanges total (candidates + ref) —
+    // a whole-corpus shuffle would add a third.
+    assert(p.contains("LeftAnti"), p)
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -141,6 +141,23 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Paragraph-level dedup over a corpus with injected boilerplate: every
+    * doc gets a shared footer paragraph (and every 5th doc a shared promo
+    * paragraph), so the footer/promo survive only in their first hosts
+    * while each doc's own text paragraph survives everywhere except
+    * natural full-text duplicates. Fully SQL-expressible → hash-matched
+    * against a DuckDB row_number-over-paragraphs oracle. */
+  def dedupParagraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = docs(spark, sfDir).select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 5 === 0, lit("\n\nsubscribe to our newsletter zz"))
+          .otherwise(lit("")),
+        lit("\n\nshared boilerplate footer zz")).as("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    Dedup.paragraphDedup(corpus, "doc_id", "text")
+      .select("doc_id", "text").orderBy("doc_id")
+  }
+
   /** Exact decontamination through the Bloom-prefilter scale path,
     * oracle-checked: the operator's semantics are a pure text-equality
     * anti-join (SQL-expressible) no matter what the Bloom filter does —
@@ -284,6 +301,25 @@ object PipelineQueries {
       .withColumn("n_same_fp", count(lit(1)).over(Window.partitionBy("__fp")).cast("bigint"))
       .select("doc_id", "lang_pred", "n_same_fp")
       .orderBy("doc_id")
+  }
+
+  /** HTML boilerplate removal over a deterministically-decorated corpus:
+    * every doc is wrapped in realistic markup (head/style block, comment,
+    * attributed tags, entity-laden footer; every 3rd doc a script block
+    * whose body contains `<` and quotes). Both engines run the identical
+    * RE2-compatible regexp chain — see [[TextAnalysis.stripHtml]]. */
+  def textHtmlStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val decorated = docs(spark, sfDir).select(col("doc_id"), concat(
+      lit("<html><head><title>doc</title><style>p { color: red; }</style>" +
+        "</head><body><!-- auto-generated -->\n<p class=\"main\">"),
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        lit("</p>\n<script type=\"text/javascript\">var x = 1 < 2 && \"a\";</script>"))
+        .otherwise(lit("</p>")),
+      lit("\n<br/>footer &amp;amp; &lt;b&gt;bold&lt;/b&gt; &nbsp;&#39;quoted&#39;" +
+        " end</body></html>")).as("text"))
+    decorated.select(col("doc_id"),
+      TextAnalysis.stripHtml(col("text")).as("text")).orderBy("doc_id")
   }
 
   /** Cleaning + PII masking + repetition signals, oracle-checked: the raw
@@ -432,6 +468,7 @@ object PipelineQueries {
     "p_dedup_minhash_keep" -> (dedupMinHashKeep _),
     "p_decontaminate" -> (decontaminate _),
     "p_decontaminate_bloom" -> (decontaminateBloom _),
+    "p_dedup_paragraph" -> (dedupParagraph _),
     "p_dedup_simhash" -> (dedupSimHash _),
     "p_dedup_simhash_keep" -> (dedupSimHashKeep _),
     "p_dedup_ngram" -> (dedupNgram _),
@@ -444,6 +481,7 @@ object PipelineQueries {
     "p_sample_stratified" -> (sampleStratified _),
     "p_text_lang_fingerprint" -> (textLangFingerprint _),
     "p_text_clean" -> (textClean _),
+    "p_text_html_strip" -> (textHtmlStrip _),
     "p_asof_join" -> (asofJoin _),
     "p_asof_forward" -> (asofForward _),
     "p_range_join" -> (rangeJoin _),
@@ -523,6 +561,27 @@ object PipelineQueries {
         |                  WHERE r.doc_id % 7 = 0 AND r.text = d.text)
         |ORDER BY doc_id""".stripMargin,
 
+    // First occurrence by (doc_id, pos) survives per distinct paragraph
+    // string; docs reassemble from survivors in original order.
+    "p_dedup_paragraph" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN e'\n\nsubscribe to our newsletter zz' ELSE '' END ||
+        |    e'\n\nshared boilerplate footer zz' AS text
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(range(1, len(paras)+1)) AS pos, unnest(paras) AS para
+        |  FROM (SELECT doc_id, string_split(text, e'\n\n') AS paras FROM corpus)),
+        |k AS (
+        |  SELECT doc_id, pos, para,
+        |         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |  FROM p)
+        |SELECT c.doc_id, coalesce(r.text, '') AS text
+        |FROM corpus c LEFT JOIN (
+        |  SELECT doc_id, string_agg(para, e'\n\n' ORDER BY pos) AS text
+        |  FROM k WHERE rn = 1 GROUP BY doc_id) r USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin,
+
     "p_decontaminate" ->
       """WITH mk AS (
         |  SELECT doc_id, list_distinct(
@@ -585,6 +644,29 @@ object PipelineQueries {
         |         / greatest(len(toks) - 2, 0) END AS rep3
         |FROM toked
         |ORDER BY doc_id""".stripMargin),
+
+    // Identical RE2 regexp chain as TextAnalysis.stripHtml (comments →
+    // script/style blocks → tags → entities with amp last → whitespace).
+    "p_text_html_strip" ->
+      """WITH deco AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>doc</title><style>p { color: red; }</style></head><body><!-- auto-generated -->' || chr(10) || '<p class="main">' ||
+        |    text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN '</p>' || chr(10) || '<script type="text/javascript">var x = 1 < 2 && "a";</script>'
+        |         ELSE '</p>' END ||
+        |    chr(10) || '<br/>footer &amp;amp; &lt;b&gt;bold&lt;/b&gt; &nbsp;&#39;quoted&#39; end</body></html>' AS t
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM deco),
+        |s2 AS (SELECT doc_id, regexp_replace(t,
+        |         '(?is)<(script|style)[^>]*>.*?</(script|style)\s*>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)</?[a-zA-Z!][^>]*>', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
+        |         '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
+        |         '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t FROM s4)
+        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text
+        |FROM s5 ORDER BY doc_id""".stripMargin,
 
     "p_top_tokens" ->
       """SELECT token, cast(count(*) as bigint) AS n

@@ -87,6 +87,29 @@ object TextAnalysis {
   def cleanText(c: Column): Column =
     trim(regexp_replace(regexp_replace(c, "[\\p{Cntrl}]", " "), "\\s+", " "))
 
+  /** HTML/markup removal for web-crawl corpora: comments and
+    * script/style blocks go including their content, remaining tags are
+    * stripped, the common entities decode (amp LAST so `&amp;lt;` ends up
+    * as the literal `&lt;` text, and decoded angle brackets can never
+    * resurrect a tag because tags are already gone), and whitespace
+    * collapses. Pure regexp chain — every pattern is RE2-compatible
+    * (lazy quantifiers, inline `(?is)` flags, no backreferences), so the
+    * DuckDB oracle runs the semantically identical chain. Narrow
+    * codegen'd projection (Spark's native RegExpReplace), no shuffle. */
+  def stripHtml(c: Column): Column = {
+    val noComment = regexp_replace(c, "(?s)<!--.*?-->", " ")
+    val noBlocks = regexp_replace(noComment,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)</?[a-zA-Z!][^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (ent, repl)) =>
+        regexp_replace(acc, ent, repl)
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** PII masking: emails, phone-number-ish sequences, and IPv4 addresses
     * replaced with typed placeholder tokens (the standard pre-training
     * scrub; patterns intentionally conservative). */

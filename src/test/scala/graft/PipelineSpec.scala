@@ -173,6 +173,23 @@ class PipelineSpec extends GraftSuite {
     assert(kept == expected)
   }
 
+  test("paragraphDedup: first occurrence wins, within-doc repeats collapse, stolen docs go empty") {
+    val corpus = Seq(
+      (1L, "alpha\n\nfooter", "en"),
+      (2L, "beta\n\nfooter\n\nbeta", "en"), // cross-doc footer dup + within-doc repeat
+      (3L, "footer", "de"),                 // every paragraph stolen by doc 1
+      (4L, "gamma\n\ngamma\n\ndelta", "en") // within-doc repeat, rest survives
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.functions.Dedup.paragraphDedup(corpus, "doc_id", "text")
+      .select("doc_id", "text", "lang").as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "alpha\n\nfooter", "en"),
+      (2L, "beta", "en"),
+      (3L, "", "de"),
+      (4L, "gamma\n\ndelta", "en")))
+  }
+
   test("bloomDecontaminate: exact semantics survive a saturated filter; empty ref is identity") {
     val corpus = (1L to 200L).map(i => (i, s"doc number $i")).toDF("id", "text")
     val ref = corpus.where($"id" % 4 === 0).select($"text")
@@ -290,6 +307,26 @@ class PipelineSpec extends GraftSuite {
     val out = Seq("a\tb\u0007c   d\n\ne").toDF("t")
       .select(TextAnalysis.cleanText($"t")).as[String].collect()(0)
     assert(out == "a b c d e")
+  }
+
+  test("stripHtml: blocks go with content, tags strip, entities decode once, text '<' survives") {
+    val in = Seq(
+      "<p>hello <b>world</b></p>",
+      "<script>if (a < b) { alert(\"x\"); }</script>rest",
+      "<style type=\"text/css\">p > a { }</style>kept",
+      "pre <!-- <p>gone</p> --> post",
+      "&amp;lt; stays; 1 < 2 stays; &lt;i&gt;literal&lt;/i&gt;",
+      "<DIV CLASS='X'>upper</DIV>"
+    ).toDF("text")
+    val out = in.select(graft.functions.TextAnalysis.stripHtml($"text").as("t"))
+      .as[String].collect().toSeq
+    assert(out == Seq(
+      "hello world",
+      "rest",
+      "kept",
+      "pre post",
+      "&lt; stays; 1 < 2 stays; <i>literal</i>",
+      "upper"))
   }
 
   test("maskPii replaces emails, phones, IPs") {

@@ -218,6 +218,19 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("paragraph dedup: agg+join first-occurrence rule, no occurrence-group sort, hash shuffle keys") {
+    val d = Tables.read(spark, sfDir, "documents").select("doc_id", "text")
+    val p = graft.functions.Dedup.paragraphDedup(d, "doc_id", "text")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // first-occurrence = min(struct) hash aggregate (map-side partial),
+    // never a row_number window sorting each boilerplate group
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
+    // the occurrence relation shuffles on the 96-bit hash pair, not the
+    // paragraph text itself
+    assert(!p.contains("hashpartitioning(__para"), p)
+  }
+
   test("bloom decontaminate: clean branch is shuffle-free; only candidates reach the anti-join") {
     // parquet-backed (a toy LocalRelation constant-folds the filters away);
     // bare operator, without the verify harness's repartition/orderBy

@@ -322,6 +322,32 @@ object PipelineQueries {
       TextAnalysis.stripHtml(col("text")).as("text")).orderBy("doc_id")
   }
 
+  /** Context-window chunking over the documents table (32-token chunks,
+    * 8-token overlap — docs run 10-100 tokens, so 1-4 chunks each
+    * including the shorter tail). Pure token arithmetic in both engines
+    * → full hash match. */
+  def chunkDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.chunkByTokens(docs(spark, sfDir).select("doc_id", "text"),
+        "doc_id", "text", chunkTokens = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_id")
+
+  /** Domain-blocklist filtering over deterministically URL-decorated
+    * docs: %4==0 docs get a blocked subdomain, %4==2 a blocked host in
+    * mixed case with a port, %4==1 a benign URL. Suffix matching is an
+    * equi-join on exploded dot-suffixes in Spark and the equivalent
+    * `dom = b OR dom LIKE '%.' || b` in DuckDB. */
+  def urlFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val decorated = docs(spark, sfDir).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 4 === 0, lit(" see https://sub.badsite.com/page?x=1 now"))
+        .when(col("doc_id") % 4 === 1, lit(" refs http://goodsite.org/a.html here"))
+        .when(col("doc_id") % 4 === 2, lit(" at https://TRACKER.net:8080/pixel.gif end"))
+        .otherwise(lit(""))).as("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    TextAnalysis.filterByDomainBlocklist(decorated, "doc_id", "text",
+        Seq("badsite.com", "tracker.net"))
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** Cleaning + PII masking + repetition signals, oracle-checked: the raw
     * corpus is pure lowercase words (measured: no digits/PII/control
     * chars), so PII tokens and messy whitespace are injected
@@ -373,6 +399,20 @@ object PipelineQueries {
     graft.functions.Sampling.stratifiedExactK(d, Seq("lang"), 20,
       Seq(md5(col("doc_id").cast("string")), col("doc_id")))
       .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget sampling: per language, take docs in portable-md5
+    * order while the running whitespace-token total stays ≤ 1500 — the
+    * deterministic greedy prefix, hash-matched in DuckDB with the same
+    * window. */
+  def sampleTokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+    graft.functions.Sampling.sampleToTokenBudget(d, Seq("lang"), "ntok",
+        budget = 1500L,
+        orderBy = Seq(md5(col("doc_id").cast("string")), col("doc_id")))
+      .select("doc_id", "lang", "ntok")
       .orderBy("doc_id")
   }
 
@@ -479,9 +519,12 @@ object PipelineQueries {
     "p_top_tokens" -> (topTokens _),
     "p_pack_sequences" -> (packSequences _),
     "p_sample_stratified" -> (sampleStratified _),
+    "p_sample_token_budget" -> (sampleTokenBudget _),
     "p_text_lang_fingerprint" -> (textLangFingerprint _),
     "p_text_clean" -> (textClean _),
     "p_text_html_strip" -> (textHtmlStrip _),
+    "p_chunk_documents" -> (chunkDocuments _),
+    "p_url_filter" -> (urlFilter _),
     "p_asof_join" -> (asofJoin _),
     "p_asof_forward" -> (asofForward _),
     "p_range_join" -> (rangeJoin _),
@@ -668,6 +711,38 @@ object PipelineQueries {
         |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text
         |FROM s5 ORDER BY doc_id""".stripMargin,
 
+    // dom blocked iff equal to an entry or under it at a label boundary;
+    // LIKE '%.' || b is exactly the exploded dot-suffix equi-join.
+    "p_url_filter" ->
+      """WITH deco AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' see https://sub.badsite.com/page?x=1 now'
+        |         WHEN doc_id % 4 = 1 THEN ' refs http://goodsite.org/a.html here'
+        |         WHEN doc_id % 4 = 2 THEN ' at https://TRACKER.net:8080/pixel.gif end'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |urls AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s<>"'']+', 0)) AS url FROM deco),
+        |doms AS (SELECT doc_id, lower(regexp_extract(url, 'https?://(?:[^@/\s]*@)?([^:/\s?#]+)', 1)) AS dom FROM urls),
+        |blocked AS (SELECT * FROM (VALUES ('badsite.com'), ('tracker.net')) b(bd)),
+        |hit AS (SELECT DISTINCT doc_id FROM doms JOIN blocked ON dom = bd OR dom LIKE '%.' || bd)
+        |SELECT d.doc_id FROM deco d LEFT JOIN hit h USING (doc_id)
+        |WHERE h.doc_id IS NULL ORDER BY doc_id""".stripMargin,
+
+    // chunk i covers tokens [i*24+1, i*24+32] (1-based inclusive), the
+    // same arithmetic as TextAnalysis.chunkByTokens(32, overlap=8).
+    "p_chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 32 THEN 1
+        |         ELSE cast(ceil((len(toks) - 8) / 24.0) AS int) END AS nc FROM t),
+        |e AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM n)
+        |SELECT doc_id, cast(i AS bigint) AS chunk_id,
+        |  array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
+        |  cast(len(toks[i*24+1 : i*24+32]) AS bigint) AS chunk_tokens
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+
     "p_top_tokens" ->
       """SELECT token, cast(count(*) as bigint) AS n
         |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)
@@ -690,6 +765,22 @@ object PipelineQueries {
         |SELECT doc_id, lang, seq_id,
         |  cast(row_number() OVER (PARTITION BY lang, seq_id ORDER BY doc_id) - 1 as bigint) AS seq_pos
         |FROM s
+        |ORDER BY doc_id""".stripMargin,
+
+    // greedy prefix per language in portable-md5 order: keep rows whose
+    // running token total stays <= 1500 (same window as the Spark plan).
+    "p_sample_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    cast(len(string_split_regex(trim(text), '\s+')) as bigint) AS ntok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, ntok,
+        |    sum(ntok) OVER (PARTITION BY lang
+        |      ORDER BY md5(cast(doc_id AS varchar)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, ntok FROM c WHERE cum <= 1500
         |ORDER BY doc_id""".stripMargin,
 
     "p_sample_stratified" ->

@@ -102,4 +102,29 @@ object Sampling {
     df.withColumn("seq_id", seqId.cast("bigint"))
       .withColumn("seq_pos", (row_number().over(wSeq) - 1).cast("bigint"))
   }
+
+  /** Deterministic token-budget sampling for training-mix construction
+    * ("≤ N tokens per language"): within each stratum, rows are taken in
+    * `orderBy` order (pass a stable hash for a uniform draw, or a quality
+    * score for best-first) while the running `tokenCol` total stays at or
+    * under `budget` — the greedy prefix, so the selection overshoots
+    * never, undershoots by less than one document, and is a pure function
+    * of (data, order, budget): stable across runs, retries, and cluster
+    * sizes. One shuffle (the per-stratum cumulative-sum window); strata
+    * sample independently, so 100 TB samples as wide as the stratum
+    * cardinality — same shape as [[packSequences]]. */
+  def sampleToTokenBudget(
+      df: DataFrame,
+      strataCols: Seq[String],
+      tokenCol: String,
+      budget: Long,
+      orderBy: Seq[Column]): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = Window.partitionBy(strataCols.map(col): _*).orderBy(orderBy: _*)
+    val through = sum(col(tokenCol)).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn("__cum", through)
+      .where(col("__cum") <= budget)
+      .drop("__cum")
+  }
 }

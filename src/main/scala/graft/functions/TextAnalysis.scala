@@ -148,6 +148,82 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(k)
 
+  /** Split documents into fixed-size token windows with overlap — the
+    * context-window prep step of a training pipeline (a 100-k-token doc
+    * becomes ~n/stride training sequences). Chunk i covers tokens
+    * [i·stride, i·stride + chunkTokens) of the whitespace tokenization,
+    * stride = chunkTokens − overlap; the final chunk is shorter rather
+    * than padded, and a doc at or under chunkTokens yields itself as one
+    * chunk. Emits (idCol, chunk_id, chunk_text, chunk_tokens).
+    *
+    * Narrow plan: tokenize once per doc, generate per-chunk slices in a
+    * single projection, `posexplode` — no shuffle at all; chunking 100 TB
+    * is embarrassingly parallel and this keeps it that way. */
+  def chunkByTokens(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlap: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunkTokens=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol), toks.as("__toks"))
+      .withColumn("__nc",
+        when(size(col("__toks")) <= chunkTokens, lit(1))
+          .otherwise(ceil((size(col("__toks")) - lit(overlap)).cast("double") / stride)
+            .cast("int")))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__nc") - 1),
+          i => slice(col("__toks"), i * stride + 1, lit(chunkTokens)))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        concat_ws(" ", col("col")).as("chunk_text"),
+        size(col("col")).cast("long").as("chunk_tokens"))
+  }
+
+  /** http(s) URLs appearing in free text (conservative pattern: scheme
+    * through the first whitespace/angle/quote). */
+  def extractUrls(c: Column): Column =
+    regexp_extract_all(c, lit("https?://[^\\s<>\"']+"), lit(0))
+
+  /** Lowercased host of a URL (credentials stripped, port/path/query
+    * dropped); "" when the pattern doesn't match. */
+  def urlDomain(url: Column): Column =
+    lower(regexp_extract(url, "https?://(?:[^@/\\s]*@)?([^:/\\s?#]+)", 1))
+
+  /** Drop every doc containing a URL whose host is on (or under) a
+    * blocked domain — `dom` is blocked iff it equals a blocklist entry
+    * or ends with "." + entry (label-boundary suffix: "x.bad.com" hits
+    * "bad.com", "notbad.com" doesn't). The web-crawl hygiene filter.
+    *
+    * Scale shape: URL extraction and host parsing are narrow; suffix
+    * matching is an EQUI-join — each host explodes to its ≤ label-count
+    * dot-suffixes ("a.b.c" → a.b.c, b.c, c) joined broadcast against the
+    * (tiny) blocklist, so no LIKE scan ever runs against the corpus.
+    * Only the matched doc-id set (contamination-rate sized) flows into
+    * the final anti-join. */
+  def filterByDomainBlocklist(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      blocked: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val blockedDf = blocked.map(_.toLowerCase).toDF("__b")
+    val doms = df
+      .select(col(idCol), explode(extractUrls(col(textCol))).as("__url"))
+      .select(col(idCol), urlDomain(col("__url")).as("__dom"))
+    val labels = split(col("__dom"), "\\.")
+    val suffixes = doms.select(col(idCol),
+      explode(transform(sequence(lit(0), size(labels) - 1),
+        i => array_join(slice(labels, i + 1, size(labels) - i), "."))).as("__suf"))
+    val hits = suffixes
+      .join(broadcast(blockedDf), col("__suf") === col("__b"))
+      .select(col(idCol)).distinct()
+    df.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** English stopwords (public, standard list excerpt). */
   val EnStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "but", "if", "then", "else", "of", "to",

@@ -207,6 +207,28 @@ class PipelineSpec extends GraftSuite {
     assert(none.count() == 200)
   }
 
+  test("sampleToTokenBudget: greedy prefix per stratum, never overshoots, deterministic") {
+    val d = Seq(
+      (1L, "en", 400L), (2L, "en", 400L), (3L, "en", 400L), (4L, "en", 400L),
+      (5L, "de", 900L), (6L, "de", 200L), (7L, "de", 50L)
+    ).toDF("doc_id", "lang", "ntok")
+    val out = graft.functions.Sampling
+      .sampleToTokenBudget(d, Seq("lang"), "ntok", budget = 1000L,
+        orderBy = Seq(col("doc_id")))
+      .select("doc_id", "lang", "ntok")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    // en: 400+400 = 800 <= 1000, +400 overshoots -> prefix of 2
+    // de: 900 <= 1000, +200 overshoots -> everything after excluded too
+    assert(out.map(_._1) == Seq(1L, 2L, 5L))
+    assert(out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      .forall(_._2 <= 1000L))
+    val again = graft.functions.Sampling
+      .sampleToTokenBudget(d, Seq("lang"), "ntok", budget = 1000L,
+        orderBy = Seq(col("doc_id")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == Seq(1L, 2L, 5L))
+  }
+
   test("stratifiedExactK: exact per-stratum counts, deterministic, salt-independent membership") {
     val d = (1L to 300L).map(i => (i, if (i % 3 == 0) "de" else "en")).toDF("doc_id", "lang")
     val s1 = graft.functions.Sampling
@@ -307,6 +329,45 @@ class PipelineSpec extends GraftSuite {
     val out = Seq("a\tb\u0007c   d\n\ne").toDF("t")
       .select(TextAnalysis.cleanText($"t")).as[String].collect()(0)
     assert(out == "a b c d e")
+  }
+
+  test("chunkByTokens: stride/overlap arithmetic, short docs, tail chunks, no shuffle") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),   // n=10 <= 32: one chunk
+      (2L, (1 to 33).map(i => s"w$i").mkString(" ")),   // ceil(25/24)=2 chunks
+      (3L, (1 to 100).map(i => s"w$i").mkString(" "))   // ceil(92/24)=4 chunks
+    ).toDF("doc_id", "text")
+    val out = graft.functions.TextAnalysis
+      .chunkByTokens(d, "doc_id", "text", chunkTokens = 32, overlap = 8)
+    val rows = out.as[(Long, Long, String, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toList
+    assert(rows.map(r => (r._1, r._2, r._4)) == List(
+      (1L, 0L, 10L),
+      (2L, 0L, 32L), (2L, 1L, 9L),
+      (3L, 0L, 32L), (3L, 1L, 32L), (3L, 2L, 32L), (3L, 3L, 28L)))
+    // overlap: chunk 1 of doc 2 starts at token 25
+    assert(rows.find(r => r._1 == 2L && r._2 == 1L).get._3.startsWith("w25 "))
+    // tail chunk of doc 3 covers tokens 73..100
+    assert(rows.last._3 == (73 to 100).map(i => s"w$i").mkString(" "))
+    // embarrassingly parallel: the chunking plan contains no exchange
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("filterByDomainBlocklist: label-boundary suffix match, case/port/userinfo handling") {
+    val d = Seq(
+      (1L, "plain text, no urls"),
+      (2L, "see https://sub.badsite.com/x?q=1"),     // subdomain of blocked
+      (3L, "see https://notbadsite.com/x"),          // NOT a label-boundary match
+      (4L, "see http://BADSITE.COM/y"),              // exact, case-folded
+      (5L, "see https://user:pw@deep.a.badsite.com:443/z"), // userinfo + port
+      (6L, "see http://goodsite.org and https://badsite.com") // any hit drops doc
+    ).toDF("doc_id", "text")
+    val kept = graft.functions.TextAnalysis
+      .filterByDomainBlocklist(d, "doc_id", "text", Seq("badsite.com"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
   }
 
   test("stripHtml: blocks go with content, tags strip, entities decode once, text '<' survives") {

@@ -402,6 +402,17 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus-adaptive vocabulary coverage at vocabSize=12: the documents
+    * vocabulary is 31 distinct tokens (measured on every sf dir), so the
+    * top-12 cut actually discriminates. The rank-12 tie boundary is
+    * deterministic in both engines ((count desc, token) order). Counts
+    * are integers and the final ratio is a single double division —
+    * bit-identical across engines. */
+  def vocabCoverageQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.vocabCoverage(docs(spark, sfDir).select("doc_id", "text"),
+        "doc_id", "text", vocabSize = 12)
+      .orderBy("doc_id")
+
   /** Token-budget sampling: per language, take docs in portable-md5
     * order while the running whitespace-token total stays ≤ 1500 — the
     * deterministic greedy prefix, hash-matched in DuckDB with the same
@@ -520,6 +531,7 @@ object PipelineQueries {
     "p_pack_sequences" -> (packSequences _),
     "p_sample_stratified" -> (sampleStratified _),
     "p_sample_token_budget" -> (sampleTokenBudget _),
+    "p_vocab_coverage" -> (vocabCoverageQ _),
     "p_text_lang_fingerprint" -> (textLangFingerprint _),
     "p_text_clean" -> (textClean _),
     "p_text_html_strip" -> (textHtmlStrip _),
@@ -766,6 +778,31 @@ object PipelineQueries {
         |  cast(row_number() OVER (PARTITION BY lang, seq_id ORDER BY doc_id) - 1 as bigint) AS seq_pos
         |FROM s
         |ORDER BY doc_id""".stripMargin,
+
+    // vocabulary = corpus top-12 tokens by (count desc, token); coverage
+    // = hits/ntok, one double division (see TextAnalysis.vocabCoverage).
+    "p_vocab_coverage" ->
+      """WITH vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |    FROM documents) u
+        |  WHERE len(tok) > 0
+        |  GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 12),
+        |t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT j.doc_id, count(*) AS vh
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) j
+        |  JOIN vocab v ON j.tok = v.tok
+        |  GROUP BY j.doc_id)
+        |SELECT t.doc_id,
+        |  cast(coalesce(h.vh, 0) AS bigint) AS vocab_hits,
+        |  cast(len(toks) AS bigint) AS n_tokens,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE cast(coalesce(h.vh, 0) AS double) / len(toks) END AS coverage
+        |FROM t LEFT JOIN h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // greedy prefix per language in portable-md5 order: keep rows whose
     // running token total stays <= 1500 (same window as the Spark plan).

@@ -182,6 +182,31 @@ object TextAnalysis {
         size(col("col")).cast("long").as("chunk_tokens"))
   }
 
+  /** Corpus-adaptive quality score: per-doc fraction of tokens inside
+    * the corpus's own top-`vocabSize` vocabulary (common-token coverage —
+    * low values flag gibberish, code dumps, and wrong-language spills
+    * without any external model). Two stages: the vocabulary build is the
+    * [[topTokens]] plan (explode → map-side-combinable count → TakeOrdered;
+    * the only shuffle), its top-K collects to the driver (bounded by
+    * `vocabSize`, not the corpus) and ships inside the fused
+    * [[StopwordHitsExpr]], so scoring is a narrow codegen'd projection.
+    * Emits (idCol, vocab_hits, n_tokens, coverage). */
+  def vocabCoverage(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val vocab = topTokens(df, textCol, vocabSize)
+      .select("token").collect().map(_.getString(0)).toSeq
+    df.select(col(idCol),
+        stopwordHits(col(textCol), vocab).cast("long").as("vocab_hits"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("coverage",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("vocab_hits").cast("double") / col("n_tokens")))
+  }
+
   /** http(s) URLs appearing in free text (conservative pattern: scheme
     * through the first whitespace/angle/quote). */
   def extractUrls(c: Column): Column =

@@ -207,6 +207,22 @@ class PipelineSpec extends GraftSuite {
     assert(none.count() == 200)
   }
 
+  test("vocabCoverage: corpus-adaptive top-K membership ratio") {
+    // corpus vocab by count: a(×5), b(×3), c(×2), d/e(×1) — top-2 = {a, b}
+    val d = Seq(
+      (1L, "a a b"),      // 3/3 in top-2
+      (2L, "a b c"),      // 2/3
+      (3L, "c d e"),      // 0/3
+      (4L, "a a c b")     // 3/4
+    ).toDF("doc_id", "text")
+    val out = graft.functions.TextAnalysis.vocabCoverage(d, "doc_id", "text", 2)
+      .select("doc_id", "vocab_hits", "n_tokens", "coverage")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 3L, 3L, 1.0), (2L, 2L, 3L, 2.0 / 3),
+      (3L, 0L, 3L, 0.0), (4L, 3L, 4L, 0.75)))
+  }
+
   test("sampleToTokenBudget: greedy prefix per stratum, never overshoots, deterministic") {
     val d = Seq(
       (1L, "en", 400L), (2L, "en", 400L), (3L, "en", 400L), (4L, "en", 400L),

@@ -67,6 +67,18 @@ class ScaleSpec extends GraftSuite {
     assert(row.getAs[Long]("fp") == viaColumn)
   }
 
+  test("SQL-registered web/text cleaners work in spark.sql") {
+    GraftFunctions.registerAll(spark)
+    Seq((1L, "<p>hi</p> see https://a.bad.com/x now"))
+      .toDF("id", "t").createOrReplaceTempView("fn_web")
+    val row = spark.sql(
+      """SELECT graft_strip_html(t) AS clean,
+        |  graft_url_domain(graft_extract_urls(t)[0]) AS dom
+        |FROM fn_web""".stripMargin).collect()(0)
+    assert(row.getAs[String]("clean") == "hi see https://a.bad.com/x now")
+    assert(row.getAs[String]("dom") == "a.bad.com")
+  }
+
   test("SQL-registered shingle/minhash/vector primitives compose in pure SQL") {
     GraftFunctions.registerAll(spark)
     Seq((1L, "one two three four", Seq(3.0f, 4.0f)), (2L, "one two three four", Seq(6.0f, 8.0f)))

@@ -413,6 +413,18 @@ object PipelineQueries {
         "doc_id", "text", vocabSize = 12)
       .orderBy("doc_id")
 
+  /** Deterministic global shuffle order, hash-matched: the global
+    * ordinal under (portable md5, doc_id) total order must equal DuckDB's
+    * single row_number — but is computed scalably (range partition +
+    * monotonic ids + offset join; no single-partition window). */
+  def shuffleOrder(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.Sampling.globalOrderIndex(
+        docs(spark, sfDir).select("doc_id", "lang")
+          .repartition(spark.sparkContext.defaultParallelism),
+        orderBy = Seq(md5(col("doc_id").cast("string")), col("doc_id")))
+      .select("doc_id", "lang", "shuffle_pos")
+      .orderBy("doc_id")
+
   /** Token-budget sampling: per language, take docs in portable-md5
     * order while the running whitespace-token total stays ≤ 1500 — the
     * deterministic greedy prefix, hash-matched in DuckDB with the same
@@ -532,6 +544,7 @@ object PipelineQueries {
     "p_sample_stratified" -> (sampleStratified _),
     "p_sample_token_budget" -> (sampleTokenBudget _),
     "p_vocab_coverage" -> (vocabCoverageQ _),
+    "p_shuffle_order" -> (shuffleOrder _),
     "p_text_lang_fingerprint" -> (textLangFingerprint _),
     "p_text_clean" -> (textClean _),
     "p_text_html_strip" -> (textHtmlStrip _),
@@ -803,6 +816,13 @@ object PipelineQueries {
         |       ELSE cast(coalesce(h.vh, 0) AS double) / len(toks) END AS coverage
         |FROM t LEFT JOIN h ON t.doc_id = h.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    // the scalable global ordinal must equal the one-window definition
+    "p_shuffle_order" ->
+      """SELECT doc_id, lang,
+        |  cast(row_number() OVER (ORDER BY md5(cast(doc_id AS varchar)), doc_id) - 1
+        |       AS bigint) AS shuffle_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // greedy prefix per language in portable-md5 order: keep rows whose
     // running token total stays <= 1500 (same window as the Spark plan).

@@ -103,6 +103,48 @@ object Sampling {
       .withColumn("seq_pos", (row_number().over(wSeq) - 1).cast("bigint"))
   }
 
+  /** Global ordinal under a total order — the "materialize the training
+    * order" step (every pretraining pipeline ends with a deterministic
+    * global shuffle; pass a stable hash as the order for a uniform one).
+    * Adds `shuffle_pos` (0-based, dense, gap-free).
+    *
+    * The naive `row_number() OVER (ORDER BY …)` collapses the corpus
+    * into ONE partition — a non-starter at scale. This is the
+    * two-job linear shape instead: range-partition + in-partition sort
+    * on `orderBy`, local ordinals from `monotonically_increasing_id()`
+    * evaluated above the sort (partitionId·2³³ + sorted row offset — no
+    * window, no extra shuffle), and a tiny per-partition count job whose
+    * cumulative offsets broadcast-join back to turn local ordinals
+    * global. Requirements: `orderBy` must order rows UNIQUELY (append
+    * the row id last) — ties would leave sort placement
+    * partition-stability-dependent; ≤ 2³³ rows per partition (the
+    * monotonic-id partition stride). Spark's range sampling is
+    * seeded deterministically per partition, so both jobs see identical
+    * bounds over deterministic input splits. */
+  def globalOrderIndex(
+      df: DataFrame,
+      orderBy: Seq[Column],
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val keyed = df.repartitionByRange(p, orderBy: _*)
+      .sortWithinPartitions(orderBy: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftrightunsigned(col("__mid"), 33).cast("int"))
+      .withColumn("__local", col("__mid").bitwiseAND((1L << 33) - 1))
+    val counts = keyed.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
+      (pid, acc + n)
+    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    keyed.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("shuffle_pos", col("__off") + col("__local"))
+      .drop("__mid", "__pid", "__local", "__off")
+  }
+
   /** Deterministic token-budget sampling for training-mix construction
     * ("≤ N tokens per language"): within each stratum, rows are taken in
     * `orderBy` order (pass a stable hash for a uniform draw, or a quality

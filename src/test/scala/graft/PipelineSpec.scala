@@ -207,6 +207,24 @@ class PipelineSpec extends GraftSuite {
     assert(none.count() == 200)
   }
 
+  test("globalOrderIndex: dense gap-free ordinal equal to the total order, any input partitioning") {
+    val d = (1L to 500L).map(i => (i, s"t$i")).toDF("id", "t")
+    def run(input: org.apache.spark.sql.DataFrame) =
+      graft.functions.Sampling.globalOrderIndex(input,
+          orderBy = Seq(md5($"id".cast("string")), $"id"), partitions = 7)
+        .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    val pos = run(d)
+    // dense 0..n-1
+    assert(pos.values.toSeq.sorted == (0L until 500L).toSeq)
+    // equals the one-window definition
+    val expected = d.select($"id", md5($"id".cast("string")).as("k"))
+      .as[(Long, String)].collect().sortBy(r => (r._2, r._1))
+      .zipWithIndex.map { case ((id, _), i) => id -> i.toLong }.toMap
+    assert(pos == expected)
+    // invariant to input partitioning
+    assert(run(d.repartition(13)) == expected)
+  }
+
   test("vocabCoverage: corpus-adaptive top-K membership ratio") {
     // corpus vocab by count: a(×5), b(×3), c(×2), d/e(×1) — top-2 = {a, b}
     val d = Seq(

@@ -231,6 +231,20 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("hashpartitioning(__para"), p)
   }
 
+  test("global order index: range partitioning, no single-partition window") {
+    val d = Tables.read(spark, sfDir, "documents").select("doc_id", "lang")
+    val p = graft.functions.Sampling.globalOrderIndex(d,
+        orderBy = Seq(col("doc_id")))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the corpus spreads over a range shuffle; a naive global row_number
+    // would show Exchange SinglePartition + Window
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("Window"), p)
+    // offsets ride a broadcast join, not another corpus shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("bloom decontaminate: clean branch is shuffle-free; only candidates reach the anti-join") {
     // parquet-backed (a toy LocalRelation constant-folds the filters away);
     // bare operator, without the verify harness's repartition/orderBy

@@ -388,6 +388,19 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Materialized training sequences: the packSequences assignment
+    * turned into one row per (lang, seq_id) with the member texts joined
+    * in slot order around an EOD separator — what actually feeds a
+    * trainer. Fully SQL-expressible (string_agg with the same window). */
+  def packMaterialize(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"), col("lang"), col("text"),
+      TextAnalysis.tokenCount(col("text")).cast("bigint").as("ntok"))
+    graft.functions.Sampling.materializePacked(d, Seq("lang"), "doc_id",
+        "ntok", "text", budget = 500L)
+      .select("lang", "seq_id", "seq_text", "seq_tokens", "n_docs")
+      .orderBy("lang", "seq_id")
+  }
+
   /** Stratified exact-k sample: 20 docs per language, ranked by a hash
     * both engines compute identically — md5 of the stringified id (Spark
     * and DuckDB emit the same lowercase hex) — so the selected SET is
@@ -541,6 +554,7 @@ object PipelineQueries {
     "p_text_quality" -> (textQuality _),
     "p_top_tokens" -> (topTokens _),
     "p_pack_sequences" -> (packSequences _),
+    "p_pack_materialize" -> (packMaterialize _),
     "p_sample_stratified" -> (sampleStratified _),
     "p_sample_token_budget" -> (sampleTokenBudget _),
     "p_vocab_coverage" -> (vocabCoverageQ _),
@@ -791,6 +805,27 @@ object PipelineQueries {
         |  cast(row_number() OVER (PARTITION BY lang, seq_id ORDER BY doc_id) - 1 as bigint) AS seq_pos
         |FROM s
         |ORDER BY doc_id""".stripMargin,
+
+    // same packing window as p_pack_sequences, then string_agg in slot
+    // order around the EOD separator.
+    "p_pack_materialize" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |    cast(len(string_split_regex(trim(text), '\s+')) as bigint) AS ntok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, text, ntok,
+        |    coalesce(sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM t),
+        |s AS (SELECT doc_id, lang, text, ntok,
+        |        cast(floor(pre / 500.0) as bigint) AS seq_id FROM c)
+        |SELECT lang, seq_id,
+        |  string_agg(text, ' <|eod|> ' ORDER BY doc_id) AS seq_text,
+        |  cast(sum(ntok) as bigint) AS seq_tokens,
+        |  cast(count(*) as bigint) AS n_docs
+        |FROM s GROUP BY lang, seq_id
+        |ORDER BY lang, seq_id""".stripMargin,
 
     // vocabulary = corpus top-12 tokens by (count desc, token); coverage
     // = hits/ntok, one double division (see TextAnalysis.vocabCoverage).

@@ -144,20 +144,14 @@ object StreamingQueries {
       .orderBy("user_id", "session_start")
   }
 
-  /** Streaming exact dedup: the documents corpus (∪ shifted-id copies, so
-    * real duplicates span micro-batches) flows through a streaming
-    * groupBy(content fingerprint) keeping the minimum doc_id — stateful
-    * keep-first dedup with state carried across batches. Complete mode on
-    * a finite corpus → deterministic, SQL-expressible result. */
-  def dedupStream(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
-    val docs = Tables.read(spark, sfDir, "documents").select("doc_id", "text")
-    val corpus = docs.unionByName(
-      docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
-    // two files → two micro-batches: duplicate pairs (id, id+100000) land
-    // in different batches, so the dedup state genuinely crosses batches
-    corpus.where(col("doc_id") < 100000).coalesce(1).write.mode("overwrite").parquet(s"$dir/b0")
-    corpus.where(col("doc_id") >= 100000).coalesce(1).write.mode("overwrite").parquet(s"$dir/b1")
+  /** Stage `first`/`second` as two mtime-ordered parquet files so
+    * `maxFilesPerTrigger=1` replays them as two micro-batches — the
+    * cross-batch-state harness shared by the streaming dedup queries. */
+  private def stageTwoBatches(spark: SparkSession,
+      first: DataFrame, second: DataFrame, prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    first.coalesce(1).write.mode("overwrite").parquet(s"$dir/b0")
+    second.coalesce(1).write.mode("overwrite").parquet(s"$dir/b1")
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
     Seq("b0", "b1").zipWithIndex.foreach { case (sub, i) =>
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
@@ -167,6 +161,46 @@ object StreamingQueries {
           new java.io.File(s"$dir/in$i.parquet").setLastModified(1000000000000L + i * 60000L)
         }
     }
+    dir
+  }
+
+  /** Streaming exact decontamination: a document stream filtered against
+    * a STATIC reference set (every 7th doc's text) with a stream-static
+    * left-anti join — the production shape for "drop benchmark text from
+    * an incoming crawl" (the static side stays a plain DataFrame; Spark
+    * re-plans it per micro-batch, broadcast when small). Two
+    * micro-batches; append mode; no state needed — anti-join against a
+    * static side is stateless per batch, so the result equals the batch
+    * anti-join and shares p_decontaminate_bloom's oracle shape. */
+  def decontaminateStream(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    val docs = Tables.read(spark, sfDir, "documents").select("doc_id", "text")
+    val dir = stageTwoBatches(spark,
+      docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1),
+      "graft_stream_decon")
+    val ref = docs.where(col("doc_id") % 7 === 0)
+      .select(col("text").as("__rtext")).dropDuplicates("__rtext")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val clean = stream.join(ref, stream("text") === ref("__rtext"), "left_anti")
+    val name = "graft_stream_decon_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    Streams.runToMemorySink(clean, name, OutputMode.Append())
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** Streaming exact dedup: the documents corpus (∪ shifted-id copies, so
+    * real duplicates span micro-batches) flows through a streaming
+    * groupBy(content fingerprint) keeping the minimum doc_id — stateful
+    * keep-first dedup with state carried across batches. Complete mode on
+    * a finite corpus → deterministic, SQL-expressible result. */
+  def dedupStream(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    val docs = Tables.read(spark, sfDir, "documents").select("doc_id", "text")
+    val corpus = docs.unionByName(
+      docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    // two micro-batches: duplicate pairs (id, id+100000) land in
+    // different batches, so the dedup state genuinely crosses batches
+    val dir = stageTwoBatches(spark,
+      corpus.where(col("doc_id") < 100000), corpus.where(col("doc_id") >= 100000),
+      "graft_stream_dedup")
     val stream = spark.readStream.schema(corpus.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
     val deduped = stream
@@ -192,18 +226,7 @@ object StreamingQueries {
     val d = Tables.read(spark, sfDir, "documents").select("doc_id", "text")
     val (bases, copies) = PipelineQueries.anchoredSimhashCorpus(d)
     val corpus = bases.unionByName(copies)
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_neardup").toString
-    bases.coalesce(1).write.mode("overwrite").parquet(s"$dir/b0")
-    copies.coalesce(1).write.mode("overwrite").parquet(s"$dir/b1")
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
-    Seq("b0", "b1").zipWithIndex.foreach { case (sub, i) =>
-      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
-        .filter(_.getPath.getName.startsWith("part-"))
-        .foreach { st =>
-          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(s"$dir/in$i.parquet"))
-          new java.io.File(s"$dir/in$i.parquet").setLastModified(1000000000000L + i * 60000L)
-        }
-    }
+    val dir = stageTwoBatches(spark, bases, copies, "graft_stream_neardup")
     val stream = spark.readStream.schema(corpus.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
     val pairs = Streams.simhashPairsStream(stream, "doc_id", "text", maxHamming = 3)
@@ -248,6 +271,7 @@ object StreamingQueries {
     "s_sessionize_stream" -> (sessionizeStream _),
     "s_dedup_stream" -> (dedupStream _),
     "s_dedup_neardup_stream" -> (dedupNearDupStream _),
+    "s_decontaminate_stream" -> (decontaminateStream _),
   )
 
   private val sessionizeOracle =
@@ -302,6 +326,13 @@ object StreamingQueries {
         |SELECT min(doc_id) AS doc_id, cast(count(*) as bigint) AS n_copies
         |FROM corpus
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |ORDER BY doc_id""".stripMargin,
+
+    // stream-static anti-join == the batch text-equality anti-join
+    "s_decontaminate_stream" ->
+      """SELECT d.doc_id FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents r
+        |                  WHERE r.doc_id % 7 = 0 AND r.text = d.text)
         |ORDER BY doc_id""".stripMargin,
   )
 }

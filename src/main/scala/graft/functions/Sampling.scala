@@ -103,6 +103,31 @@ object Sampling {
       .withColumn("seq_pos", (row_number().over(wSeq) - 1).cast("bigint"))
   }
 
+  /** Materialize the [[packSequences]] assignment into actual training
+    * sequences: one row per (group, seq_id) with member texts joined in
+    * slot order around an end-of-document separator, plus token/doc
+    * counts. One additional shuffle (the group-by); sequence payloads
+    * are bounded by the token budget, so rows stay small no matter the
+    * corpus size. */
+  def materializePacked(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      tokenCol: String,
+      textCol: String,
+      budget: Long,
+      eod: String = " <|eod|> "): DataFrame = {
+    val packed = packSequences(df, groupCols, orderCol, tokenCol, budget)
+    packed.groupBy((groupCols.map(col) :+ col("seq_id")): _*)
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("seq_pos"), col(textCol)))),
+            s => s.getField(textCol)),
+          eod).as("seq_text"),
+        sum(col(tokenCol)).cast("long").as("seq_tokens"),
+        count(lit(1)).cast("long").as("n_docs"))
+  }
+
   /** Global ordinal under a total order — the "materialize the training
     * order" step (every pretraining pipeline ends with a deterministic
     * global shuffle; pass a stable hash as the order for a uniform one).

@@ -518,6 +518,19 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  /** Video frame sampling over the synthesized media table: every 5th
+    * frame of each video row, with frame counts and timings parsed from
+    * the AVI bytes. The oracle recomputes the synthesis arithmetic
+    * (frames = max(1, n_chars/4), 40 ms/frame) — a decoder echoing
+    * metadata instead of parsing bytes diverges. */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(docs(spark, sfDir))
+    Multimodal.sampleFrames(media, everyK = 5).toDF()
+      .select(col("media_id"), col("frame_index"), col("timestamp_ms"),
+        col("n_frames_total"))
+      .orderBy("media_id", "frame_index")
+  }
+
   /** Composed end-to-end training-data pipeline: quality filter → exact
     * dedup (keep-first) → per-language corpus stats. The full chain is
     * SQL-expressible, so the whole composition is oracle-checked. */
@@ -569,6 +582,7 @@ object PipelineQueries {
     "p_range_join" -> (rangeJoin _),
     "p_multimodal" -> (multimodal _),
     "p_media_resize" -> (mediaResize _),
+    "p_frame_sample" -> (frameSample _),
   )
 
   /** Word-3-shingle set expression shared by the minhash oracle. */
@@ -968,6 +982,19 @@ object PipelineQueries {
         |  cast(greatest(1, floor(w * sc)) as int) AS decoded_width,
         |  cast(greatest(1, floor(h * sc)) as int) AS decoded_height
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // video rows are doc_id % 3 = 2 with frames = max(1, n_chars/4) at
+    // 40 ms/frame (see mediaFromDocuments); every-5th-frame indices and
+    // integer timestamps must match the byte-parsed header arithmetic.
+    "p_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, greatest(1, n_chars // 4) AS frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |e AS (SELECT media_id, frames, unnest(range(0, frames, 5)) AS i FROM v)
+        |SELECT media_id, cast(i AS int) AS frame_index,
+        |  cast(i * 40 AS bigint) AS timestamp_ms,
+        |  cast(frames AS int) AS n_frames_total
+        |FROM e ORDER BY media_id, frame_index""".stripMargin,
 
     // image payloads are synthesized PNG (even ids, 57B overhead) / JPEG
     // (odd ids, 27B overhead) containers with the text embedded; audio

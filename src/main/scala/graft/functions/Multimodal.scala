@@ -399,6 +399,40 @@ object Multimodal {
     })
   }
 
+  /** One sampled video frame: index, its timestamp from the PARSED
+    * header timing, and a frame reference (the pixel payload is the
+    * declared stub boundary — a real pipeline hangs decoded bytes here). */
+  case class FrameSample(
+      media_id: Long,
+      frame_index: Int,
+      timestamp_ms: Long,
+      n_frames_total: Int,
+      frame_ref: String)
+
+  /** Sample every `everyK`-th frame of each video — the standard
+    * video-to-training-examples step (a 2-hour clip at 25 fps becomes
+    * ~180 frames at everyK=100). Frame count and timing are parsed from
+    * the AVI container BYTES ([[VideoHeader.decode]]), never the metadata
+    * columns; timestamps are exact integer arithmetic
+    * (index · duration / frames). Non-video and unparseable rows emit
+    * nothing. Narrow per-partition flatMap — the fan-out is
+    * frames/everyK per row, no shuffle. */
+  def sampleFrames(media: Dataset[MediaRecord], everyK: Int): Dataset[FrameSample] = {
+    require(everyK > 0, "everyK must be positive")
+    implicit val enc = Encoders.product[FrameSample]
+    media.mapPartitions(_.flatMap { rec =>
+      if (rec.modality != "video") Iterator.empty
+      else VideoHeader.decode(rec.content) match {
+        case Some((_, _, frames, durMs)) if frames > 0 =>
+          Iterator.range(0, frames, everyK).map { i =>
+            FrameSample(rec.media_id, i, i.toLong * durMs / frames, frames,
+              s"${rec.uri}#frame=$i")
+          }
+        case _ => Iterator.empty
+      }
+    })
+  }
+
   /** Demo media table derived deterministically from the documents table:
     * image rows carry REAL synthesized PNG (even ids) / JPEG (odd ids)
     * payloads with the text embedded as an ancillary chunk, audio rows

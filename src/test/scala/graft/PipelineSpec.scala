@@ -728,6 +728,24 @@ class PipelineSpec extends GraftSuite {
     assert(out(3L).content.toSeq == Seq[Byte](1, 2, 3)) // non-image passthrough
   }
 
+  test("sampleFrames: every-kth indices, header-derived timestamps, non-video silent") {
+    import graft.functions.Multimodal
+    val avi = Multimodal.VideoHeader.synthAvi(64, 48, frames = 12,
+      usPerFrame = 40000, payload = Array[Byte](1, 2, 3))
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", "mem://v/1", avi, 64, 48, 999L),
+      Multimodal.MediaRecord(2L, "image", "mem://i/2", Array[Byte](1), 8, 8, 0L),
+      Multimodal.MediaRecord(3L, "video", "mem://v/3", Array[Byte](9, 9), 1, 1, 0L) // unparseable
+    ).toDS()
+    val out = Multimodal.sampleFrames(media, everyK = 5).collect().sortBy(_.frame_index)
+    assert(out.map(_.media_id).toSeq == Seq(1L, 1L, 1L))
+    assert(out.map(_.frame_index).toSeq == Seq(0, 5, 10))
+    // 12 frames x 40ms = 480ms total; ts = i * 480 / 12 = i * 40
+    assert(out.map(_.timestamp_ms).toSeq == Seq(0L, 200L, 400L))
+    assert(out.forall(_.n_frames_total == 12))
+    assert(out.head.frame_ref == "mem://v/1#frame=0")
+  }
+
   test("video header synth/decode roundtrip: AVI avih chunk") {
     import Multimodal.VideoHeader
     val payload = "frame data bytes!".getBytes("UTF-8") // 17 bytes, odd

@@ -531,6 +531,38 @@ object PipelineQueries {
       .orderBy("media_id", "frame_index")
   }
 
+  /** The full web-to-training-sequences pipeline as ONE composed,
+    * oracle-checked chain over a deterministically decorated crawl:
+    * HTML-wrapped docs (every 4th carrying an ad link on a blocked
+    * domain) → URL blocklist filter → HTML strip (tags out, entities
+    * decoded) → token-count gate → corpus-wide exact dedup (keep-first)
+    * → per-language token-budget sample (portable-md5 order) → greedy
+    * sequence packing → materialized EOD-joined training sequences.
+    * Every stage is the production library operator; DuckDB replays the
+    * identical semantics stage by stage, so one hash-match certifies the
+    * whole composition. */
+  def pipelineFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val decorated = docs(spark, sfDir).select(col("doc_id"), col("lang"), concat(
+        lit("<p>"), col("text"), lit("</p>"),
+        when(col("doc_id") % 4 === 0,
+          lit(" <a href=\"https://ads.badsite.com/x\">ad</a>")).otherwise(lit("")),
+        lit("<br/>footer &amp; stuff")).as("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val urlClean = TextAnalysis.filterByDomainBlocklist(
+      decorated, "doc_id", "text", Seq("badsite.com"))
+    val stripped = urlClean.withColumn("text", TextAnalysis.stripHtml(col("text")))
+      .withColumn("ntok", TextAnalysis.tokenCount(col("text")).cast("long"))
+    val gated = stripped.where(col("ntok").between(20, 120))
+    val deduped = Dedup.exactDedup(gated, Seq("text"), "doc_id")
+    val sampled = graft.functions.Sampling.sampleToTokenBudget(
+      deduped, Seq("lang"), "ntok", budget = 2000L,
+      orderBy = Seq(md5(col("doc_id").cast("string")), col("doc_id")))
+    graft.functions.Sampling.materializePacked(
+        sampled, Seq("lang"), "doc_id", "ntok", "text", budget = 512L)
+      .select("lang", "seq_id", "seq_text", "seq_tokens", "n_docs")
+      .orderBy("lang", "seq_id")
+  }
+
   /** Composed end-to-end training-data pipeline: quality filter → exact
     * dedup (keep-first) → per-language corpus stats. The full chain is
     * SQL-expressible, so the whole composition is oracle-checked. */
@@ -551,6 +583,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_pipeline_e2e" -> (pipelineE2e _),
+    "p_pipeline_full" -> (pipelineFull _),
     "p_dedup_exact" -> (dedupExact _),
     "p_dedup_minhash" -> (dedupMinHash _),
     "p_dedup_minhash_scale" -> (dedupMinHashScale _),
@@ -763,6 +796,56 @@ object PipelineQueries {
         |         '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t FROM s4)
         |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text
         |FROM s5 ORDER BY doc_id""".stripMargin,
+
+    // the same stages as the Spark chain, replayed in SQL: decorate →
+    // URL blocklist → HTML strip → token gate → keep-first dedup →
+    // token-budget sample → pack → materialize.
+    "p_pipeline_full" ->
+      """WITH deco AS (
+        |  SELECT doc_id, lang,
+        |    '<p>' || text || '</p>' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' <a href="https://ads.badsite.com/x">ad</a>' ELSE '' END ||
+        |    '<br/>footer &amp; stuff' AS text
+        |  FROM documents),
+        |urls AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s<>"'']+', 0)) AS url FROM deco),
+        |hit AS (SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, lower(regexp_extract(url, 'https?://(?:[^@/\s]*@)?([^:/\s?#]+)', 1)) AS dom
+        |    FROM urls)
+        |  WHERE dom = 'badsite.com' OR dom LIKE '%.badsite.com'),
+        |kept AS (SELECT d.* FROM deco d LEFT JOIN hit h USING (doc_id) WHERE h.doc_id IS NULL),
+        |s1 AS (SELECT doc_id, lang, regexp_replace(text, '(?s)<!--.*?-->', ' ', 'g') AS t FROM kept),
+        |s2 AS (SELECT doc_id, lang, regexp_replace(t,
+        |         '(?is)<(script|style)[^>]*>.*?</(script|style)\s*>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, lang, regexp_replace(t, '(?s)</?[a-zA-Z!][^>]*>', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, lang, regexp_replace(regexp_replace(regexp_replace(t,
+        |         '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id, lang, regexp_replace(regexp_replace(regexp_replace(t,
+        |         '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t FROM s4),
+        |clean AS (SELECT doc_id, lang, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text FROM s5),
+        |tk AS (SELECT doc_id, lang, text,
+        |         cast(len(string_split_regex(trim(text), '\s+')) as bigint) AS ntok FROM clean),
+        |gated AS (SELECT * FROM tk WHERE ntok BETWEEN 20 AND 120),
+        |dd AS (SELECT doc_id, lang, text, ntok FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY text) AS mn FROM gated)
+        |  WHERE doc_id = mn),
+        |cs AS (SELECT doc_id, lang, text, ntok,
+        |         sum(ntok) OVER (PARTITION BY lang
+        |           ORDER BY md5(cast(doc_id AS varchar)), doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM dd),
+        |smp AS (SELECT doc_id, lang, text, ntok FROM cs WHERE cum <= 2000),
+        |pk AS (SELECT doc_id, lang, text, ntok,
+        |         coalesce(sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |       FROM smp),
+        |sq AS (SELECT doc_id, lang, text, ntok,
+        |         cast(floor(pre / 512.0) as bigint) AS seq_id FROM pk)
+        |SELECT lang, seq_id,
+        |  string_agg(text, ' <|eod|> ' ORDER BY doc_id) AS seq_text,
+        |  cast(sum(ntok) as bigint) AS seq_tokens,
+        |  cast(count(*) as bigint) AS n_docs
+        |FROM sq GROUP BY lang, seq_id
+        |ORDER BY lang, seq_id""".stripMargin,
 
     // dom blocked iff equal to an entry or under it at a label boundary;
     // LIKE '%.' || b is exactly the exploded dot-suffix equi-join.

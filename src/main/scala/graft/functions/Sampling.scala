@@ -138,9 +138,11 @@ object Sampling {
     * two-job linear shape instead: range-partition + in-partition sort
     * on `orderBy`, local ordinals from `monotonically_increasing_id()`
     * evaluated above the sort (partitionId·2³³ + sorted row offset — no
-    * window, no extra shuffle), and a tiny per-partition count job whose
+    * window, no extra shuffle), and a per-partition count job whose
     * cumulative offsets broadcast-join back to turn local ordinals
-    * global. Requirements: `orderBy` must order rows UNIQUELY (append
+    * global. The count job re-runs the range shuffle with columns pruned
+    * to the order keys — the same extra key-only pass zipWithIndex pays.
+    * Requirements: `orderBy` must order rows UNIQUELY (append
     * the row id last) — ties would leave sort placement
     * partition-stability-dependent; ≤ 2³³ rows per partition (the
     * monotonic-id partition stride). Spark's range sampling is

@@ -376,6 +376,16 @@ object PipelineQueries {
       .select(col("token"), col("n").cast("bigint").as("n"))
       .orderBy(col("n").desc, col("token"))
 
+  /** The heavy-hitter scale path must return the IDENTICAL top-k as the
+    * exact groupBy (k=10 so the provable-exactness bound holds on this
+    * corpus: the 10th token count clears N/(cap+1) at cap=256 —
+    * operator-enforced, a violation throws rather than passing
+    * approximate ranks). Shares p_top_tokens' oracle shape. */
+  def topTokensScale(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.topTokensAtScale(docs(spark, sfDir), "text", 10, capacity = 256)
+      .select(col("token"), col("n").cast("bigint").as("n"))
+      .orderBy(col("n").desc, col("token"))
+
   /** Greedy sequence packing: documents packed into 500-token training
     * sequences per language shard (floor-of-cumsum rule — deterministic
     * and windowed, so the whole assignment is one shuffle and packs as
@@ -599,6 +609,7 @@ object PipelineQueries {
     "p_ann_ivf" -> (annIvf _),
     "p_text_quality" -> (textQuality _),
     "p_top_tokens" -> (topTokens _),
+    "p_top_tokens_scale" -> (topTokensScale _),
     "p_pack_sequences" -> (packSequences _),
     "p_pack_materialize" -> (packMaterialize _),
     "p_sample_stratified" -> (sampleStratified _),
@@ -886,6 +897,15 @@ object PipelineQueries {
         |GROUP BY token
         |ORDER BY n DESC, token
         |LIMIT 50""".stripMargin,
+
+    // the scale path must reproduce the exact ranking
+    "p_top_tokens_scale" ->
+      """SELECT token, cast(count(*) as bigint) AS n
+        |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)
+        |WHERE len(token) > 0
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 10""".stripMargin,
 
     "p_pack_sequences" ->
       """WITH t AS (

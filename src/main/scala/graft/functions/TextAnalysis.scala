@@ -182,6 +182,91 @@ object TextAnalysis {
         size(col("col")).cast("long").as("chunk_tokens"))
   }
 
+  /** Exact corpus top-k tokens through the heavy-hitter scale path. The
+    * plain [[topTokens]] groupBy shuffles one row per DISTINCT token —
+    * at web scale the vocabulary (billions of mostly-once tokens) IS the
+    * shuffle. This variant never shuffles the vocabulary:
+    *
+    *  1. one narrow pass runs a Misra–Gries summary (capacity `cap`) per
+    *     partition — classic guarantee: a token absent from a partition's
+    *     summary has partition count ≤ Nₚ/(cap+1), so the UNION of
+    *     summaries (≤ partitions·cap rows, tiny) contains every token
+    *     with global count > N/(cap+1);
+    *  2. an exact recount touches candidates only (broadcast semi-join,
+    *     narrow) — shuffle is candidates × partial counts;
+    *  3. the result is PROVABLY exact when the k-th exact count clears
+    *     the N/(cap+1) bound — no non-candidate can reach it. The bound
+    *     is checked from the same pass's per-partition token-count
+    *     sentinels, and the operator fails fast with sizing guidance
+    *     when it doesn't hold (raise `cap`), never returning silently
+    *     approximate ranks.
+    *
+    * Ties break lexicographically, same contract as [[topTokens]]. */
+  def topTokensAtScale(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      k: Int,
+      capacity: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "k must be positive")
+    val cap = if (capacity > 0) capacity else math.max(256, 16 * k)
+    val spark = df.sparkSession
+    import spark.implicits._
+    def toks = df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+    // pass 1: per-partition Misra-Gries + a token-count sentinel row
+    val partial = toks.as[String].mapPartitions { it =>
+      val counters = new java.util.HashMap[String, Long](cap * 2)
+      var n = 0L
+      it.foreach { t =>
+        n += 1
+        val c = counters.get(t)
+        if (c != null) counters.put(t, c + 1L)
+        else if (counters.size < cap) counters.put(t, 1L)
+        else {
+          // decrement-all; drop zeros (amortized O(1): every decrement
+          // cancels exactly one earlier increment)
+          val iter = counters.entrySet().iterator()
+          while (iter.hasNext) {
+            val e = iter.next()
+            if (e.getValue == 1L) iter.remove() else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Boolean)]
+      counters.forEach((t, _) => out += ((t, 0L, false)))
+      out += ((null, n, true))
+      out.iterator
+    }.toDF("token", "cnt", "sentinel").persist()
+    val total = partial.where(col("sentinel")).agg(sum("cnt")).as[Long].head()
+    val cands = partial.where(!col("sentinel")).select("token").distinct()
+    // pass 2: exact recount of candidates only
+    val topk = toks.join(broadcast(cands), Seq("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+      .collect()
+    partial.unpersist()
+    if (total > 0) {
+      if (topk.length >= k) {
+        val kth = topk.last.getLong(1)
+        require(kth * (cap + 1L) > total,
+          s"top-$k not provable at capacity $cap: k-th count $kth does not clear " +
+            s"the N/(cap+1) = ${total / (cap + 1L)} heavy-hitter bound — raise capacity")
+      } else {
+        // fewer candidates than k: only exact if NO token can have been
+        // dropped anywhere, i.e. the bound N/(cap+1) admits no count >= 1
+        require(total < cap + 1L,
+          s"only ${topk.length} candidates for top-$k at capacity $cap — raise capacity")
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(topk.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** Corpus-adaptive quality score: per-doc fraction of tokens inside
     * the corpus's own top-`vocabSize` vocabulary (common-token coverage —
     * low values flag gibberish, code dumps, and wrong-language spills

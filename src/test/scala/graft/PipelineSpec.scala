@@ -225,6 +225,31 @@ class PipelineSpec extends GraftSuite {
     assert(run(d.repartition(13)) == expected)
   }
 
+  test("topTokensAtScale: exact ranks on a skewed corpus where the sketch prunes; guard throws") {
+    // 20 heavy tokens (200 occurrences each) drowned in 5000 singletons:
+    // vocabulary 5020 >> capacity 64, so Misra-Gries genuinely prunes,
+    // yet the top-10 must equal the exact groupBy ranking.
+    val heavy = (0 until 20).flatMap(i => Seq.fill(200)(f"heavy$i%02d"))
+    val noise = (0 until 5000).map(i => s"rare$i")
+    val docs = scala.util.Random.shuffle(heavy ++ noise).grouped(97)
+      .map(_.mkString(" ")).toSeq.toDF("text")
+      .repartition(8).persist()
+    val viaScale = graft.functions.TextAnalysis
+      .topTokensAtScale(docs, "text", k = 10, capacity = 64)
+      .as[(String, Long)].collect().toSeq
+    val viaExact = graft.functions.TextAnalysis.topTokens(docs, "text", 10)
+      .as[(String, Long)].collect().toSeq
+    assert(viaScale == viaExact)
+    assert(viaScale.forall(_._2 == 200L))
+    // N = 9000, N/(cap+1): top-10 at capacity 2 cannot clear the bound →
+    // the operator must refuse rather than return approximate ranks
+    val err = intercept[IllegalArgumentException] {
+      graft.functions.TextAnalysis.topTokensAtScale(docs, "text", k = 10, capacity = 2)
+    }
+    assert(err.getMessage.contains("raise capacity"))
+    docs.unpersist()
+  }
+
   test("vocabCoverage: corpus-adaptive top-K membership ratio") {
     // corpus vocab by count: a(×5), b(×3), c(×2), d/e(×1) — top-2 = {a, b}
     val d = Seq(

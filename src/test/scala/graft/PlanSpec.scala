@@ -231,6 +231,28 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("hashpartitioning(__para"), p)
   }
 
+  test("url blocklist filter: broadcast suffix join, no cartesian, no corpus LIKE scan") {
+    val d = Tables.read(spark, sfDir, "documents").select("doc_id", "text")
+    val p = graft.functions.TextAnalysis
+      .filterByDomainBlocklist(d, "doc_id", "text", Seq("bad.com", "tracker.net"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // suffix matching is the exploded equi-join — no LIKE/contains scan
+    assert(!p.toLowerCase.contains("like"), p)
+  }
+
+  test("token-budget sample: one windowed shuffle per stratum, nothing else") {
+    val d = Tables.read(spark, sfDir, "documents").select("doc_id", "lang")
+      .withColumn("ntok", org.apache.spark.sql.functions.lit(10L))
+    val p = graft.functions.Sampling
+      .sampleToTokenBudget(d, Seq("lang"), "ntok", budget = 1000L, orderBy = Seq(col("doc_id")))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("Window"), p)
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
+  }
+
   test("global order index: range partitioning, no single-partition window") {
     val d = Tables.read(spark, sfDir, "documents").select("doc_id", "lang")
     val p = graft.functions.Sampling.globalOrderIndex(d,

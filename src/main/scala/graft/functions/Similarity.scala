@@ -230,34 +230,31 @@ object Similarity {
           x => (x / col("__n")).cast("float"))).as("__centroid"))
   }
 
-  /** IVF (inverted-file) approximate top-k: corpus is partitioned into
-    * `nCentroids` Voronoi cells (deterministic seed centroids = evenly
-    * strided corpus vectors, one Lloyd refinement pass); a query scans only
-    * its `nProbe` nearest cells. Centroids are collected to the driver —
-    * they are O(√N · dim), driver-resident by construction in IVF designs.
-    *
-    * Output: (queryIdCol, idCol, cosine, rank) — approximate.
-    */
-  def ivfTopK(
+  /** A built IVF index: the refined centroid matrix (driver-resident,
+    * O(√N·dim) by construction) and the cell-assigned corpus relation
+    * (`idCol`, `__cv`, `__cid`). Build once with [[buildIvfIndex]],
+    * search any number of query batches with [[searchIvf]] — persist
+    * `cells` between searches to pay the assignment scan once. */
+  final case class IvfIndex private[functions] (
+      centroids: Seq[Seq[Float]],
+      cells: DataFrame,
+      idCol: String)
+
+  /** Build the IVF index for a non-empty corpus: deterministic
+    * hash-sampled seed centroids, one Lloyd refinement pass
+    * ([[lloydRefine]] — vector-sum partial aggregate, no corpus
+    * explode), then the fused-matrix cell assignment. */
+  def buildIvfIndex(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      queries: DataFrame,
-      queryIdCol: String,
-      queryVecCol: String,
-      k: Int,
-      nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+      nCentroids: Int = 16): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
     val normed = corpus.select(col(idCol), normalize(col(vecCol)).as("__cv"))
-
-    // Empty corpus → empty result with the right schema (and no
-    // head-of-empty crash below).
     val total = normed.count()
-    if (total == 0)
-      return bruteForceTopK(corpus, idCol, vecCol, queries, queryIdCol, queryVecCol, k)
+    require(total > 0, "buildIvfIndex needs a non-empty corpus")
 
     // Seed centroids: deterministic hash-sample of ~2 candidates per cell,
     // then the first nCentroids by hash — no global sort, one small
@@ -294,17 +291,48 @@ object Similarity {
       .as[(Int, Seq[Float])].collect().sortBy(_._1).map(_._2).toSeq
 
     val cells = normed.withColumn("__cid", nearestCid(centroids, col("__cv")))
+    IvfIndex(centroids, cells, idCol)
+  }
 
-    // Queries probe their nProbe nearest centroids.
+  /** Search a built [[IvfIndex]]: each query probes its `nProbe` nearest
+    * cells only. Output: (queryIdCol, idCol, cosine, rank) — approximate. */
+  def searchIvf(
+      index: IvfIndex,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
     val qn = queries.select(col(queryIdCol), normalize(col(queryVecCol)).as("__qv"))
     val probes = qn.withColumn("__cid",
-      explode(nearestCentroids(col("__qv"), centroids, nProbe)))
-
-    val scored = cells.join(broadcast(probes), Seq("__cid"))
-      .select(col(queryIdCol), col(idCol), dot(col("__qv"), col("__cv")).as("cosine"))
-    val pruned = localTopK(scored, queryIdCol, idCol, k)
-    val w = Window.partitionBy(queryIdCol).orderBy(col("cosine").desc, col(idCol))
+      explode(nearestCentroids(col("__qv"), index.centroids, nProbe)))
+    val scored = index.cells.join(broadcast(probes), Seq("__cid"))
+      .select(col(queryIdCol), col(index.idCol),
+        dot(col("__qv"), col("__cv")).as("cosine"))
+    val pruned = localTopK(scored, queryIdCol, index.idCol, k)
+    val w = Window.partitionBy(queryIdCol).orderBy(col("cosine").desc, col(index.idCol))
     pruned.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) approximate top-k — one-shot form:
+    * [[buildIvfIndex]] + [[searchIvf]]. Empty corpus degrades to the
+    * (trivially empty) brute-force scan. Centroids are collected to the
+    * driver — O(√N · dim), driver-resident by construction in IVF
+    * designs. Output: (queryIdCol, idCol, cosine, rank) — approximate. */
+  def ivfTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    if (corpus.isEmpty)
+      return bruteForceTopK(corpus, idCol, vecCol, queries, queryIdCol, queryVecCol, k)
+    val index = buildIvfIndex(corpus, idCol, vecCol, nCentroids)
+    searchIvf(index, queries, queryIdCol, queryVecCol, k, nProbe)
   }
 }
 

@@ -609,6 +609,26 @@ class PipelineSpec extends GraftSuite {
     assert(ivf.intersect(brute).size >= 7, s"IVF recall too low: ${ivf.intersect(brute).size}/10")
   }
 
+  test("buildIvfIndex/searchIvf: one index serves many query batches, equal to the one-shot form") {
+    import graft.functions.Similarity
+    val sfDir = "/root/testdata/sf0.001"
+    val e = Tables.read(spark, sfDir, "embeddings")
+    val index = Similarity.buildIvfIndex(e, "vec_id", "embedding", nCentroids = 16)
+    index.cells.persist()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id", "rank").as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val qA = e.where($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val qB = e.where($"vec_id".between(10, 14)).select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val viaIndexA = rows(Similarity.searchIvf(index, qA, "qid", "qv", k = 10, nProbe = 4))
+    val viaIndexB = rows(Similarity.searchIvf(index, qB, "qid", "qv", k = 10, nProbe = 4))
+    // deterministic construction → the one-shot form builds the same index
+    val oneShotA = rows(Similarity.ivfTopK(e, "vec_id", "embedding", qA, "qid", "qv",
+      k = 10, nCentroids = 16, nProbe = 4))
+    assert(viaIndexA == oneShotA)
+    assert(viaIndexB.map(_._1).distinct.sorted == Seq(10L, 11L, 12L, 13L, 14L))
+    index.cells.unpersist()
+  }
+
   test("ivfTopK holds recall at 256 centroids (fused matrix path) on sf0.1 embeddings") {
     // 256 cells over the sf0.1 corpus exercises the centroid-matrix loop at
     // a width where the old per-centroid expression tree could not codegen

@@ -105,8 +105,10 @@ object PipelineQueries {
     val tagged = d.select(col("doc_id"),
       array_join(transform(split(lower(trim(col("text"))), "\\s+"),
         t => concat(lit("g"), col("doc_id"), lit("w"), t)), " ").as("text"))
-    // col("doc_id") below resolves against `tagged` (the select's input),
-    // so sentinels are tagged with the BASE id even as the copy's id shifts.
+    // NOTE: the sibling alias shadows doc_id for the later expression
+    // (Spark lateral column alias resolution), so sentinels carry the
+    // COPY's id — equally fine: they only need to be unique per copy
+    // and absent from every base, which the zs-prefix guarantees.
     val copies = tagged.where(col("doc_id") % 3 === 0).select(
       when(col("doc_id") % 5 === 0, col("doc_id") - 100000)
         .otherwise(col("doc_id") + 100000).as("doc_id"),
@@ -120,6 +122,43 @@ object PipelineQueries {
       numHashes = 64, bands = 32, threshold = 0.6,
       maxBucketSize = 100000, bucketMinOnly = true)
     Dedup.keepFirstFromPairs(corpus, "doc_id", pairs)
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** True connected-components dedup over constructed CHAINS — the case
+    * where one-pass keep-first provably differs. Token tagging again
+    * makes similarity exact by construction: base B (tag g), end E (tag
+    * h, id+300000), and mid M = B's text ++ E's text (id+400000, the
+    * LARGEST id) for every doc_id % 9 = 0. j(M,B) = j(M,E) = m/(2m+2)
+    * ≥ 8/18 ≈ 0.444 (shingle floor m ≥ 8, pinned in PipelineSpec) and
+    * j(B,E) = 0 — so the pair graph is exactly the chain B–M–E.
+    * Keep-first keeps E (its only neighbor M has a larger id); true CC
+    * collapses the whole chain to B. The keep-set is therefore every
+    * base doc and nothing else — the cleanest oracle in the suite —
+    * and the difference from keep-first is pinned in-spec. Banding at
+    * r=1 (64 single-hash bands) puts the per-pair miss at
+    * (1−0.444)⁶⁴ ≈ 5e-17. */
+  def dedupCcKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+    def tag(prefix: String) = array_join(transform(split(lower(trim(col("text"))), "\\s+"),
+      t => concat(lit(prefix), col("doc_id"), lit("w"), t)), " ")
+    val base = d.select(col("doc_id"), tag("g").as("text"))
+    val chainSrc = d.where(col("doc_id") % 9 === 0)
+    // tag with the ORIGINAL id first, rename second: a sibling alias of
+    // doc_id would otherwise shadow the input column for the tag lambda
+    // (Spark's lateral column alias resolution) and break the overlap.
+    val ends = chainSrc.select(col("doc_id"), tag("h").as("text"))
+      .select((col("doc_id") + 300000).as("doc_id"), col("text"))
+    val mids = chainSrc.select(col("doc_id"),
+        concat(tag("g"), lit(" "), tag("h")).as("text"))
+      .select((col("doc_id") + 400000).as("doc_id"), col("text"))
+    val corpus = base.unionByName(ends).unionByName(mids)
+    val sets = Dedup.wordShingleSets(corpus, "doc_id", "text", k = 3)
+      .withColumnRenamed("__id", "doc_id").persist()
+    val pairs = Dedup.nearDupPairsFromSets(sets, "doc_id",
+      numHashes = 64, bands = 64, threshold = 0.4, maxBucketSize = 100000)
+    Dedup.keepMinComponent(corpus, "doc_id", pairs)
       .select("doc_id").orderBy("doc_id")
   }
 
@@ -598,6 +637,7 @@ object PipelineQueries {
     "p_dedup_minhash" -> (dedupMinHash _),
     "p_dedup_minhash_scale" -> (dedupMinHashScale _),
     "p_dedup_minhash_keep" -> (dedupMinHashKeep _),
+    "p_dedup_cc" -> (dedupCcKeep _),
     "p_decontaminate" -> (decontaminate _),
     "p_decontaminate_bloom" -> (decontaminateBloom _),
     "p_dedup_paragraph" -> (dedupParagraph _),
@@ -692,6 +732,11 @@ object PipelineQueries {
       """SELECT CASE WHEN doc_id % 3 = 0 AND doc_id % 5 = 0
         |            THEN doc_id - 100000 ELSE doc_id END AS doc_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Chains collapse to their base: every constructed end/mid is in a
+    // component whose minimum is the base id (see dedupCcKeep).
+    "p_dedup_cc" ->
+      "SELECT doc_id FROM documents ORDER BY doc_id",
 
     // Bloom prefilter changes the plan, never the result: text-equality
     // anti-join semantics (see Dedup.bloomDecontaminate).

@@ -190,6 +190,36 @@ class PipelineSpec extends GraftSuite {
       (4L, "gamma\n\ndelta", "en")))
   }
 
+  test("componentMin: true CC beats keep-first on chains; converges; fails fast past maxIter") {
+    // chain 2–9–4 (middle largest): keep-first keeps {2, 4}, CC keeps {2}
+    val pairs = Seq((2L, 9L), (4L, 9L), (20L, 21L)).toDF("id_a", "id_b")
+    val nodes = Seq(2L, 4L, 9L, 20L, 21L, 100L).toDF("doc_id")
+    val cc = graft.functions.Dedup.keepMinComponent(nodes, "doc_id", pairs)
+      .as[Long].collect().sorted.toSeq
+    assert(cc == Seq(2L, 20L, 100L))
+    val kf = graft.functions.Dedup.keepFirstFromPairs(nodes, "doc_id", pairs)
+      .as[Long].collect().sorted.toSeq
+    assert(kf == Seq(2L, 4L, 20L, 100L)) // the documented approximation gap
+    // long path needs diameter rounds: 1-2-3-...-8 as a path graph
+    val path = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = graft.functions.Dedup.componentMin(path, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(1L))
+    val err = intercept[IllegalArgumentException] {
+      graft.functions.Dedup.componentMin(path, maxIter = 2)
+    }
+    assert(err.getMessage.contains("did not converge"))
+  }
+
+  test("cc chain construction: j(M,B) = j(M,E) = m/(2m+2) clears 0.4; j(B,E) = 0") {
+    // the oracle facts behind p_dedup_cc, measured on the real corpus
+    val sfDir = "/root/testdata/sf0.001"
+    val kept = PipelineQueries.dedupCcKeep(spark, sfDir).as[Long].collect().toSeq
+    val expected = Tables.read(spark, sfDir, "documents")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == expected)
+  }
+
   test("bloomDecontaminate: exact semantics survive a saturated filter; empty ref is identity") {
     val corpus = (1L to 200L).map(i => (i, s"doc number $i")).toDF("id", "text")
     val ref = corpus.where($"id" % 4 === 0).select($"text")

@@ -143,6 +143,31 @@ class StreamingSpec extends GraftSuite {
       "cross-batch near pair must be found")
   }
 
+  test("narrow text operators compose unchanged over a document stream") {
+    // stripHtml / tokenCount / chunkByTokens are stateless projections, so
+    // the same library calls run on a readStream frame with no adaptation
+    // and produce the batch result.
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "<p>alpha beta</p> gamma"),
+      (2L, "<script>x</script>one two three four five")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "<p>alpha beta</p> gamma"),
+      (2L, "<script>x</script>one two three four five"))
+    def pipeline(df: org.apache.spark.sql.DataFrame) = {
+      val clean = df.toDF("doc_id", "text")
+        .withColumn("text", graft.functions.TextAnalysis.stripHtml($"text"))
+      graft.functions.TextAnalysis.chunkByTokens(clean, "doc_id", "text",
+        chunkTokens = 2, overlap = 0)
+    }
+    val streamed = Streams.runToMemorySink(pipeline(mem.toDF()),
+      "narrow_text_stream", OutputMode.Append())
+      .orderBy("doc_id", "chunk_id").collect().toSeq
+    val batch = pipeline(docs).orderBy("doc_id", "chunk_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 5) // 3 tokens -> 2 chunks; 5 tokens -> 3 chunks
+  }
+
   test("file-source stream over parquet events runs end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     (batch1 ++ batch2).toDF().write.mode("overwrite").parquet(s"$dir/events")

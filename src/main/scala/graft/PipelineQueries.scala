@@ -487,6 +487,17 @@ object PipelineQueries {
       .select("doc_id", "lang", "shuffle_pos")
       .orderBy("doc_id")
 
+  /** Per-language corpus health report over URL-decorated docs (every
+    * 6th doc gets a URL so the incidence column is non-trivial). Integer
+    * aggregates + one double division; n_distinct_texts counts 64-bit
+    * text hashes where DuckDB counts texts — equal up to ~2⁻⁶⁴. */
+  def corpusReportQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val decorated = docs(spark, sfDir).select(col("lang"), concat(col("text"),
+      when(col("doc_id") % 6 === 0, lit(" see https://example.org/ref now"))
+        .otherwise(lit(""))).as("text"))
+    TextAnalysis.corpusReport(decorated, "text", "lang").orderBy("lang")
+  }
+
   /** Token-budget sampling: per language, take docs in portable-md5
     * order while the running whitespace-token total stays ≤ 1500 — the
     * deterministic greedy prefix, hash-matched in DuckDB with the same
@@ -655,6 +666,7 @@ object PipelineQueries {
     "p_sample_stratified" -> (sampleStratified _),
     "p_sample_token_budget" -> (sampleTokenBudget _),
     "p_vocab_coverage" -> (vocabCoverageQ _),
+    "p_corpus_report" -> (corpusReportQ _),
     "p_shuffle_order" -> (shuffleOrder _),
     "p_text_lang_fingerprint" -> (textLangFingerprint _),
     "p_text_clean" -> (textClean _),
@@ -1020,6 +1032,29 @@ object PipelineQueries {
         |  cast(row_number() OVER (ORDER BY md5(cast(doc_id AS varchar)), doc_id) - 1
         |       AS bigint) AS shuffle_pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // integer aggregates + one double division; DISTINCT text equals the
+    // engine's distinct 64-bit hash up to ~2^-64
+    "p_corpus_report" ->
+      """WITH deco AS (
+        |  SELECT lang, text ||
+        |    CASE WHEN doc_id % 6 = 0 THEN ' see https://example.org/ref now' ELSE '' END AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT lang, text,
+        |    cast(len(string_split_regex(trim(text), '\s+')) as bigint) AS ntok,
+        |    CASE WHEN len(regexp_extract_all(text, 'https?://[^\s<>"'']+', 0)) > 0
+        |         THEN 1 ELSE 0 END AS has_url
+        |  FROM deco)
+        |SELECT lang,
+        |  cast(count(*) as bigint) AS n_docs,
+        |  cast(sum(ntok) as bigint) AS total_tokens,
+        |  cast(min(ntok) as bigint) AS min_tokens,
+        |  cast(max(ntok) as bigint) AS max_tokens,
+        |  cast(sum(ntok) as double) / count(*) AS avg_tokens,
+        |  cast(count(DISTINCT text) as bigint) AS n_distinct_texts,
+        |  cast(sum(has_url) as bigint) AS n_docs_with_urls
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
     // greedy prefix per language in portable-md5 order: keep rows whose
     // running token total stays <= 1500 (same window as the Spark plan).

@@ -334,6 +334,32 @@ object TextAnalysis {
     df.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** One-call corpus health report, one row per `langCol` value: doc and
+    * token counts, token-length spread, distinct-text count (over a
+    * 64-bit text hash — exact up to ~2⁻⁶⁴ collisions, never shuffling
+    * the text itself), and URL incidence. Every figure is an integer
+    * aggregate or a single double division, so the whole report is
+    * map-side combinable — one shuffle of (lang, partials). */
+  def corpusReport(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      langCol: String): org.apache.spark.sql.DataFrame = {
+    val ntok = tokenCount(col(textCol)).cast("long")
+    df.select(col(langCol),
+        ntok.as("__ntok"),
+        xxhash64(col(textCol)).as("__fp"),
+        (size(extractUrls(col(textCol))) > 0).cast("long").as("__has_url"))
+      .groupBy(langCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("total_tokens"),
+        min(col("__ntok")).as("min_tokens"),
+        max(col("__ntok")).as("max_tokens"),
+        (sum(col("__ntok")).cast("double") / count(lit(1))).as("avg_tokens"),
+        countDistinct(col("__fp")).as("n_distinct_texts"),
+        sum(col("__has_url")).as("n_docs_with_urls"))
+  }
+
   /** English stopwords (public, standard list excerpt). */
   val EnStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "but", "if", "then", "else", "of", "to",

@@ -253,6 +253,15 @@ class PlanSpec extends GraftSuite {
     assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("corpus report: one hash-aggregate pass with map-side partials, single exchange") {
+    val d = Tables.read(spark, sfDir, "documents").select("lang", "text")
+    val p = graft.functions.TextAnalysis.corpusReport(d, "text", "lang")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, p) // lang agg (+ distinct expand)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("global order index: range partitioning, no single-partition window") {
     val d = Tables.read(spark, sfDir, "documents").select("doc_id", "lang")
     val p = graft.functions.Sampling.globalOrderIndex(d,

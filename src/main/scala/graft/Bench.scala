@@ -75,11 +75,32 @@ object Bench {
       docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
       embs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      // min-of-2 like the main suite: single-pass curve points manufactured
+      // two phantom regressions (rounds 4/5 flagged 16.95 s / 10.03 s at
+      // ×10 for a query whose min-of-2 truth was 3.56 s — shared-host
+      // noise, not a plan change).
       val times = scaleQueries.map { n =>
-        n -> runOnce(s"scale_x${m}_$n", (s, _) => SparkEntry.queries(n)(s, dir))
+        val a = runOnce(s"scale_x${m}_$n", (s, _) => SparkEntry.queries(n)(s, dir))
+        val b = runOnce(s"scale_x${m}_$n", (s, _) => SparkEntry.queries(n)(s, dir))
+        n -> math.min(a, b)
       }
       m -> (nDocs, times)
     }
+    // Per-query scaling verdict: wall-clock ratio between the largest and
+    // smallest multiple, normalized by the data ratio — 1.0 = perfectly
+    // linear, < 1 = sublinear (fixed costs amortizing), > 2 = superlinear
+    // enough to flag (a plan regressing toward all-pairs behavior).
+    val scaleFlags: Seq[(String, (Double, Boolean))] =
+      if (multiples.size < 2) Seq.empty
+      else {
+        val mLo = multiples.min; val mHi = multiples.max
+        val tLo = curve.find(_._1 == mLo).get._2._2.toMap
+        val tHi = curve.find(_._1 == mHi).get._2._2.toMap
+        scaleQueries.map { n =>
+          val r = (tHi(n) / math.max(tLo(n), 1e-9)) / (mHi.toDouble / mLo)
+          n -> (r, r > 2.0)
+        }
+      }
     val scaleRootPath = new org.apache.hadoop.fs.Path(scaleRoot)
     scaleRootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(scaleRootPath, true)
@@ -93,9 +114,12 @@ object Bench {
       jstr(s"x$m") + ":{\"rows_documents\":" + rows + ",\"queries\":" +
         times.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}") + "}"
     }.mkString("{", ",", "}")
+    val flagsJson = scaleFlags.map { case (n, (r, f)) =>
+      jstr(n) + ":{\"per_row_ratio\":" + f"$r%.3f" + ",\"flag\":" + f + "}"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"scale_curve":$curveJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"scale_curve":$curveJson,"scale_curve_flags":$flagsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

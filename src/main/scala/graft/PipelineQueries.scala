@@ -32,8 +32,10 @@ object PipelineQueries {
   }
 
   /** documents ∪ mutated copies ("… extra token") — guaranteed near-dups.
-    * Repartitioned for the same reason as [[docsWithDups]]. */
-  private def docsWithNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    * Repartitioned for the same reason as [[docsWithDups]]. Exposed to
+    * [[ScaleDiag]] so the diagnostic times the PRODUCTION corpus
+    * construction, not a hand-copied restatement that could de-sync. */
+  private[graft] def docsWithNearDups(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir).select("doc_id", "text")
     d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"),
       concat(col("text"), lit(" zq extra trailing token")).as("text")))
@@ -67,15 +69,28 @@ object PipelineQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** The exact LSH configuration of [[dedupMinHashScale]] — shared with
+    * [[ScaleDiag]] so a future retune of the query can never silently
+    * de-sync the diagnostic's cardinality reconstruction. */
+  private[graft] object MinHashScaleConfig {
+    val shingleK = 3
+    val numHashes = 32
+    val bands = 8
+    val threshold = 0.6
+    val bucketMinOnly = true
+  }
+
   /** The 100 TB-shaped variant: bucket-minimum-only pairing (linear per
     * bucket where all-pairs is quadratic). Deterministic; not exactly
     * SQL-expressible → rows-only check, semantics pinned in PipelineSpec. */
   def dedupMinHashScale(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = MinHashScaleConfig
     val corpus = docsWithNearDups(spark, sfDir)
-    val sets = Dedup.wordShingleSets(corpus, "doc_id", "text", k = 3)
+    val sets = Dedup.wordShingleSets(corpus, "doc_id", "text", k = c.shingleK)
       .withColumnRenamed("__id", "doc_id").persist()
     val pairs = Dedup.nearDupPairsFromSets(sets, "doc_id",
-      numHashes = 32, bands = 8, threshold = 0.6, bucketMinOnly = true)
+      numHashes = c.numHashes, bands = c.bands, threshold = c.threshold,
+      bucketMinOnly = c.bucketMinOnly)
     Dedup.keepFirstFromPairs(corpus, "doc_id", pairs)
       .select("doc_id").orderBy("doc_id")
   }
@@ -308,6 +323,23 @@ object PipelineQueries {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     Similarity.ivfTopK(e, "vec_id", "embedding", q, "qid", "qv", k = 10,
       nCentroids = 16, nProbe = 4)
+      .select(col("qid"), col("vec_id"), col("rank").cast("bigint").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** IVF with nProbe = nCentroids: every cell is probed, so the search is
+    * exhaustive and the result EQUALS brute force — which DuckDB already
+    * verifies rank-for-rank. This gives the IVF machinery itself
+    * (deterministic centroid seeding, Lloyd pass, fused-matrix cell
+    * assignment, probe join, bounded local top-k) a fully hash-matched
+    * oracle row; the production [[annIvf]] (nProbe = 4) then differs from
+    * this verified path only in how many cells each query probes. */
+  def annIvfExhaustive(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.ivfTopK(e, "vec_id", "embedding", q, "qid", "qv", k = 10,
+      nCentroids = 16, nProbe = 16)
       .select(col("qid"), col("vec_id"), col("rank").cast("bigint").as("rank"))
       .orderBy("qid", "rank")
   }
@@ -658,6 +690,7 @@ object PipelineQueries {
     "p_dedup_embedding" -> (dedupEmbedding _),
     "p_ann_bruteforce" -> (annBruteForce _),
     "p_ann_ivf" -> (annIvf _),
+    "p_ann_ivf_exhaustive" -> (annIvfExhaustive _),
     "p_text_quality" -> (textQuality _),
     "p_top_tokens" -> (topTokens _),
     "p_top_tokens_scale" -> (topTokensScale _),
@@ -724,8 +757,40 @@ object PipelineQueries {
       |    CASE WHEN doc_id % 4 = 3 THEN e'  messy\t\twhitespace  tail ' ELSE '' END AS text
       |  FROM documents""".stripMargin
 
-  /** DuckDB oracles for the SQL-expressible subset. */
+  /** DuckDB oracles for the SQL-expressible subset.
+    *
+    * Three queries are deliberately ABSENT (→ rows-only `no_oracle` in the
+    * driver artifact), each triangulated by a hash-matched sibling:
+    *  - `p_dedup_minhash_scale`: bucket-MIN pairing is not SQL-expressible,
+    *    but `p_dedup_minhash_keep` hash-matches the identical scale path
+    *    (shingle → fused signatures → banding → bucket-min → exact verify →
+    *    keep-first) on a token-tagged corpus whose keep-set IS SQL; the raw
+    *    variant's semantics are additionally pinned in PipelineSpec.
+    *  - `p_dedup_simhash`: raw (id_a, id_b, hamming) pairs need a 64-bit
+    *    popcount over xxhash64 sign-sums — not DuckDB-computable; the
+    *    banding ≡ brute-force-Hamming equivalence is pinned in PipelineSpec
+    *    and `p_dedup_simhash_keep` hash-matches the same machinery through
+    *    an anchor-dominated corpus.
+    *  - `p_ann_ivf` (nProbe = 4): approximate by design, so no exact oracle
+    *    can exist; `p_ann_ivf_exhaustive` (nProbe = nCentroids) runs the
+    *    SAME index build + search and hash-matches the brute-force oracle,
+    *    and recall ≥ 7/10 at the production probe count is pinned in
+    *    PipelineSpec. */
   val oracleSql: Map[String, String] = Map(
+    // nProbe = nCentroids ⇒ exhaustive search ⇒ identical to brute force,
+    // so the IVF path shares the brute-force oracle verbatim.
+    "p_ann_ivf_exhaustive" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid, e.vec_id,
+        |        list_cosine_similarity(q.qv, e.embedding) AS cos
+        |      FROM embeddings e CROSS JOIN q)
+        |SELECT qid, vec_id, rank FROM (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+        |  FROM s) t
+        |WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
     "p_dedup_minhash" -> keepFirstJaccardOracle(shingleSetsSql, 0.6),
 
     "p_dedup_ngram" -> keepFirstJaccardOracle(ngramSetsSql, 0.55),

@@ -1,14 +1,19 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.functions.Dedup
 
-/** Diagnostic for the scale-curve superlinearity flagged in round 4:
-  * times p_dedup_minhash_scale min-of-2 at each multiple and prints the
-  * LSH intermediate cardinalities (banded rows, bucket-size distribution,
-  * candidate pairs) so growth is attributable to a specific stage.
-  * Dev tool — not part of the verify/bench contract. */
+/** Diagnostic for scale-curve superlinearity (born from the round-4 flag
+  * on p_dedup_minhash_scale): times the query min-of-2 at each corpus
+  * multiple and prints the LSH intermediate cardinalities (banded rows,
+  * bucket-size distribution, candidate and verified pair counts) so any
+  * growth is attributable to a specific stage. Consumes the PRODUCTION
+  * corpus builder and LSH config ([[PipelineQueries.docsWithNearDups]],
+  * [[PipelineQueries.MinHashScaleConfig]]) rather than restating them, so
+  * a retune of the query retunes the diagnostic with it.
+  * Dev tool — not part of the verify/bench contract; its committed
+  * conclusions live in SCALING.md. */
 object ScaleDiag {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,56 +29,66 @@ object ScaleDiag {
     spark.sparkContext.setLogLevel("WARN")
 
     val multiples = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTIPLES", "1,3,10")
-      .split(",").map(_.trim.toInt).toSeq
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
     val scaleRoot = "/tmp/graft-scalediag-" + java.util.UUID.randomUUID().toString.take(8)
 
-    multiples.foreach { m =>
-      val dir = s"$scaleRoot/x$m"
-      val docs = graft.ops.Scale.scaleDocuments(Tables.read(spark, sfDir, "documents"), m)
-      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    // try/finally: a diagnostic for a suspected pathological query is the
+    // run most likely to die mid-loop — don't leak multi-GB scaled
+    // parquet dirs under /tmp when it does.
+    try {
+      multiples.foreach { m =>
+        val dir = s"$scaleRoot/x$m"
+        val docs = graft.ops.Scale.scaleDocuments(Tables.read(spark, sfDir, "documents"), m)
+        docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val n = spark.read.parquet(s"$dir/documents.parquet").count()
 
-      def timeOnce(): Double = {
+        def timeOnce(): Double = {
+          spark.catalog.clearCache()
+          System.gc()
+          val t0 = System.nanoTime()
+          SparkEntry.queries("p_dedup_minhash_scale")(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val t1 = timeOnce(); val t2 = timeOnce()
+
+        // reconstruct the LSH intermediates with the production config
         spark.catalog.clearCache()
-        System.gc()
-        val t0 = System.nanoTime()
-        SparkEntry.queries("p_dedup_minhash_scale")(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val cfg = PipelineQueries.MinHashScaleConfig
+        val corpus = PipelineQueries.docsWithNearDups(spark, dir)
+        val sets = Dedup.wordShingleSets(corpus, "doc_id", "text", k = cfg.shingleK)
+          .withColumnRenamed("__id", "doc_id").persist()
+        val rpb = cfg.numHashes / cfg.bands
+        val banded = sets.select(col("doc_id"),
+            explode(Dedup.lshBands(
+              Dedup.minHashSignature(col("sets"), cfg.numHashes), cfg.bands, rpb)).as("__bucket"))
+          .persist()
+        val bandedRows = banded.count()
+        val bstats = banded.groupBy("__bucket").agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("buckets"), max("n").as("maxB"),
+            sum(col("n") * col("n")).as("sumSq"), expr("sum(n)").as("rows"))
+          .head()
+        val buckets = bstats.getLong(0)
+        // candidate counts are the quantity that distinguishes a regressed
+        // plan from mere verify-stage cost: bucket-min pairing generates
+        // (rows − buckets) candidates; all-pairs would generate
+        // Σ n·(n−1)/2 = (sumSq − rows)/2.
+        val candBucketMin = bandedRows - buckets
+        val candAllPairs = (bstats.getLong(2) - bandedRows) / 2
+        val pairs = Dedup.nearDupPairsFromSets(sets, "doc_id",
+          numHashes = cfg.numHashes, bands = cfg.bands, threshold = cfg.threshold,
+          bucketMinOnly = cfg.bucketMinOnly)
+        val verifiedPairs = pairs.count()
+        banded.unpersist(); sets.unpersist()
+        println(f"DIAG x$m%-3d docs=$n%8d t1=$t1%7.2f t2=$t2%7.2f min=${math.min(t1, t2)}%7.2f " +
+          s"banded=$bandedRows buckets=$buckets maxBucket=${bstats.getLong(1)} " +
+          s"candidates_bucket_min=$candBucketMin candidates_if_all_pairs=$candAllPairs " +
+          s"verified_pairs=$verifiedPairs")
       }
-      val t1 = timeOnce(); val t2 = timeOnce()
-
-      // reconstruct the LSH intermediates with the same config as
-      // dedupMinHashScale (numHashes=32, bands=8, threshold=0.6, bucketMin)
-      spark.catalog.clearCache()
-      val corpus = {
-        val d = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
-        d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"),
-          concat(col("text"), lit(" zq extra trailing token")).as("text")))
-          .repartition(spark.sparkContext.defaultParallelism)
-      }
-      val sets = Dedup.wordShingleSets(corpus, "doc_id", "text", k = 3)
-        .withColumnRenamed("__id", "doc_id").persist()
-      val numHashes = 32; val bands = 8; val rpb = numHashes / bands
-      val banded = sets.select(col("doc_id"), size(col("sets")).as("__sz"),
-          explode(Dedup.lshBands(
-            Dedup.minHashSignature(col("sets"), numHashes), bands, rpb)).as("__bucket"))
-        .persist()
-      val bandedRows = banded.count()
-      val bstats = banded.groupBy("__bucket").agg(count(lit(1)).as("n"))
-        .agg(count(lit(1)).as("buckets"), max("n").as("maxB"),
-          sum(col("n") * col("n")).as("sumSq"), expr("sum(n)").as("rows"))
-        .head()
-      val pairs = Dedup.nearDupPairsFromSets(sets, "doc_id",
-        numHashes = 32, bands = 8, threshold = 0.6, bucketMinOnly = true)
-      val nPairs = pairs.count()
-      banded.unpersist(); sets.unpersist()
-      println(f"DIAG x$m%-3d docs=$n%8d t1=$t1%7.2f t2=$t2%7.2f min=${math.min(t1, t2)}%7.2f " +
-        s"banded=$bandedRows buckets=${bstats.getLong(0)} maxBucket=${bstats.getLong(1)} " +
-        s"sumSq=${bstats.getLong(2)} pairs=$nPairs")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(scaleRoot)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      spark.stop()
     }
-    val p = new org.apache.hadoop.fs.Path(scaleRoot)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    spark.stop()
   }
 }

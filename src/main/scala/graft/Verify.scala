@@ -23,7 +23,12 @@ object Verify {
     // (a stray subdirectory there shows up as a spurious error row in the
     // round's correctness artifact)
     val plansDir = sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "/tmp/graft-plans")
-    new java.io.File(plansDir).mkdirs()
+    // delete-and-recreate: the dir is shared across runs, and stale plan
+    // files from renamed/deleted queries (or other sf dirs) would mislead
+    // later plan review — only the current run's plans may remain
+    val pd = new java.io.File(plansDir)
+    Option(pd.listFiles()).foreach(_.foreach(_.delete()))
+    pd.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)

@@ -194,9 +194,20 @@ class PipelineSpec extends GraftSuite {
     // chain 2–9–4 (middle largest): keep-first keeps {2, 4}, CC keeps {2}
     val pairs = Seq((2L, 9L), (4L, 9L), (20L, 21L)).toDF("id_a", "id_b")
     val nodes = Seq(2L, 4L, 9L, 20L, 21L, 100L).toDF("doc_id")
-    val cc = graft.functions.Dedup.keepMinComponent(nodes, "doc_id", pairs)
-      .as[Long].collect().sorted.toSeq
+    spark.catalog.clearCache()
+    val ccDf = graft.functions.Dedup.keepMinComponent(nodes, "doc_id", pairs)
+    val cc = ccDf.as[Long].collect().sorted.toSeq
     assert(cc == Seq(2L, 20L, 100L))
+    // lineage truncation pin: the labels relation is checkpointed every
+    // round, so the final plan must be one round deep regardless of how
+    // many propagation rounds ran (round 5's un-truncated plan carried
+    // 877 Exchange nodes); and componentMin must leave nothing persisted
+    // through the CacheManager.
+    val plan = ccDf.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 6,
+      s"componentMin plan carries unrolled iteration lineage:\n$plan")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "componentMin leaked a persisted relation")
     val kf = graft.functions.Dedup.keepFirstFromPairs(nodes, "doc_id", pairs)
       .as[Long].collect().sorted.toSeq
     assert(kf == Seq(2L, 4L, 20L, 100L)) // the documented approximation gap

@@ -43,14 +43,17 @@ object StreamingQueries {
     // Split by event time, not id: micro-batches must arrive in rough time
     // order or the second batch falls below the watermark and is dropped —
     // exactly like a production file stream tailing time-partitioned drops.
-    val median = events.selectExpr("percentile_approx(cast(ts as double), 0.5)")
-      .collect()(0).getDouble(0)
+    // unix_micros states the intent (epoch comparison) and requires the
+    // normalized TimestampType from Tables.read — a raw NTZ/long ts would
+    // fail here loudly instead of silently shifting the split point
+    val median = events.selectExpr("percentile_approx(unix_micros(ts), 0.5)")
+      .collect()(0).getLong(0)
     // 2 files per half → 4 micro-batches at maxFilesPerTrigger=1: enough
     // to prove multi-batch watermark/state semantics without paying ~64
     // state-store snapshots (one per source part file otherwise)
-    events.where(col("ts").cast("double") <= median)
+    events.where(unix_micros(col("ts")) <= median)
       .coalesce(2).write.mode("overwrite").parquet(s"$dir/f0")
-    events.where(col("ts").cast("double") > median)
+    events.where(unix_micros(col("ts")) > median)
       .coalesce(2).write.mode("overwrite").parquet(s"$dir/f1")
     events.unpersist(false)
     // flatten into one dir of files

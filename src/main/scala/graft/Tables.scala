@@ -7,22 +7,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * same names the DuckDB oracle sees.
   */
 object Tables {
+  import org.apache.spark.sql.functions.{col, expr}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
   val All: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
+  /** The driver has shipped `events.ts` in three parquet layouts across
+    * testdata refreshes: TIMESTAMP(NANOS) (readable only as a raw Long
+    * under `nanosAsLong`), pandas `timestamp[us]` without the UTC flag
+    * (Spark 4's `inferTimestampNTZ` reads it as TIMESTAMP_NTZ), and a
+    * plain UTC-adjusted µs timestamp. Normalize all three to the µs
+    * TimestampType every consumer expects — the session TZ is pinned to
+    * UTC, so the NTZ cast is value-identical and matches how DuckDB
+    * reads the same file for the oracle.
+    */
+  def normalizeTs(df: DataFrame, c: String = "ts"): DataFrame =
+    df.schema(c).dataType match {
+      case LongType          => df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case TimestampNTZType  => df.withColumn(c, col(c).cast(TimestampType))
+      case _                 => df
+    }
+
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-      // read natively; read nanos-as-long and truncate to the µs
-      // TimestampType, exactly like DuckDB's ns→µs conversion.
+      // nanosAsLong only affects the TIMESTAMP(NANOS) layout (which Spark 4
+      // otherwise refuses to read); harmless for the µs layouts.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(path(sfDir, name))
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      else raw
+      normalizeTs(spark.read.parquet(path(sfDir, name)))
     } else spark.read.parquet(path(sfDir, name))
 
   /** Register all tables as temp views for `sfDir` (idempotent). */

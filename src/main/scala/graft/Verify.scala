@@ -29,6 +29,11 @@ object Verify {
     val pd = new java.io.File(plansDir)
     Option(pd.listFiles()).foreach(_.foreach(_.delete()))
     pd.mkdirs()
+    // a thrown query must become a RED row in the round artifact, not a
+    // silent omission (round 6 lost 5 regressed queries to exactly that:
+    // the catch below wrote stderr only, and the driver's checker skipped
+    // the missing keys) — collect every failure for failures.json
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -39,6 +44,7 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
       // queries may persist() intermediates (LSH shingle sets); release
       // them so 56 queries don't accumulate cached relations in one JVM
@@ -59,6 +65,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // always written (possibly {}): its absence means an old Verify ran,
+    // an empty map means every registered query produced a result
+    Files.writeString(Paths.get(s"$outDir/failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

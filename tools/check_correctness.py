@@ -36,8 +36,19 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = {}
+    fpath = f"{out_dir}/failures.json"
+    if os.path.exists(fpath):
+        failures = json.load(open(fpath))
     n_pass = n_fail = 0
+    # thrown queries first: each is a red row even if it has no oracle SQL
+    # (a missing key must never silently shrink the board)
+    for name in sorted(failures):
+        print(f"FAIL {name}: query threw during Verify: {failures[name]}")
+        n_fail += 1
     for name in sorted(oracle):
+        if name in failures:
+            continue
         res_dir = f"{out_dir}/{name}"
         parts = glob.glob(f"{res_dir}/*.parquet")
         if not parts:

@@ -107,19 +107,32 @@ object Bench {
 
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    // 3-decimal seconds: full double repr would double the line length,
+    // and the driver's artifact keeps only a 2000-char window of it
+    def jnum(v: Double) = f"$v%.3f"
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val curveJson = curve.map { case (m, (rows, times)) =>
       jstr(s"x$m") + ":{\"rows_documents\":" + rows + ",\"queries\":" +
-        times.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}") + "}"
+        times.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}") + "}"
     }.mkString("{", ",", "}")
     val flagsJson = scaleFlags.map { case (n, (r, f)) =>
       jstr(n) + ":{\"per_row_ratio\":" + f"$r%.3f" + ",\"flag\":" + f + "}"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"scale_curve":$curveJson,"scale_curve_flags":$flagsJson,"sf":"$sfDir"}""")
+    // Field order is deliberate (round-6 verdict): headline + per-query
+    // map + errors FIRST, scale curve LAST — the driver's 2000-char
+    // truncation then eats the curve, not the per-round comparables.
+    val line =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","scale_curve":$curveJson,"scale_curve_flags":$flagsJson}"""
+    println(line)
+    // Sidecar with the untruncated line: committed at round end, so the
+    // full per-query map survives regardless of the driver's window.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -154,6 +154,15 @@ object PipelineQueries {
     * r=1 (64 single-hash bands) puts the per-pair miss at
     * (1−0.444)⁶⁴ ≈ 5e-17. */
   def dedupCcKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val (corpus, pairs) = ccCorpusAndPairs(spark, sfDir)
+    Dedup.keepMinComponent(corpus, "doc_id", pairs)
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** The chain corpus and its verified pair set, shared by
+    * [[dedupCcKeep]] and ScaleDiag's per-round CC attribution (so a
+    * retune of the query retunes the diagnostic with it). */
+  def ccCorpusAndPairs(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val d = docs(spark, sfDir).select("doc_id", "text")
       .repartition(spark.sparkContext.defaultParallelism)
     def tag(prefix: String) = array_join(transform(split(lower(trim(col("text"))), "\\s+"),
@@ -173,8 +182,7 @@ object PipelineQueries {
       .withColumnRenamed("__id", "doc_id").persist()
     val pairs = Dedup.nearDupPairsFromSets(sets, "doc_id",
       numHashes = 64, bands = 64, threshold = 0.4, maxBucketSize = 100000)
-    Dedup.keepMinComponent(corpus, "doc_id", pairs)
-      .select("doc_id").orderBy("doc_id")
+    (corpus, pairs)
   }
 
   /** Benchmark decontamination: training docs (the documents table)
@@ -256,6 +264,25 @@ object PipelineQueries {
     val pairs = Dedup.simHashNearDupPairs(corpus, "doc_id", "text", maxHamming = 3)
     Dedup.keepFirstFromPairs(corpus, "doc_id", pairs)
       .select("doc_id").orderBy("doc_id")
+  }
+
+  /** The full SimHash PAIR SET over the anchored corpus — the oracle twin
+    * of [[dedupSimHash]], whose natural-corpus pairs are not
+    * DuckDB-computable. Anchor domination pins every simhash to its
+    * anchor's sign bits, so the pair set is EXACTLY the constructed
+    * (base, copy) pairs at hamming 0 (distinct anchors sit ≥ 12 apart,
+    * far above the ≤ 3 threshold) — a pure function of the mutation map,
+    * SQL-expressible, while the query still runs the production banding +
+    * hamming-verify machinery end to end. A recall bug (missed chunk
+    * match) drops rows; a precision bug (hamming miscount) adds rows —
+    * both hash-mismatch. */
+  def dedupSimHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val (base, copies) = anchoredSimhashCorpus(d)
+    Dedup.simHashNearDupPairs(base.unionByName(copies), "doc_id", "text", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("id_a", "id_b")
   }
 
   /** The anchored (bases, copies) construction behind [[dedupSimHashKeep]]
@@ -686,6 +713,7 @@ object PipelineQueries {
     "p_dedup_paragraph" -> (dedupParagraph _),
     "p_dedup_simhash" -> (dedupSimHash _),
     "p_dedup_simhash_keep" -> (dedupSimHashKeep _),
+    "p_dedup_simhash_pairs" -> (dedupSimHashPairs _),
     "p_dedup_ngram" -> (dedupNgram _),
     "p_dedup_embedding" -> (dedupEmbedding _),
     "p_ann_bruteforce" -> (annBruteForce _),
@@ -766,10 +794,12 @@ object PipelineQueries {
     *    (shingle → fused signatures → banding → bucket-min → exact verify →
     *    keep-first) on a token-tagged corpus whose keep-set IS SQL; the raw
     *    variant's semantics are additionally pinned in PipelineSpec.
-    *  - `p_dedup_simhash`: raw (id_a, id_b, hamming) pairs need a 64-bit
-    *    popcount over xxhash64 sign-sums — not DuckDB-computable; the
-    *    banding ≡ brute-force-Hamming equivalence is pinned in PipelineSpec
-    *    and `p_dedup_simhash_keep` hash-matches the same machinery through
+    *  - `p_dedup_simhash`: raw (id_a, id_b, hamming) pairs over the
+    *    NATURAL corpus need a 64-bit popcount over xxhash64 sign-sums —
+    *    not DuckDB-computable; the banding ≡ brute-force-Hamming
+    *    equivalence is pinned in PipelineSpec, and BOTH the keep-set
+    *    (`p_dedup_simhash_keep`) and the full pair set
+    *    (`p_dedup_simhash_pairs`) hash-match the same machinery through
     *    an anchor-dominated corpus.
     *  - `p_ann_ivf` (nProbe = 4): approximate by design, so no exact oracle
     *    can exist; `p_ann_ivf_exhaustive` (nProbe = nCentroids) runs the
@@ -802,6 +832,20 @@ object PipelineQueries {
       """SELECT CASE WHEN doc_id % 3 = 0 AND doc_id % 5 = 0
         |            THEN doc_id - 100000 ELSE doc_id END AS doc_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Pair set is a pure function of the same mutation map (see
+    // dedupSimHashPairs): one (base, copy) pair at hamming 0 per
+    // doc_id % 3 = 0, copy id = doc_id - 100000 when doc_id % 15 = 0
+    // (lower than its base) else doc_id + 100000.
+    "p_dedup_simhash_pairs" ->
+      """SELECT LEAST(doc_id, copy_id) AS id_a,
+        |       GREATEST(doc_id, copy_id) AS id_b,
+        |       0 AS hamming
+        |FROM (SELECT doc_id,
+        |        CASE WHEN doc_id % 5 = 0 THEN doc_id - 100000
+        |             ELSE doc_id + 100000 END AS copy_id
+        |      FROM documents WHERE doc_id % 3 = 0)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Same mutation map as the simhash keep-set (see dedupMinHashKeep:
     // token tagging makes the pair structure exact by construction).

@@ -84,6 +84,37 @@ object ScaleDiag {
           s"banded=$bandedRows buckets=$buckets maxBucket=${bstats.getLong(1)} " +
           s"candidates_bucket_min=$candBucketMin candidates_if_all_pairs=$candAllPairs " +
           s"verified_pairs=$verifiedPairs")
+
+        // -------- p_dedup_cc attribution (round-6 watch item: ×10 point
+        // 35 s, the suite's most expensive) — split total wall into LSH
+        // pair mining, per-round label materialize (join+agg+checkpoint),
+        // per-round convergence probe, and the final anti-join, so the
+        // 35 s is attributable to one stage instead of "the loop".
+        spark.catalog.clearCache()
+        val tAll0 = System.nanoTime()
+        val (ccCorpus, ccPairs) = PipelineQueries.ccCorpusAndPairs(spark, dir)
+        val minedPairs = ccPairs.persist()
+        val nPairs = minedPairs.count() // forces LSH mining, once
+        val tMine = (System.nanoTime() - tAll0) / 1e9
+        val rounds = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]()
+        val tCc0 = System.nanoTime()
+        val labels = Dedup.componentMin(minedPairs,
+          roundHook = (r, ch, mat, probe) => rounds += ((r, ch, mat, probe)))
+        val tLoop = (System.nanoTime() - tCc0) / 1e9
+        val tJoin0 = System.nanoTime()
+        val kept = ccCorpus.join(
+          labels.where(col("id") =!= col("label")).select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_anti").count()
+        val tJoin = (System.nanoTime() - tJoin0) / 1e9
+        minedPairs.unpersist()
+        val matSum = rounds.map(_._3).sum
+        val probeSum = rounds.map(_._4).sum
+        println(f"DIAG-CC x$m%-3d pairs=$nPairs kept=$kept rounds=${rounds.size} " +
+          f"mine=$tMine%6.2f loop=$tLoop%6.2f (materialize=$matSum%6.2f probe=$probeSum%6.2f) " +
+          f"final_antijoin=$tJoin%6.2f total=${tMine + tLoop + tJoin}%6.2f")
+        rounds.foreach { case (r, ch, mat, probe) =>
+          println(f"DIAG-CC-ROUND x$m%-3d r=$r changed=$ch materialize=$mat%6.2f probe=$probe%6.2f")
+        }
       }
     } finally {
       val p = new org.apache.hadoop.fs.Path(scaleRoot)

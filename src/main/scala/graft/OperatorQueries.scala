@@ -83,6 +83,34 @@ object OperatorQueries {
       .orderBy("c_custkey")
   }
 
+  /** loadFile from an sftp:// URL (files/locations/sftp.py parity). The
+    * wire protocol is delegated to the configured fetch command
+    * (`spark.graft.sftpFetchCmd`; the OpenSSH client by default) — here a
+    * local-copy transport stands in for sshd, which cannot run in the test
+    * container, so everything EXCEPT the SSH byte transfer is the
+    * production path: URL parse, template substitution, external process
+    * exec + failure surfacing, temp staging, distributed read, table
+    * materialization. */
+  def loadSftp(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val dir = tmpDir("graft_sftp_fixture")
+    val src = spark.table("supplier").select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    g.exportToFile(src, FileRef(s"$dir/supplier.csv"), singleFile = true)
+    val prev = spark.conf.getOption("spark.graft.sftpFetchCmd")
+    spark.conf.set("spark.graft.sftpFetchCmd", s"cp $dir{path} {dest}")
+    try
+      g.loadFile(FileRef("sftp://tester@127.0.0.1:2222/supplier.csv"),
+        Some(TableRef("op_sftp_t")), IfExists.Replace)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.sftpFetchCmd", v)
+      case None => spark.conf.unset("spark.graft.sftpFetchCmd")
+    }
+    spark.table("op_sftp_t")
+      .select(col("s_suppkey").cast("bigint"), col("s_name"),
+        col("s_nationkey").cast("bigint"), col("s_acctbal").cast("double"))
+      .orderBy("s_suppkey")
+  }
+
   /** Nested NDJSON → loadFile with json_normalize-style flattening
     * (files/types/ndjson.py:54-96 parity). */
   def loadNdjsonFlatten(spark: SparkSession, sfDir: String): DataFrame = {
@@ -441,6 +469,7 @@ object OperatorQueries {
     "op_load_xls_roundtrip" -> (loadXlsRoundtrip _),
     "op_load_csv_roundtrip" -> (loadCsvRoundtrip _),
     "op_load_http" -> (loadHttp _),
+    "op_load_sftp" -> (loadSftp _),
     "op_export_parquet_roundtrip" -> (exportParquetRoundtrip _),
     "op_load_ndjson_flatten" -> (loadNdjsonFlatten _),
     "op_flatten_projection" -> (flattenProjection _),
@@ -484,6 +513,9 @@ object OperatorQueries {
 
     "op_load_http" ->
       "SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer ORDER BY c_custkey",
+
+    "op_load_sftp" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
 
     "op_export_parquet_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",

@@ -17,9 +17,15 @@ import java.nio.file.{Files, Path}
   * parallel, which is the 100 TB path; this fetcher is for protocol
   * endpoints that have no distributed reader.
   *
-  * SFTP and Google Drive (files/locations/sftp.py, google/gdrive.py) need
-  * client libraries that are out of scope — they raise explicitly rather
-  * than failing opaquely.
+  * SFTP locations (files/locations/sftp.py) are fetched by delegating the
+  * wire protocol to the OpenSSH client installed on the driver host (every
+  * mainstream cluster image ships openssh-client): the command is built
+  * from the `spark.graft.sftpFetchCmd` template — default
+  * `sftp -q -oBatchMode=yes -P {port} {userhost}:{path} {dest}` — so
+  * key-based auth, jump hosts, or an entirely different transfer tool are
+  * one conf away, and tests can substitute a stub command. Google Drive
+  * (google/gdrive.py) needs an OAuth client library that is out of scope —
+  * it raises explicitly rather than failing opaquely.
   */
 object RemoteFetch {
 
@@ -27,8 +33,11 @@ object RemoteFetch {
     * URLConnection handler. */
   val fetchSchemes: Set[String] = Set("http", "https", "ftp")
 
+  /** Fetched driver-side through the external OpenSSH client. */
+  val commandSchemes: Set[String] = Set("sftp")
+
   /** Schemes the reference supports that we explicitly do not. */
-  val unsupportedSchemes: Set[String] = Set("sftp", "gdrive")
+  val unsupportedSchemes: Set[String] = Set("gdrive")
 
   def scheme(path: String): Option[String] = {
     val i = path.indexOf("://")
@@ -36,7 +45,7 @@ object RemoteFetch {
   }
 
   def isRemote(path: String): Boolean =
-    scheme(path).exists(s => fetchSchemes(s) || unsupportedSchemes(s))
+    scheme(path).exists(s => fetchSchemes(s) || commandSchemes(s) || unsupportedSchemes(s))
 
   /** Last path segment of the URL with query/fragment stripped, so format
     * inference by extension keeps working on the fetched copy. */
@@ -68,6 +77,52 @@ object RemoteFetch {
     }
     val in = conn.getInputStream
     (in, () => conn match { case h: HttpURLConnection => h.disconnect(); case _ => () })
+  }
+
+  /** Default sftp fetch command template; see [[fetchSftpToLocal]]. */
+  val DefaultSftpCmd = "sftp -q -oBatchMode=yes -P {port} {userhost}:{path} {dest}"
+
+  /** Fetch an `sftp://[user@]host[:port]/path` URL to a local temp file by
+    * running the configured fetch command (`spark.graft.sftpFetchCmd`,
+    * default [[DefaultSftpCmd]]). Template tokens: `{userhost}` =
+    * `user@host` (or bare host), `{host}`, `{user}`, `{port}` (22 when
+    * absent), `{path}` (absolute remote path), `{dest}` (local target
+    * file), `{url}` (the original URL). The command is tokenized on
+    * whitespace and exec'd directly — no shell, so no quoting surface.
+    * BatchMode means auth must be non-interactive (keys/agent), exactly
+    * the reference's paramiko-with-configured-credentials posture
+    * (files/locations/sftp.py builds a client from stored credentials,
+    * never a prompt). */
+  def fetchSftpToLocal(spark: org.apache.spark.sql.SparkSession, url: String): String = {
+    val uri = URI.create(url)
+    require(uri.getScheme != null && uri.getScheme.equalsIgnoreCase("sftp"),
+      s"not an sftp url: $url")
+    require(uri.getHost != null, s"sftp url has no host: $url")
+    val dir = Files.createTempDirectory("graft_sftp_")
+    dir.toFile.deleteOnExit()
+    val dest: Path = dir.resolve(fileName(uri))
+    dest.toFile.deleteOnExit()
+    val user = Option(uri.getUserInfo).getOrElse("")
+    val userhost = if (user.nonEmpty) s"$user@${uri.getHost}" else uri.getHost
+    val port = if (uri.getPort > 0) uri.getPort else 22
+    val template = spark.conf.getOption("spark.graft.sftpFetchCmd").getOrElse(DefaultSftpCmd)
+    val cmd = template
+      .replace("{userhost}", userhost)
+      .replace("{host}", uri.getHost)
+      .replace("{user}", user)
+      .replace("{port}", port.toString)
+      .replace("{path}", Option(uri.getPath).getOrElse(""))
+      .replace("{dest}", dest.toString)
+      .replace("{url}", url)
+      .split("\\s+").filter(_.nonEmpty)
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val outBytes = proc.getInputStream.readAllBytes()
+    val code = proc.waitFor()
+    if (code != 0 || !Files.exists(dest))
+      throw new java.io.IOException(
+        s"sftp fetch failed (exit $code) for $url via `${cmd.mkString(" ")}`: " +
+          new String(outBytes, java.nio.charset.StandardCharsets.UTF_8).take(500))
+    dest.toString
   }
 
   /** Stream `url` to a local temp file; returns the local path. Only
@@ -102,14 +157,7 @@ object RemoteFetch {
       readTimeoutMs: Int = 120000): String = {
     rejectUnsupported(url)
     val uri = URI.create(url)
-    val hconf = spark.sessionState.newHadoopConf()
-    val root = spark.conf.getOption("spark.graft.remoteStagingDir") match {
-      case Some(dir) => new org.apache.hadoop.fs.Path(dir)
-      case None =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(hconf)
-        new org.apache.hadoop.fs.Path(fs.getHomeDirectory, ".graft_remote_staging")
-    }
-    val fs = root.getFileSystem(hconf)
+    val (fs, root) = stagingRoot(spark)
     val dest = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(root,
         "fetch_" + java.util.UUID.randomUUID().toString.take(12)),
@@ -134,6 +182,36 @@ object RemoteFetch {
     fs.makeQualified(dest).toString
   }
 
+  private def stagingRoot(spark: org.apache.spark.sql.SparkSession)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = spark.conf.getOption("spark.graft.remoteStagingDir") match {
+      case Some(dir) => new org.apache.hadoop.fs.Path(dir)
+      case None =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(hconf)
+        new org.apache.hadoop.fs.Path(fs.getHomeDirectory, ".graft_remote_staging")
+    }
+    (root.getFileSystem(hconf), root)
+  }
+
+  /** Copy a driver-local file into the shared staging root so executors
+    * can read it (the cluster leg of the sftp path). */
+  private def uploadToSharedFs(
+      spark: org.apache.spark.sql.SparkSession, local: String): String = {
+    val (fs, root) = stagingRoot(spark)
+    val src = new org.apache.hadoop.fs.Path(local)
+    val dest = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root,
+        "fetch_" + java.util.UUID.randomUUID().toString.take(12)), src.getName)
+    fs.copyFromLocalFile(false, true, src, dest)
+    fs.deleteOnExit(dest.getParent)
+    fs.makeQualified(dest).toString
+  }
+
+  private def localMaster(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.sparkContext.master.startsWith("local") &&
+      spark.conf.getOption("spark.graft.remoteStagingDir").isEmpty
+
   /** Fetch `url` somewhere Spark can read it: local temp on a `local[*]`
     * master (fast, no staging cleanup), shared Hadoop FS otherwise. */
   def fetch(
@@ -141,8 +219,10 @@ object RemoteFetch {
       url: String,
       connectTimeoutMs: Int = 15000,
       readTimeoutMs: Int = 120000): String =
-    if (spark.sparkContext.master.startsWith("local") &&
-      spark.conf.getOption("spark.graft.remoteStagingDir").isEmpty)
+    if (scheme(url).exists(commandSchemes)) {
+      val local = fetchSftpToLocal(spark, url)
+      if (localMaster(spark)) local else uploadToSharedFs(spark, local)
+    } else if (localMaster(spark))
       fetchToLocal(url, connectTimeoutMs, readTimeoutMs)
     else fetchToSharedFs(spark, url, connectTimeoutMs, readTimeoutMs)
 }

@@ -100,10 +100,17 @@ class ExampleDagSpec extends GraftSuite {
     g.dropTable(out)
   }
 
-  test("sftp:// and gdrive:// raise explicitly (unsupported locations)") {
-    intercept[UnsupportedOperationException] {
-      g.loadFile(FileRef("sftp://host/path/data.csv"))
-    }
+  test("gdrive:// raises explicitly; sftp:// routes to the configured transport") {
+    // sftp is a supported location (OpenSSH-client delegation): a failing
+    // transport surfaces as a loud IOException with exit code + output,
+    // never a silent miss. Full happy path is op_load_sftp / IoSpec.
+    spark.conf.set("spark.graft.sftpFetchCmd", "false")
+    try {
+      val e = intercept[java.io.IOException] {
+        g.loadFile(FileRef("sftp://host/path/data.csv"))
+      }
+      assert(e.getMessage.contains("sftp fetch failed"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.sftpFetchCmd")
     intercept[UnsupportedOperationException] {
       g.loadFile(FileRef("gdrive://folder/data.csv"))
     }

@@ -238,6 +238,40 @@ class IoSpec extends GraftSuite {
       server.stop(0)
     }
   }
+
+  test("sftp fetch: command-template transport, default-template argv shape, failure surfacing") {
+    val root = tmp("graft_sftp_root")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "data.csv"), "k,v\n1,a\n2,b\n")
+    // stand-in for the OpenSSH client: asserts the exact argv the DEFAULT
+    // template produces, then performs the copy a real `sftp` would
+    val script = java.nio.file.Paths.get(tmp("graft_sftp_bin"), "fakesftp.sh")
+    java.nio.file.Files.writeString(script,
+      s"""#!/bin/bash
+         |[ "$$1" = "-q" ] || exit 64
+         |[ "$$2" = "-oBatchMode=yes" ] || exit 64
+         |[ "$$3" = "-P" ] || exit 64
+         |[ "$$4" = "2222" ] || exit 64
+         |src="$$5"; dest="$$6"
+         |[ "$${src%%:*}" = "tester@127.0.0.1" ] || exit 64
+         |cp "$root$${src#*:}" "$$dest"
+         |""".stripMargin)
+    script.toFile.setExecutable(true)
+    val tpl = graft.io.RemoteFetch.DefaultSftpCmd.replace("sftp ", script.toString + " ")
+    spark.conf.set("spark.graft.sftpFetchCmd", tpl)
+    try {
+      val local = graft.io.RemoteFetch.fetch(spark, "sftp://tester@127.0.0.1:2222/data.csv")
+      assert(java.nio.file.Files.readString(java.nio.file.Paths.get(local)).contains("2,b"))
+      // a failing transport surfaces exit code + output, not a missing file
+      spark.conf.set("spark.graft.sftpFetchCmd", "false")
+      val e = intercept[java.io.IOException](
+        graft.io.RemoteFetch.fetch(spark, "sftp://h/x"))
+      assert(e.getMessage.contains("sftp fetch failed"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.sftpFetchCmd")
+    // gdrive remains an explicit named limitation
+    intercept[UnsupportedOperationException](
+      graft.io.RemoteFetch.fetchToLocal("gdrive://file/abc123"))
+  }
 }
 
 /** Test-only "shared" filesystem: local disk exposed under the `mockfs://`

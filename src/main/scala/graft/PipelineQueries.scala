@@ -323,17 +323,56 @@ object PipelineQueries {
     * 0.513 (measured), so the qualifying set at 0.98 is exactly the
     * constructed pairs; with 8 hyperplane tables the per-pair miss
     * probability is ≈ 2e-7. */
-  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.embeddingNearDupPairs(embeddingDedupCorpus(spark, sfDir), "vec_id", "embedding",
+      dim = 64, threshold = 0.98, bits = 10, tables = 8)
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+
+  /** embeddings ∪ one-dimension-perturbed copies — the constructed
+    * cosine-space near-dup corpus shared by [[dedupEmbedding]] and the
+    * SemDeDup queries. */
+  private def embeddingDedupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir).select("vec_id", "embedding")
     val perturbed = e.select((col("vec_id") + 100000).as("vec_id"),
       transform(col("embedding"), (x, i) =>
         when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
-    val corpus = e.unionByName(perturbed)
-    Similarity.embeddingNearDupPairs(corpus, "vec_id", "embedding",
-      dim = 64, threshold = 0.98, bits = 10, tables = 8)
+    e.unionByName(perturbed)
+  }
+
+  /** SemDeDup (cluster-then-prune) keep-set at the production cell count:
+    * k-means cells via the IVF index build, exact cosine pairing within
+    * cells, keep-first. Copies here are EXACT (same embedding, shifted
+    * id): cell assignment is a pure function of the vector, so each copy
+    * PROVABLY lands in its base's cell and pairs at cosine 1.0 — the
+    * keep-set is exactly the original vec_ids, SQL-expressible, with no
+    * dependence on where cell boundaries fall. (Perturbed near-copies
+    * under the same nCentroids measurably straddle boundaries — 10 of
+    * 500 at sf0.01 — which is SemDeDup's documented miss mode, not an
+    * implementation defect; the NEAR-dup scoring path is hash-certified
+    * by [[dedupSemanticExhaustive]], where one cell makes it exact.)
+    * Closest natural pair sits at cos 0.513 — far below the 0.98 gate. */
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir).select("vec_id", "embedding")
+    val corpus = e.unionByName(
+      e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val pairs = Similarity.semanticDedupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.98, nCentroids = 16)
+    Dedup.keepFirstFromPairs(corpus, "vec_id", pairs)
+      .select("vec_id").orderBy("vec_id")
+  }
+
+  /** The nCentroids = 1 degenerate of [[dedupSemantic]]: one cell makes
+    * cluster-then-prune ≡ exact all-pairs cosine, so the full pair set
+    * hash-matches the same DuckDB oracle as [[dedupEmbedding]] — the
+    * seeding, Lloyd refinement, assignment, cell-guard, and scoring path
+    * certified end to end (the analogue of `p_ann_ivf_exhaustive` for
+    * the dedup side of the index machinery). */
+  def dedupSemanticExhaustive(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.semanticDedupPairs(embeddingDedupCorpus(spark, sfDir), "vec_id", "embedding",
+      threshold = 0.98, nCentroids = 1, maxCellSize = 100000)
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
-  }
 
   def annBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir)
@@ -546,6 +585,17 @@ object PipelineQueries {
       .select("doc_id", "lang", "shuffle_pos")
       .orderBy("doc_id")
 
+  /** Deterministic 90/5/5 train/val/test split by portable-md5 bucket —
+    * a pure projection (no shuffle; the repartition below only proves
+    * partitioning-invariance), and DuckDB replays the exact assignment
+    * from the same md5 arithmetic. */
+  def splitTrainVal(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.Sampling.hashSplit(
+        docs(spark, sfDir).select("doc_id", "lang")
+          .repartition(spark.sparkContext.defaultParallelism),
+        "doc_id", Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
+      .select("doc_id", "lang", "split").orderBy("doc_id")
+
   /** Per-language corpus health report over URL-decorated docs (every
     * 6th doc gets a URL so the incidence column is non-trivial). Integer
     * aggregates + one double division; n_distinct_texts counts 64-bit
@@ -716,6 +766,8 @@ object PipelineQueries {
     "p_dedup_simhash_pairs" -> (dedupSimHashPairs _),
     "p_dedup_ngram" -> (dedupNgram _),
     "p_dedup_embedding" -> (dedupEmbedding _),
+    "p_dedup_semantic" -> (dedupSemantic _),
+    "p_dedup_semantic_exhaustive" -> (dedupSemanticExhaustive _),
     "p_ann_bruteforce" -> (annBruteForce _),
     "p_ann_ivf" -> (annIvf _),
     "p_ann_ivf_exhaustive" -> (annIvfExhaustive _),
@@ -725,6 +777,7 @@ object PipelineQueries {
     "p_pack_sequences" -> (packSequences _),
     "p_pack_materialize" -> (packMaterialize _),
     "p_sample_stratified" -> (sampleStratified _),
+    "p_split_train_val" -> (splitTrainVal _),
     "p_sample_token_budget" -> (sampleTokenBudget _),
     "p_vocab_coverage" -> (vocabCoverageQ _),
     "p_corpus_report" -> (corpusReportQ _),
@@ -784,6 +837,21 @@ object PipelineQueries {
       |    CASE WHEN doc_id % 4 = 2 THEN ' call +1 555-123-4567 today' ELSE '' END ||
       |    CASE WHEN doc_id % 4 = 3 THEN e'  messy\t\twhitespace  tail ' ELSE '' END AS text
       |  FROM documents""".stripMargin
+
+  /** Exact all-pairs cosine over the perturbed-copy corpus — shared by
+    * `p_dedup_embedding` (LSH path) and `p_dedup_semantic_exhaustive`
+    * (single-cell SemDeDup path): both must produce this pair set. */
+  private val embeddingPairsOracle: String =
+    """WITH ec AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000,
+      |    list_transform(embedding, (x, i) -> CASE WHEN i = 1 THEN x + 0.05 ELSE x END)
+      |  FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |FROM ec a JOIN ec b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** DuckDB oracles for the SQL-expressible subset.
     *
@@ -901,17 +969,18 @@ object PipelineQueries {
         |  / (len(l.s) + len(r.s) - len(list_intersect(l.s, r.s))) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
 
-    "p_dedup_embedding" ->
-      """WITH ec AS (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 100000,
-        |    list_transform(embedding, (x, i) -> CASE WHEN i = 1 THEN x + 0.05 ELSE x END)
-        |  FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |FROM ec a JOIN ec b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98
-        |ORDER BY id_a, id_b""".stripMargin,
+    "p_dedup_embedding" -> embeddingPairsOracle,
+
+    // One k-means cell ⇒ cluster-then-prune ≡ exact all-pairs cosine:
+    // the SemDeDup path shares the embedding-pairs oracle verbatim.
+    "p_dedup_semantic_exhaustive" -> embeddingPairsOracle,
+
+    // Keep-set is a pure function of the exact-copy construction: every
+    // copy (vec_id + 100000, identical vector ⇒ provably identical cell)
+    // pairs with its base at cosine 1.0 and is dropped by keep-first;
+    // no natural pair reaches 0.98 (closest: 0.513).
+    "p_dedup_semantic" ->
+      "SELECT vec_id FROM embeddings ORDER BY vec_id",
 
     "p_text_lang_fingerprint" ->
       (s"""WITH toks AS (
@@ -1189,6 +1258,15 @@ object PipelineQueries {
         |  FROM documents) t
         |WHERE rk <= 20
         |ORDER BY doc_id""".stripMargin,
+
+    // 90/5/5 by first-two-hex-char md5 bucket: 230/256 ('e6') and
+    // 243/256 ('f3') — the exact string comparisons hashSplit emits.
+    "p_split_train_val" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substr(md5(cast(doc_id AS varchar)), 1, 2) < 'e6' THEN 'train'
+        |       WHEN substr(md5(cast(doc_id AS varchar)), 1, 2) < 'f3' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "p_range_join" ->
       """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),

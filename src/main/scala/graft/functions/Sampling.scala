@@ -42,6 +42,38 @@ object Sampling {
     df.where(h < threshold)
   }
 
+  /** Deterministic train/val/test split: a `labelCol` assigned by the
+    * md5 bucket of `keyCol` (+ optional salt) — a pure narrow projection
+    * (zero shuffle) whose assignment is stable across runs, partitionings,
+    * cluster sizes, and engines (md5 hex is engine-portable where
+    * xxhash64 is not, which is what makes the split reproducible by any
+    * downstream consumer, not just Spark). Fractions are quantized to
+    * 1/256 (first two hex chars = 256 buckets, compared as strings):
+    * the granularity every hash-mod-N split scheme quantizes to, and
+    * coarse enough that the bucket boundary is auditable by eye.
+    * The production default for non-portable splits remains
+    * [[deterministicSample]]'s xxhash64 (faster, codegen'd). */
+  def hashSplit(
+      df: DataFrame,
+      keyCol: String,
+      fractions: Seq[(String, Double)],
+      salt: String = "",
+      labelCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty, "hashSplit needs at least one split")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val bucket = substring(md5(concat(col(keyCol).cast("string"), lit(salt))), 1, 2)
+    // cumulative upper bounds as two-char hex; the last split is the
+    // `otherwise` so rounding never orphans bucket "ff"
+    val bounds = fractions.init.scanLeft(0.0)(_ + _._2).tail
+      .map(c => f"${math.min(255L, math.round(c * 256))}%02x")
+    val label = bounds.zip(fractions.init).foldRight(
+      lit(fractions.last._1): Column) { case ((bound, (name, _)), rest) =>
+      when(bucket < lit(bound), lit(name)).otherwise(rest)
+    }
+    df.withColumn(labelCol, label)
+  }
+
   /** Per-group top-k by `orderBy` expressions (e.g. best-quality docs per
     * language) — one shuffle, rank + filter. */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {

@@ -314,6 +314,41 @@ object Similarity {
     pruned.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs: k-means-cluster the
+    * embeddings (reusing the IVF index build — hash-sampled seeds, one
+    * Lloyd refinement, fused-matrix cell assignment), then score pairs
+    * EXACTLY but only within each cell, where semantic duplicates
+    * co-locate (Abbas et al. 2023, "SemDeDup" — cluster-then-prune over
+    * embedding space). Output: (id_a, id_b, cosine), id_a < id_b,
+    * cosine ≥ `threshold`.
+    *
+    * Scale shape: within-cell pairing is O(Σ n_c²) with n_c ≈ N/nCentroids
+    * — pick nCentroids ≈ √N so per-cell work stays bounded; the join key
+    * is the dense int cell id and vectors ship cell-partitioned exactly
+    * once per side. Cells larger than `maxCellSize` (embedding-space
+    * hotspots — raise nCentroids) are excluded via the same aggregated
+    * count + broadcast anti-join guard as the LSH buckets, never a
+    * count-window sort over the corpus. Misses are exactly the pairs
+    * SemDeDup's own design misses: near-dups straddling a cell boundary. */
+  def semanticDedupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      nCentroids: Int = 16,
+      maxCellSize: Int = 10000): DataFrame = {
+    val index = buildIvfIndex(corpus, idCol, vecCol, nCentroids)
+    val oversized = index.cells.groupBy("__cid").agg(count(lit(1)).as("__cn"))
+      .where(col("__cn") > maxCellSize).select("__cid")
+    val sized = index.cells.join(broadcast(oversized), Seq("__cid"), "left_anti")
+    val a = sized.select(col("__cid"), col(idCol).as("id_a"), col("__cv").as("__va"))
+    val b = sized.select(col("__cid"), col(idCol).as("id_b"), col("__cv").as("__vb"))
+    a.join(b, Seq("__cid"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), dot(col("__va"), col("__vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** IVF (inverted-file) approximate top-k — one-shot form:
     * [[buildIvfIndex]] + [[searchIvf]]. Empty corpus degrades to the
     * (trivially empty) brute-force scan. Centroids are collected to the

@@ -23,9 +23,12 @@ import java.nio.file.{Files, Path}
   * from the `spark.graft.sftpFetchCmd` template — default
   * `sftp -q -oBatchMode=yes -P {port} {userhost}:{path} {dest}` — so
   * key-based auth, jump hosts, or an entirely different transfer tool are
-  * one conf away, and tests can substitute a stub command. Google Drive
-  * (google/gdrive.py) needs an OAuth client library that is out of scope —
-  * it raises explicitly rather than failing opaquely.
+  * one conf away, and tests can substitute a stub command. The same
+  * mechanism generalizes: `spark.graft.fetchCmd.<scheme>` configures a
+  * command transport for any routed scheme, so Google Drive
+  * (google/gdrive.py) — whose OAuth client library is out of scope — can
+  * be served by e.g. an rclone/gdrive CLI; unconfigured, `gdrive://`
+  * raises explicitly rather than failing opaquely.
   */
 object RemoteFetch {
 
@@ -33,10 +36,12 @@ object RemoteFetch {
     * URLConnection handler. */
   val fetchSchemes: Set[String] = Set("http", "https", "ftp")
 
-  /** Fetched driver-side through the external OpenSSH client. */
-  val commandSchemes: Set[String] = Set("sftp")
+  /** Schemes routed to an external command transport. sftp has a default
+    * (the OpenSSH client); gdrive must be configured via
+    * `spark.graft.fetchCmd.gdrive` or it raises. */
+  val commandSchemes: Set[String] = Set("sftp", "gdrive")
 
-  /** Schemes the reference supports that we explicitly do not. */
+  /** Schemes that raise when no command transport is configured. */
   val unsupportedSchemes: Set[String] = Set("gdrive")
 
   def scheme(path: String): Option[String] = {
@@ -59,8 +64,10 @@ object RemoteFetch {
     scheme(url).foreach { s =>
       if (unsupportedSchemes(s))
         throw new UnsupportedOperationException(
-          s"$s:// locations are not supported (need an $s client library); " +
-            "fetch the file to a reachable filesystem first")
+          s"$s:// locations need a configured command transport — set " +
+            s"spark.graft.fetchCmd.$s to a fetch command template " +
+            "(tokens: {url} {userhost} {host} {user} {port} {path} {dest}), " +
+            "or fetch the file to a reachable filesystem first")
     }
 
   /** Open the remote stream with timeouts + redirect handling. */
@@ -79,36 +86,46 @@ object RemoteFetch {
     (in, () => conn match { case h: HttpURLConnection => h.disconnect(); case _ => () })
   }
 
-  /** Default sftp fetch command template; see [[fetchSftpToLocal]]. */
+  /** Default sftp fetch command template; see [[fetchViaCommand]]. */
   val DefaultSftpCmd = "sftp -q -oBatchMode=yes -P {port} {userhost}:{path} {dest}"
 
-  /** Fetch an `sftp://[user@]host[:port]/path` URL to a local temp file by
-    * running the configured fetch command (`spark.graft.sftpFetchCmd`,
-    * default [[DefaultSftpCmd]]). Template tokens: `{userhost}` =
-    * `user@host` (or bare host), `{host}`, `{user}`, `{port}` (22 when
-    * absent), `{path}` (absolute remote path), `{dest}` (local target
-    * file), `{url}` (the original URL). The command is tokenized on
-    * whitespace and exec'd directly — no shell, so no quoting surface.
-    * BatchMode means auth must be non-interactive (keys/agent), exactly
-    * the reference's paramiko-with-configured-credentials posture
+  /** The command template serving `sch`, if any: the per-scheme conf
+    * `spark.graft.fetchCmd.<scheme>` wins; sftp falls back to
+    * `spark.graft.sftpFetchCmd`, then to the OpenSSH [[DefaultSftpCmd]];
+    * other schemes have no default. */
+  def commandTemplate(
+      spark: org.apache.spark.sql.SparkSession, sch: String): Option[String] =
+    spark.conf.getOption(s"spark.graft.fetchCmd.$sch").orElse(sch match {
+      case "sftp" =>
+        Some(spark.conf.getOption("spark.graft.sftpFetchCmd").getOrElse(DefaultSftpCmd))
+      case _ => None
+    })
+
+  /** Fetch a `scheme://[user@]host[:port]/path` URL to a local temp file
+    * by running an external command built from `template`. Tokens:
+    * `{userhost}` = `user@host` (or bare host), `{host}`, `{user}`,
+    * `{port}` (22 when absent), `{path}` (remote path), `{dest}` (local
+    * target file), `{url}` (the original URL). The command is tokenized
+    * on whitespace and exec'd directly — no shell, so no quoting
+    * surface. For the default sftp transport, BatchMode means auth must
+    * be non-interactive (keys/agent), exactly the reference's
+    * paramiko-with-configured-credentials posture
     * (files/locations/sftp.py builds a client from stored credentials,
     * never a prompt). */
-  def fetchSftpToLocal(spark: org.apache.spark.sql.SparkSession, url: String): String = {
+  def fetchViaCommand(
+      spark: org.apache.spark.sql.SparkSession, url: String, template: String): String = {
     val uri = URI.create(url)
-    require(uri.getScheme != null && uri.getScheme.equalsIgnoreCase("sftp"),
-      s"not an sftp url: $url")
-    require(uri.getHost != null, s"sftp url has no host: $url")
-    val dir = Files.createTempDirectory("graft_sftp_")
+    val dir = Files.createTempDirectory("graft_fetch_")
     dir.toFile.deleteOnExit()
     val dest: Path = dir.resolve(fileName(uri))
     dest.toFile.deleteOnExit()
     val user = Option(uri.getUserInfo).getOrElse("")
-    val userhost = if (user.nonEmpty) s"$user@${uri.getHost}" else uri.getHost
+    val host = Option(uri.getHost).getOrElse("")
+    val userhost = if (user.nonEmpty) s"$user@$host" else host
     val port = if (uri.getPort > 0) uri.getPort else 22
-    val template = spark.conf.getOption("spark.graft.sftpFetchCmd").getOrElse(DefaultSftpCmd)
     val cmd = template
       .replace("{userhost}", userhost)
-      .replace("{host}", uri.getHost)
+      .replace("{host}", host)
       .replace("{user}", user)
       .replace("{port}", port.toString)
       .replace("{path}", Option(uri.getPath).getOrElse(""))
@@ -120,7 +137,7 @@ object RemoteFetch {
     val code = proc.waitFor()
     if (code != 0 || !Files.exists(dest))
       throw new java.io.IOException(
-        s"sftp fetch failed (exit $code) for $url via `${cmd.mkString(" ")}`: " +
+        s"${uri.getScheme} fetch failed (exit $code) for $url via `${cmd.mkString(" ")}`: " +
           new String(outBytes, java.nio.charset.StandardCharsets.UTF_8).take(500))
     dest.toString
   }
@@ -219,10 +236,13 @@ object RemoteFetch {
       url: String,
       connectTimeoutMs: Int = 15000,
       readTimeoutMs: Int = 120000): String =
-    if (scheme(url).exists(commandSchemes)) {
-      val local = fetchSftpToLocal(spark, url)
-      if (localMaster(spark)) local else uploadToSharedFs(spark, local)
-    } else if (localMaster(spark))
-      fetchToLocal(url, connectTimeoutMs, readTimeoutMs)
-    else fetchToSharedFs(spark, url, connectTimeoutMs, readTimeoutMs)
+    scheme(url).filter(commandSchemes).flatMap(s => commandTemplate(spark, s)) match {
+      case Some(template) =>
+        val local = fetchViaCommand(spark, url, template)
+        if (localMaster(spark)) local else uploadToSharedFs(spark, local)
+      case None =>
+        rejectUnsupported(url) // command scheme with no template configured
+        if (localMaster(spark)) fetchToLocal(url, connectTimeoutMs, readTimeoutMs)
+        else fetchToSharedFs(spark, url, connectTimeoutMs, readTimeoutMs)
+    }
 }

@@ -268,9 +268,16 @@ class IoSpec extends GraftSuite {
         graft.io.RemoteFetch.fetch(spark, "sftp://h/x"))
       assert(e.getMessage.contains("sftp fetch failed"), e.getMessage)
     } finally spark.conf.unset("spark.graft.sftpFetchCmd")
-    // gdrive remains an explicit named limitation
-    intercept[UnsupportedOperationException](
+    // gdrive raises with guidance unless a command transport is configured
+    val eg = intercept[UnsupportedOperationException](
       graft.io.RemoteFetch.fetchToLocal("gdrive://file/abc123"))
+    assert(eg.getMessage.contains("spark.graft.fetchCmd.gdrive"), eg.getMessage)
+    // ...and the generic per-scheme hook serves it when configured
+    spark.conf.set("spark.graft.fetchCmd.gdrive", s"cp $root{path} {dest}")
+    try {
+      val gl = graft.io.RemoteFetch.fetch(spark, "gdrive://folder/data.csv")
+      assert(java.nio.file.Files.readString(java.nio.file.Paths.get(gl)).contains("1,a"))
+    } finally spark.conf.unset("spark.graft.fetchCmd.gdrive")
   }
 }
 

@@ -631,6 +631,36 @@ class PipelineSpec extends GraftSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("hashSplit: deterministic across partitionings, labels exhaustive, fractions guarded") {
+    val d = Tables.read(spark, "/root/testdata/sf0.001", "documents").select("doc_id")
+    val splits = Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05)
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      graft.functions.Sampling.hashSplit(df, "doc_id", splits)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val a = assign(d)
+    val b = assign(d.repartition(7))
+    assert(a == b, "split assignment must not depend on partitioning")
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // quantized to 1/256 buckets: 90% of 500 docs lands within a few %
+    val trainFrac = a.values.count(_ == "train").toDouble / a.size
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac")
+    intercept[IllegalArgumentException] {
+      graft.functions.Sampling.hashSplit(d, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("semantic dedup: single cell ≡ exact all-pairs; oversized cells drop, never explode") {
+    val all = Similarity.semanticDedupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.95, nCentroids = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(all == Set((1L, 2L)))
+    // the cell guard excludes hotspot cells entirely (raise nCentroids),
+    // mirroring the LSH bucket cap — it must never go quadratic on them
+    val guarded = Similarity.semanticDedupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.95, nCentroids = 1, maxCellSize = 2)
+    assert(guarded.isEmpty)
+  }
+
   test("ivfTopK approximates brute force on clustered data") {
     val n = 200
     val clustered = (0 until n).map { i =>

@@ -338,9 +338,13 @@ object Similarity {
       nCentroids: Int = 16,
       maxCellSize: Int = 10000): DataFrame = {
     val index = buildIvfIndex(corpus, idCol, vecCol, nCentroids)
-    val oversized = index.cells.groupBy("__cid").agg(count(lit(1)).as("__cn"))
+    // the assigned relation feeds the guard count and BOTH pair sides —
+    // cache it (conf-gated like the LSH signatures) so the centroid
+    // assignment runs once, not three times
+    val cells = Dedup.maybeCache(index.cells)
+    val oversized = cells.groupBy("__cid").agg(count(lit(1)).as("__cn"))
       .where(col("__cn") > maxCellSize).select("__cid")
-    val sized = index.cells.join(broadcast(oversized), Seq("__cid"), "left_anti")
+    val sized = cells.join(broadcast(oversized), Seq("__cid"), "left_anti")
     val a = sized.select(col("__cid"), col(idCol).as("id_a"), col("__cv").as("__va"))
     val b = sized.select(col("__cid"), col(idCol).as("id_b"), col("__cv").as("__vb"))
     a.join(b, Seq("__cid"))

@@ -172,6 +172,12 @@ class PlanSpec extends GraftSuite {
       "asof must not fall back to a nested-loop join\n" + p)
   }
 
+  test("semantic dedup: cell equi-join, no nested-loop fallback") {
+    val p = plan("p_dedup_semantic")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "within-cell pairing must be an equi-join on the cell id\n" + p)
+  }
+
   test("range join: equi-join on bins, no nested-loop fallback") {
     val p = plan("p_range_join")
     assert(p.contains("Join") || p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)

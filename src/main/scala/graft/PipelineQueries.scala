@@ -159,6 +159,22 @@ object PipelineQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** The full component-label relation over the same chain corpus as
+    * [[dedupCcKeep]] — certifies componentMin's LABELS, not just their
+    * keep-set projection: every chain member (B, E = B+300000,
+    * M = B+400000) must carry label B, everything else labels itself
+    * (singletons are absent from componentMin and coalesce to their own
+    * id). SQL-expressible because the chain construction fixes each
+    * component's minimum. */
+  def dedupCcLabels(spark: SparkSession, sfDir: String): DataFrame = {
+    val (corpus, pairs) = ccCorpusAndPairs(spark, sfDir)
+    val labels = Dedup.componentMin(pairs).withColumnRenamed("id", "doc_id")
+    corpus.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+      .orderBy("doc_id")
+  }
+
   /** The chain corpus and its verified pair set, shared by
     * [[dedupCcKeep]] and ScaleDiag's per-round CC attribution (so a
     * retune of the query retunes the diagnostic with it). */
@@ -596,6 +612,21 @@ object PipelineQueries {
         "doc_id", Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
       .select("doc_id", "lang", "split").orderBy("doc_id")
 
+  /** Weighted domain mixing: one 3000-token budget split 60/30/10 across
+    * en/zh/de (es/fr weight zero → dropped) — the training-mix recipe as
+    * a deterministic greedy prefix per language in portable-md5 order,
+    * hash-matched in DuckDB with the same window arithmetic. */
+  def sampleMixWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+    graft.functions.Sampling.sampleToTokenBudgetWeighted(d, "lang", "ntok",
+        totalBudget = 3000L,
+        weights = Map("en" -> 0.6, "zh" -> 0.3, "de" -> 0.1),
+        orderBy = Seq(md5(col("doc_id").cast("string")), col("doc_id")))
+      .select("doc_id", "lang", "ntok")
+      .orderBy("doc_id")
+  }
+
   /** Per-language corpus health report over URL-decorated docs (every
     * 6th doc gets a URL so the incidence column is non-trivial). Integer
     * aggregates + one double division; n_distinct_texts counts 64-bit
@@ -758,6 +789,7 @@ object PipelineQueries {
     "p_dedup_minhash_scale" -> (dedupMinHashScale _),
     "p_dedup_minhash_keep" -> (dedupMinHashKeep _),
     "p_dedup_cc" -> (dedupCcKeep _),
+    "p_dedup_cc_labels" -> (dedupCcLabels _),
     "p_decontaminate" -> (decontaminate _),
     "p_decontaminate_bloom" -> (decontaminateBloom _),
     "p_dedup_paragraph" -> (dedupParagraph _),
@@ -779,6 +811,7 @@ object PipelineQueries {
     "p_sample_stratified" -> (sampleStratified _),
     "p_split_train_val" -> (splitTrainVal _),
     "p_sample_token_budget" -> (sampleTokenBudget _),
+    "p_sample_mix_weighted" -> (sampleMixWeighted _),
     "p_vocab_coverage" -> (vocabCoverageQ _),
     "p_corpus_report" -> (corpusReportQ _),
     "p_shuffle_order" -> (shuffleOrder _),
@@ -926,6 +959,17 @@ object PipelineQueries {
     // component whose minimum is the base id (see dedupCcKeep).
     "p_dedup_cc" ->
       "SELECT doc_id FROM documents ORDER BY doc_id",
+
+    // The label RELATION over the same chain corpus: ends/mids label
+    // their base; everything else labels itself (see dedupCcLabels).
+    "p_dedup_cc_labels" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, doc_id AS label FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000, doc_id FROM documents WHERE doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 400000, doc_id FROM documents WHERE doc_id % 9 = 0)
+        |SELECT doc_id, label FROM corpus ORDER BY doc_id""".stripMargin,
 
     // Bloom prefilter changes the plan, never the result: text-equality
     // anti-join semantics (see Dedup.bloomDecontaminate).
@@ -1248,6 +1292,24 @@ object PipelineQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM t)
         |SELECT doc_id, lang, ntok FROM c WHERE cum <= 1500
+        |ORDER BY doc_id""".stripMargin,
+
+    // 60/30/10 of 3000 tokens across en/zh/de, floor-rounded per
+    // stratum; es/fr weight zero → dropped (see sampleMixWeighted).
+    "p_sample_mix_weighted" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    cast(len(string_split_regex(trim(text), '\s+')) as bigint) AS ntok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, ntok,
+        |    sum(ntok) OVER (PARTITION BY lang
+        |      ORDER BY md5(cast(doc_id AS varchar)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, ntok FROM c
+        |WHERE cum <= (CASE lang WHEN 'en' THEN 1800 WHEN 'zh' THEN 900
+        |                        WHEN 'de' THEN 300 ELSE 0 END)
         |ORDER BY doc_id""".stripMargin,
 
     "p_sample_stratified" ->

@@ -228,4 +228,36 @@ object Sampling {
       .where(col("__cum") <= budget)
       .drop("__cum")
   }
+
+  /** Domain-mixing variant of [[sampleToTokenBudget]]: one total token
+    * budget divided across strata by `weights` (the "70% web / 20% code /
+    * 10% books" training-mix recipe) — each stratum takes its greedy
+    * deterministic prefix under its own share, floor-rounded so the
+    * realized total never exceeds `totalBudget`. Strata missing from
+    * `weights` get zero (dropped). Same single-window shape and the same
+    * stability guarantees; the per-stratum budget rides a broadcast-sized
+    * when-chain, never a join against the corpus. */
+  def sampleToTokenBudgetWeighted(
+      df: DataFrame,
+      strataCol: String,
+      tokenCol: String,
+      totalBudget: Long,
+      weights: Map[String, Double],
+      orderBy: Seq[Column]): DataFrame = {
+    require(totalBudget > 0, "token budget must be positive")
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val wsum = weights.values.sum
+    require(wsum > 0, "weights must not all be zero")
+    val budgetFor = weights.foldLeft(lit(0L)) { case (acc, (stratum, wt)) =>
+      when(col(strataCol) === stratum,
+        lit(math.floor(totalBudget * wt / wsum).toLong)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(strataCol)).orderBy(orderBy: _*)
+    val through = sum(col(tokenCol)).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn("__cum", through)
+      .where(col("__cum") <= budgetFor)
+      .drop("__cum")
+  }
 }

@@ -631,6 +631,21 @@ class PipelineSpec extends GraftSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("weighted token-budget mix: floor shares per stratum, zero-weight strata dropped") {
+    val d = Seq(("a", 1L, 10L), ("a", 2L, 10L), ("b", 3L, 10L), ("c", 4L, 10L))
+      .toDF("lang", "doc_id", "ntok")
+    // a: floor(40·0.5/0.75) = 26 → both rows (cum 10, 20); b: floor(40·0.25/0.75)
+    // = 13 → one row; c: no weight → budget 0 → dropped
+    val out = graft.functions.Sampling.sampleToTokenBudgetWeighted(
+        d, "lang", "ntok", 40L, Map("a" -> 0.5, "b" -> 0.25), Seq(col("doc_id")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      graft.functions.Sampling.sampleToTokenBudgetWeighted(
+        d, "lang", "ntok", 40L, Map("a" -> -1.0), Seq(col("doc_id")))
+    }
+  }
+
   test("hashSplit: deterministic across partitionings, labels exhaustive, fractions guarded") {
     val d = Tables.read(spark, "/root/testdata/sf0.001", "documents").select("doc_id")
     val splits = Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05)

@@ -399,6 +399,30 @@ object PipelineQueries {
       .orderBy("qid", "rank")
   }
 
+  /** Int8 quantization codes for every embedding — full integer oracle
+    * (mn/mx are exact float→double lifts; codes are one round() of a
+    * fixed-association double chain both engines replay). */
+  def embedQuantize(spark: SparkSession, sfDir: String): DataFrame =
+    embs(spark, sfDir)
+      .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q.mn").as("mn"), col("q.mx").as("mx"),
+        col("q.codes").as("codes"))
+      .orderBy("vec_id")
+
+  /** Top-k over the quantized corpus, rank-oracled: both engines score
+    * the identical dequantized doubles with the identical cosine
+    * association, so ranks match exactly (quantization-induced ties
+    * break on vec_id in both). Recall vs the float scan is pinned
+    * in-suite, not here. */
+  def annQuantized(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.quantizedTopK(e, "vec_id", "embedding", q, "qid", "qv", k = 10)
+      .select(col("qid"), col("vec_id"), col("rank").cast("bigint").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir)
     val q = e.where(col("vec_id") < 5)
@@ -519,6 +543,56 @@ object PipelineQueries {
       length(TextAnalysis.cleanText(col("text"))).cast("bigint").as("clean_len"),
       length(TextAnalysis.maskPii(col("text"))).cast("bigint").as("masked_len"),
       TextAnalysis.repetitionRatio(col("text"), 3).as("rep3"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style quality gate, fully oracle-checked: the natural corpus
+    * (single-line lowercase prose, 10–99 tokens, mean token length
+    * 3.7–5.3, 0–2 distinct en stopwords — measured) is decorated per
+    * doc_id with the exact pathologies the rules police — bullet lists,
+    * repeated lines, ellipsis endings, symbol runs — so every rule fires
+    * on some docs and passes others, and DuckDB replays every signal
+    * bit-exactly (integer counts and single divisions only). */
+  def qualityFilterQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val decorated = docs(spark, sfDir).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 5 === 0, lit("\n- alpha item\n- beta item\n- gamma item"))
+        .when(col("doc_id") % 5 === 1, lit("\nsame line\nsame line\nsame line"))
+        .when(col("doc_id") % 5 === 2, lit(" wait...\nmore to come...\nthe end"))
+        .when(col("doc_id") % 5 === 3, lit(" ### anchor ### heading"))
+        .otherwise(lit(""))).as("text"))
+    TextAnalysis.qualityGate(decorated, "text", qualityRules)
+      .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
+        col("symbol_ratio"), col("bullet_ratio"), col("ellipsis_ratio"),
+        col("dup_line_ratio"), col("rep_ngram"), col("n_stopwords"), col("pass"))
+      .orderBy("doc_id")
+  }
+
+  /** Thresholds chosen to split THIS corpus on every rule (see
+    * [[qualityFilterQ]]'s measurements) — mean-token-length and
+    * min-token gates bisect the natural ranges; the ratio gates sit
+    * between the clean docs (0) and the decorated pathologies. */
+  private val qualityRules = TextAnalysis.QualityRules(
+    minTokens = 30, maxTokens = 10000,
+    minMeanTokenLen = 3.0, maxMeanTokenLen = 4.6,
+    maxSymbolRatio = 0.03,
+    maxBulletLineRatio = 0.5,
+    maxEllipsisLineRatio = 0.4,
+    minDistinctStopwords = 2,
+    maxDupLineRatio = 0.4,
+    maxDupNgramRatio = 0.05,
+    ngramSize = 3)
+
+  /** Within-document line dedup, oracle-checked on a corpus decorated
+    * with repeated boilerplate lines (nav-bar / footer shapes): every
+    * doc gets a header line, its own text, a repeat of the header, and
+    * a footer repeated twice — first occurrences survive in order. */
+  def textLineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val decorated = docs(spark, sfDir).select(col("doc_id"),
+      concat_ws("\n", lit("site nav | home | about"), col("text"),
+        lit("site nav | home | about"), lit("copyright footer"),
+        lit("copyright footer")).as("text"))
+    decorated.select(col("doc_id"),
+        TextAnalysis.dedupLinesInDoc(col("text")).as("text_dedup"))
       .orderBy("doc_id")
   }
 
@@ -803,7 +877,11 @@ object PipelineQueries {
     "p_ann_bruteforce" -> (annBruteForce _),
     "p_ann_ivf" -> (annIvf _),
     "p_ann_ivf_exhaustive" -> (annIvfExhaustive _),
+    "p_embed_quantize" -> (embedQuantize _),
+    "p_ann_quantized" -> (annQuantized _),
     "p_text_quality" -> (textQuality _),
+    "p_quality_filter" -> (qualityFilterQ _),
+    "p_text_line_dedup" -> (textLineDedup _),
     "p_top_tokens" -> (topTokens _),
     "p_top_tokens_scale" -> (topTokensScale _),
     "p_pack_sequences" -> (packSequences _),
@@ -1376,6 +1454,51 @@ object PipelineQueries {
         |SELECT u.doc_id, u.lang, u.source FROM u JOIN m ON u.doc_id = m.doc_id
         |ORDER BY u.doc_id""".stripMargin,
 
+    // the quantization chain replayed with the same association:
+    // ((x−mn)·255)/(mx−mn), round, clamp — mn/mx as double lifts of the
+    // float min/max
+    "p_embed_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    cast(list_min(embedding) as double) AS mn,
+        |    cast(list_max(embedding) as double) AS mx
+        |  FROM embeddings)
+        |SELECT vec_id, mn, mx,
+        |  CASE WHEN mx = mn THEN list_transform(embedding, x -> 0)
+        |       ELSE list_transform(embedding, x ->
+        |         least(255, cast(round((cast(x as double) - mn) * 255.0 / (mx - mn)) as int)))
+        |  END AS codes
+        |FROM m ORDER BY vec_id""".stripMargin,
+
+    // quantize → dequantize → cosine(dot/(‖a‖·‖b‖), left-to-right sums)
+    // → rank, all replayed on the same doubles; ties (identical codes)
+    // break on vec_id in both engines
+    "p_ann_quantized" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    cast(list_min(embedding) as double) AS mn,
+        |    cast(list_max(embedding) as double) AS mx
+        |  FROM embeddings),
+        |deq AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = mn THEN list_transform(embedding, x -> mn)
+        |         ELSE list_transform(embedding, x ->
+        |           mn + cast(least(255, cast(round((cast(x as double) - mn) * 255.0 / (mx - mn)) as int)) as double) * (mx - mn) / 255.0)
+        |    END AS v
+        |  FROM m),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM deq WHERE vec_id < 5),
+        |s AS (SELECT q.qid, d.vec_id,
+        |        CASE WHEN sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(d.v, d.v)) = 0 THEN 0.0
+        |             ELSE list_inner_product(q.qv, d.v)
+        |               / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(d.v, d.v))) END AS cos
+        |      FROM deq d CROSS JOIN q)
+        |SELECT qid, vec_id, rank FROM (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+        |  FROM s) t
+        |WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
     "p_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |s AS (SELECT q.qid, e.vec_id,
@@ -1387,6 +1510,68 @@ object PipelineQueries {
         |  FROM s) t
         |WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    // qualityFilterQ's decoration + every signal replayed in SQL: same
+    // split/line/gram constructions as the Spark side, integer counts or
+    // single divisions of exact integers throughout, so doubles match
+    // bit-for-bit and the pass verdict is the same conjunction.
+    "p_quality_filter" ->
+      """WITH deco AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10)||'- alpha item'||chr(10)||'- beta item'||chr(10)||'- gamma item'
+        |         WHEN doc_id % 5 = 1 THEN chr(10)||'same line'||chr(10)||'same line'||chr(10)||'same line'
+        |         WHEN doc_id % 5 = 2 THEN ' wait...'||chr(10)||'more to come...'||chr(10)||'the end'
+        |         WHEN doc_id % 5 = 3 THEN ' ### anchor ### heading'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ltoks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM deco),
+        |calc AS (
+        |  SELECT doc_id,
+        |    cast(len(toks) as bigint) AS n_tokens,
+        |    cast(list_sum(list_transform(toks, x -> length(x))) as double) / len(toks) AS mean_token_len,
+        |    cast((length(text) - length(replace(text, '#', '')))
+        |       + len(regexp_extract_all(text, '\.\.\.'))
+        |       + (length(text) - length(replace(text, '…', ''))) as double) / len(toks) AS symbol_ratio,
+        |    cast(len(list_filter(lines, l -> ltrim(l, ' ')[1:1] IN ('-', '*', '•'))) as double) / len(lines) AS bullet_ratio,
+        |    cast(len(list_filter(lines, l -> ends_with(rtrim(l, ' '), '...'))) as double) / len(lines) AS ellipsis_ratio,
+        |    1.0 - cast(len(list_distinct(lines)) as double) / len(lines) AS dup_line_ratio,
+        |    CASE WHEN greatest(len(ltoks) - 2, 0) = 0 THEN 0.0
+        |         ELSE 1.0 - cast(len(list_distinct(
+        |           list_transform(range(1, len(ltoks)-1), i -> array_to_string(ltoks[i:i+2], ' ')))) as double)
+        |           / greatest(len(ltoks) - 2, 0) END AS rep_ngram,
+        |    cast(len(list_distinct(list_filter(list_transform(toks, x -> lower(x)),
+        |      t -> list_contains(['the','a','an','and','or','of','to','in','is','that','it','for','with','was','are'], t)))) as bigint) AS n_stopwords
+        |  FROM base)
+        |SELECT doc_id, n_tokens, mean_token_len, symbol_ratio, bullet_ratio,
+        |  ellipsis_ratio, dup_line_ratio, rep_ngram, n_stopwords,
+        |  (n_tokens BETWEEN 30 AND 10000
+        |   AND mean_token_len BETWEEN 3.0 AND 4.6
+        |   AND symbol_ratio <= 0.03
+        |   AND bullet_ratio <= 0.5
+        |   AND ellipsis_ratio <= 0.4
+        |   AND dup_line_ratio <= 0.4
+        |   AND rep_ngram <= 0.05
+        |   AND n_stopwords >= 2) AS pass
+        |FROM calc ORDER BY doc_id""".stripMargin,
+
+    // same first-occurrence rule: keep line i iff its first index is i
+    // (DuckDB lambda index and list_position are both 1-based)
+    "p_text_line_dedup" ->
+      """WITH deco AS (
+        |  SELECT doc_id,
+        |    'site nav | home | about' || chr(10) || text || chr(10) ||
+        |    'site nav | home | about' || chr(10) || 'copyright footer' ||
+        |    chr(10) || 'copyright footer' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(string_split(text, chr(10)),
+        |    (l, i) -> list_position(string_split(text, chr(10)), l) = i), chr(10)) AS text_dedup
+        |FROM deco ORDER BY doc_id""".stripMargin,
 
     "p_text_quality" ->
       ("""SELECT doc_id,

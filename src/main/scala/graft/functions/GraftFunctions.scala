@@ -44,6 +44,8 @@ object GraftFunctions {
     register1("graft_url_domain", TextAnalysis.urlDomain)
     register1("graft_l2norm", Similarity.l2Norm)
     register1("graft_normalize", Similarity.normalize) // native NormalizeExpr
+    register1("graft_quantize_int8", Similarity.quantizeInt8)
+    register1("graft_dequantize_int8", Similarity.dequantizeInt8)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
       exprs => ColumnBridge.expressionEager(

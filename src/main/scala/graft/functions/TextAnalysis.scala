@@ -138,6 +138,17 @@ object TextAnalysis {
     ColumnBridge.column(RepetitionRatioExpr(ColumnBridge.expression(normalized), n))
   }
 
+  /** Remove repeated lines WITHIN a document, keeping each line's first
+    * occurrence in order (the in-doc boilerplate scrub — repeated nav
+    * bars, footers, chat headers). Pure array composition: split on
+    * '\n', keep line i iff its first occurrence index is i, re-join.
+    * Narrow projection, zero shuffle, trivially parallel at 100 TB. */
+  def dedupLinesInDoc(c: Column): Column = {
+    val lines = split(c, "\n")
+    array_join(
+      filter(lines, (l, i) => array_position(lines, l) === i.cast("long") + 1L), "\n")
+  }
+
   /** Corpus vocabulary stats: top-k tokens by frequency, ties broken
     * lexicographically. Explode → count is fully map-side combinable
     * (partial aggregation), and the final top-k is a TakeOrdered — no
@@ -290,6 +301,101 @@ object TextAnalysis {
       .withColumn("coverage",
         when(col("n_tokens") === 0, lit(0.0))
           .otherwise(col("vocab_hits").cast("double") / col("n_tokens")))
+  }
+
+  /** Distinct stopwords of `words` present among the whitespace tokens of
+    * `c` (lowercased) — the Gopher-style "must contain ≥2 of a small stop
+    * list" gate, one codegen'd pass ([[DistinctStopwordHitsExpr]]). */
+  def distinctStopwordHits(c: Column, words: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(DistinctStopwordHitsExpr(ColumnBridge.expression(trim(c)), words))
+  }
+
+  private def lineStat(c: Column, which: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(LineStatsExpr(ColumnBridge.expression(c), which))
+  }
+
+  /** Gopher-style document quality gates (public thresholds after the
+    * Gopher/MassiveWeb and C4 filter families; every knob configurable).
+    * All signals are engine-portable: integer counts or single divisions
+    * of exact integers, so the DuckDB oracle reproduces them bit-exactly.
+    */
+  final case class QualityRules(
+      minTokens: Int = 50,
+      maxTokens: Int = 100000,
+      minMeanTokenLen: Double = 3.0,
+      maxMeanTokenLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletLineRatio: Double = 0.9,
+      maxEllipsisLineRatio: Double = 0.3,
+      minDistinctStopwords: Int = 2,
+      maxDupLineRatio: Double = 0.3,
+      maxDupNgramRatio: Double = 0.5,
+      ngramSize: Int = 3,
+      stopwords: Seq[String] = LangProfiles.head._2)
+
+  /** The quality signals behind [[qualityGate]], name → Column. Narrow
+    * projection: the line statistics and stopword probes are codegen'd
+    * byte loops ([[LineStatsExpr]], [[DistinctStopwordHitsExpr]]); the
+    * rest is Spark built-ins. Nothing here shuffles — filtering 100 TB
+    * by quality is embarrassingly parallel and stays that way. */
+  def qualitySignals(c: Column, rules: QualityRules): Seq[(String, Column)] = {
+    val ntok = tokenCount(c)
+    val toks = split(trim(c), "\\s+")
+    val meanLen = when(ntok === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / ntok)
+    // symbol load: '#' chars + non-overlapping "..." runs + '…' chars
+    val symbolHits = (length(c) - length(translate(c, "#", ""))) +
+      size(regexp_extract_all(c, lit("\\.\\.\\."), lit(0))) +
+      (length(c) - length(translate(c, "…", "")))
+    val symbolRatio = when(ntok === 0, lit(0.0))
+      .otherwise(symbolHits.cast("double") / ntok)
+    val nLines = lineStat(c, LineStatsExpr.NLines) // ≥ 1 for any non-null text
+    val bulletRatio = lineStat(c, LineStatsExpr.BulletLines).cast("double") / nLines
+    val ellipsisRatio = lineStat(c, LineStatsExpr.EllipsisLines).cast("double") / nLines
+    val dupLineRatio = lit(1.0) - lineStat(c, LineStatsExpr.DistinctLines).cast("double") / nLines
+    Seq(
+      "n_tokens" -> ntok.cast("long"),
+      "mean_token_len" -> meanLen,
+      "symbol_ratio" -> symbolRatio,
+      "bullet_ratio" -> bulletRatio,
+      "ellipsis_ratio" -> ellipsisRatio,
+      "dup_line_ratio" -> dupLineRatio,
+      "rep_ngram" -> repetitionRatio(c, rules.ngramSize),
+      "n_stopwords" -> distinctStopwordHits(c, rules.stopwords).cast("long"))
+  }
+
+  /** Verdict of the full rule set over precomputed signal columns. */
+  private def passExpr(rules: QualityRules, sig: String => Column): Column =
+    sig("n_tokens").between(rules.minTokens, rules.maxTokens) &&
+      sig("mean_token_len").between(rules.minMeanTokenLen, rules.maxMeanTokenLen) &&
+      sig("symbol_ratio") <= rules.maxSymbolRatio &&
+      sig("bullet_ratio") <= rules.maxBulletLineRatio &&
+      sig("ellipsis_ratio") <= rules.maxEllipsisLineRatio &&
+      sig("dup_line_ratio") <= rules.maxDupLineRatio &&
+      sig("rep_ngram") <= rules.maxDupNgramRatio &&
+      sig("n_stopwords") >= rules.minDistinctStopwords
+
+  /** Append every quality signal plus a `pass` verdict — the audit view
+    * (what dropped each doc, and by how much). */
+  def qualityGate(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      rules: QualityRules = QualityRules()): org.apache.spark.sql.DataFrame = {
+    val sigs = qualitySignals(col(textCol), rules)
+    val withSigs = sigs.foldLeft(df) { case (acc, (n, e)) => acc.withColumn(n, e) }
+    withSigs.withColumn("pass", passExpr(rules, col))
+  }
+
+  /** Keep only documents passing every rule, original columns unchanged —
+    * the production path (signals never materialize). */
+  def qualityFilter(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      rules: QualityRules = QualityRules()): org.apache.spark.sql.DataFrame = {
+    val sigs = qualitySignals(col(textCol), rules).toMap
+    df.where(passExpr(rules, sigs))
   }
 
   /** http(s) URLs appearing in free text (conservative pattern: scheme
@@ -540,6 +646,157 @@ object RepetitionRatioExpr {
       w += 1
     }
     1.0 - distinct.toDouble / total
+  }
+}
+
+/** Count of DISTINCT words from a fixed set appearing among the
+  * whitespace tokens of the input (tokens lowercased before probing) —
+  * the Gopher "contains at least k of the stop list" gate in one
+  * codegen'd pass. Same tokenizer loop as [[StopwordHitsExpr]]; matches
+  * collect into a per-row set so repeats count once. */
+case class DistinctStopwordHitsExpr(child: Expression, words: Seq[String]) extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.length * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    DistinctStopwordHitsExpr.distinctHits(input.asInstanceOf[UTF8String].getBytes, set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopwords", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DistinctStopwordHitsExpr.distinctHits($c.getBytes(), $setRef);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "distinct_stopword_hits"
+}
+
+object DistinctStopwordHitsExpr {
+  private def isWs(b: Byte): Boolean =
+    b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
+      b == 0x0b.toByte || b == '\f'.toByte || b == '\r'.toByte
+
+  def distinctHits(bytes: Array[Byte], set: java.util.HashSet[UTF8String]): Int = {
+    val seen = new java.util.HashSet[UTF8String](8)
+    var i = 0
+    var start = -1
+    val len = bytes.length
+    def probe(s: Int, e: Int): Unit = {
+      val t = UTF8String.fromBytes(bytes, s, e - s).toLowerCase
+      if (set.contains(t)) seen.add(t)
+    }
+    while (i < len) {
+      if (isWs(bytes(i))) {
+        if (start >= 0) { probe(start, i); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    if (start >= 0) probe(start, len)
+    seen.size
+  }
+}
+
+/** Per-document line statistics in one codegen'd byte loop, selector
+  * `which`: total line count, bullet-led lines, ellipsis-ended lines, or
+  * distinct lines. Line semantics match `split(text, '\n')` with Spark's
+  * default limit −1 / DuckDB `string_split(text, chr(10))`: every '\n'
+  * opens a new line, empties (including a trailing one) count.
+  *   - bullet: first byte after leading 0x20 spaces (ltrim parity) is
+  *     '-', '*', or the UTF-8 of '•';
+  *   - ellipsis: last bytes after trailing-space rtrim are "...";
+  *   - distinct: XXH64 of the exact line bytes, per-row open-address set
+  *     (exact up to ~2⁻⁶⁴ per-doc collisions, same contract as
+  *     [[RepetitionRatioExpr]]). */
+case class LineStatsExpr(child: Expression, which: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  require(which >= LineStatsExpr.NLines && which <= LineStatsExpr.DistinctLines,
+    s"unknown line stat $which")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    LineStatsExpr.stat(input.asInstanceOf[UTF8String].getBytes, which)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LineStatsExpr.stat($c.getBytes(), $which);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "line_stat"
+}
+
+object LineStatsExpr {
+  val NLines = 0
+  val BulletLines = 1
+  val EllipsisLines = 2
+  val DistinctLines = 3
+
+  def stat(bytes: Array[Byte], which: Int): Int = {
+    val len = bytes.length
+    var nLines = 0
+    var hits = 0
+    // distinct-line open-address hash set (0 = empty slot; a real 0 hash
+    // is nudged to 1), grown by rehash at 1/2 load so probes stay O(1)
+    // for any input size
+    var table = new Array[Long](16)
+    var distinct = 0
+    def insert(t: Array[Long], h: Long): Boolean = {
+      val cap = t.length
+      var idx = (scala.util.hashing.byteswap64(h) & (cap - 1)).toInt
+      while (t(idx) != 0L && t(idx) != h) idx = (idx + 1) & (cap - 1)
+      if (t(idx) == 0L) { t(idx) = h; true } else false
+    }
+    def addDistinct(s: Int, e: Int): Unit = {
+      var h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s, e - s, 42L)
+      if (h == 0L) h = 1L
+      if (insert(table, h)) {
+        distinct += 1
+        if (distinct * 2 >= table.length) {
+          val grown = new Array[Long](table.length * 2)
+          table.foreach(v => if (v != 0L) insert(grown, v))
+          table = grown
+        }
+      }
+    }
+    def isBullet(s: Int, e: Int): Boolean = {
+      var i = s
+      while (i < e && bytes(i) == ' '.toByte) i += 1
+      if (i >= e) false
+      else bytes(i) == '-'.toByte || bytes(i) == '*'.toByte ||
+        (e - i >= 3 && bytes(i) == 0xe2.toByte &&
+          bytes(i + 1) == 0x80.toByte && bytes(i + 2) == 0xa2.toByte)
+    }
+    def isEllipsis(s: Int, e: Int): Boolean = {
+      var j = e
+      while (j > s && bytes(j - 1) == ' '.toByte) j -= 1
+      j - s >= 3 && bytes(j - 1) == '.'.toByte && bytes(j - 2) == '.'.toByte &&
+        bytes(j - 3) == '.'.toByte
+    }
+    def line(s: Int, e: Int): Unit = {
+      nLines += 1
+      which match {
+        case BulletLines   => if (isBullet(s, e)) hits += 1
+        case EllipsisLines => if (isEllipsis(s, e)) hits += 1
+        case DistinctLines => addDistinct(s, e)
+        case _             => ()
+      }
+    }
+    var start = 0
+    var i = 0
+    while (i < len) {
+      if (bytes(i) == '\n'.toByte) { line(start, i); start = i + 1 }
+      i += 1
+    }
+    line(start, len)
+    which match {
+      case NLines        => nLines
+      case DistinctLines => distinct
+      case _             => hits
+    }
   }
 }
 

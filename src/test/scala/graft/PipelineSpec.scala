@@ -891,4 +891,125 @@ class PipelineSpec extends GraftSuite {
     bad(16) = 0xf8.toByte; bad(17) = 0xff.toByte; bad(18) = 0xff.toByte; bad(19) = 0xff.toByte
     assert(VideoHeader.decode(bad).isEmpty)
   }
+
+  test("line stats: split/ltrim/rtrim parity incl. unicode bullet and trailing newline") {
+    import graft.functions.LineStatsExpr._
+    def s(t: String, w: Int) = stat(t.getBytes("UTF-8"), w)
+    val t1 = "intro\n- one\n  * two\n• three\nplain"
+    assert(s(t1, NLines) == 5)
+    assert(s(t1, BulletLines) == 3) // '-', '*' after spaces, '•'
+    assert(s(t1, EllipsisLines) == 0)
+    assert(s(t1, DistinctLines) == 5)
+    val t2 = "wait...\nmore...   \ndots....\nno dots\nwait..."
+    assert(s(t2, EllipsisLines) == 4) // rtrim'd "...", "....", and the repeat
+    assert(s(t2, DistinctLines) == 4) // "wait..." repeats; trailing spaces keep line 2 unique
+    // trailing '\n' opens an empty final line (split limit −1 parity);
+    // empty lines dedup to one
+    val t3 = "a\n\na\n"
+    assert(s(t3, NLines) == 4)
+    assert(s(t3, DistinctLines) == 2) // "a" and ""
+    assert(s("", NLines) == 1 && s("", DistinctLines) == 1)
+    assert(s("   - x", BulletLines) == 1) // ltrim spaces only
+    assert(s("\t- x", BulletLines) == 0) // tab is NOT ltrim'd (DuckDB parity)
+  }
+
+  test("distinct stopword hits: repeats once, case-insensitive, tokenizer parity") {
+    import graft.functions.DistinctStopwordHitsExpr
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    Seq("the", "and", "of").foreach(w =>
+      set.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    def h(t: String) = DistinctStopwordHitsExpr.distinctHits(t.getBytes("UTF-8"), set)
+    assert(h("the THE The cat") == 1)
+    assert(h("the and of the and") == 3)
+    assert(h("theory android office") == 0) // whole tokens only
+    assert(h("") == 0)
+  }
+
+  test("quality gate: each rule drops its pathology; filter keeps exactly the pass set") {
+    val rules = TextAnalysis.QualityRules(
+      minTokens = 5, maxTokens = 100, minMeanTokenLen = 2.0, maxMeanTokenLen = 8.0,
+      maxSymbolRatio = 0.1, maxBulletLineRatio = 0.5, maxEllipsisLineRatio = 0.3,
+      minDistinctStopwords = 2, maxDupLineRatio = 0.3, maxDupNgramRatio = 0.3,
+      ngramSize = 2, stopwords = Seq("the", "and", "of", "a", "is"))
+    val good = "the cat and the dog walked over a sunny hill is nice"
+    val cases = Seq(
+      (1L, good), // passes all
+      (2L, "the and"), // too short
+      (3L, good + "\n- b1\n- b2\n- b3\n- b4\n- b5"), // bullet ratio 5/6
+      (4L, good + " ###### ###### ######"), // symbol load
+      (5L, good + "\nx\nx\nx\nx"), // dup lines 1−2/5
+      (6L, "the and of " + Seq.fill(20)("go go").mkString(" ")), // 2-gram repetition
+      (7L, "zq wx yv uk tj sr qp on ml kj")) // no stopwords
+      .toDF("doc_id", "text")
+    val gate = TextAnalysis.qualityGate(cases, "text", rules)
+    val verdicts = gate.select("doc_id", "pass").as[(Long, Boolean)].collect().toMap
+    assert(verdicts(1L) && !verdicts(2L) && !verdicts(3L) && !verdicts(4L) &&
+      !verdicts(5L) && !verdicts(6L) && !verdicts(7L))
+    val kept = TextAnalysis.qualityFilter(cases, "text", rules)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+    // the filter preserves the original schema untouched
+    assert(TextAnalysis.qualityFilter(cases, "text", rules).columns.toSeq ==
+      Seq("doc_id", "text"))
+  }
+
+  test("dedupLinesInDoc keeps first occurrences in order, empties dedup too") {
+    val out = Seq(
+      (1L, "a\nb\na\nc\nb"),
+      (2L, "x\n\ny\n\nx"), // repeated empty line dedups
+      (3L, "only"),
+      (4L, "")).toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.dedupLinesInDoc($"text").as("d"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "a\nb\nc")
+    assert(out(2L) == "x\n\ny")
+    assert(out(3L) == "only")
+    assert(out(4L) == "")
+  }
+
+  test("int8 quantization: round-trip error bound, constant vectors, quantized recall") {
+    val vecs = Seq(
+      (0L, Array(0.1f, -0.5f, 0.9f, 0.3f)),
+      (1L, Array(2.0f, 2.0f, 2.0f, 2.0f)), // constant → all-zero codes
+      (2L, Array(-1.0f, 0.0f, 1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.select(col("vec_id"),
+      Similarity.quantizeInt8(col("embedding")).as("q"),
+      col("embedding"))
+    val rows = q.select(col("vec_id"), col("q.mn"), col("q.mx"), col("q.codes"),
+        Similarity.dequantizeInt8(col("q")).as("deq"), col("embedding"))
+      .collect()
+    rows.foreach { r =>
+      val mn = r.getDouble(1); val mx = r.getDouble(2)
+      val codes = r.getSeq[Int](3)
+      val deq = r.getSeq[Double](4)
+      val orig = r.getSeq[Float](5)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      if (r.getLong(0) == 1L) {
+        assert(codes.forall(_ == 0) && deq.forall(_ == 2.0))
+      } else {
+        // affine round-trip error ≤ half a quantization step
+        val step = (mx - mn) / 255.0
+        orig.zip(deq).foreach { case (o, d) =>
+          assert(math.abs(o.toDouble - d) <= step / 2 + 1e-12,
+            s"vec ${r.getLong(0)}: |$o − $d| > step/2 ($step)")
+        }
+      }
+    }
+    // quantized top-k recalls the exact float scan on separated data: the
+    // sf0.001 embeddings (64-dim random) quantize with recall@5 ≥ 0.8
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def topset(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topset(Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5))
+    val quant = topset(Similarity.quantizedTopK(e, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5))
+    val recalls = exact.map { case (qid, ex) =>
+      (ex intersect quant(qid)).size.toDouble / ex.size }
+    assert(recalls.forall(_ >= 0.8), s"quantized recall@5 too low: $recalls")
+  }
 }

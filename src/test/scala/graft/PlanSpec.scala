@@ -301,4 +301,26 @@ class PlanSpec extends GraftSuite {
     assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("quality gate: narrow codegen'd projection — no exchange before the verdict") {
+    val p = plan("p_quality_filter")
+    // the fused expressions carry the signals; no interpreted stopword walk
+    assert(p.contains("line_stat") && p.contains("distinct_stopword_hits") &&
+      p.contains("repetition_ratio"), p)
+    // signals + verdict are one projection over the scan: the only
+    // exchange permitted is the final presentation orderBy's range
+    // partitioning — none of them hash-partition (that would mean a
+    // shuffle computed a per-doc signal)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("quantized ann: corpus stays unshuffled; quantize/dequantize ride the scan projection") {
+    val p = plan("p_ann_quantized")
+    // queries broadcast against the corpus exactly like the float scan
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // two-phase top-k preserved on the quantized path
+    assert(p.contains("MapPartitions") && p.contains("Window"), p)
+  }
 }

@@ -67,6 +67,18 @@ class ScaleSpec extends GraftSuite {
     assert(row.getAs[Long]("fp") == viaColumn)
   }
 
+  test("SQL-registered int8 quantization round-trips in spark.sql") {
+    GraftFunctions.registerAll(spark)
+    Seq((1L, Seq(0.0f, 1.0f, 0.5f))).toDF("id", "v").createOrReplaceTempView("fn_qz")
+    val row = spark.sql(
+      """SELECT graft_quantize_int8(v).codes AS codes,
+        |  graft_dequantize_int8(graft_quantize_int8(v)) AS deq
+        |FROM fn_qz""".stripMargin).collect()(0)
+    assert(row.getSeq[Int](0) == Seq(0, 255, 128))
+    val deq = row.getSeq[Double](1)
+    assert(deq.head == 0.0 && deq(1) == 1.0 && math.abs(deq(2) - 0.5) <= 0.5 / 255 + 1e-12)
+  }
+
   test("SQL-registered web/text cleaners work in spark.sql") {
     GraftFunctions.registerAll(spark)
     Seq((1L, "<p>hi</p> see https://a.bad.com/x now"))

@@ -582,6 +582,25 @@ object PipelineQueries {
     maxDupNgramRatio = 0.05,
     ngramSize = 3)
 
+  /** CCNet-style LM scoring, self-referenced: the documents table is both
+    * the LM reference corpus (top-20 vocab, top-300 in-vocab bigrams —
+    * the measured corpus has 31 distinct tokens / 916 distinct bigrams,
+    * so OOV and bigram-miss backoff both exercise) and the scored corpus.
+    * The oracled output is the INTEGER signal set — OOV tokens, in-vocab
+    * pairs, bigram-table hits, pair count — which any engine rebuilding
+    * the same deterministically-tie-broken LM reproduces exactly; the
+    * perplexity double rides the same counts and is pinned in-suite
+    * (log-sum floats don't hash-compare across engines). */
+  def lmScoreQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val lm = graft.functions.LanguageModel.buildBigramLm(
+      d, "text", vocabSize = 20, maxBigrams = 300)
+    graft.functions.LanguageModel.scoreDocs(d, "doc_id", "text", lm)
+      .select(col("doc_id"), col("oov_tokens"), col("invocab_bigrams"),
+        col("hit_bigrams"), col("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** Within-document line dedup, oracle-checked on a corpus decorated
     * with repeated boilerplate lines (nav-bar / footer shapes): every
     * doc gets a header line, its own text, a repeat of the header, and
@@ -882,6 +901,7 @@ object PipelineQueries {
     "p_text_quality" -> (textQuality _),
     "p_quality_filter" -> (qualityFilterQ _),
     "p_text_line_dedup" -> (textLineDedup _),
+    "p_lm_score" -> (lmScoreQ _),
     "p_top_tokens" -> (topTokens _),
     "p_top_tokens_scale" -> (topTokensScale _),
     "p_pack_sequences" -> (packSequences _),
@@ -1558,6 +1578,46 @@ object PipelineQueries {
         |   AND rep_ngram <= 0.05
         |   AND n_stopwords >= 2) AS pass
         |FROM calc ORDER BY doc_id""".stripMargin,
+
+    // the LM rebuilt relationally with the same tie-broken selections
+    // (count desc, token asc; count desc, w1, w2), then per-doc signals
+    // via left joins against vocab and the bigram table
+    "p_lm_score" ->
+      """WITH toked AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |uni AS (SELECT unnest(toks) AS w FROM toked),
+        |vocab AS (SELECT w, count(*) AS c FROM uni GROUP BY w ORDER BY c DESC, w LIMIT 20),
+        |pairs AS (
+        |  SELECT doc_id, p['a'] AS w1, p['b'] AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> {'a': toks[i], 'b': toks[i+1]})) AS p
+        |    FROM toked WHERE len(toks) >= 2)),
+        |btop AS (
+        |  SELECT pairs.w1, pairs.w2, count(*) AS c FROM pairs
+        |  JOIN vocab v1 ON pairs.w1 = v1.w JOIN vocab v2 ON pairs.w2 = v2.w
+        |  GROUP BY pairs.w1, pairs.w2 ORDER BY c DESC, w1, w2 LIMIT 300),
+        |oov AS (
+        |  SELECT t.doc_id, count(*) FILTER (WHERE v.w IS NULL) AS oov_tokens
+        |  FROM (SELECT doc_id, unnest(toks) AS w FROM toked) t
+        |  LEFT JOIN vocab v ON t.w = v.w GROUP BY t.doc_id),
+        |psig AS (
+        |  SELECT pairs.doc_id,
+        |    count(*) FILTER (WHERE v1.w IS NOT NULL AND v2.w IS NOT NULL) AS invocab_bigrams,
+        |    count(*) FILTER (WHERE bt.w1 IS NOT NULL) AS hit_bigrams
+        |  FROM pairs
+        |  LEFT JOIN vocab v1 ON pairs.w1 = v1.w
+        |  LEFT JOIN vocab v2 ON pairs.w2 = v2.w
+        |  LEFT JOIN btop bt ON pairs.w1 = bt.w1 AND pairs.w2 = bt.w2
+        |  GROUP BY pairs.doc_id)
+        |SELECT t.doc_id,
+        |  cast(coalesce(o.oov_tokens, 0) as bigint) AS oov_tokens,
+        |  cast(coalesce(s.invocab_bigrams, 0) as bigint) AS invocab_bigrams,
+        |  cast(coalesce(s.hit_bigrams, 0) as bigint) AS hit_bigrams,
+        |  cast(greatest(len(t.toks) - 1, 0) as bigint) AS n_bigrams
+        |FROM toked t
+        |LEFT JOIN oov o ON t.doc_id = o.doc_id
+        |LEFT JOIN psig s ON t.doc_id = s.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // same first-occurrence rule: keep line i iff its first index is i
     // (DuckDB lambda index and list_position are both 1-based)

@@ -967,6 +967,56 @@ class PipelineSpec extends GraftSuite {
     assert(out(4L) == "")
   }
 
+  test("bigram LM: counts, signals, and add-k perplexity match the hand formula") {
+    import graft.functions.LanguageModel
+    val corpus = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat ran"),
+      (3L, "dog barks")).toDF("doc_id", "text")
+    val lm = LanguageModel.buildBigramLm(corpus, "text", vocabSize = 10, maxBigrams = 100)
+    assert(lm.totalTokens == 8L)
+    assert(lm.vocab == Map("the" -> 2L, "cat" -> 2L, "sat" -> 1L, "ran" -> 1L,
+      "dog" -> 1L, "barks" -> 1L))
+    assert(lm.bigrams == Map(("the", "cat") -> 2L, ("cat", "sat") -> 1L,
+      ("cat", "ran") -> 1L, ("dog", "barks") -> 1L))
+
+    // signals on a doc with one OOV token and one unseen in-vocab pair
+    val scored = LanguageModel.scoreDocs(
+      Seq((9L, "the cat UNSEEN sat the")).toDF("doc_id", "text"),
+      "doc_id", "text", lm, addK = 0.5)
+    val row = scored.collect()(0)
+    assert(row.getAs[Long]("oov_tokens") == 1L) // "unseen" (lowercased probe)
+    // pairs: (the,cat)✓ (cat,unseen)✗ (unseen,sat)✗ (sat,the)✓in-vocab
+    assert(row.getAs[Long]("invocab_bigrams") == 2L)
+    assert(row.getAs[Long]("hit_bigrams") == 1L) // only (the,cat) is in the table
+    assert(row.getAs[Long]("n_bigrams") == 4L)
+    // hand formula, k=0.5, V=6 (vocab smaller than the cap), N=8:
+    val k = 0.5; val V = lm.vocab.size; val N = lm.totalTokens.toDouble
+    def biP(c12: Double, c1: Double) = (c12 + k) / (c1 + k * V)
+    def uniP(c2: Double) = (c2 + k) / (N + k * V)
+    val expected = -(math.log(biP(2, 2)) // the→cat
+      + math.log(uniP(0)) // cat→unseen: backoff, OOV unigram
+      + math.log(uniP(1)) // unseen→sat: backoff (prev OOV)
+      + math.log(biP(0, 1))) / 4 // sat→the: in-vocab pair, count 0
+    assert(math.abs(row.getAs[Double]("lm_ppl") - math.exp(expected)) < 1e-12)
+    // single-token doc: no bigrams → null perplexity, zero signals
+    val tiny = LanguageModel.scoreDocs(
+      Seq((10L, "solo")).toDF("doc_id", "text"), "doc_id", "text", lm).collect()(0)
+    assert(tiny.isNullAt(tiny.fieldIndex("lm_ppl")) && tiny.getAs[Long]("n_bigrams") == 0L)
+
+    // maxBigrams cap keeps the most frequent pair only (ties lexicographic)
+    val capped = LanguageModel.buildBigramLm(corpus, "text", vocabSize = 10, maxBigrams = 1)
+    assert(capped.bigrams == Map(("the", "cat") -> 2L))
+    // vocab cap: V=2 keeps {cat, the} (count desc, token asc)
+    val vcapped = LanguageModel.buildBigramLm(corpus, "text", vocabSize = 2, maxBigrams = 10)
+    assert(vcapped.vocab.keySet == Set("cat", "the"))
+    // reference-like text scores lower perplexity than gibberish
+    val cmp = LanguageModel.scoreDocs(Seq(
+      (1L, "the cat sat"), (2L, "zz qq ww rr")).toDF("doc_id", "text"),
+      "doc_id", "text", lm).select($"doc_id", $"lm_ppl").as[(Long, Double)].collect().toMap
+    assert(cmp(1L) < cmp(2L))
+  }
+
   test("int8 quantization: round-trip error bound, constant vectors, quantized recall") {
     val vecs = Seq(
       (0L, Array(0.1f, -0.5f, 0.9f, 0.3f)),

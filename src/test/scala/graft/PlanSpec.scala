@@ -315,6 +315,15 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("lm scoring: model rides the expression references — narrow scoring projection") {
+    val p = plan("p_lm_score")
+    // the fused LM probes are in-plan; scoring itself never shuffles
+    // (the only exchange is the presentation orderBy's range partitioning)
+    assert(p.contains("bigram_lm_stat"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("quantized ann: corpus stays unshuffled; quantize/dequantize ride the scan projection") {
     val p = plan("p_ann_quantized")
     // queries broadcast against the corpus exactly like the float scan

@@ -553,25 +553,28 @@ object PipelineQueries {
     * repeated lines, ellipsis endings, symbol runs — so every rule fires
     * on some docs and passes others, and DuckDB replays every signal
     * bit-exactly (integer counts and single divisions only). */
-  def qualityFilterQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val decorated = docs(spark, sfDir).select(col("doc_id"), concat(col("text"),
+  def qualityFilterQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.qualityGate(qualityCorpus(spark, sfDir), "text", qualityRules)
+      .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
+        col("symbol_ratio"), col("bullet_ratio"), col("ellipsis_ratio"),
+        col("dup_line_ratio"), col("rep_ngram"), col("n_stopwords"), col("pass"))
+      .orderBy("doc_id")
+
+  /** The decorated rule-firing corpus behind [[qualityFilterQ]] — also
+    * consumed by the streaming gate, which must see the identical input. */
+  private[graft] def qualityCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id"), concat(col("text"),
       when(col("doc_id") % 5 === 0, lit("\n- alpha item\n- beta item\n- gamma item"))
         .when(col("doc_id") % 5 === 1, lit("\nsame line\nsame line\nsame line"))
         .when(col("doc_id") % 5 === 2, lit(" wait...\nmore to come...\nthe end"))
         .when(col("doc_id") % 5 === 3, lit(" ### anchor ### heading"))
         .otherwise(lit(""))).as("text"))
-    TextAnalysis.qualityGate(decorated, "text", qualityRules)
-      .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
-        col("symbol_ratio"), col("bullet_ratio"), col("ellipsis_ratio"),
-        col("dup_line_ratio"), col("rep_ngram"), col("n_stopwords"), col("pass"))
-      .orderBy("doc_id")
-  }
 
   /** Thresholds chosen to split THIS corpus on every rule (see
     * [[qualityFilterQ]]'s measurements) — mean-token-length and
     * min-token gates bisect the natural ranges; the ratio gates sit
     * between the clean docs (0) and the decorated pathologies. */
-  private val qualityRules = TextAnalysis.QualityRules(
+  private[graft] val qualityRules = TextAnalysis.QualityRules(
     minTokens = 30, maxTokens = 10000,
     minMeanTokenLen = 3.0, maxMeanTokenLen = 4.6,
     maxSymbolRatio = 0.03,

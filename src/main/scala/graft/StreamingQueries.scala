@@ -190,6 +190,25 @@ object StreamingQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Streaming quality gate: the decorated rule-firing corpus of
+    * `p_quality_filter` flows through the SAME codegen'd rule set as a
+    * stateless streaming filter (append mode, no state) — quality
+    * filtering an incoming crawl is a pure projection, so the streaming
+    * result equals the batch pass set and shares its oracle's verdict. */
+  def qualityStream(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    val corpus = PipelineQueries.qualityCorpus(spark, sfDir)
+    val dir = stageTwoBatches(spark,
+      corpus.where(col("doc_id") % 2 === 0), corpus.where(col("doc_id") % 2 === 1),
+      "graft_stream_quality")
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val kept = graft.functions.TextAnalysis.qualityFilter(
+      stream, "text", PipelineQueries.qualityRules)
+    val name = "graft_stream_quality_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    Streams.runToMemorySink(kept, name, OutputMode.Append())
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** Streaming exact dedup: the documents corpus (∪ shifted-id copies, so
     * real duplicates span micro-batches) flows through a streaming
     * groupBy(content fingerprint) keeping the minimum doc_id — stateful
@@ -272,6 +291,7 @@ object StreamingQueries {
     "s_window_agg" -> (streamWindowAgg _),
     "s_sessionize_batch" -> (sessionizeBatch _),
     "s_sessionize_stream" -> (sessionizeStream _),
+    "s_quality_stream" -> (qualityStream _),
     "s_dedup_stream" -> (dedupStream _),
     "s_dedup_neardup_stream" -> (dedupNearDupStream _),
     "s_decontaminate_stream" -> (decontaminateStream _),
@@ -320,6 +340,13 @@ object StreamingQueries {
       """SELECT CASE WHEN doc_id % 3 = 0 AND doc_id % 5 = 0
         |            THEN doc_id - 100000 ELSE doc_id END AS doc_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the batch quality-gate oracle, projected to its pass set — the
+    // stateless stream must reproduce it exactly
+    "s_quality_stream" ->
+      s"""SELECT doc_id FROM (
+         |${PipelineQueries.oracleSql("p_quality_filter")}
+         |) WHERE pass ORDER BY doc_id""".stripMargin,
 
     "s_dedup_stream" ->
       """WITH corpus AS (

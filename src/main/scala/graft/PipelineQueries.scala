@@ -604,6 +604,16 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Cross-source shingle-overlap matrix, fully oracled: counts and the
+    * single-division Jaccard replay exactly in DuckDB (string shingles
+    * there, 64-bit-hashed here — identical distinct counts up to ~2⁻⁶⁴
+    * collisions on a 27k-gram corpus). */
+  def sourceOverlapQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.sourceOverlapMatrix(docs(spark, sfDir), "text", "source", k = 3)
+      .select(col("source_a"), col("source_b"),
+        col("shared_grams").cast("bigint").as("shared_grams"), col("jaccard"))
+      .orderBy("source_a", "source_b")
+
   /** Within-document line dedup, oracle-checked on a corpus decorated
     * with repeated boilerplate lines (nav-bar / footer shapes): every
     * doc gets a header line, its own text, a repeat of the header, and
@@ -905,6 +915,7 @@ object PipelineQueries {
     "p_quality_filter" -> (qualityFilterQ _),
     "p_text_line_dedup" -> (textLineDedup _),
     "p_lm_score" -> (lmScoreQ _),
+    "p_source_overlap" -> (sourceOverlapQ _),
     "p_top_tokens" -> (topTokens _),
     "p_top_tokens_scale" -> (topTokensScale _),
     "p_pack_sequences" -> (packSequences _),
@@ -1581,6 +1592,30 @@ object PipelineQueries {
         |   AND rep_ngram <= 0.05
         |   AND n_stopwords >= 2) AS pass
         |FROM calc ORDER BY doc_id""".stripMargin,
+
+    // word-3-shingle overlap per source pair: same shingle rule as the
+    // minhash oracle (short docs → whole text), distinct per source,
+    // inner self-join, integer counts + one double division
+    "p_source_overlap" ->
+      """WITH toked AS (
+        |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT source, g FROM (
+        |    SELECT source, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END) AS g
+        |    FROM toked)),
+        |sizes AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
+        |shared AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_grams
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT s.source_a, s.source_b,
+        |  cast(s.shared_grams as bigint) AS shared_grams,
+        |  cast(s.shared_grams as double) / (na.n + nb.n - s.shared_grams) AS jaccard
+        |FROM shared s
+        |JOIN sizes na ON s.source_a = na.source
+        |JOIN sizes nb ON s.source_b = nb.source
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // the LM rebuilt relationally with the same tie-broken selections
     // (count desc, token asc; count desc, w1, w2), then per-doc signals

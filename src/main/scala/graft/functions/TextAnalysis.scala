@@ -440,6 +440,40 @@ object TextAnalysis {
     df.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Cross-source contamination matrix: for every source pair, the count
+    * of distinct word-`k`-shingles appearing in BOTH plus their shingle
+    * Jaccard — the "is my eval split leaking into crawl source X"
+    * analytics view. Pairs sharing nothing are absent (inner join).
+    *
+    * Scale shape: shingles hash to 64-bit longs ([[Dedup.wordShingles]]),
+    * the distinct (source, gram) relation is the only corpus-sized
+    * shuffle (a string + a long per row), and the pair explosion is
+    * bounded by sources² per gram — the source dimension is catalog-
+    * sized, not corpus-sized. Counts are exact up to ~2⁻⁶⁴ hash
+    * collisions, the same contract as [[corpusReport]]'s distinct-text
+    * figure. */
+  def sourceOverlapMatrix(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      srcCol: String,
+      k: Int = 3): org.apache.spark.sql.DataFrame = {
+    val grams = df.select(col(srcCol).as("source_a"),
+        explode(Dedup.wordShingles(col(textCol), k)).as("__g"))
+      .distinct()
+    val sizes = grams.groupBy("source_a").agg(count(lit(1)).as("__na"))
+    val b = grams.select(col("source_a").as("source_b"), col("__g"))
+    val shared = grams.join(b, Seq("__g"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(sizes, Seq("source_a"))
+      .join(sizes.select(col("source_a").as("source_b"), col("__na").as("__nb")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        (col("shared_grams").cast("double") /
+          (col("__na") + col("__nb") - col("shared_grams"))).as("jaccard"))
+  }
+
   /** One-call corpus health report, one row per `langCol` value: doc and
     * token counts, token-length spread, distinct-text count (over a
     * 64-bit text hash — exact up to ~2⁻⁶⁴ collisions, never shuffling

@@ -953,6 +953,23 @@ class PipelineSpec extends GraftSuite {
       Seq("doc_id", "text"))
   }
 
+  test("sourceOverlapMatrix: shared shingles and jaccard; silent pairs absent") {
+    val d = Seq(
+      (1L, "a b c d", "s1"), // shingles: "a b c", "b c d"
+      (2L, "b c d e", "s2"), // shingles: "b c d", "c d e" — shares 1 with s1
+      (3L, "x y z w", "s3")) // disjoint from both
+      .toDF("doc_id", "text", "source")
+    val m = TextAnalysis.sourceOverlapMatrix(d, "text", "source", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(m.keySet == Set(("s1", "s2"))) // zero-overlap pairs are absent
+    assert(m(("s1", "s2")) == ((1L, 1.0 / 3))) // |∩|=1, |∪|=2+2−1=3
+    // short docs fall back to the whole-text shingle
+    val short = Seq((1L, "a b", "p"), (2L, "a b", "q")).toDF("doc_id", "text", "source")
+    val ms = TextAnalysis.sourceOverlapMatrix(short, "text", "source", k = 3).collect()
+    assert(ms.length == 1 && ms(0).getLong(2) == 1L && ms(0).getDouble(3) == 1.0)
+  }
+
   test("dedupLinesInDoc keeps first occurrences in order, empties dedup too") {
     val out = Seq(
       (1L, "a\nb\na\nc\nb"),

@@ -457,9 +457,14 @@ object TextAnalysis {
       textCol: String,
       srcCol: String,
       k: Int = 3): org.apache.spark.sql.DataFrame = {
-    val grams = df.select(col(srcCol).as("source_a"),
-        explode(Dedup.wordShingles(col(textCol), k)).as("__g"))
-      .distinct()
+    // the distinct (source, gram) relation feeds three consumers (both
+    // self-join sides + the per-source sizes) — cache it (conf-gated,
+    // like the LSH signature relations) so the corpus-sized shingle
+    // explode and its distinct run once, not three times
+    val grams = Dedup.maybeCache(
+      df.select(col(srcCol).as("source_a"),
+          explode(Dedup.wordShingles(col(textCol), k)).as("__g"))
+        .distinct())
     val sizes = grams.groupBy("source_a").agg(count(lit(1)).as("__na"))
     val b = grams.select(col("source_a").as("source_b"), col("__g"))
     val shared = grams.join(b, Seq("__g"))

@@ -614,6 +614,23 @@ object PipelineQueries {
         col("shared_grams").cast("bigint").as("shared_grams"), col("jaccard"))
       .orderBy("source_a", "source_b")
 
+  /** Duplicated-window coverage over a corpus where every 4th doc has an
+    * exact cross-doc copy: copied docs score 1.0, clean docs span
+    * 0.0–<1.0 through natural 5-gram repeats (measured at sf0.01:
+    * min 0, avg 0.46, 316 zero / 270 one — the full spectrum).
+    * Integer counts + one division — fully oracled. */
+  def dupSpanQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select("doc_id", "text")
+    val corpus = d.unionByName(
+      d.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .repartition(spark.sparkContext.defaultParallelism)
+    TextAnalysis.dupSpanFraction(corpus, "doc_id", "text", k = 5)
+      .select(col("doc_id"), col("n_grams").cast("bigint").as("n_grams"),
+        col("dup_grams").cast("bigint").as("dup_grams"), col("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
   /** Within-document line dedup, oracle-checked on a corpus decorated
     * with repeated boilerplate lines (nav-bar / footer shapes): every
     * doc gets a header line, its own text, a repeat of the header, and
@@ -916,6 +933,7 @@ object PipelineQueries {
     "p_text_line_dedup" -> (textLineDedup _),
     "p_lm_score" -> (lmScoreQ _),
     "p_source_overlap" -> (sourceOverlapQ _),
+    "p_dup_span" -> (dupSpanQ _),
     "p_top_tokens" -> (topTokens _),
     "p_top_tokens_scale" -> (topTokensScale _),
     "p_pack_sequences" -> (packSequences _),
@@ -1592,6 +1610,27 @@ object PipelineQueries {
         |   AND rep_ngram <= 0.05
         |   AND n_stopwords >= 2) AS pass
         |FROM calc ORDER BY doc_id""".stripMargin,
+
+    // position grams with multiplicity, doc-frequency over the per-doc
+    // distinct relation, coverage = positions hitting a df>=2 gram
+    "p_dup_span" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 4 = 0),
+        |toked AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM corpus),
+        |pos AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks)-3), i -> array_to_string(toks[i:i+4], ' ')) END) AS g
+        |  FROM toked),
+        |dup AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM pos) GROUP BY g HAVING count(*) >= 2),
+        |per AS (SELECT doc_id, count(*) AS n_grams FROM pos GROUP BY doc_id),
+        |dupper AS (SELECT pos.doc_id, count(*) AS dup_grams
+        |           FROM pos JOIN dup ON pos.g = dup.g GROUP BY pos.doc_id)
+        |SELECT p.doc_id, cast(p.n_grams as bigint) AS n_grams,
+        |  cast(coalesce(d.dup_grams, 0) as bigint) AS dup_grams,
+        |  cast(coalesce(d.dup_grams, 0) as double) / p.n_grams AS dup_fraction
+        |FROM per p LEFT JOIN dupper d ON p.doc_id = d.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
 
     // word-3-shingle overlap per source pair: same shingle rule as the
     // minhash oracle (short docs → whole text), distinct per source,

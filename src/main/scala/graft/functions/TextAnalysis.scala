@@ -440,6 +440,46 @@ object TextAnalysis {
     df.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Per-document duplicated-window fraction: the share of a doc's word
+    * `k`-gram POSITIONS whose gram also appears in at least one OTHER
+    * document — the "how much of this doc is copied from elsewhere"
+    * signal behind exact-substring dedup (duplicated-span coverage at
+    * word-gram granularity). Emits (idCol, n_grams, dup_grams,
+    * dup_fraction); docs shorter than k tokens count their whole text as
+    * one gram (same short-doc rule as the shingle machinery).
+    *
+    * Scale shape: position grams hash to longs; gram document-frequency
+    * is a map-side-combinable count over the per-doc DISTINCT gram
+    * relation; the position relation joins the (gram, df≥2) set on the
+    * 64-bit hash and re-aggregates per doc — two hash shuffles of
+    * (long, long) rows, nothing carries text. */
+  def dupSpanFraction(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): org.apache.spark.sql.DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val n = size(toks)
+    val rawGrams = when(n < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), n - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    // every position, with multiplicity — the coverage denominator
+    val positions = Dedup.maybeCache(
+      df.select(col(idCol), explode(transform(rawGrams, g => xxhash64(g))).as("__g")))
+    // grams appearing in ≥ 2 distinct docs (distinct-per-doc first, so a
+    // doc repeating its own phrase doesn't count as cross-doc duplication)
+    val dupGrams = positions.select(col(idCol), col("__g")).distinct()
+      .groupBy("__g").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2).select("__g")
+    val perDoc = positions.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val dupPerDoc = positions.join(dupGrams, Seq("__g"))
+      .groupBy(idCol).agg(count(lit(1)).as("dup_grams"))
+    perDoc.join(dupPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .withColumn("dup_fraction", col("dup_grams").cast("double") / col("n_grams"))
+  }
+
   /** Cross-source contamination matrix: for every source pair, the count
     * of distinct word-`k`-shingles appearing in BOTH plus their shingle
     * Jaccard — the "is my eval split leaking into crawl source X"

@@ -953,6 +953,27 @@ class PipelineSpec extends GraftSuite {
       Seq("doc_id", "text"))
   }
 
+  test("dupSpanFraction: cross-doc coverage only, self-repeats don't count") {
+    val d = Seq(
+      (1L, "p q r s t"), // shares the gram "p q r" with doc 2 → 1/3 positions
+      (2L, "p q r x y"),
+      (3L, "a b c a b c a b c"), // self-repeating only → 0.0
+      (4L, "u v")) // short doc: whole text is one gram, unique → 0.0
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dupSpanFraction(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 1L, 1.0 / 3)))
+    assert(out(2L) == ((3L, 1L, 1.0 / 3)))
+    assert(out(3L) == ((7L, 0L, 0.0))) // in-doc repetition is NOT duplication
+    assert(out(4L) == ((1L, 0L, 0.0)))
+    // an exact copy drives coverage to 1.0 on both sides
+    val copied = d.unionByName(Seq((5L, "p q r s t")).toDF("doc_id", "text"))
+    val out2 = TextAnalysis.dupSpanFraction(copied, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out2(1L) == 1.0 && out2(5L) == 1.0)
+  }
+
   test("sourceOverlapMatrix: shared shingles and jaccard; silent pairs absent") {
     val d = Seq(
       (1L, "a b c d", "s1"), // shingles: "a b c", "b c d"

@@ -631,6 +631,31 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** The modern-curation composition: Gopher quality gate →
+    * duplicated-span filter → LM OOV gate, chained over the decorated
+    * corpus with the LM referenced from the RAW documents table (the
+    * production shape: score a crawl against a clean reference). Every
+    * stage is deterministic integers (plus two single divisions), so one
+    * DuckDB hash-match certifies the whole chain. */
+  def pipelineCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = qualityCorpus(spark, sfDir)
+    val gated = TextAnalysis.qualityFilter(corpus, "text", qualityRules)
+    val spans = TextAnalysis.dupSpanFraction(corpus, "doc_id", "text", k = 5)
+    val lm = graft.functions.LanguageModel.buildBigramLm(
+      docs(spark, sfDir), "text", vocabSize = 20, maxBigrams = 300)
+    val scored = graft.functions.LanguageModel.scoreDocs(gated, "doc_id", "text", lm)
+    scored.join(spans, Seq("doc_id"))
+      // the reference vocab covers 20 of the corpus's 31 tokens, so OOV
+      // ratios run 0.23–0.61 on gated docs (measured) — the 50% gate
+      // drops the worst doc while keeping the chain non-degenerate
+      .where(col("dup_fraction") < 0.8 &&
+        col("oov_tokens") * 2 <= col("n_bigrams") + 1)
+      .select(col("doc_id"), col("oov_tokens"), col("hit_bigrams"),
+        col("n_bigrams"), col("n_grams").cast("bigint").as("n_grams"),
+        col("dup_grams").cast("bigint").as("dup_grams"), col("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
   /** Within-document line dedup, oracle-checked on a corpus decorated
     * with repeated boilerplate lines (nav-bar / footer shapes): every
     * doc gets a header line, its own text, a repeat of the header, and
@@ -934,6 +959,7 @@ object PipelineQueries {
     "p_lm_score" -> (lmScoreQ _),
     "p_source_overlap" -> (sourceOverlapQ _),
     "p_dup_span" -> (dupSpanQ _),
+    "p_pipeline_curate" -> (pipelineCurate _),
     "p_top_tokens" -> (topTokens _),
     "p_top_tokens_scale" -> (topTokensScale _),
     "p_pack_sequences" -> (packSequences _),
@@ -1610,6 +1636,103 @@ object PipelineQueries {
         |   AND rep_ngram <= 0.05
         |   AND n_stopwords >= 2) AS pass
         |FROM calc ORDER BY doc_id""".stripMargin,
+
+    // the three proven oracle blocks chained: quality calc → pass set,
+    // LM (vocab/btop from RAW documents) signals over gated docs,
+    // dup-span over the full decorated corpus, final integer gates
+    "p_pipeline_curate" ->
+      """WITH deco AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10)||'- alpha item'||chr(10)||'- beta item'||chr(10)||'- gamma item'
+        |         WHEN doc_id % 5 = 1 THEN chr(10)||'same line'||chr(10)||'same line'||chr(10)||'same line'
+        |         WHEN doc_id % 5 = 2 THEN ' wait...'||chr(10)||'more to come...'||chr(10)||'the end'
+        |         WHEN doc_id % 5 = 3 THEN ' ### anchor ### heading'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ltoks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM deco),
+        |calc AS (
+        |  SELECT doc_id,
+        |    cast(len(toks) as bigint) AS n_tokens,
+        |    cast(list_sum(list_transform(toks, x -> length(x))) as double) / len(toks) AS mean_token_len,
+        |    cast((length(text) - length(replace(text, '#', '')))
+        |       + len(regexp_extract_all(text, '\.\.\.'))
+        |       + (length(text) - length(replace(text, '…', ''))) as double) / len(toks) AS symbol_ratio,
+        |    cast(len(list_filter(lines, l -> ltrim(l, ' ')[1:1] IN ('-', '*', '•'))) as double) / len(lines) AS bullet_ratio,
+        |    cast(len(list_filter(lines, l -> ends_with(rtrim(l, ' '), '...'))) as double) / len(lines) AS ellipsis_ratio,
+        |    1.0 - cast(len(list_distinct(lines)) as double) / len(lines) AS dup_line_ratio,
+        |    CASE WHEN greatest(len(ltoks) - 2, 0) = 0 THEN 0.0
+        |         ELSE 1.0 - cast(len(list_distinct(
+        |           list_transform(range(1, len(ltoks)-1), i -> array_to_string(ltoks[i:i+2], ' ')))) as double)
+        |           / greatest(len(ltoks) - 2, 0) END AS rep_ngram,
+        |    cast(len(list_distinct(list_filter(list_transform(toks, x -> lower(x)),
+        |      t -> list_contains(['the','a','an','and','or','of','to','in','is','that','it','for','with','was','are'], t)))) as bigint) AS n_stopwords
+        |  FROM base),
+        |pass AS (
+        |  SELECT doc_id FROM calc
+        |  WHERE n_tokens BETWEEN 30 AND 10000
+        |    AND mean_token_len BETWEEN 3.0 AND 4.6
+        |    AND symbol_ratio <= 0.03
+        |    AND bullet_ratio <= 0.5
+        |    AND ellipsis_ratio <= 0.4
+        |    AND dup_line_ratio <= 0.4
+        |    AND rep_ngram <= 0.05
+        |    AND n_stopwords >= 2),
+        |rtoked AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |runi AS (SELECT unnest(toks) AS w FROM rtoked),
+        |vocab AS (SELECT w, count(*) AS c FROM runi GROUP BY w ORDER BY c DESC, w LIMIT 20),
+        |rpairs AS (
+        |  SELECT doc_id, p['a'] AS w1, p['b'] AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> {'a': toks[i], 'b': toks[i+1]})) AS p
+        |    FROM rtoked WHERE len(toks) >= 2)),
+        |btop AS (
+        |  SELECT rpairs.w1, rpairs.w2, count(*) AS c FROM rpairs
+        |  JOIN vocab v1 ON rpairs.w1 = v1.w JOIN vocab v2 ON rpairs.w2 = v2.w
+        |  GROUP BY rpairs.w1, rpairs.w2 ORDER BY c DESC, w1, w2 LIMIT 300),
+        |gtoked AS (SELECT b.doc_id, b.ltoks AS toks FROM base b JOIN pass USING (doc_id)),
+        |goov AS (
+        |  SELECT t.doc_id, count(*) FILTER (WHERE v.w IS NULL) AS oov_tokens
+        |  FROM (SELECT doc_id, unnest(toks) AS w FROM gtoked) t
+        |  LEFT JOIN vocab v ON t.w = v.w GROUP BY t.doc_id),
+        |gpairs AS (
+        |  SELECT doc_id, p['a'] AS w1, p['b'] AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> {'a': toks[i], 'b': toks[i+1]})) AS p
+        |    FROM gtoked WHERE len(toks) >= 2)),
+        |gsig AS (
+        |  SELECT gpairs.doc_id, count(*) FILTER (WHERE bt.w1 IS NOT NULL) AS hit_bigrams
+        |  FROM gpairs LEFT JOIN btop bt ON gpairs.w1 = bt.w1 AND gpairs.w2 = bt.w2
+        |  GROUP BY gpairs.doc_id),
+        |pos AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(ltoks) < 5 THEN [array_to_string(ltoks, ' ')]
+        |    ELSE list_transform(range(1, len(ltoks)-3), i -> array_to_string(ltoks[i:i+4], ' ')) END) AS g
+        |  FROM base),
+        |dup AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM pos) GROUP BY g HAVING count(*) >= 2),
+        |per AS (SELECT doc_id, count(*) AS n_grams FROM pos GROUP BY doc_id),
+        |dupper AS (SELECT pos.doc_id, count(*) AS dup_grams
+        |           FROM pos JOIN dup ON pos.g = dup.g GROUP BY pos.doc_id),
+        |fin AS (
+        |  SELECT g.doc_id,
+        |    cast(coalesce(o.oov_tokens, 0) as bigint) AS oov_tokens,
+        |    cast(coalesce(s.hit_bigrams, 0) as bigint) AS hit_bigrams,
+        |    cast(greatest(len(g.toks) - 1, 0) as bigint) AS n_bigrams,
+        |    cast(p.n_grams as bigint) AS n_grams,
+        |    cast(coalesce(d.dup_grams, 0) as bigint) AS dup_grams,
+        |    cast(coalesce(d.dup_grams, 0) as double) / p.n_grams AS dup_fraction
+        |  FROM gtoked g
+        |  LEFT JOIN goov o ON g.doc_id = o.doc_id
+        |  LEFT JOIN gsig s ON g.doc_id = s.doc_id
+        |  JOIN per p ON g.doc_id = p.doc_id
+        |  LEFT JOIN dupper d ON g.doc_id = d.doc_id)
+        |SELECT doc_id, oov_tokens, hit_bigrams, n_bigrams, n_grams, dup_grams, dup_fraction
+        |FROM fin
+        |WHERE dup_fraction < 0.8 AND oov_tokens * 2 <= n_bigrams + 1
+        |ORDER BY doc_id""".stripMargin,
 
     // position grams with multiplicity, doc-frequency over the per-doc
     // distinct relation, coverage = positions hitting a df>=2 gram

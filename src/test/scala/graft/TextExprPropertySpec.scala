@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** ScalaCheck properties for the round-7 byte-loop expressions: each is
+  * checked against a naive split/regex reference implementation over
+  * adversarial generated text (newlines, runs of spaces/tabs, bullets,
+  * dots, multi-byte chars), so the hand-rolled scanners can't silently
+  * diverge from the `split`-semantics contracts their oracles assume.
+  * Pure JVM — no Spark session needed.
+  */
+object TextExprPropertySpec extends Properties("TextExprs") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(200)
+
+  // text over an alphabet rich in the edge characters the scanners parse
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      6 -> Gen.oneOf("a", "b", "cat", "the", "•", "…", "-", "*", "."),
+      3 -> Gen.oneOf(" ", "  ", "\t"),
+      2 -> Gen.const("\n"),
+      1 -> Gen.oneOf("...", "....", "- x", "  - y", "z..."))).map(_.mkString)
+
+  private def lines(t: String): Array[String] = t.split("\n", -1)
+
+  property("LineStatsExpr.NLines == split('\\n', -1) length") =
+    Prop.forAll(textGen) { t =>
+      graft.functions.LineStatsExpr.stat(t.getBytes("UTF-8"),
+        graft.functions.LineStatsExpr.NLines) == lines(t).length
+    }
+
+  property("LineStatsExpr.BulletLines == space-ltrim'd startsWith -/*/•") =
+    Prop.forAll(textGen) { t =>
+      val expected = lines(t).count { l =>
+        val s = l.dropWhile(_ == ' ')
+        s.startsWith("-") || s.startsWith("*") || s.startsWith("•")
+      }
+      graft.functions.LineStatsExpr.stat(t.getBytes("UTF-8"),
+        graft.functions.LineStatsExpr.BulletLines) == expected
+    }
+
+  property("LineStatsExpr.EllipsisLines == space-rtrim'd endsWith ...") =
+    Prop.forAll(textGen) { t =>
+      val expected = lines(t).count(_.reverse.dropWhile(_ == ' ').startsWith("..."))
+      graft.functions.LineStatsExpr.stat(t.getBytes("UTF-8"),
+        graft.functions.LineStatsExpr.EllipsisLines) == expected
+    }
+
+  property("LineStatsExpr.DistinctLines == distinct line strings") =
+    Prop.forAll(textGen) { t =>
+      graft.functions.LineStatsExpr.stat(t.getBytes("UTF-8"),
+        graft.functions.LineStatsExpr.DistinctLines) == lines(t).distinct.length
+    }
+
+  private val stopSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    Seq("the", "cat", "a").foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  property("DistinctStopwordHitsExpr == distinct lowercased-token intersection") =
+    Prop.forAll(textGen) { t =>
+      // reference: trim + \s+ split (dropping the leading-empty artifact),
+      // lowercase, intersect
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty).map(_.toLowerCase).toSet
+      val expected = toks.count(w => stopSet.contains(UTF8String.fromString(w)))
+      graft.functions.DistinctStopwordHitsExpr.distinctHits(
+        t.trim.getBytes("UTF-8"), stopSet) == expected
+    }
+
+  property("quantizeInt8 round-trip error ≤ half a step; codes within [0,255]") = {
+    val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-100f, 100f)).map(_.toArray)
+    Prop.forAll(vecGen) { v =>
+      val mn = v.min.toDouble
+      val mx = v.max.toDouble
+      val codes = v.map { x =>
+        if (mx == mn) 0
+        else math.min(255, math.round((x.toDouble - mn) * 255.0 / (mx - mn)).toInt)
+      }
+      val step = if (mx == mn) 0.0 else (mx - mn) / 255.0
+      val deq = codes.map(c => mn + c.toDouble * (mx - mn) / 255.0)
+      codes.forall(c => c >= 0 && c <= 255) &&
+        v.zip(deq).forall { case (o, d) => math.abs(o.toDouble - d) <= step / 2 + 1e-9 }
+    }
+  }
+
+  property("BigramLm signals: hand walk over random token streams") = {
+    val lm = graft.functions.LanguageModel.BigramLm(
+      vocab = Map("a" -> 5L, "b" -> 3L, "c" -> 2L),
+      bigrams = Map(("a", "b") -> 2L, ("b", "c") -> 1L),
+      totalTokens = 10L, vocabSize = 3)
+    val tokGen = Gen.listOf(Gen.oneOf("a", "b", "c", "z", "A", "B")).map(_.mkString(" "))
+    Prop.forAll(tokGen) { t =>
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty).map(_.toLowerCase).toList
+      val inV = (w: String) => lm.vocab.contains(w)
+      val expOov = toks.count(w => !inV(w))
+      val pairs = if (toks.size < 2) Nil else toks.zip(toks.tail)
+      val expInv = pairs.count { case (x, y) => inV(x) && inV(y) }
+      val expHit = pairs.count(p => lm.bigrams.contains(p))
+      val bytes = t.trim.getBytes("UTF-8")
+      import graft.functions.BigramLmStatExpr._
+      stat(bytes, lm.runtime, OovTokens) == expOov &&
+        stat(bytes, lm.runtime, InvocabBigrams) == expInv &&
+        stat(bytes, lm.runtime, HitBigrams) == expHit
+    }
+  }
+}

@@ -614,6 +614,25 @@ object PipelineQueries {
         col("shared_grams").cast("bigint").as("shared_grams"), col("jaccard"))
       .orderBy("source_a", "source_b")
 
+  /** Incremental dedup across two ingest batches: copies flip id parity
+    * (+100001) so every duplicate pair SPANS the batch boundary and only
+    * the persisted fingerprint state can catch it. Expected keep rule:
+    * first batch wins, then min id — replayed in DuckDB as one
+    * row_number over (batch, doc_id). */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select("doc_id", "text")
+    val corpus = d.unionByName(
+      d.select((col("doc_id") + 100001).as("doc_id"), col("text")))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val state = "/tmp/graft-dedup-state-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val kept1 = Dedup.incrementalExactDedup(
+      corpus.where(col("doc_id") % 2 === 0), Seq("text"), "doc_id", state)
+    val kept2 = Dedup.incrementalExactDedup(
+      corpus.where(col("doc_id") % 2 === 1), Seq("text"), "doc_id", state)
+    kept1.unionByName(kept2).select("doc_id").orderBy("doc_id")
+  }
+
   /** Duplicated-window coverage over a corpus where every 4th doc has an
     * exact cross-doc copy: copied docs score 1.0, clean docs span
     * 0.0–<1.0 through natural 5-gram repeats (measured at sf0.01:
@@ -960,6 +979,7 @@ object PipelineQueries {
     "p_source_overlap" -> (sourceOverlapQ _),
     "p_dup_span" -> (dupSpanQ _),
     "p_pipeline_curate" -> (pipelineCurate _),
+    "p_dedup_incremental" -> (dedupIncremental _),
     "p_top_tokens" -> (topTokens _),
     "p_top_tokens_scale" -> (topTokensScale _),
     "p_pack_sequences" -> (packSequences _),
@@ -1636,6 +1656,19 @@ object PipelineQueries {
         |   AND rep_ngram <= 0.05
         |   AND n_stopwords >= 2) AS pass
         |FROM calc ORDER BY doc_id""".stripMargin,
+
+    // first-batch-wins then min-id, as one window over (batch, doc_id);
+    // normalization matches fingerprint64 (lower, whitespace collapse)
+    "p_dedup_incremental" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100001, text FROM documents),
+        |norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt,
+        |         doc_id % 2 AS b
+        |  FROM corpus),
+        |r AS (SELECT doc_id, row_number() OVER (PARTITION BY nt ORDER BY b, doc_id) AS rn FROM norm)
+        |SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // the three proven oracle blocks chained: quality calc → pass set,
     // LM (vocab/btop from RAW documents) signals over gated docs,

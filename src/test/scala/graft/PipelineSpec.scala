@@ -953,6 +953,22 @@ class PipelineSpec extends GraftSuite {
       Seq("doc_id", "text"))
   }
 
+  test("incrementalExactDedup: persisted fingerprint state dedups across batches") {
+    val state = java.nio.file.Files.createTempDirectory("inc-dedup").toString + "/state"
+    val b1 = Seq((2L, "alpha beta"), (4L, "gamma delta"), (6L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val k1 = Dedup.incrementalExactDedup(b1, Seq("text"), "doc_id", state)
+    assert(k1.select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+    // recomputation AFTER the state append must not self-anti-join away
+    // (the checkpoint breaks the lazy re-read of the state store)
+    assert(k1.count() == 2)
+    val b2 = Seq((1L, "alpha beta"), (3L, "epsilon zeta")).toDF("doc_id", "text")
+    val k2 = Dedup.incrementalExactDedup(b2, Seq("text"), "doc_id", state)
+    assert(k2.select("doc_id").as[Long].collect().toSeq == Seq(3L)) // 1L seen in batch 1
+    val b3 = Seq((9L, "epsilon zeta")).toDF("doc_id", "text")
+    assert(Dedup.incrementalExactDedup(b3, Seq("text"), "doc_id", state).isEmpty)
+  }
+
   test("dupSpanFraction: cross-doc coverage only, self-repeats don't count") {
     val d = Seq(
       (1L, "p q r s t"), // shares the gram "p q r" with doc 2 → 1/3 positions

@@ -675,6 +675,29 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Decomposed-unicode decorations for the NFC query — combining acute
+    * / ring / diaeresis sequences that NFC composes (len shrinks), plus
+    * an undecorated third exercising the ASCII fast path. Shared between
+    * the Spark decoration and the DuckDB oracle so both engines see the
+    * identical codepoints. */
+  private val NfcDeco0 = " café presówka"
+  private val NfcDeco1 = " ångström unit"
+
+  /** NFC normalization, oracled against DuckDB's `nfc_normalize` (both
+    * implement the Unicode canonical-composition algorithm); lengths are
+    * codepoint counts in both engines. */
+  def textNfcQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val decorated = docs(spark, sfDir).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 3 === 0, lit(NfcDeco0))
+        .when(col("doc_id") % 3 === 1, lit(NfcDeco1))
+        .otherwise(lit(""))).as("text"))
+    decorated.select(col("doc_id"),
+        TextAnalysis.normalizeNfc(col("text")).as("nfc_text"),
+        length(col("text")).cast("bigint").as("len_raw"),
+        length(TextAnalysis.normalizeNfc(col("text"))).cast("bigint").as("len_nfc"))
+      .orderBy("doc_id")
+  }
+
   /** Within-document line dedup, oracle-checked on a corpus decorated
     * with repeated boilerplate lines (nav-bar / footer shapes): every
     * doc gets a header line, its own text, a repeat of the header, and
@@ -975,6 +998,7 @@ object PipelineQueries {
     "p_text_quality" -> (textQuality _),
     "p_quality_filter" -> (qualityFilterQ _),
     "p_text_line_dedup" -> (textLineDedup _),
+    "p_text_nfc" -> (textNfcQ _),
     "p_lm_score" -> (lmScoreQ _),
     "p_source_overlap" -> (sourceOverlapQ _),
     "p_dup_span" -> (dupSpanQ _),
@@ -1851,6 +1875,20 @@ object PipelineQueries {
         |LEFT JOIN oov o ON t.doc_id = o.doc_id
         |LEFT JOIN psig s ON t.doc_id = s.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    // identical decomposed codepoints (the shared Scala constants),
+    // DuckDB's nfc_normalize = the same Unicode canonical composition
+    "p_text_nfc" ->
+      (s"""WITH deco AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '$NfcDeco0'
+        |         WHEN doc_id % 3 = 1 THEN '$NfcDeco1'
+        |         ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(text) AS nfc_text,
+        |  cast(length(text) as bigint) AS len_raw,
+        |  cast(length(nfc_normalize(text)) as bigint) AS len_nfc
+        |FROM deco ORDER BY doc_id""".stripMargin),
 
     // same first-occurrence rule: keep line i iff its first index is i
     // (DuckDB lambda index and list_position are both 1-based)

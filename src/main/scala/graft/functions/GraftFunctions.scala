@@ -40,6 +40,9 @@ object GraftFunctions {
     register1("graft_mask_pii", TextAnalysis.maskPii)
     register1("graft_repetition_ratio3", TextAnalysis.repetitionRatio(_, 3))
     register1("graft_strip_html", TextAnalysis.stripHtml)
+    register1("graft_quality_pass", TextAnalysis.qualityPass(_))
+    register1("graft_dedup_lines", TextAnalysis.dedupLinesInDoc)
+    register1("graft_nfc_normalize", TextAnalysis.normalizeNfc)
     register1("graft_extract_urls", TextAnalysis.extractUrls)
     register1("graft_url_domain", TextAnalysis.urlDomain)
     register1("graft_l2norm", Similarity.l2Norm)

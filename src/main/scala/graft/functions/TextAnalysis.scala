@@ -87,6 +87,16 @@ object TextAnalysis {
   def cleanText(c: Column): Column =
     trim(regexp_replace(regexp_replace(c, "[\\p{Cntrl}]", " "), "\\s+", " "))
 
+  /** Unicode NFC normalization — canonical composition (e + U+0301 →
+    * é), the standard pre-tokenization canonicalization so visually
+    * identical strings dedup/fingerprint identically. Codegen'd wrapper
+    * over `java.text.Normalizer` ([[NfcNormalizeExpr]]); narrow, no
+    * shuffle. */
+  def normalizeNfc(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(c)))
+  }
+
   /** HTML/markup removal for web-crawl corpora: comments and
     * script/style blocks go including their content, remaining tags are
     * stripped, the common entities decode (amp LAST so `&amp;lt;` ends up
@@ -377,6 +387,13 @@ object TextAnalysis {
       sig("rep_ngram") <= rules.maxDupNgramRatio &&
       sig("n_stopwords") >= rules.minDistinctStopwords
 
+  /** The full rule verdict as one Column (for SQL registration and
+    * ad-hoc projections — `qualityGate` for the audit view). */
+  def qualityPass(c: Column, rules: QualityRules = QualityRules()): Column = {
+    val sigs = qualitySignals(c, rules).toMap
+    passExpr(rules, sigs)
+  }
+
   /** Append every quality signal plus a `pass` verdict — the audit view
     * (what dropped each doc, and by how much). */
   def qualityGate(
@@ -393,10 +410,8 @@ object TextAnalysis {
   def qualityFilter(
       df: org.apache.spark.sql.DataFrame,
       textCol: String,
-      rules: QualityRules = QualityRules()): org.apache.spark.sql.DataFrame = {
-    val sigs = qualitySignals(col(textCol), rules).toMap
-    df.where(passExpr(rules, sigs))
-  }
+      rules: QualityRules = QualityRules()): org.apache.spark.sql.DataFrame =
+    df.where(qualityPass(col(textCol), rules))
 
   /** http(s) URLs appearing in free text (conservative pattern: scheme
     * through the first whitespace/angle/quote). */
@@ -497,17 +512,22 @@ object TextAnalysis {
       textCol: String,
       srcCol: String,
       k: Int = 3): org.apache.spark.sql.DataFrame = {
-    // the distinct (source, gram) relation feeds three consumers (both
-    // self-join sides + the per-source sizes) — cache it (conf-gated,
-    // like the LSH signature relations) so the corpus-sized shingle
-    // explode and its distinct run once, not three times
-    val grams = Dedup.maybeCache(
-      df.select(col(srcCol).as("source_a"),
+    // ONE shuffle total: the distinct (source, gram) relation groups by
+    // gram into per-gram source sets (bounded by the source count), and
+    // both the pair counts and the per-source sizes derive from that
+    // relation with narrow explodes — no gram self-join, the gram hash
+    // never shuffles twice. Cached (conf-gated, like the LSH signature
+    // relations) because pairs and sizes both consume it.
+    val perGram = Dedup.maybeCache(
+      df.select(col(srcCol).as("__s"),
           explode(Dedup.wordShingles(col(textCol), k)).as("__g"))
-        .distinct())
-    val sizes = grams.groupBy("source_a").agg(count(lit(1)).as("__na"))
-    val b = grams.select(col("source_a").as("source_b"), col("__g"))
-    val shared = grams.join(b, Seq("__g"))
+        .distinct()
+        .groupBy("__g").agg(collect_set(col("__s")).as("__ss")))
+    val sizes = perGram.select(explode(col("__ss")).as("source_a"))
+      .groupBy("source_a").agg(count(lit(1)).as("__na"))
+    val shared = perGram
+      .select(explode(col("__ss")).as("source_a"), col("__ss"))
+      .select(col("source_a"), explode(col("__ss")).as("source_b"))
       .where(col("source_a") < col("source_b"))
       .groupBy("source_a", "source_b").agg(count(lit(1)).as("shared_grams"))
     shared
@@ -725,6 +745,40 @@ object RepetitionRatioExpr {
       w += 1
     }
     1.0 - distinct.toDouble / total
+  }
+}
+
+/** Unicode NFC (canonical composition) of a string — a codegen'd wrapper
+  * over `java.text.Normalizer` (the JDK's ICU-derived tables; DuckDB's
+  * `nfc_normalize` implements the same Unicode algorithm, which is what
+  * makes the oracle replay possible). Fast path: pure-ASCII inputs (the
+  * overwhelming majority in web corpora) return the input UTF8String
+  * unchanged without materializing a Java String. */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalizeExpr.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NfcNormalizeExpr.nfc($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
+}
+
+object NfcNormalizeExpr {
+  def nfc(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) {
+      if ((bytes(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
   }
 }
 

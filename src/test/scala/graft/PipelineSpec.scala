@@ -953,6 +953,19 @@ class PipelineSpec extends GraftSuite {
       Seq("doc_id", "text"))
   }
 
+  test("NfcNormalizeExpr: composes combining marks, ASCII fast path is identity") {
+    import graft.functions.NfcNormalizeExpr.nfc
+    import org.apache.spark.unsafe.types.UTF8String
+    val decomposed = UTF8String.fromString("café") // e + combining acute
+    assert(nfc(decomposed).toString == "café")
+    assert(nfc(decomposed).numChars() == 4 && decomposed.numChars() == 5)
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(nfc(ascii) eq ascii) // fast path returns the same instance
+    assert(nfc(UTF8String.fromString("")).toString == "")
+    // idempotent: already-composed input is unchanged
+    assert(nfc(nfc(decomposed)).toString == "café")
+  }
+
   test("incrementalExactDedup: persisted fingerprint state dedups across batches") {
     val state = java.nio.file.Files.createTempDirectory("inc-dedup").toString + "/state"
     val b1 = Seq((2L, "alpha beta"), (4L, "gamma delta"), (6L, "alpha beta"))

@@ -91,6 +91,16 @@ class ScaleSpec extends GraftSuite {
     assert(row.getAs[String]("dom") == "a.bad.com")
   }
 
+  test("SQL-registered quality pass and line dedup work in spark.sql") {
+    GraftFunctions.registerAll(spark)
+    Seq((1L, "nav\nbody text\nnav")).toDF("id", "t").createOrReplaceTempView("fn_q")
+    val row = spark.sql(
+      """SELECT graft_quality_pass(t) AS p, graft_dedup_lines(t) AS d
+        |FROM fn_q""".stripMargin).collect()(0)
+    assert(!row.getAs[Boolean]("p")) // 3 tokens < default minTokens=50
+    assert(row.getAs[String]("d") == "nav\nbody text")
+  }
+
   test("SQL-registered shingle/minhash/vector primitives compose in pure SQL") {
     GraftFunctions.registerAll(spark)
     Seq((1L, "one two three four", Seq(3.0f, 4.0f)), (2L, "one two three four", Seq(6.0f, 8.0f)))

@@ -423,6 +423,21 @@ object PipelineQueries {
       .orderBy("qid", "rank")
   }
 
+  /** Quantized-scan + exact-rerank, rank-oracled end to end: DuckDB
+    * replays the coarse stage (dequantized cosine, rank ≤ 50) and the
+    * exact rerank (float cosine over candidates, rank ≤ 10) — no
+    * approximation mismatch, both engines compute the identical
+    * two-stage pipeline. */
+  def annRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.quantizedRerankTopK(e, "vec_id", "embedding", q, "qid", "qv",
+        k = 10, candidates = 50)
+      .select(col("qid"), col("vec_id"), col("rank").cast("bigint").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir)
     val q = e.where(col("vec_id") < 5)
@@ -995,6 +1010,7 @@ object PipelineQueries {
     "p_ann_ivf_exhaustive" -> (annIvfExhaustive _),
     "p_embed_quantize" -> (embedQuantize _),
     "p_ann_quantized" -> (annQuantized _),
+    "p_ann_rerank" -> (annRerank _),
     "p_text_quality" -> (textQuality _),
     "p_quality_filter" -> (qualityFilterQ _),
     "p_text_line_dedup" -> (textLineDedup _),
@@ -1618,6 +1634,43 @@ object PipelineQueries {
         |  SELECT qid, vec_id,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
         |  FROM s) t
+        |WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    // both stages replayed: dequantized-cosine coarse top-50, then
+    // float-cosine rerank over the candidate slice, rank ≤ 10
+    "p_ann_rerank" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    cast(list_min(embedding) as double) AS mn,
+        |    cast(list_max(embedding) as double) AS mx
+        |  FROM embeddings),
+        |deq AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = mn THEN list_transform(embedding, x -> mn)
+        |         ELSE list_transform(embedding, x ->
+        |           mn + cast(least(255, cast(round((cast(x as double) - mn) * 255.0 / (mx - mn)) as int)) as double) * (mx - mn) / 255.0)
+        |    END AS v
+        |  FROM m),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM deq WHERE vec_id < 5),
+        |coarse AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT q.qid, d.vec_id,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        CASE WHEN sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(d.v, d.v)) = 0 THEN 0.0
+        |             ELSE list_inner_product(q.qv, d.v)
+        |               / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(d.v, d.v))) END DESC,
+        |        d.vec_id) AS crank
+        |    FROM deq d CROSS JOIN q) t
+        |  WHERE crank <= 50),
+        |fq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5)
+        |SELECT qid, vec_id, rank FROM (
+        |  SELECT c.qid, c.vec_id,
+        |    row_number() OVER (PARTITION BY c.qid ORDER BY
+        |      list_cosine_similarity(fq.qv, e.embedding) DESC, c.vec_id) AS rank
+        |  FROM coarse c
+        |  JOIN embeddings e ON c.vec_id = e.vec_id
+        |  JOIN fq ON c.qid = fq.qid) t
         |WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 

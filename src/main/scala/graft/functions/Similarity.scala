@@ -398,6 +398,36 @@ object Similarity {
     transform(q.getField("codes"), c => mn + c.cast("double") * span / lit(255.0))
   }
 
+  /** Two-stage retrieval: a quantized coarse scan keeps `candidates`
+    * per query (1/4 the scan bytes), then an EXACT float rerank over the
+    * candidate set only — the classic SQ/PQ + rerank production shape.
+    * The rerank join touches `candidates × queries` rows, so the full
+    * float corpus is read once for the coarse codes and only the
+    * candidate slice is ever scored exactly. Deterministic end to end
+    * (both stages tie-break on id), so an oracle replaying both stages
+    * ranks identically. Output: (queryIdCol, idCol, cosine, rank). */
+  def quantizedRerankTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      candidates: Int): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val coarse = quantizedTopK(corpus, idCol, vecCol,
+        queries, queryIdCol, queryVecCol, candidates)
+      .select(col(queryIdCol), col(idCol))
+    val cand = coarse.join(corpus.select(col(idCol), normalize(col(vecCol)).as("__cv")),
+      Seq(idCol))
+    val q = queries.select(col(queryIdCol), normalize(col(queryVecCol)).as("__qv"))
+    val scored = cand.join(broadcast(q), Seq(queryIdCol))
+      .select(col(queryIdCol), col(idCol), dot(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy(queryIdCol).orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Brute-force cosine top-k over int8-quantized vectors — the memory-
     * bound scale path: the scan touches 1/4 the bytes of the float
     * corpus at a small, measurable recall cost (pinned in-suite vs the

@@ -953,6 +953,28 @@ class PipelineSpec extends GraftSuite {
       Seq("doc_id", "text"))
   }
 
+  test("quantizedRerankTopK: exhaustive candidates ≡ brute force; coarse stage holds recall") {
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = e.count().toInt
+    val queries = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val exact = ranks(Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5))
+    // candidates = corpus size → the coarse stage keeps everything and the
+    // exact rerank IS brute force, rank for rank
+    val exhaustive = ranks(Similarity.quantizedRerankTopK(e, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5, candidates = n))
+    assert(exhaustive == exact)
+    // a thin candidate slice still recalls most of the exact top-k
+    val thin = Similarity.quantizedRerankTopK(e, "vec_id", "embedding",
+        queries, "qid", "qv", k = 5, candidates = 15)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val exactIds = exact.map { case (q, v, _) => (q, v) }
+    assert((exactIds intersect thin).size >= (exactIds.size * 0.8).toInt)
+  }
+
   test("NfcNormalizeExpr: composes combining marks, ASCII fast path is identity") {
     import graft.functions.NfcNormalizeExpr.nfc
     import org.apache.spark.unsafe.types.UTF8String

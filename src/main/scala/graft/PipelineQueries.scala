@@ -690,6 +690,22 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-event sliding-window features — count and cents-sum over each
+    * event's trailing 30 minutes per user (the label/feature-engineering
+    * shape for event models). One shuffle on user_id; RANGE frames are
+    * peer-inclusive in both engines, and the µs arithmetic is exact, so
+    * the oracle replays it with an INTERVAL frame. */
+  def eventFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.read(spark, sfDir, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-30L * 60 * 1000000, 0)
+    e.select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).cast("bigint").as("n_30m"),
+        sum(expr("cast(round(value * 100) as bigint)")).over(w).as("cents_30m"))
+      .orderBy("event_id")
+  }
+
   /** Decomposed-unicode decorations for the NFC query — combining acute
     * / ring / diaeresis sequences that NFC composes (len shrinks), plus
     * an undecorated third exercising the ASCII fast path. Shared between
@@ -1036,6 +1052,7 @@ object PipelineQueries {
     "p_text_html_strip" -> (textHtmlStrip _),
     "p_chunk_documents" -> (chunkDocuments _),
     "p_url_filter" -> (urlFilter _),
+    "p_event_features" -> (eventFeatures _),
     "p_asof_join" -> (asofJoin _),
     "p_asof_forward" -> (asofForward _),
     "p_range_join" -> (rangeJoin _),
@@ -1928,6 +1945,16 @@ object PipelineQueries {
         |LEFT JOIN oov o ON t.doc_id = o.doc_id
         |LEFT JOIN psig s ON t.doc_id = s.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    // peer-inclusive RANGE frame over event time, exact cents integers
+    "p_event_features" ->
+      """SELECT event_id, user_id, ts,
+        |  cast(count(*) OVER w as bigint) AS n_30m,
+        |  cast(sum(cast(round(value * 100) as bigint)) OVER w as bigint) AS cents_30m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     // identical decomposed codepoints (the shared Scala constants),
     // DuckDB's nfc_normalize = the same Unicode canonical composition

@@ -175,6 +175,18 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware component dedup over the same chain corpus: keep the
+    * LONGEST member of each duplicate cluster instead of the minimum id.
+    * By construction the mid doc (B+400000, the concatenation) has
+    * strictly more tokens than its chain-mates, so the expected keep-set
+    * is a pure mutation map — singletons plus every mid. */
+  def dedupCcLongest(spark: SparkSession, sfDir: String): DataFrame = {
+    val (corpus, pairs) = ccCorpusAndPairs(spark, sfDir)
+    Dedup.keepBestComponent(corpus, "doc_id", pairs,
+        TextAnalysis.tokenCount(col("text")))
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** The chain corpus and its verified pair set, shared by
     * [[dedupCcKeep]] and ScaleDiag's per-round CC attribution (so a
     * retune of the query retunes the diagnostic with it). */
@@ -1011,6 +1023,7 @@ object PipelineQueries {
     "p_dedup_minhash_keep" -> (dedupMinHashKeep _),
     "p_dedup_cc" -> (dedupCcKeep _),
     "p_dedup_cc_labels" -> (dedupCcLabels _),
+    "p_dedup_cc_longest" -> (dedupCcLongest _),
     "p_decontaminate" -> (decontaminate _),
     "p_decontaminate_bloom" -> (decontaminateBloom _),
     "p_dedup_paragraph" -> (dedupParagraph _),
@@ -1195,6 +1208,15 @@ object PipelineQueries {
 
     // The label RELATION over the same chain corpus: ends/mids label
     // their base; everything else labels itself (see dedupCcLabels).
+    // mutation-map oracle: the mid (B+400000) strictly out-tokens its
+    // chain-mates, so quality-aware keep = singletons + every mid
+    "p_dedup_cc_longest" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id FROM documents WHERE doc_id % 9 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 400000 AS doc_id FROM documents WHERE doc_id % 9 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
     "p_dedup_cc_labels" ->
       """WITH corpus AS (
         |  SELECT doc_id, doc_id AS label FROM documents

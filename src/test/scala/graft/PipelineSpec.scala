@@ -953,6 +953,21 @@ class PipelineSpec extends GraftSuite {
       Seq("doc_id", "text"))
   }
 
+  test("keepBestComponent: argmax score per cluster, ties to lowest id, singletons kept") {
+    val d = Seq(
+      (1L, "a", 5), (2L, "b", 9), (3L, "c", 9), // component {1,2,3}: 2 wins (9, tie → min id)
+      (4L, "d", 1), // singleton
+      (5L, "e", 2), (6L, "f", 7)) // component {5,6}: 6 wins
+      .toDF("doc_id", "text", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestComponent(d, "doc_id", pairs, col("q"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 4L, 6L))
+    // schema passes through untouched
+    assert(Dedup.keepBestComponent(d, "doc_id", pairs, col("q")).columns.toSeq ==
+      Seq("doc_id", "text", "q"))
+  }
+
   test("quantizedRerankTopK: exhaustive candidates ≡ brute force; coarse stage holds recall") {
     val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val n = e.count().toInt

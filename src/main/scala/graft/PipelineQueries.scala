@@ -702,6 +702,26 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus drift: raw documents vs the quality-gated decorated corpus
+    * — the before/after-curation monitoring view. The gate keeps
+    * 6–11% per language (measured; the synthetic corpus shares one
+    * vocabulary, so no language is privileged), so every report
+    * column and the drift flag fire. */
+  def corpusDriftQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = docs(spark, sfDir)
+    val gated = TextAnalysis
+      .qualityFilter(qualityCorpus(spark, sfDir), "text", qualityRules)
+      .join(raw.select("doc_id", "lang"), Seq("doc_id"))
+    TextAnalysis.compareCorpora(raw, gated, "text", "lang")
+      .select(col("lang"),
+        col("n_docs_a").cast("bigint").as("n_docs_a"),
+        col("n_docs_b").cast("bigint").as("n_docs_b"),
+        col("total_tokens_a").cast("bigint").as("total_tokens_a"),
+        col("total_tokens_b").cast("bigint").as("total_tokens_b"),
+        col("doc_ratio"), col("token_ratio"), col("drift_flag"))
+      .orderBy("lang")
+  }
+
   /** Per-event sliding-window features — count and cents-sum over each
     * event's trailing 30 minutes per user (the label/feature-engineering
     * shape for event models). One shuffle on user_id; RANGE frames are
@@ -1059,6 +1079,7 @@ object PipelineQueries {
     "p_sample_mix_weighted" -> (sampleMixWeighted _),
     "p_vocab_coverage" -> (vocabCoverageQ _),
     "p_corpus_report" -> (corpusReportQ _),
+    "p_corpus_drift" -> (corpusDriftQ _),
     "p_shuffle_order" -> (shuffleOrder _),
     "p_text_lang_fingerprint" -> (textLangFingerprint _),
     "p_text_clean" -> (textClean _),
@@ -1967,6 +1988,76 @@ object PipelineQueries {
         |LEFT JOIN oov o ON t.doc_id = o.doc_id
         |LEFT JOIN psig s ON t.doc_id = s.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    // raw-side and gated-side per-lang volumes, full-outer joined; the
+    // pass set is the proven quality conjunction; ratios are single
+    // divisions of exact integers
+    "p_corpus_drift" ->
+      """WITH deco AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10)||'- alpha item'||chr(10)||'- beta item'||chr(10)||'- gamma item'
+        |         WHEN doc_id % 5 = 1 THEN chr(10)||'same line'||chr(10)||'same line'||chr(10)||'same line'
+        |         WHEN doc_id % 5 = 2 THEN ' wait...'||chr(10)||'more to come...'||chr(10)||'the end'
+        |         WHEN doc_id % 5 = 3 THEN ' ### anchor ### heading'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ltoks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM deco),
+        |calc AS (
+        |  SELECT doc_id,
+        |    cast(len(toks) as bigint) AS n_tokens,
+        |    cast(list_sum(list_transform(toks, x -> length(x))) as double) / len(toks) AS mean_token_len,
+        |    cast((length(text) - length(replace(text, '#', '')))
+        |       + len(regexp_extract_all(text, '\.\.\.'))
+        |       + (length(text) - length(replace(text, '…', ''))) as double) / len(toks) AS symbol_ratio,
+        |    cast(len(list_filter(lines, l -> ltrim(l, ' ')[1:1] IN ('-', '*', '•'))) as double) / len(lines) AS bullet_ratio,
+        |    cast(len(list_filter(lines, l -> ends_with(rtrim(l, ' '), '...'))) as double) / len(lines) AS ellipsis_ratio,
+        |    1.0 - cast(len(list_distinct(lines)) as double) / len(lines) AS dup_line_ratio,
+        |    CASE WHEN greatest(len(ltoks) - 2, 0) = 0 THEN 0.0
+        |         ELSE 1.0 - cast(len(list_distinct(
+        |           list_transform(range(1, len(ltoks)-1), i -> array_to_string(ltoks[i:i+2], ' ')))) as double)
+        |           / greatest(len(ltoks) - 2, 0) END AS rep_ngram,
+        |    cast(len(list_distinct(list_filter(list_transform(toks, x -> lower(x)),
+        |      t -> list_contains(['the','a','an','and','or','of','to','in','is','that','it','for','with','was','are'], t)))) as bigint) AS n_stopwords
+        |  FROM base),
+        |pass AS (
+        |  SELECT doc_id FROM calc
+        |  WHERE n_tokens BETWEEN 30 AND 10000
+        |    AND mean_token_len BETWEEN 3.0 AND 4.6
+        |    AND symbol_ratio <= 0.03
+        |    AND bullet_ratio <= 0.5
+        |    AND ellipsis_ratio <= 0.4
+        |    AND dup_line_ratio <= 0.4
+        |    AND rep_ngram <= 0.05
+        |    AND n_stopwords >= 2),
+        |sa AS (
+        |  SELECT lang, cast(count(*) as bigint) AS n_docs_a,
+        |    cast(sum(len(string_split_regex(trim(text), '\s+'))) as bigint) AS total_tokens_a
+        |  FROM documents GROUP BY lang),
+        |sb AS (
+        |  SELECT d.lang, cast(count(*) as bigint) AS n_docs_b,
+        |    cast(sum(len(b.toks)) as bigint) AS total_tokens_b
+        |  FROM pass p
+        |  JOIN documents d ON p.doc_id = d.doc_id
+        |  JOIN base b ON p.doc_id = b.doc_id
+        |  GROUP BY d.lang)
+        |SELECT coalesce(sa.lang, sb.lang) AS lang,
+        |  coalesce(n_docs_a, 0) AS n_docs_a,
+        |  coalesce(n_docs_b, 0) AS n_docs_b,
+        |  coalesce(total_tokens_a, 0) AS total_tokens_a,
+        |  coalesce(total_tokens_b, 0) AS total_tokens_b,
+        |  CASE WHEN coalesce(n_docs_a, 0) = 0 THEN 0.0
+        |       ELSE cast(coalesce(n_docs_b, 0) as double) / n_docs_a END AS doc_ratio,
+        |  CASE WHEN coalesce(total_tokens_a, 0) = 0 THEN 0.0
+        |       ELSE cast(coalesce(total_tokens_b, 0) as double) / total_tokens_a END AS token_ratio,
+        |  abs(CASE WHEN coalesce(n_docs_a, 0) = 0 THEN 0.0
+        |       ELSE cast(coalesce(n_docs_b, 0) as double) / n_docs_a END - 1.0) > 0.5 AS drift_flag
+        |FROM sa FULL OUTER JOIN sb ON sa.lang = sb.lang
+        |ORDER BY lang""".stripMargin,
 
     // peer-inclusive RANGE frame over event time, exact cents integers
     "p_event_features" ->

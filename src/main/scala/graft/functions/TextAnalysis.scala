@@ -565,6 +565,42 @@ object TextAnalysis {
         sum(col("__has_url")).as("n_docs_with_urls"))
   }
 
+  /** Corpus drift report: [[corpusReport]] of two corpus snapshots
+    * joined per language with volume ratios and a drift flag — the
+    * before/after-curation (or day-over-day ingest) monitoring view.
+    * Full-outer join: a language present in only one snapshot still
+    * surfaces (counts coalesce to 0, ratio to 0). All figures are
+    * integer aggregates or single divisions, so the report replays
+    * exactly in any engine. */
+  def compareCorpora(
+      a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      langCol: String,
+      maxDocRatioDrift: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    def side(df: org.apache.spark.sql.DataFrame, suffix: String) =
+      corpusReport(df, textCol, langCol).select(
+        col(langCol),
+        col("n_docs").as(s"n_docs_$suffix"),
+        col("total_tokens").as(s"total_tokens_$suffix"))
+    val ra = side(a, "a")
+    val rb = side(b, "b")
+    ra.join(rb, Seq(langCol), "full_outer")
+      .select(col(langCol),
+        coalesce(col("n_docs_a"), lit(0L)).as("n_docs_a"),
+        coalesce(col("n_docs_b"), lit(0L)).as("n_docs_b"),
+        coalesce(col("total_tokens_a"), lit(0L)).as("total_tokens_a"),
+        coalesce(col("total_tokens_b"), lit(0L)).as("total_tokens_b"))
+      .withColumn("doc_ratio",
+        when(col("n_docs_a") === 0, lit(0.0))
+          .otherwise(col("n_docs_b").cast("double") / col("n_docs_a")))
+      .withColumn("token_ratio",
+        when(col("total_tokens_a") === 0, lit(0.0))
+          .otherwise(col("total_tokens_b").cast("double") / col("total_tokens_a")))
+      .withColumn("drift_flag",
+        abs(col("doc_ratio") - 1.0) > maxDocRatioDrift)
+  }
+
   /** English stopwords (public, standard list excerpt). */
   val EnStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "but", "if", "then", "else", "of", "to",

@@ -677,6 +677,56 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-span SCRUB over the same partially-copied corpus as
+    * [[dupSpanQ]] — the removal transform, not just the signal. Full
+    * copies lose everything (their grams' first owner is the original),
+    * originals keep everything they own first, organically shared spans
+    * survive only in their min-id doc. Oracled text-exactly: DuckDB
+    * replays gram ownership with string grams and rebuilds kept_text with
+    * the identical indexed-lambda mask. */
+  def dedupSpanScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select("doc_id", "text")
+    val corpus = d.unionByName(
+      d.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .repartition(spark.sparkContext.defaultParallelism)
+    TextAnalysis.scrubDupSpans(corpus, "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+  }
+
+  /** C4-style line filtering over a corpus decorated with one line per
+    * failure mode (blocklist hit, too short, no terminal punctuation, a
+    * parity-dependent pass/fail line, one always-pass line) plus the raw
+    * doc text — every rule provably fires, kept_lines varies by parity,
+    * and the filtered text is oracled character-exactly. */
+  def c4LineFilterQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val deco = docs(spark, sfDir).select(col("doc_id"),
+      concat_ws("\n", col("text"),
+        lit("enable javascript to view this site today."),
+        lit("home"),
+        lit("all rights reserved copyright notice page"),
+        when(col("doc_id") % 2 === 0,
+          lit("even documents also keep this extra sentence."))
+          .otherwise(lit("odd documents get a line without punctuation")),
+        lit("this is a perfectly good sentence for the corpus.")).as("text"))
+    deco.select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"),
+        TextAnalysis.c4LineFilter(col("text")).as("__kept"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("__kept")).cast("long").as("kept_lines"),
+        array_join(col("__kept"), "\n").as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-dimension embedding-store profile (count / positive count /
+    * min / max — all exact, no float summation). */
+  def embedProfileQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.embeddingProfile(embs(spark, sfDir), "embedding")
+      .select(col("dim"), col("n").cast("bigint").as("n"),
+        col("n_pos").cast("bigint").as("n_pos"),
+        col("min_v"), col("max_v"))
+      .orderBy("dim")
+
   /** The modern-curation composition: Gopher quality gate →
     * duplicated-span filter → LM OOV gate, chained over the decorated
     * corpus with the LM referenced from the RAW documents table (the
@@ -1067,6 +1117,9 @@ object PipelineQueries {
     "p_lm_score" -> (lmScoreQ _),
     "p_source_overlap" -> (sourceOverlapQ _),
     "p_dup_span" -> (dupSpanQ _),
+    "p_dedup_span_scrub" -> (dedupSpanScrub _),
+    "p_c4_line_filter" -> (c4LineFilterQ _),
+    "p_embed_profile" -> (embedProfileQ _),
     "p_pipeline_curate" -> (pipelineCurate _),
     "p_dedup_incremental" -> (dedupIncremental _),
     "p_top_tokens" -> (topTokens _),
@@ -1924,6 +1977,71 @@ object PipelineQueries {
         |  cast(coalesce(d.dup_grams, 0) as double) / p.n_grams AS dup_fraction
         |FROM per p LEFT JOIN dupper d ON p.doc_id = d.doc_id
         |ORDER BY p.doc_id""".stripMargin,
+
+    // replay gram ownership with STRING grams (Spark uses xxhash64 — the
+    // usual ~2^-64 collision contract), rebuild kept_text with the same
+    // 0-based indexed mask; coalesce because DuckDB's array_to_string of
+    // an empty list is NULL where Spark's array_join is ''
+    "p_dedup_span_scrub" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 4 = 0),
+        |toked AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM corpus),
+        |pos AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+        |    i -> {'p': i - 1, 'g': array_to_string(toks[i:i+4], ' ')})) AS pg
+        |  FROM toked WHERE len(toks) >= 5),
+        |posx AS (SELECT doc_id, pg.p AS p, pg.g AS g FROM pos),
+        |owners AS (SELECT g, min(doc_id) AS owner
+        |           FROM (SELECT DISTINCT doc_id, g FROM posx) GROUP BY g HAVING count(*) >= 2),
+        |starts AS (SELECT posx.doc_id AS doc_id, list_sort(list(DISTINCT p)) AS ss
+        |           FROM posx JOIN owners USING (g) WHERE posx.doc_id <> owners.owner
+        |           GROUP BY posx.doc_id),
+        |kept AS (
+        |  SELECT t.doc_id, toks,
+        |    list_filter(toks, (w, j) -> len(list_filter(coalesce(s.ss, []),
+        |      x -> j - 1 >= x AND j - 1 < x + 5)) = 0) AS kt
+        |  FROM toked t LEFT JOIN starts s USING (doc_id))
+        |SELECT doc_id, cast(len(toks) AS bigint) AS n_tokens,
+        |  cast(len(toks) - len(kt) AS bigint) AS removed_tokens,
+        |  coalesce(array_to_string(kt, ' '), '') AS kept_text
+        |FROM kept ORDER BY doc_id""".stripMargin,
+
+    // same decoration lines and keep predicate (terminal punctuation,
+    // >=5 words, no blocklist substring) as the Spark side
+    "p_c4_line_filter" ->
+      """WITH deco AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'enable javascript to view this site today.' || chr(10) ||
+        |    'home' || chr(10) || 'all rights reserved copyright notice page' || chr(10) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'even documents also keep this extra sentence.'
+        |          ELSE 'odd documents get a line without punctuation' END) || chr(10) ||
+        |    'this is a perfectly good sentence for the corpus.' AS text
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS lines,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      regexp_matches(trim(l), '[.!?"]$')
+        |      AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |      AND NOT contains(lower(trim(l)), 'javascript')
+        |      AND NOT contains(lower(trim(l)), 'cookie')
+        |      AND NOT contains(lower(trim(l)), 'lorem ipsum')
+        |      AND NOT contains(lower(trim(l)), '{')) AS kept
+        |  FROM deco)
+        |SELECT doc_id, cast(len(lines) AS bigint) AS n_lines,
+        |  cast(len(kept) AS bigint) AS kept_lines,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS kept_text
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // exact per-dimension stats (no float summation) — float->double
+    // casts are value-preserving in both engines
+    "p_embed_profile" ->
+      """SELECT i - 1 AS dim, cast(count(*) AS bigint) AS n,
+        |  cast(sum(CASE WHEN embedding[i] > 0 THEN 1 ELSE 0 END) AS bigint) AS n_pos,
+        |  cast(min(embedding[i]) AS double) AS min_v,
+        |  cast(max(embedding[i]) AS double) AS max_v
+        |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // word-3-shingle overlap per source pair: same shingle rule as the
     // minhash oracle (short docs → whole text), distinct per source,

@@ -43,6 +43,8 @@ object GraftFunctions {
     register1("graft_quality_pass", TextAnalysis.qualityPass(_))
     register1("graft_dedup_lines", TextAnalysis.dedupLinesInDoc)
     register1("graft_nfc_normalize", TextAnalysis.normalizeNfc)
+    register1("graft_c4_filter_lines", c =>
+      org.apache.spark.sql.functions.array_join(TextAnalysis.c4LineFilter(c), "\n"))
     register1("graft_extract_urls", TextAnalysis.extractUrls)
     register1("graft_url_domain", TextAnalysis.urlDomain)
     register1("graft_l2norm", Similarity.l2Norm)

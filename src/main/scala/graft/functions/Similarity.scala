@@ -398,6 +398,24 @@ object Similarity {
     transform(q.getField("codes"), c => mn + c.cast("double") * span / lit(255.0))
   }
 
+  /** Per-dimension embedding profile: count, positive-count, min and max
+    * for every vector dimension — the "is my embedding store sane"
+    * monitoring view (dead dimensions, scale drift, clipped values).
+    *
+    * Scale shape: `posexplode` widens each row to `dim` rows but the
+    * aggregation is map-side combinable onto at most `dim` keys, so the
+    * single exchange ships `partitions × dim` partial rows regardless of
+    * corpus size. min/max/counts are exact (no float summation), so the
+    * result hash-compares across engines. */
+  def embeddingProfile(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__v") > 0, 1L).otherwise(0L)).as("n_pos"),
+        min(col("__v")).cast("double").as("min_v"),
+        max(col("__v")).cast("double").as("max_v"))
+
   /** Two-stage retrieval: a quantized coarse scan keeps `candidates`
     * per query (1/4 the scan bytes), then an EXACT float rerank over the
     * candidate set only — the classic SQ/PQ + rerank production shape.

@@ -601,6 +601,87 @@ object TextAnalysis {
         abs(col("doc_ratio") - 1.0) > maxDocRatioDrift)
   }
 
+  /** Default blocklist phrases for [[c4LineFilter]] (boilerplate markers
+    * from the C4 cleaning recipe — public heuristics). */
+  val C4Blocklist: Seq[String] = Seq("javascript", "cookie", "lorem ipsum", "{")
+
+  /** C4-style per-line keep predicate (Raffel et al. 2020, §2.2 public
+    * heuristics): the trimmed line must end in terminal punctuation, have
+    * at least `minWords` whitespace words, and contain no blocklist
+    * phrase (case-insensitive substring). */
+  def c4KeepLine(l: Column, minWords: Int, blocklist: Seq[String]): Column = {
+    val t = trim(l)
+    val words = when(length(t) === 0, lit(0)).otherwise(size(split(t, "\\s+")))
+    val noBlock = blocklist.map(p => !lower(t).contains(p)).reduce(_ && _)
+    t.rlike("[.!?\"]$") && words >= minWords && noBlock
+  }
+
+  /** C4-style line-level cleaning: split on newlines, keep only lines
+    * passing [[c4KeepLine]]. Returns the kept-lines array (callers join
+    * with "\n" or count). Pure narrow projection — zero shuffle, the
+    * lambda runs inside whole-stage codegen, so at 100 TB this rides the
+    * scan like every other per-doc transform. */
+  def c4LineFilter(
+      c: Column,
+      minWords: Int = 5,
+      blocklist: Seq[String] = C4Blocklist): Column =
+    filter(split(c, "\n"), l => c4KeepLine(l, minWords, blocklist))
+
+  /** Exact duplicated-span scrub — the TRANSFORM counterpart of
+    * [[dupSpanFraction]] (after Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", at word granularity): drop every
+    * token covered by a word-`k`-gram that appears in ≥2 distinct
+    * documents. With `keepFirst` (default) the gram's first owner (min
+    * id) keeps its copy, so each duplicated span survives exactly once in
+    * the corpus instead of vanishing everywhere.
+    *
+    * Scale shape: position grams ship as (id, pos, 64-bit xxhash) — the
+    * text itself never shuffles; duplicated-gram doc-frequency + owner
+    * come from one agg over the per-doc distinct relation; scrub starts
+    * return to each doc as a sorted int array bounded by that doc's own
+    * gram count; reconstruction is a narrow projection. Two (long,long)
+    * hash shuffles total, identical to [[dupSpanFraction]]. The per-doc
+    * rebuild is O(tokens × scrub-starts) in the worst case — both are
+    * document-local, never corpus-sized. Counts are exact up to ~2⁻⁶⁴
+    * gram-hash collisions (the file-wide contract). Output:
+    * (id, n_tokens, removed_tokens, kept_text). Docs shorter than `k`
+    * tokens have no grams and pass through untouched. */
+  def scrubDupSpans(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      keepFirst: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val toksCol = split(lower(trim(col(textCol))), "\\s+")
+    val withToks = df.select(col(idCol), toksCol.as("__toks"))
+    val n = size(col("__toks"))
+    val grams = withToks.where(n >= k).select(col(idCol),
+      posexplode(transform(sequence(lit(0), n - k),
+        i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
+        .as(Seq("__pos", "__g")))
+    val positions = Dedup.maybeCache(grams)
+    val dupOwned = positions.select(col(idCol), col("__g")).distinct()
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__df"), min(col(idCol)).as("__owner"))
+      .where(col("__df") >= 2)
+      .select(col("__g"), col("__owner"))
+    val joined = positions.join(dupOwned, Seq("__g"))
+    val scrub =
+      (if (keepFirst) joined.where(col(idCol) =!= col("__owner")) else joined)
+        .groupBy(idCol).agg(sort_array(collect_set(col("__pos"))).as("__starts"))
+    withToks.join(scrub, Seq(idCol), "left")
+      .select(col(idCol), col("__toks"),
+        coalesce(col("__starts"), array().cast("array<int>")).as("__starts"))
+      .select(col(idCol), col("__toks"),
+        filter(col("__toks"), (_, j) =>
+          !exists(col("__starts"), s => j >= s && j < s + k)).as("__kept"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("removed_tokens"),
+        array_join(col("__kept"), " ").as("kept_text"))
+  }
+
   /** English stopwords (public, standard list excerpt). */
   val EnStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "but", "if", "then", "else", "of", "to",

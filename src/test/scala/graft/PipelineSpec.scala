@@ -1166,4 +1166,65 @@ class PipelineSpec extends GraftSuite {
       (ex intersect quant(qid)).size.toDouble / ex.size }
     assert(recalls.forall(_ >= 0.8), s"quantized recall@5 too low: $recalls")
   }
+
+  test("c4KeepLine: each rule fires independently") {
+    val lines = Seq(
+      (1L, "this line has enough words and ends properly."), // pass
+      (2L, "short line."), // < 5 words
+      (3L, "this line has plenty of words but no terminal punctuation"),
+      (4L, "please enable JavaScript to use this website properly."), // blocklist (case-insens)
+      (5L, "we use cookie banners on every single page here."), // blocklist
+      (6L, "  padded line with exactly five words!  "), // trims, '!' terminal
+      (7L, "does a question mark count as terminal punctuation?"), // pass
+      (8L, "")) // empty
+      .toDF("id", "l")
+      .select($"id", TextAnalysis.c4KeepLine($"l", 5, TextAnalysis.C4Blocklist).as("keep"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(lines(1L) && lines(6L) && lines(7L))
+    assert(!lines(2L) && !lines(3L) && !lines(4L) && !lines(5L) && !lines(8L))
+  }
+
+  test("scrubDupSpans: first owner keeps the span, later docs lose it, short docs untouched") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta unique-one tail-a"),
+      (2L, "alpha beta gamma delta epsilon zeta unique-two tail-b"), // shares 5-gram prefix with 1
+      (3L, "totally different words here nothing shared at all today"),
+      (4L, "tiny doc")) // < 5 tokens: no grams
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scrubDupSpans(d, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 owns the shared grams (min id) → untouched
+    assert(out(1L) == ((8L, 0L, "alpha beta gamma delta epsilon zeta unique-one tail-a")))
+    // doc 2: shared grams start at 0 and 1 → positions 0..5 scrubbed, 6,7 kept
+    assert(out(2L) == ((8L, 6L, "unique-two tail-b")))
+    assert(out(3L)._2 == 0L) // nothing shared
+    assert(out(4L) == ((2L, 0L, "tiny doc"))) // short doc passes through
+  }
+
+  test("scrubDupSpans keepFirst=false scrubs every occurrence") {
+    val d = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five seven"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scrubDupSpans(d, "doc_id", "text", k = 5, keepFirst = false)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // the shared gram "one two three four five" dies in BOTH docs
+    assert(out(1L) == "six")
+    assert(out(2L) == "seven")
+  }
+
+  test("embeddingProfile: exact per-dimension stats") {
+    val d = Seq(
+      (1L, Array(1.0f, -2.0f)),
+      (2L, Array(0.5f, 0.0f)),
+      (3L, Array(-1.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingProfile(d, "embedding")
+      .as[(Int, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(0) == ((3L, 2L, -1.0, 1.0)))
+    assert(out(1) == ((3L, 1L, -2.0, 3.0)))
+  }
 }

@@ -101,6 +101,14 @@ class ScaleSpec extends GraftSuite {
     assert(row.getAs[String]("d") == "nav\nbody text")
   }
 
+  test("SQL-registered C4 line filter works in spark.sql") {
+    GraftFunctions.registerAll(spark)
+    Seq((1L, "keep this line with enough words here.\nshort.\nenable javascript on this long page."))
+      .toDF("id", "t").createOrReplaceTempView("fn_c4")
+    val row = spark.sql("SELECT graft_c4_filter_lines(t) AS f FROM fn_c4").collect()(0)
+    assert(row.getAs[String]("f") == "keep this line with enough words here.")
+  }
+
   test("SQL-registered shingle/minhash/vector primitives compose in pure SQL") {
     GraftFunctions.registerAll(spark)
     Seq((1L, "one two three four", Seq(3.0f, 4.0f)), (2L, "one two three four", Seq(6.0f, 8.0f)))

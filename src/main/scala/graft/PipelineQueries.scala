@@ -727,6 +727,40 @@ object PipelineQueries {
         col("min_v"), col("max_v"))
       .orderBy("dim")
 
+  /** GPT-3-style 13-gram overlap decontamination: eval split = every
+    * 10th doc; training corpus = the rest PLUS verbatim leaked copies of
+    * the eval docs (id + 200000) — the real contamination scenario. The
+    * copies are provably flagged (they share every gram); organic
+    * 13-gram collisions between unrelated docs are the interesting
+    * residue. Oracled with string grams (Spark hashes — the ~2⁻⁶⁴
+    * contract). */
+  def decontaminateNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select("doc_id", "text")
+    val evalDocs = d.where(col("doc_id") % 10 === 7)
+    val train = d.where(col("doc_id") % 10 =!= 7)
+      .unionByName(evalDocs.select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      .repartition(spark.sparkContext.defaultParallelism)
+    Dedup.ngramOverlapContaminated(train, "doc_id", "text", evalDocs, "text", n = 13)
+      .select(col("doc_id"), col("n_hit_grams").cast("bigint").as("n_hit_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-domain crawl-composition stats over the same URL decoration as
+    * [[urlFilter]] (three hosts seeded by doc_id % 4; one quarter of the
+    * docs carry no URL and appear in no group). */
+  def domainStatsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val deco = docs(spark, sfDir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" see https://sub.badsite.com/page?x=1 now"))
+          .when(col("doc_id") % 4 === 1, lit(" refs http://goodsite.org/a.html here"))
+          .when(col("doc_id") % 4 === 2, lit(" at https://TRACKER.net:8080/pixel.gif end"))
+          .otherwise(lit(""))).as("text"))
+    TextAnalysis.domainStats(deco, "doc_id", "text")
+      .select(col("domain"), col("n_docs").cast("bigint").as("n_docs"),
+        col("n_urls").cast("bigint").as("n_urls"))
+      .orderBy("domain")
+  }
+
   /** The modern-curation composition: Gopher quality gate →
     * duplicated-span filter → LM OOV gate, chained over the decorated
     * corpus with the LM referenced from the RAW documents table (the
@@ -1120,6 +1154,8 @@ object PipelineQueries {
     "p_dedup_span_scrub" -> (dedupSpanScrub _),
     "p_c4_line_filter" -> (c4LineFilterQ _),
     "p_embed_profile" -> (embedProfileQ _),
+    "p_decontaminate_ngram" -> (decontaminateNgram _),
+    "p_domain_stats" -> (domainStatsQ _),
     "p_pipeline_curate" -> (pipelineCurate _),
     "p_dedup_incremental" -> (dedupIncremental _),
     "p_top_tokens" -> (topTokens _),
@@ -2032,6 +2068,41 @@ object PipelineQueries {
         |  cast(len(kept) AS bigint) AS kept_lines,
         |  coalesce(array_to_string(kept, chr(10)), '') AS kept_text
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // 13-gram rule: docs shorter than 13 tokens contribute their whole
+    // text as one gram (verbatim short eval items still match); grams
+    // distinct per doc, so n_hit_grams counts distinct shared grams
+    "p_decontaminate_ngram" ->
+      """WITH evald AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
+        |train AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7
+        |  UNION ALL SELECT doc_id + 200000, text FROM evald),
+        |eg AS (SELECT DISTINCT g FROM (
+        |  SELECT unnest(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks) - 11), i -> array_to_string(toks[i:i+12], ' ')) END) AS g
+        |  FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks FROM evald))),
+        |tg AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks) - 11), i -> array_to_string(toks[i:i+12], ' ')) END) AS g
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM train)))
+        |SELECT doc_id, cast(count(*) AS bigint) AS n_hit_grams
+        |FROM tg JOIN eg USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same URL decoration + host regexes as p_url_filter's oracle
+    "p_domain_stats" ->
+      """WITH deco AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' see https://sub.badsite.com/page?x=1 now'
+        |         WHEN doc_id % 4 = 1 THEN ' refs http://goodsite.org/a.html here'
+        |         WHEN doc_id % 4 = 2 THEN ' at https://TRACKER.net:8080/pixel.gif end'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |urls AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s<>"'']+', 0)) AS url FROM deco),
+        |doms AS (SELECT doc_id, lower(regexp_extract(url, 'https?://(?:[^@/\s]*@)?([^:/\s?#]+)', 1)) AS domain FROM urls)
+        |SELECT domain, cast(count(DISTINCT doc_id) AS bigint) AS n_docs,
+        |  cast(count(*) AS bigint) AS n_urls
+        |FROM doms GROUP BY domain ORDER BY domain""".stripMargin,
 
     // exact per-dimension stats (no float summation) — float->double
     // casts are value-preserving in both engines

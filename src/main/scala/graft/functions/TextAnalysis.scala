@@ -468,6 +468,22 @@ object TextAnalysis {
     * relation; the position relation joins the (gram, df≥2) set on the
     * 64-bit hash and re-aggregates per doc — two hash shuffles of
     * (long, long) rows, nothing carries text. */
+  /** Per-domain corpus stats over the URLs mentioned in document text:
+    * distinct documents mentioning each host and total URL mentions —
+    * the crawl-composition monitoring view ("which sites feed this
+    * corpus"). Extraction and host parsing are narrow ([[extractUrls]] /
+    * [[urlDomain]]); the aggregation shuffles only (domain, id) pairs
+    * for the distinct-doc count — URL-mention-rate sized, never
+    * text-sized. */
+  def domainStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(extractUrls(col(textCol))).as("__url"))
+      .select(col(idCol), urlDomain(col("__url")).as("domain"))
+      .groupBy("domain")
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_urls"))
+
   def dupSpanFraction(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,

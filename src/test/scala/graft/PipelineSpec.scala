@@ -1215,6 +1215,34 @@ class PipelineSpec extends GraftSuite {
     assert(out(2L) == "seven")
   }
 
+  test("ngramOverlapContaminated flags a leaked eval sentence inside a longer page") {
+    val evalDocs = Seq((100L, "what is the capital of france paris is the answer"))
+      .toDF("eid", "etext") // 10 tokens
+    val train = Seq(
+      (1L, "some crawl page mentions that what is the capital of france paris is the answer among other things entirely"),
+      (2L, "a completely unrelated page about cooking pasta with plenty of words to spare here"),
+      (3L, "capital of france")) // 3 tokens — whole-text gram, not a 10-gram match
+      .toDF("doc_id", "text")
+    val out = graft.functions.Dedup
+      .ngramOverlapContaminated(train, "doc_id", "text", evalDocs, "etext", n = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(out.contains(1L) && out(1L) >= 1L) // the leaked 10-gram fires
+    assert(!out.contains(2L) && !out.contains(3L))
+  }
+
+  test("domainStats counts distinct docs and total mentions per host") {
+    val d = Seq(
+      (1L, "see https://a.example.com/x and https://a.example.com/y twice"),
+      (2L, "also https://A.EXAMPLE.com/z case-folds plus http://other.org/1"),
+      (3L, "no urls at all here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.domainStats(d, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("a.example.com") == ((2L, 3L)))
+    assert(out("other.org") == ((1L, 1L)))
+    assert(out.size == 2)
+  }
+
   test("embeddingProfile: exact per-dimension stats") {
     val d = Seq(
       (1L, Array(1.0f, -2.0f)),

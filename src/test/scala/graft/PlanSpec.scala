@@ -332,4 +332,18 @@ class PlanSpec extends GraftSuite {
     // two-phase top-k preserved on the quantized path
     assert(p.contains("MapPartitions") && p.contains("Window"), p)
   }
+
+  test("ngram decontaminate: eval grams broadcast; corpus probe is shuffle-free") {
+    val d = Tables.read(spark, sfDir, "documents").select("doc_id", "text")
+    val ev = d.where(col("doc_id") % 10 === 7)
+    val p = graft.functions.Dedup
+      .ngramOverlapContaminated(d, "doc_id", "text", ev, "text", n = 13)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only hash exchanges allowed are the eval-side distinct (tiny)
+    // and the per-doc hit count (contamination-rate sized) — the training
+    // corpus itself must never hashpartition on text-derived keys
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
 }

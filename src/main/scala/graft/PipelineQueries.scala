@@ -761,6 +761,34 @@ object PipelineQueries {
       .orderBy("domain")
   }
 
+  /** Per-label mean-pooled centroids via the deterministic two-level
+    * ordered fold ([[Similarity.meanPoolExact]]) — blockSize=16 so the
+    * sf corpus exercises multiple blocks per label (~50 vectors/label).
+    * The centroid doubles hash-compare bit-exactly because the FP fold
+    * order is a pure function of the data in both engines. */
+  def embedCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.meanPoolExact(embs(spark, sfDir), "label", "vec_id", "embedding",
+        blockSize = 16)
+      .select(col("label"), col("n").cast("bigint").as("n"), col("centroid"))
+      .orderBy("label")
+
+  /** Quality-gate pass rates rolled up per language — the per-source
+    * curation dashboard view (integer counts + one division of exact
+    * integers). */
+  def qualityByLang(spark: SparkSession, sfDir: String): DataFrame = {
+    val gated = TextAnalysis.qualityGate(qualityCorpus(spark, sfDir), "text", qualityRules)
+    gated.join(docs(spark, sfDir).select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(col("lang"), col("n_docs").cast("bigint").as("n_docs"),
+        col("n_pass").cast("bigint").as("n_pass"),
+        col("total_tokens").cast("bigint").as("total_tokens"),
+        (col("n_pass").cast("double") / col("n_docs")).as("pass_rate"))
+      .orderBy("lang")
+  }
+
   /** The modern-curation composition: Gopher quality gate →
     * duplicated-span filter → LM OOV gate, chained over the decorated
     * corpus with the LM referenced from the RAW documents table (the
@@ -1156,6 +1184,8 @@ object PipelineQueries {
     "p_embed_profile" -> (embedProfileQ _),
     "p_decontaminate_ngram" -> (decontaminateNgram _),
     "p_domain_stats" -> (domainStatsQ _),
+    "p_embed_centroids" -> (embedCentroids _),
+    "p_quality_by_lang" -> (qualityByLang _),
     "p_pipeline_curate" -> (pipelineCurate _),
     "p_dedup_incremental" -> (dedupIncremental _),
     "p_top_tokens" -> (topTokens _),
@@ -2103,6 +2133,81 @@ object PipelineQueries {
         |SELECT domain, cast(count(DISTINCT doc_id) AS bigint) AS n_docs,
         |  cast(count(*) AS bigint) AS n_urls
         |FROM doms GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // the SAME two-level ordered fold as meanPoolExact: vectors fold in
+    // vec_id order within id-div-16 blocks, block sums fold in block
+    // order — the FP operation sequence is identical, so the centroid
+    // doubles compare bit-exactly
+    "p_embed_centroids" ->
+      """WITH v AS (
+        |  SELECT label, vec_id, vec_id // 16 AS blk,
+        |    list_transform(embedding, x -> cast(x AS double)) AS v
+        |  FROM embeddings),
+        |blocks AS (
+        |  SELECT label, blk, count(*) AS bn,
+        |    list_reduce(list(v ORDER BY vec_id),
+        |      (a, b) -> list_transform(range(1, len(a) + 1), i -> a[i] + b[i])) AS bs
+        |  FROM v GROUP BY label, blk),
+        |tot AS (
+        |  SELECT label, sum(bn) AS n,
+        |    list_reduce(list(bs ORDER BY blk),
+        |      (a, b) -> list_transform(range(1, len(a) + 1), i -> a[i] + b[i])) AS s
+        |  FROM blocks GROUP BY label)
+        |SELECT label, cast(n AS bigint) AS n,
+        |  list_transform(s, x -> x / cast(n AS double)) AS centroid
+        |FROM tot ORDER BY label""".stripMargin,
+
+    // the proven quality calc block rolled up per language (integer
+    // counts + one division of exact integers)
+    "p_quality_by_lang" ->
+      """WITH deco AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10)||'- alpha item'||chr(10)||'- beta item'||chr(10)||'- gamma item'
+        |         WHEN doc_id % 5 = 1 THEN chr(10)||'same line'||chr(10)||'same line'||chr(10)||'same line'
+        |         WHEN doc_id % 5 = 2 THEN ' wait...'||chr(10)||'more to come...'||chr(10)||'the end'
+        |         WHEN doc_id % 5 = 3 THEN ' ### anchor ### heading'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ltoks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM deco),
+        |calc AS (
+        |  SELECT doc_id,
+        |    cast(len(toks) as bigint) AS n_tokens,
+        |    cast(list_sum(list_transform(toks, x -> length(x))) as double) / len(toks) AS mean_token_len,
+        |    cast((length(text) - length(replace(text, '#', '')))
+        |       + len(regexp_extract_all(text, '\.\.\.'))
+        |       + (length(text) - length(replace(text, '…', ''))) as double) / len(toks) AS symbol_ratio,
+        |    cast(len(list_filter(lines, l -> ltrim(l, ' ')[1:1] IN ('-', '*', '•'))) as double) / len(lines) AS bullet_ratio,
+        |    cast(len(list_filter(lines, l -> ends_with(rtrim(l, ' '), '...'))) as double) / len(lines) AS ellipsis_ratio,
+        |    1.0 - cast(len(list_distinct(lines)) as double) / len(lines) AS dup_line_ratio,
+        |    CASE WHEN greatest(len(ltoks) - 2, 0) = 0 THEN 0.0
+        |         ELSE 1.0 - cast(len(list_distinct(
+        |           list_transform(range(1, len(ltoks)-1), i -> array_to_string(ltoks[i:i+2], ' ')))) as double)
+        |           / greatest(len(ltoks) - 2, 0) END AS rep_ngram,
+        |    cast(len(list_distinct(list_filter(list_transform(toks, x -> lower(x)),
+        |      t -> list_contains(['the','a','an','and','or','of','to','in','is','that','it','for','with','was','are'], t)))) as bigint) AS n_stopwords
+        |  FROM base),
+        |gate AS (
+        |  SELECT doc_id, n_tokens,
+        |    (n_tokens BETWEEN 30 AND 10000
+        |     AND mean_token_len BETWEEN 3.0 AND 4.6
+        |     AND symbol_ratio <= 0.03
+        |     AND bullet_ratio <= 0.5
+        |     AND ellipsis_ratio <= 0.4
+        |     AND dup_line_ratio <= 0.4
+        |     AND rep_ngram <= 0.05
+        |     AND n_stopwords >= 2) AS pass
+        |  FROM calc)
+        |SELECT d.lang, cast(count(*) AS bigint) AS n_docs,
+        |  cast(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS bigint) AS n_pass,
+        |  cast(sum(n_tokens) AS bigint) AS total_tokens,
+        |  cast(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS double) / count(*) AS pass_rate
+        |FROM gate g JOIN documents d USING (doc_id)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     // exact per-dimension stats (no float summation) — float->double
     // casts are value-preserving in both engines

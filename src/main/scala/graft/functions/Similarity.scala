@@ -416,6 +416,52 @@ object Similarity {
         min(col("__v")).cast("double").as("min_v"),
         max(col("__v")).cast("double").as("max_v"))
 
+  /** Deterministic mean-pooling of vectors per group (label centroids,
+    * chunk→document pooling): element-wise mean computed as a TWO-LEVEL
+    * ORDERED FOLD — vectors fold in ascending id order inside fixed
+    * id-range blocks (`id div blockSize`), block sums then fold in block
+    * order. The floating-point operation sequence is therefore a pure
+    * function of the data, independent of partitioning and parallelism —
+    * bit-identical across runs, cluster sizes, and engines (an external
+    * system replaying the same fold reproduces every double exactly).
+    * Contrast [[VecSumAgg]] (the IVF-internal centroid sum): order-free
+    * and cheapest, but FP-accumulation-order dependent — fine for
+    * k-means, wrong for auditable/reproducible artifacts.
+    *
+    * Scale shape: blocks bound the collect_list working set to
+    * `blockSize × dim` doubles per group; the per-label second level
+    * holds `n_label/blockSize` block sums. Both aggregations are ordinary
+    * hash aggs on (label, block) / label keys. */
+  def meanPoolExact(
+      df: DataFrame,
+      labelCol: String,
+      idCol: String,
+      vecCol: String,
+      blockSize: Int = 1024): DataFrame = {
+    require(blockSize > 0, "blockSize must be positive")
+    def foldSorted(sorted: Column, field: String): Column =
+      aggregate(
+        slice(sorted, lit(2), size(sorted) - 1),
+        element_at(sorted, 1).getField(field),
+        (acc, sv) => zip_with(acc, sv.getField(field), (a, b) => a + b))
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val blocks = df
+      .select(col(labelCol), col(idCol).as("__i"), vecD.as("__v"),
+        expr(s"`$idCol` div $blockSize").as("__blk"))
+      .groupBy(col(labelCol), col("__blk"))
+      .agg(count(lit(1)).as("__bn"),
+        sort_array(collect_list(struct(col("__i"), col("__v")))).as("__svs"))
+      .select(col(labelCol), col("__blk"), col("__bn"),
+        foldSorted(col("__svs"), "__v").as("__bs"))
+    blocks
+      .groupBy(col(labelCol))
+      .agg(sum(col("__bn")).as("n"),
+        sort_array(collect_list(struct(col("__blk"), col("__bs")))).as("__sbs"))
+      .select(col(labelCol), col("n"),
+        transform(foldSorted(col("__sbs"), "__bs"),
+          x => x / col("n").cast("double")).as("centroid"))
+  }
+
   /** Two-stage retrieval: a quantized coarse scan keeps `candidates`
     * per query (1/4 the scan bytes), then an EXACT float rerank over the
     * candidate set only — the classic SQ/PQ + rerank production shape.

@@ -1243,6 +1243,28 @@ class PipelineSpec extends GraftSuite {
     assert(out.size == 2)
   }
 
+  test("meanPoolExact: bit-identical across partitionings; matches the plain mean") {
+    val rows = (0L until 40L).map(i =>
+      (i % 3, i, Array.tabulate(4)(d => (math.sin(i * 7.0 + d) * 0.1).toFloat)))
+    val d = rows.toDF("label", "vec_id", "embedding")
+    def run(parts: Int): Map[Long, (Long, Seq[Double])] =
+      Similarity.meanPoolExact(d.repartition(parts), "label", "vec_id", "embedding",
+          blockSize = 4)
+        .as[(Long, Long, Seq[Double])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val a = run(1)
+    val b = run(7)
+    // the fold order is a pure function of the data — identical BITS
+    assert(a.forall { case (l, (n, c)) =>
+      b(l)._1 == n && b(l)._2.zip(c).forall { case (x, y) =>
+        java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y) } })
+    // and within float tolerance of the naive mean
+    rows.groupBy(_._1).foreach { case (l, rs) =>
+      val naive = (0 until 4).map(dm => rs.map(_._3(dm).toDouble).sum / rs.size)
+      naive.zip(a(l)._2).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12) }
+    }
+  }
+
   test("embeddingProfile: exact per-dimension stats") {
     val d = Seq(
       (1L, Array(1.0f, -2.0f)),

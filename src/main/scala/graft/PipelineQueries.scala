@@ -789,6 +789,33 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** BPE merge-table learning: 8 merges over the documents corpus
+    * (word-frequency weighted, ties on count desc then pair asc). The
+    * oracle replays every round relationally — pair counts, argmax, and
+    * the boundary-safe replace — so the learned table matches rank for
+    * rank, count for count. */
+  def bpeLearn(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = graft.functions.Bpe.learnBpe(docs(spark, sfDir), "text", numMerges = 8)
+    import spark.implicits._
+    merges.toDF("rk", "lhs", "rhs", "cnt")
+      .select(col("rk").cast("bigint").as("rk"), col("lhs"), col("rhs"),
+        col("cnt").cast("bigint").as("cnt"))
+      .orderBy("rk")
+  }
+
+  /** Tokenize the corpus with the 8 learned merges — the production
+    * narrow path (chained codegen'd replaces, no dictionary join); the
+    * oracle tokenizes by joining words to the relational segmentation
+    * table instead, certifying both routes agree. */
+  def bpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = graft.functions.Bpe.learnBpe(docs(spark, sfDir), "text", numMerges = 8)
+      .map { case (_, l, r, _) => (l, r) }
+    docs(spark, sfDir).select(col("doc_id"),
+        graft.functions.Bpe.bpeTokenCount(col("text"), merges)
+          .cast("bigint").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** The modern-curation composition: Gopher quality gate →
     * duplicated-span filter → LM OOV gate, chained over the decorated
     * corpus with the LM referenced from the RAW documents table (the
@@ -1186,6 +1213,8 @@ object PipelineQueries {
     "p_domain_stats" -> (domainStatsQ _),
     "p_embed_centroids" -> (embedCentroids _),
     "p_quality_by_lang" -> (qualityByLang _),
+    "p_bpe_learn" -> (bpeLearn _),
+    "p_bpe_tokenize" -> (bpeTokenize _),
     "p_pipeline_curate" -> (pipelineCurate _),
     "p_dedup_incremental" -> (dedupIncremental _),
     "p_top_tokens" -> (topTokens _),
@@ -2462,5 +2491,51 @@ object PipelineQueries {
         |       ELSE 0 END as bigint) AS decoded_duration_ms
         |FROM documents
         |ORDER BY media_id""".stripMargin,
-  )
+  ) ++ Map(
+    "p_bpe_learn" -> (bpeStagesSql(8).stripSuffix(",") +
+      (0 until 8).map(i =>
+        s"SELECT $i AS rk, l AS lhs, r AS rhs, cast(cnt AS bigint) AS cnt FROM best$i")
+        .mkString("\n", "\nUNION ALL ", "\nORDER BY rk")),
+    "p_bpe_tokenize" -> (bpeStagesSql(8) +
+      """
+        |dtok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |         FROM documents)
+        |SELECT doc_id,
+        |  cast(sum(len(string_split(trim(s.seg), '  '))) AS bigint) AS n_bpe_tokens
+        |FROM dtok JOIN seg8 s ON dtok.w = s.word
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Relational replay of `k` BPE learning rounds (shared by the learn
+    * and tokenize oracles): word-frequency table → char segmentation in
+    * the boundary-safe double-space encoding → per round, weighted pair
+    * counts, deterministic argmax (count desc, pair asc), one literal
+    * replace. Trailing comma — callers append the final SELECT. */
+  private def bpeStagesSql(k: Int): String = {
+    val sb = new StringBuilder
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // best$i is referenced by four scalar subqueries — inlining would
+    // re-expand the whole chain exponentially (observed as fd
+    // exhaustion re-opening the parquet at every leaf)
+    sb ++= """WITH wf AS MATERIALIZED (
+      |  SELECT w AS word, count(*) AS freq FROM (
+      |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |    FROM documents) GROUP BY w),
+      |seg0 AS (SELECT word, freq,
+      |  ' ' || rtrim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ' AS seg FROM wf),""".stripMargin
+    for (i <- 0 until k) {
+      sb ++= s"""
+        |pairs$i AS (
+        |  SELECT l, r, sum(freq) AS cnt FROM (
+        |    SELECT freq, syms[i+1] AS l, syms[i+2] AS r
+        |    FROM (SELECT freq, string_split(trim(seg), '  ') AS syms FROM seg$i),
+        |         unnest(range(0, len(syms) - 1)) AS t(i))
+        |  GROUP BY l, r),
+        |best$i AS MATERIALIZED (SELECT l, r, cnt FROM pairs$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |seg${i + 1} AS MATERIALIZED (SELECT word, freq,
+        |  replace(seg, ' ' || (SELECT l FROM best$i) || '  ' || (SELECT r FROM best$i) || ' ',
+        |          ' ' || (SELECT l FROM best$i) || (SELECT r FROM best$i) || ' ') AS seg
+        |  FROM seg$i),""".stripMargin
+    }
+    sb.toString
+  }
 }

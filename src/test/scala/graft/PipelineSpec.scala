@@ -1265,6 +1265,31 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("learnBpe reproduces the textbook merge sequence with deterministic ties") {
+    // Sennrich et al. example: {low:5, lower:2, newest:6, widest:3}
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val d = Seq((1L, text)).toDF("id", "text")
+    val merges = graft.functions.Bpe.learnBpe(d, "text", numMerges = 4)
+    // round 1: (e,s)=9 ties (s,t)=9 → lexicographic left wins; round 2:
+    // (es,t)=9; round 3: (l,o)=7 ties (o,w)=7 → (l,o); round 4: (lo,w)=7
+    assert(merges.map(m => (m._2, m._3, m._4)) ==
+      Seq(("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L), ("lo", "w", 7L)))
+  }
+
+  test("bpeTokenCount: canonical leftmost-simultaneous merge semantics") {
+    val merges = Seq(("e", "s"), ("es", "t"))
+    val out = Seq((1L, "lowest"), (2L, "aaaaa"), (3L, "a b"), (4L, "test"))
+      .toDF("id", "text")
+      .select($"id", graft.functions.Bpe.bpeTokenCount($"text", merges).as("n"),
+        graft.functions.Bpe.bpeTokenCount($"text", Seq(("a", "a"))).as("na"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 == 4) // l o w est
+    assert(out(2L)._2 == 3) // aa aa a — odd run folds leftmost-first
+    assert(out(3L)._1 == 2) // two 1-char words
+    assert(out(4L)._1 == 2) // t es t, then (es,t) fires again: t est
+  }
+
   test("embeddingProfile: exact per-dimension stats") {
     val d = Seq(
       (1L, Array(1.0f, -2.0f)),

@@ -346,4 +346,15 @@ class PlanSpec extends GraftSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
+
+  test("bpe tokenization: chained-replace narrow projection, zero exchange") {
+    val d = Tables.read(spark, sfDir, "documents")
+    val p = d.select(col("doc_id"),
+        graft.functions.Bpe.bpeTokenCount(col("text"),
+          Seq(("e", "s"), ("es", "t"), ("t", "h"))).as("n"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("WholeStageCodegen"), p)
+  }
 }

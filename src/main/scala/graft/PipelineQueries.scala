@@ -816,6 +816,23 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Edit-distance-verified near-dup pairs over the near-dup corpus
+    * (mutated copies sit at edit distance 24 — the appended token). The
+    * oracle replays candidates as exact all-pairs char-12-gram Jaccard
+    * (the proven p_dedup_ngram contract) and verifies with the identical
+    * integer Levenshtein. */
+  def dedupEdit(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.editDistanceNearDupPairs(docsWithNearDups(spark, sfDir), "doc_id", "text",
+        ngramSize = 12, threshold = 0.55, maxDist = 30)
+      .select(col("id_a"), col("id_b"), col("edit_dist").cast("bigint").as("edit_dist"))
+      .orderBy("id_a", "id_b")
+
+  /** Inverted index restricted to tokens in ≥ 50 docs (bounds the
+    * posting payload); postings are integer-exact sorted id lists. */
+  def invertedIndexQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.invertedIndex(docs(spark, sfDir), "doc_id", "text", minDf = 50L)
+      .orderBy("token")
+
   /** The modern-curation composition: Gopher quality gate →
     * duplicated-span filter → LM OOV gate, chained over the decorated
     * corpus with the LM referenced from the RAW documents table (the
@@ -1215,6 +1232,8 @@ object PipelineQueries {
     "p_quality_by_lang" -> (qualityByLang _),
     "p_bpe_learn" -> (bpeLearn _),
     "p_bpe_tokenize" -> (bpeTokenize _),
+    "p_dedup_edit" -> (dedupEdit _),
+    "p_inverted_index" -> (invertedIndexQ _),
     "p_pipeline_curate" -> (pipelineCurate _),
     "p_dedup_incremental" -> (dedupIncremental _),
     "p_top_tokens" -> (topTokens _),
@@ -2072,6 +2091,39 @@ object PipelineQueries {
         |  cast(coalesce(d.dup_grams, 0) as double) / p.n_grams AS dup_fraction
         |FROM per p LEFT JOIN dupper d ON p.doc_id = d.doc_id
         |ORDER BY p.doc_id""".stripMargin,
+
+    // candidates replayed as exact all-pairs char-12-gram Jaccard (the
+    // p_dedup_ngram contract: LSH at 64 hashes / 32 bands recovers every
+    // pair above threshold on this corpus), verified with the identical
+    // integer Levenshtein on the raw text
+    "p_dedup_edit" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' zq extra trailing token' FROM documents),
+        |sh AS (
+        |  $ngramSetsSql),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::double
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.55)
+        |SELECT p.id_a, p.id_b,
+        |  cast(levenshtein(ca.text, cb.text) AS bigint) AS edit_dist
+        |FROM cand p
+        |JOIN corpus ca ON ca.doc_id = p.id_a
+        |JOIN corpus cb ON cb.doc_id = p.id_b
+        |WHERE levenshtein(ca.text, cb.text) <= 30
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // per-doc-distinct tokens, doc-frequency floor, ordered postings
+    "p_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS token
+        |  FROM documents)
+        |SELECT token, cast(count(*) AS bigint) AS df,
+        |  list(doc_id ORDER BY doc_id) AS postings
+        |FROM tok GROUP BY token HAVING count(*) >= 50
+        |ORDER BY token""".stripMargin,
 
     // replay gram ownership with STRING grams (Spark uses xxhash64 — the
     // usual ~2^-64 collision contract), rebuild kept_text with the same

@@ -484,6 +484,28 @@ object TextAnalysis {
       .groupBy("domain")
       .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_urls"))
 
+  /** Inverted index over whitespace tokens: per token, document
+    * frequency and the sorted posting list — the classic IR structure
+    * (retrieval, contamination lookup, df-based filtering). Tokens are
+    * distinct per doc BEFORE the explode (smaller shuffle), so the
+    * grouped ids are already unique; `minDf` bounds the output to
+    * non-rare terms. Scale note: posting-list skew on stopword-class
+    * tokens is inherent to the structure — at 100 TB shard wide lists by
+    * (token, id-range) or raise `minDf`; the aggregation itself is
+    * map-side combinable. */
+  def invertedIndex(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Long = 2L): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+        explode(array_distinct(split(lower(trim(col(textCol))), "\\s+"))).as("token"))
+      .groupBy("token")
+      .agg(sort_array(collect_list(col(idCol))).as("postings"))
+      .select(col("token"), size(col("postings")).cast("long").as("df"),
+        col("postings"))
+      .where(col("df") >= minDf)
+
   def dupSpanFraction(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,

@@ -1290,6 +1290,35 @@ class PipelineSpec extends GraftSuite {
     assert(out(4L)._1 == 2) // t es t, then (es,t) fires again: t est
   }
 
+  test("editDistanceNearDupPairs: LSH candidates verified by exact Levenshtein") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank at dawn every single morning"
+    val d = Seq(
+      (1L, base),
+      (2L, base + " xx"), // near-dup, edit 3
+      (3L, base.replace("quick", "rapid")), // 5 substitutions-ish, still similar
+      (4L, "completely different content about cooking pasta with tomatoes and basil leaves for dinner tonight again"))
+      .toDF("doc_id", "text")
+    val out = Dedup.editDistanceNearDupPairs(d, "doc_id", "text",
+        ngramSize = 8, threshold = 0.4, maxDist = 10)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 2L)) == 3)
+    assert(out.contains((1L, 3L)) && out((1L, 3L)) <= 10)
+    assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("invertedIndex: per-doc-distinct tokens, sorted postings, df floor") {
+    val d = Seq(
+      (3L, "alpha beta alpha"), // alpha counted once for doc 3
+      (1L, "alpha gamma"),
+      (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(d, "doc_id", "text", minDf = 2L)
+      .as[(String, Long, Seq[Long])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("alpha") == ((2L, Seq(1L, 3L))))
+    assert(out("beta") == ((2L, Seq(2L, 3L))))
+    assert(out("gamma") == ((2L, Seq(1L, 2L))))
+  }
+
   test("embeddingProfile: exact per-dimension stats") {
     val d = Seq(
       (1L, Array(1.0f, -2.0f)),

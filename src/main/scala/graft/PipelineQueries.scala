@@ -833,6 +833,43 @@ object PipelineQueries {
     TextAnalysis.invertedIndex(docs(spark, sfDir), "doc_id", "text", minDf = 50L)
       .orderBy("token")
 
+  /** Snapshot diff: version B drops every 11th doc, edits every 7th,
+    * and adds shifted copies of every 13th — all three statuses fire
+    * deterministically. */
+  def snapshotDiffQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = docs(spark, sfDir).select("doc_id", "text")
+    val b = a.where(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [edited]")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(a.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+    TextAnalysis.compareSnapshots(a, b, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Token-count histogram (width-10 exact integer buckets). */
+  def lengthHistogramQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.lengthHistogram(docs(spark, sfDir), "text")
+      .select(col("bucket_lo").cast("bigint").as("bucket_lo"),
+        col("n_docs").cast("bigint").as("n_docs"))
+      .orderBy("bucket_lo")
+
+  /** Tokenizer→packing interop: sequence packing driven by BPE token
+    * counts (8 learned merges) instead of whitespace counts — certifies
+    * the learned tokenizer composes with the training-sequence builder.
+    * Budget 2000 (8 merges leave near-char-level counts, ~230/doc). */
+  def packBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = graft.functions.Bpe.learnBpe(docs(spark, sfDir), "text", numMerges = 8)
+      .map { case (_, l, r, _) => (l, r) }
+    val t = docs(spark, sfDir).select(col("doc_id"), col("lang"),
+      graft.functions.Bpe.bpeTokenCount(col("text"), merges).cast("long").as("ntok"))
+    graft.functions.Sampling.packSequences(t, Seq("lang"), "doc_id", "ntok", budget = 2000L)
+      .select(col("doc_id"), col("lang"), col("ntok"),
+        col("seq_id"), col("seq_pos"))
+      .orderBy("doc_id")
+  }
+
   /** The modern-curation composition: Gopher quality gate →
     * duplicated-span filter → LM OOV gate, chained over the decorated
     * corpus with the LM referenced from the RAW documents table (the
@@ -1234,6 +1271,9 @@ object PipelineQueries {
     "p_bpe_tokenize" -> (bpeTokenize _),
     "p_dedup_edit" -> (dedupEdit _),
     "p_inverted_index" -> (invertedIndexQ _),
+    "p_snapshot_diff" -> (snapshotDiffQ _),
+    "p_length_histogram" -> (lengthHistogramQ _),
+    "p_pack_bpe" -> (packBpe _),
     "p_pipeline_curate" -> (pipelineCurate _),
     "p_dedup_incremental" -> (dedupIncremental _),
     "p_top_tokens" -> (topTokens _),
@@ -2115,6 +2155,33 @@ object PipelineQueries {
         |WHERE levenshtein(ca.text, cb.text) <= 30
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // full-outer presence + text-equality statuses; unchanged rows dropped
+    "p_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, text FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 13 = 0),
+        |j AS (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.text <> b.text THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
+
+    // width-10 exact integer buckets over whitespace token counts
+    "p_length_histogram" ->
+      """SELECT (n // 10) * 10 AS bucket_lo, cast(count(*) AS bigint) AS n_docs
+        |FROM (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // per-doc-distinct tokens, doc-frequency floor, ordered postings
     "p_inverted_index" ->
       """WITH tok AS (
@@ -2555,7 +2622,26 @@ object PipelineQueries {
         |SELECT doc_id,
         |  cast(sum(len(string_split(trim(s.seg), '  '))) AS bigint) AS n_bpe_tokens
         |FROM dtok JOIN seg8 s ON dtok.w = s.word
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // BPE per-doc counts (the p_bpe_tokenize replay) driving the
+    // p_pack_sequences window at budget 2000
+    "p_pack_bpe" -> (bpeStagesSql(8) +
+      """
+        |dtok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |         FROM documents),
+        |bt AS (
+        |  SELECT doc_id, cast(sum(len(string_split(trim(s.seg), '  '))) AS bigint) AS ntok
+        |  FROM dtok JOIN seg8 s ON dtok.w = s.word GROUP BY doc_id),
+        |t AS (SELECT d.doc_id, d.lang, bt.ntok FROM documents d JOIN bt USING (doc_id)),
+        |c AS (
+        |  SELECT doc_id, lang, ntok,
+        |    coalesce(sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM t),
+        |s AS (SELECT doc_id, lang, ntok, cast(floor(pre / 2000.0) as bigint) AS seq_id FROM c)
+        |SELECT doc_id, lang, ntok, seq_id,
+        |  cast(row_number() OVER (PARTITION BY lang, seq_id ORDER BY doc_id) - 1 as bigint) AS seq_pos
+        |FROM s ORDER BY doc_id""".stripMargin))
 
   /** Relational replay of `k` BPE learning rounds (shared by the learn
     * and tokenize oracles): word-frequency table → char segmentation in

@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   * pair-explode + sum-agg + TakeOrdered(1) and a narrow replace — the
   * corpus text is never touched again, and the per-round driver transfer
   * is exactly one (pair, count) row. Tokenization never joins at all: the
-  * learned merges fold into `numMerges` chained codegen'd replaces — a
-  * pure narrow projection that rides the scan at 100 TB.
+  * learned merges fold into `numMerges` chained literal replaces in one
+  * projection over the scan — zero shuffle at any scale (the word-level
+  * fold evaluates interpreted; per-row work riding the scan).
   */
 object Bpe {
 
@@ -98,7 +99,7 @@ object Bpe {
 
   /** Whitespace→BPE token count per document for a FIXED merge table —
     * the narrow tokenization path (no dictionary join): each word
-    * re-segments through the chained replaces inside codegen. */
+    * re-segments through the chained replaces in the scan projection. */
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
     val words = split(lower(trim(text)), "\\s+")
     aggregate(words, lit(0),

@@ -506,6 +506,38 @@ object TextAnalysis {
         col("postings"))
       .where(col("df") >= minDf)
 
+  /** Snapshot diff between two corpus versions: one full-outer hash join
+    * on id, status derived from presence and text equality. Emits only
+    * changed rows (added/removed/changed) — the dataset-versioning view.
+    * At scale the join is the one shuffle; unchanged rows never leave
+    * the join projection. */
+  def compareSnapshots(
+      a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val l = a.select(col(idCol), col(textCol).as("__ta"))
+    val r = b.select(col(idCol), col(textCol).as("__tb"))
+    l.join(r, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ta").isNull, lit("added"))
+          .when(col("__tb").isNull, lit("removed"))
+          .when(col("__ta") =!= col("__tb"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .where(col("status") =!= "unchanged")
+  }
+
+  /** Token-count histogram in width-10 integer buckets (exact integer
+    * division — no floating-point bucket edges): (bucket_lo, n_docs).
+    * One combinable aggregation onto ~hundreds of keys. */
+  def lengthHistogram(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select((tokenCount(col(textCol)).cast("long")).as("__n"))
+      .select((expr("__n div 10") * 10).as("bucket_lo"))
+      .groupBy("bucket_lo")
+      .agg(count(lit(1)).as("n_docs"))
+
   def dupSpanFraction(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,

@@ -175,6 +175,40 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Duplicate-cluster size distribution from the CC label relation —
+    * the "how big are my dup clusters" dedup report: (cluster_size,
+    * n_clusters). On the chain corpus every 9th doc forms a size-3
+    * cluster; everything else is a singleton. Two tiny aggregations over
+    * the (id, label) relation. */
+  def dedupClusterSizes(spark: SparkSession, sfDir: String): DataFrame = {
+    val (corpus, pairs) = ccCorpusAndPairs(spark, sfDir)
+    val labels = Dedup.componentMin(pairs).withColumnRenamed("id", "doc_id")
+    corpus.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(coalesce(col("label"), col("doc_id")).as("label"))
+      .groupBy("label").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").cast("bigint").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters").cast("bigint").as("n_clusters"))
+      .orderBy("cluster_size")
+  }
+
+  /** Per-source dedup-rate report over the exact-dup corpus: docs seen,
+    * docs surviving exact dedup, and the dup rate — the "which crawl
+    * source is most duplicated" view (integer counts + one division). */
+  def dedupReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = docsWithDups(spark, sfDir)
+    val kept = Dedup.exactDedup(corpus, Seq("text"), "doc_id").select(col("doc_id"))
+    corpus.join(kept.withColumn("__kept", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__kept"), lit(0L))).as("n_unique"))
+      .select(col("source"), col("n_docs").cast("bigint").as("n_docs"),
+        col("n_unique").cast("bigint").as("n_unique"),
+        ((col("n_docs") - col("n_unique")).cast("double") / col("n_docs")).as("dup_rate"))
+      .orderBy("source")
+  }
+
   /** Quality-aware component dedup over the same chain corpus: keep the
     * LONGEST member of each duplicate cluster instead of the minimum id.
     * By construction the mid doc (B+400000, the concatenation) has
@@ -1237,6 +1271,8 @@ object PipelineQueries {
     "p_dedup_cc" -> (dedupCcKeep _),
     "p_dedup_cc_labels" -> (dedupCcLabels _),
     "p_dedup_cc_longest" -> (dedupCcLongest _),
+    "p_dedup_cluster_sizes" -> (dedupClusterSizes _),
+    "p_dedup_report" -> (dedupReport _),
     "p_decontaminate" -> (decontaminate _),
     "p_decontaminate_bloom" -> (decontaminateBloom _),
     "p_dedup_paragraph" -> (dedupParagraph _),
@@ -1453,6 +1489,35 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT doc_id + 400000, doc_id FROM documents WHERE doc_id % 9 = 0)
         |SELECT doc_id, label FROM corpus ORDER BY doc_id""".stripMargin,
+
+    // label multiset from the proven cc_labels mutation map, rolled into
+    // a size histogram
+    "p_dedup_cluster_sizes" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, doc_id AS label FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000, doc_id FROM documents WHERE doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 400000, doc_id FROM documents WHERE doc_id % 9 = 0),
+        |s AS (SELECT label, count(*) AS sz FROM corpus GROUP BY label)
+        |SELECT cast(sz AS bigint) AS cluster_size,
+        |  cast(count(*) AS bigint) AS n_clusters
+        |FROM s GROUP BY sz ORDER BY 1""".stripMargin,
+
+    // keep-min-per-text survivors rolled up per source (the
+    // p_dedup_exact contract), one exact-integer division
+    "p_dedup_report" ->
+      """WITH u AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text, source FROM documents),
+        |m AS (SELECT text, min(doc_id) AS kid FROM u GROUP BY text),
+        |sel AS (
+        |  SELECT u.source, CASE WHEN u.doc_id = m.kid THEN 1 ELSE 0 END AS kept
+        |  FROM u JOIN m ON u.text = m.text)
+        |SELECT source, cast(count(*) AS bigint) AS n_docs,
+        |  cast(sum(kept) AS bigint) AS n_unique,
+        |  cast(count(*) - sum(kept) AS double) / count(*) AS dup_rate
+        |FROM sel GROUP BY source ORDER BY source""".stripMargin,
 
     // Bloom prefilter changes the plan, never the result: text-equality
     // anti-join semantics (see Dedup.bloomDecontaminate).

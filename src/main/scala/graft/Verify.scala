@@ -30,8 +30,12 @@ object Verify {
     // delete-and-recreate: the dir is shared across runs, and stale plan
     // files from renamed/deleted queries (or other sf dirs) would mislead
     // later plan review — only the current run's plans may remain
+    // …but only for FULL runs: a dev subset run (3rd arg) must not wipe
+    // the complete plan set a concurrent or prior full run produced
     val pd = new java.io.File(plansDir)
-    Option(pd.listFiles()).foreach(_.foreach(_.delete()))
+    if (only.isEmpty) {
+      Option(pd.listFiles()).foreach(_.foreach(_.delete()))
+    }
     pd.mkdirs()
     // a thrown query must become a RED row in the round artifact, not a
     // silent omission (round 6 lost 5 regressed queries to exactly that:

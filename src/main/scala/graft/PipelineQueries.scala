@@ -904,6 +904,34 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Integer-exact PageRank over a domain graph derived from document
+    * URLs: every doc is decorated with a crawl→hub link pair (plus a
+    * hub→crawl back-link for every 3rd doc), edges are consecutive URL
+    * pairs per doc, and [[graft.functions.Graph.pageRankExact]] runs 5
+    * micro-unit integer rounds — bit-exact in any engine, so the oracle
+    * replays extraction + every iteration and hash-matches the ranks. */
+  def domainRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val deco = docs(spark, sfDir).select(col("doc_id"), concat(col("text"),
+      lit(" https://d"), col("doc_id") % 7, lit(".crawl.org/a https://d"),
+      col("doc_id") % 5, lit(".hub.net/b"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" https://d"), col("doc_id") % 5, lit(".hub.net/c https://d"),
+          col("doc_id") % 7, lit(".crawl.org/d")))
+        .otherwise(lit(""))).as("text"))
+    val doms = deco.select(
+      transform(TextAnalysis.extractUrls(col("text")),
+        u => TextAnalysis.urlDomain(u)).as("d"))
+    val edges = doms.where(size(col("d")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("d")) - 2),
+        i => struct(element_at(col("d"), i + 1).as("src"),
+          element_at(col("d"), i + 2).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+    graft.functions.Graph.pageRankExact(edges, "src", "dst", iterations = 5)
+      .select(col("node"), col("rank_micros").cast("bigint").as("rank_micros"))
+      .orderBy("node")
+  }
+
   /** The modern-curation composition: Gopher quality gate →
     * duplicated-span filter → LM OOV gate, chained over the decorated
     * corpus with the LM referenced from the RAW documents table (the
@@ -1310,6 +1338,7 @@ object PipelineQueries {
     "p_snapshot_diff" -> (snapshotDiffQ _),
     "p_length_histogram" -> (lengthHistogramQ _),
     "p_pack_bpe" -> (packBpe _),
+    "p_domain_rank" -> (domainRank _),
     "p_pipeline_curate" -> (pipelineCurate _),
     "p_dedup_incremental" -> (dedupIncremental _),
     "p_top_tokens" -> (topTokens _),
@@ -2688,6 +2717,7 @@ object PipelineQueries {
         |  cast(sum(len(string_split(trim(s.seg), '  '))) AS bigint) AS n_bpe_tokens
         |FROM dtok JOIN seg8 s ON dtok.w = s.word
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "p_domain_rank" -> domainRankOracleSql(5),
     // BPE per-doc counts (the p_bpe_tokenize replay) driving the
     // p_pack_sequences window at budget 2000
     "p_pack_bpe" -> (bpeStagesSql(8) +
@@ -2707,6 +2737,45 @@ object PipelineQueries {
         |SELECT doc_id, lang, ntok, seq_id,
         |  cast(row_number() OVER (PARTITION BY lang, seq_id ORDER BY doc_id) - 1 as bigint) AS seq_pos
         |FROM s ORDER BY doc_id""".stripMargin))
+
+  /** Relational replay of `k` integer-PageRank rounds over the URL-pair
+    * domain graph (same extraction regexes as p_url_filter's oracle;
+    * same floor-division arithmetic as `Graph.pageRankExact`). */
+  private def domainRankOracleSql(k: Int): String = {
+    val base = graft.functions.Graph.Scale * 15 / 100
+    val sb = new StringBuilder
+    sb ++= s"""WITH deco AS (
+      |  SELECT doc_id, text || ' https://d' || (doc_id % 7) || '.crawl.org/a https://d' ||
+      |    (doc_id % 5) || '.hub.net/b' ||
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN ' https://d' || (doc_id % 5) || '.hub.net/c https://d' || (doc_id % 7) || '.crawl.org/d'
+      |         ELSE '' END AS text
+      |  FROM documents),
+      |ulist AS (SELECT doc_id, regexp_extract_all(text, 'https?://[^\\s<>"'']+', 0) AS us FROM deco),
+      |epairs AS (
+      |  SELECT lower(regexp_extract(us[i], 'https?://(?:[^@/\\s]*@)?([^:/\\s?#]+)', 1)) AS src,
+      |         lower(regexp_extract(us[i+1], 'https?://(?:[^@/\\s]*@)?([^:/\\s?#]+)', 1)) AS dst
+      |  FROM ulist, unnest(range(1, len(us))) AS t(i) WHERE len(us) >= 2),
+      |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM epairs),
+      |nodes AS MATERIALIZED (
+      |  SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+      |outdeg AS MATERIALIZED (SELECT src, count(*) AS od FROM edges GROUP BY src),
+      |rank0 AS (SELECT node, cast(${graft.functions.Graph.Scale} AS bigint) AS r FROM nodes),""".stripMargin
+    for (i <- 0 until k) {
+      sb ++= s"""
+        |contrib$i AS (
+        |  SELECT e.dst AS node, sum((r.r * 85) // (100 * o.od)) AS c
+        |  FROM edges e JOIN rank$i r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+        |  GROUP BY e.dst),
+        |rank${i + 1} AS MATERIALIZED (
+        |  SELECT n.node, $base + coalesce(c.c, 0) AS r
+        |  FROM nodes n LEFT JOIN contrib$i c ON n.node = c.node),""".stripMargin
+    }
+    sb ++= s"""
+      |fin AS (SELECT 1)
+      |SELECT node, cast(r AS bigint) AS rank_micros FROM rank$k ORDER BY node""".stripMargin
+    sb.toString
+  }
 
   /** Relational replay of `k` BPE learning rounds (shared by the learn
     * and tokenize oracles): word-frequency table → char segmentation in

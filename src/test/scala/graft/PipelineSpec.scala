@@ -1319,6 +1319,18 @@ class PipelineSpec extends GraftSuite {
     assert(out("gamma") == ((2L, Seq(1L, 2L))))
   }
 
+  test("pageRankExact: hand-computed integer ranks; invariant across partitionings") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c")).toDF("src", "dst")
+    def run(parts: Int) = graft.functions.Graph
+      .pageRankExact(edges.repartition(parts), "src", "dst", iterations = 2)
+      .as[(String, Long)].collect().toMap
+    val r = run(1)
+    // iter1: a=150000+floor(1000000*85/100)=1000000; b=c=150000+floor(1000000*85/200)=575000
+    // iter2: a=150000+floor(575000*85/100)=638750;  b=c=150000+floor(1000000*85/200)=575000
+    assert(r == Map("a" -> 638750L, "b" -> 575000L, "c" -> 575000L), r.toString)
+    assert(run(5) == r) // integer arithmetic → partitioning-invariant
+  }
+
   test("embeddingProfile: exact per-dimension stats") {
     val d = Seq(
       (1L, Array(1.0f, -2.0f)),

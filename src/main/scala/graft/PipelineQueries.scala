@@ -932,6 +932,34 @@ object PipelineQueries {
       .orderBy("node")
   }
 
+  /** Connected components over a 4-component domain graph (group key
+    * doc_id % 4; chains g{m}a→g{m}b→g{m}c) — [[Dedup.componentMin]] on
+    * STRING node ids (lexicographic min label). The oracle is
+    * structurally different from the mutation-map cc oracles: a
+    * recursive-CTE reachability closure + min — triangulating the
+    * propagation loop against an independent transitive-closure
+    * definition. */
+  def domainComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val deco = docs(spark, sfDir).select(col("doc_id"), concat(col("text"),
+      lit(" https://g"), col("doc_id") % 4, lit("a.example.org/x https://g"),
+      col("doc_id") % 4, lit("b.example.org/y"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" https://g"), col("doc_id") % 4, lit("c.example.org/w")))
+        .otherwise(lit(""))).as("text"))
+    val doms = deco.select(
+      transform(TextAnalysis.extractUrls(col("text")),
+        u => TextAnalysis.urlDomain(u)).as("d"))
+    val pairs = doms.where(size(col("d")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("d")) - 2),
+        i => struct(element_at(col("d"), i + 1).as("id_a"),
+          element_at(col("d"), i + 2).as("id_b")))).as("e"))
+      .select(col("e.id_a").as("id_a"), col("e.id_b").as("id_b"))
+      .distinct()
+    Dedup.componentMin(pairs)
+      .select(col("id").as("node"), col("label"))
+      .orderBy("node")
+  }
+
   /** The modern-curation composition: Gopher quality gate →
     * duplicated-span filter → LM OOV gate, chained over the decorated
     * corpus with the LM referenced from the RAW documents table (the
@@ -1339,6 +1367,7 @@ object PipelineQueries {
     "p_length_histogram" -> (lengthHistogramQ _),
     "p_pack_bpe" -> (packBpe _),
     "p_domain_rank" -> (domainRank _),
+    "p_domain_components" -> (domainComponents _),
     "p_pipeline_curate" -> (pipelineCurate _),
     "p_dedup_incremental" -> (dedupIncremental _),
     "p_top_tokens" -> (topTokens _),
@@ -2718,6 +2747,31 @@ object PipelineQueries {
         |FROM dtok JOIN seg8 s ON dtok.w = s.word
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "p_domain_rank" -> domainRankOracleSql(5),
+
+    // an INDEPENDENT definition of connected components: recursive-CTE
+    // reachability closure + min over the undirected edge set — no
+    // propagation rounds, so it can't share a bug with componentMin
+    "p_domain_components" ->
+      """WITH RECURSIVE deco AS (
+        |  SELECT doc_id, text || ' https://g' || (doc_id % 4) || 'a.example.org/x https://g' ||
+        |    (doc_id % 4) || 'b.example.org/y' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' https://g' || (doc_id % 4) || 'c.example.org/w'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |ulist AS (SELECT doc_id, regexp_extract_all(text, 'https?://[^\s<>"'']+', 0) AS us FROM deco),
+        |epairs AS (
+        |  SELECT lower(regexp_extract(us[i], 'https?://(?:[^@/\s]*@)?([^:/\s?#]+)', 1)) AS a,
+        |         lower(regexp_extract(us[i+1], 'https?://(?:[^@/\s]*@)?([^:/\s?#]+)', 1)) AS b
+        |  FROM ulist, unnest(range(1, len(us))) AS t(i) WHERE len(us) >= 2),
+        |und AS (SELECT DISTINCT a, b FROM (
+        |  SELECT a, b FROM epairs UNION ALL SELECT b, a FROM epairs)),
+        |reach(a, b) AS (
+        |  SELECT DISTINCT a, a FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+        |SELECT a AS node, min(b) AS label FROM reach
+        |GROUP BY a ORDER BY node""".stripMargin,
     // BPE per-doc counts (the p_bpe_tokenize replay) driving the
     // p_pack_sequences window at budget 2000
     "p_pack_bpe" -> (bpeStagesSql(8) +

@@ -19,8 +19,9 @@ import org.apache.spark.sql.types._
   * Deliberately driver-side like [[Excel]]: xls is a small-file
   * interchange format (31-bit sector offsets cap the container at 2 GB),
   * not a lake format; the reference funnels it through pandas on one
-  * worker too. Reads both BIFF8 (Excel 97+, unicode + SST) and BIFF5
-  * (Excel 5.0/95 `Book` stream, inline byte strings); writes BIFF8.
+  * worker too. Reads BIFF8 (Excel 97+, unicode + SST), BIFF5 (Excel
+  * 5.0/95 `Book` stream, inline byte strings), and the pre-CFB raw
+  * record streams of BIFF2/3/4 (Excel 2.x–4.0); writes BIFF8.
   */
 object ExcelBiff {
 
@@ -171,6 +172,17 @@ object ExcelBiff {
   private final val RecString = 0x0207
   private final val RecRString = 0x00d6 // BIFF5 rich-text label
 
+  // BIFF2/3/4 (Excel 2.x/3.0/4.0) — raw record streams, no CFB container
+  private final val RecBofBiff2 = 0x0009
+  private final val RecBofBiff3 = 0x0209
+  private final val RecBofBiff4 = 0x0409
+  private final val RecInteger2 = 0x0002 // BIFF2 only: u16 value
+  private final val RecNumber2 = 0x0003
+  private final val RecLabel2 = 0x0004
+  private final val RecBoolErr2 = 0x0005
+  private final val RecFormula34 = 0x0206 // BIFF3 (BIFF4 uses 0x0406)
+  private final val RecFormula4 = 0x0406
+
   private case class Rec(id: Int, data: Array[Byte], offset: Int)
 
   private def records(stream: Array[Byte]): IndexedSeq[Rec] = {
@@ -300,15 +312,57 @@ object ExcelBiff {
     }
   }
 
+  /** BIFF2/3/4 worksheet-only streams: one sheet, no globals substream,
+    * no SST. BIFF2 cell records carry 3 attribute bytes after (row, col)
+    * so payloads sit at offset 7; BIFF3/4 carry a u16 ixfe — payloads at
+    * 6, the same offsets as BIFF5/8. Covers INTEGER (BIFF2), NUMBER,
+    * LABEL, BOOLERR, RK (BIFF3+) and numeric FORMULA caches — the cell
+    * types xlrd surfaces for these vintages. */
+  private def parseCellsLegacy(recs: IndexedSeq[Rec]): mutable.SortedMap[Int, mutable.SortedMap[Int, Any]] = {
+    val biff2 = recs.head.id == RecBofBiff2
+    val cells = mutable.SortedMap[Int, mutable.SortedMap[Int, Any]]()
+    def put(row: Int, col: Int, v: Any): Unit =
+      cells.getOrElseUpdate(row, mutable.SortedMap[Int, Any]())(col) = v
+    recs.foreach { rec =>
+      val d = rec.data
+      rec.id match {
+        case RecInteger2 if biff2 => put(u16(d, 0), u16(d, 2), u16(d, 7).toDouble)
+        case RecNumber2 if biff2 => put(u16(d, 0), u16(d, 2), f64(d, 7))
+        case RecLabel2 if biff2 =>
+          val cch = u8(d, 7)
+          val sb = new java.lang.StringBuilder(cch)
+          var k = 0
+          while (k < cch) { sb.append((d(8 + k) & 0xff).toChar); k += 1 }
+          put(u16(d, 0), u16(d, 2), sb.toString)
+        case RecBoolErr2 if biff2 && u8(d, 8) == 0 =>
+          put(u16(d, 0), u16(d, 2), u8(d, 7) != 0)
+        case RecNumber if !biff2 => put(u16(d, 0), u16(d, 2), f64(d, 6))
+        case RecLabel if !biff2 => put(u16(d, 0), u16(d, 2), byteString(d, 6))
+        case RecBoolErr if !biff2 && u8(d, 7) == 0 =>
+          put(u16(d, 0), u16(d, 2), u8(d, 6) != 0)
+        case RecRk if !biff2 => put(u16(d, 0), u16(d, 2), decodeRk(i32(d, 6)))
+        case id if !biff2 && (id == RecFormula34 || id == RecFormula4) &&
+            d.length >= 14 && u16(d, 12) != 0xffff =>
+          put(u16(d, 0), u16(d, 2), f64(d, 6)) // numeric cache only
+        case _ => ()
+      }
+    }
+    cells
+  }
+
   /** Parse the first worksheet into sparse (row, col) → cell values. */
   private[io] def parseCells(stream: Array[Byte]): mutable.SortedMap[Int, mutable.SortedMap[Int, Any]] = {
     val recs = records(stream)
-    require(recs.nonEmpty && recs.head.id == RecBofBiff8, "not a BIFF stream (no BOF)")
+    require(recs.nonEmpty, "not a BIFF stream (empty)")
+    if (recs.head.id == RecBofBiff2 || recs.head.id == RecBofBiff3 ||
+        recs.head.id == RecBofBiff4)
+      return parseCellsLegacy(recs)
+    require(recs.head.id == RecBofBiff8, "not a BIFF stream (no BOF)")
     val ver = u16(recs.head.data, 0)
     val biff5 = ver == 0x0500 // Excel 5.0/95: no SST, inline byte strings
     require(ver == 0x0600 || biff5,
-      f"unsupported BIFF version 0x$ver%04x — only BIFF8 (Excel 97+) and " +
-        "BIFF5 (Excel 5.0/95) .xls are readable; convert older files to .xlsx")
+      f"unsupported BIFF version 0x$ver%04x — only BIFF8 (Excel 97+), " +
+        "BIFF5 (Excel 5.0/95), and raw BIFF2-4 streams are readable")
 
     // globals: SST (+ CONTINUEs) and the first BOUNDSHEET offset
     val sst = mutable.ArrayBuffer[String]()
@@ -410,7 +464,12 @@ object ExcelBiff {
     * header row + type inference, mirroring [[Excel.readXlsx]]. */
   def readXls(spark: SparkSession, path: String): DataFrame = {
     val all = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    val cells = parseCells(workbookStream(all))
+    // BIFF5/8 live inside a CFB container; BIFF2-4 .xls files are the
+    // raw record stream itself (Excel 2.x-4.0 predate compound files)
+    val stream =
+      if (all.length >= 8 && all.take(8).sameElements(CfbMagic)) workbookStream(all)
+      else all
+    val cells = parseCells(stream)
     require(cells.nonEmpty, s"$path: empty sheet")
     val headerRowIdx = cells.firstKey
     val header = cells(headerRowIdx)

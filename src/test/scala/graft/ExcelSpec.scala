@@ -131,6 +131,66 @@ class ExcelSpec extends GraftSuite {
       Seq(("plain", -3L, 10.0, "tail"), ("café", 7L, 1.25, "rich run")))
   }
 
+  test("xls BIFF4 (Excel 4.0): raw record stream, no CFB container") {
+    // Excel 2.x-4.0 .xls files predate compound files: the file IS the
+    // worksheet record stream. BIFF3/4 cell layouts match BIFF5 offsets
+    // (u16 ixfe), so only the BOF id and container differ.
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def rec(id: Int, data: Array[Byte]) = le16(id) ++ le16(data.length) ++ data
+    def bstr(s: String) = le16(s.length) ++ s.map(_.toByte).toArray
+    def label(row: Int, c: Int, s: String) =
+      rec(0x0204, le16(row) ++ le16(c) ++ le16(0) ++ bstr(s))
+    def number(row: Int, c: Int, d: Double) = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      rec(0x0203, le16(row) ++ le16(c) ++ le16(0) ++
+        (0 until 8).map(j => ((bits >> (8 * j)) & 0xff).toByte).toArray)
+    }
+    def rk(row: Int, c: Int, intVal: Int) =
+      rec(0x027e, le16(row) ++ le16(c) ++ le16(0) ++ le32(intVal << 2 | 0x2))
+    val stream =
+      rec(0x0409, le16(0x0004) ++ le16(0x0010)) ++
+        label(0, 0, "name") ++ label(0, 1, "qty") ++ label(0, 2, "price") ++
+        label(1, 0, "old") ++ rk(1, 1, 4) ++ number(1, 2, 2.5) ++
+        label(2, 0, "vintage") ++ rk(2, 1, 9) ++ number(2, 2, 0.5) ++
+        rec(0x000a, Array.emptyByteArray)
+    val dir = tmp()
+    val path = s"$dir/biff4.xls"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), stream)
+    val back = g.loadFile(FileRef(path)).orderBy("qty").collect()
+    assert(g.loadFile(FileRef(path)).columns.toSeq == Seq("name", "qty", "price"))
+    assert(back.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("old", 4L, 2.5), ("vintage", 9L, 0.5)))
+  }
+
+  test("xls BIFF2 (Excel 2.x): 3-byte cell attributes, INTEGER records") {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def rec(id: Int, data: Array[Byte]) = le16(id) ++ le16(data.length) ++ data
+    val attrs = Array[Byte](0, 0, 0) // ixfe/format/font — ignored
+    def label2(row: Int, c: Int, s: String) =
+      rec(0x0004, le16(row) ++ le16(c) ++ attrs ++
+        Array(s.length.toByte) ++ s.map(_.toByte).toArray) // cch is u8
+    def integer2(row: Int, c: Int, v: Int) =
+      rec(0x0002, le16(row) ++ le16(c) ++ attrs ++ le16(v))
+    def number2(row: Int, c: Int, d: Double) = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      rec(0x0003, le16(row) ++ le16(c) ++ attrs ++
+        (0 until 8).map(j => ((bits >> (8 * j)) & 0xff).toByte).toArray)
+    }
+    val stream =
+      rec(0x0009, le16(0x0002) ++ le16(0x0010)) ++
+        label2(0, 0, "k") ++ label2(0, 1, "v") ++
+        label2(1, 0, "a") ++ integer2(1, 1, 42) ++
+        label2(2, 0, "b") ++ number2(2, 1, 3.25) ++
+        rec(0x000a, Array.emptyByteArray)
+    val dir = tmp()
+    val path = s"$dir/biff2.xls"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), stream)
+    val back = g.loadFile(FileRef(path)).orderBy("k").collect()
+    assert(back.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("a", 42.0), ("b", 3.25)))
+  }
+
   test("xlsx pattern load unions matching files (resolve_file_path_pattern parity)") {
     val dir = tmp()
     g.exportToFile(Seq((1L, "a")).toDF("k", "s"), FileRef(s"$dir/p1.xlsx"))

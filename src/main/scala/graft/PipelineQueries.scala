@@ -607,6 +607,44 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** PII-decorated corpus behind [[piiScrub]]/[[piiReport]]: multiple
+    * hits per doc across all three categories, plus near-misses that
+    * must NOT match (no-TLD email, short digit runs) and a version
+    * string that deliberately trips the IPv4 shape the same way in both
+    * engines (the documented conservative-pattern false positive). */
+  private def piiCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 5 === 0,
+        lit(" mail alice@foo.org or bob.smith+x@bar.co today"))
+        .when(col("doc_id") % 5 === 1,
+          lit(" host 10.0.0.1 called (555) 123-4567 then 555-987-6543 x9"))
+        .when(col("doc_id") % 5 === 2,
+          lit(" dial +44 123-456-7890 about build 1.2.3.4"))
+        .when(col("doc_id") % 5 === 3,
+          lit(" ping admin@localhost at 12-34 5678 done"))
+        .otherwise(lit(""))).as("text"))
+
+  /** Typed PII redaction, text-exactly oracle-checked: DuckDB replays
+    * the identical lookaround-free regex chain (email → IP → phone, each
+    * category counted on the previous category's output), so the
+    * scrubbed text AND the per-category counts hash-match. */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.scrubPii(piiCorpus(spark, sfDir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Corpus-level PII report over the same scrub: per-category totals
+    * and the count of documents carrying any PII — the redaction audit
+    * view. One combinable aggregation; integer-exact. */
+  def piiReport(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.scrubPii(piiCorpus(spark, sfDir), "doc_id", "text")
+      .agg(
+        sum("n_email").cast("bigint").as("total_email"),
+        sum("n_ip").cast("bigint").as("total_ip"),
+        sum("n_phone").cast("bigint").as("total_phone"),
+        sum(when(col("n_email") + col("n_ip") + col("n_phone") > 0, 1L)
+          .otherwise(0L)).cast("bigint").as("docs_with_pii"),
+        count(lit(1)).cast("bigint").as("n_docs"))
+
   /** Gopher-style quality gate, fully oracle-checked: the natural corpus
     * (single-line lowercase prose, 10–99 tokens, mean token length
     * 3.7–5.3, 0–2 distinct en stopwords — measured) is decorated per
@@ -805,6 +843,33 @@ object PipelineQueries {
         blockSize = 16)
       .select(col("label"), col("n").cast("bigint").as("n"), col("centroid"))
       .orderBy("label")
+
+  /** Deterministic spherical k-means assignments, fully oracle-checked:
+    * DuckDB replays the seeding, every assignment round (the same
+    * left-to-right dot fold, ties to the lowest cid), and every centroid
+    * update (the meanPoolExact two-level fold + double re-normalization)
+    * via GENERATED SQL — the BPE/PageRank generated-oracle pattern
+    * applied to an FP-iterative algorithm. k=5 over 10 true labels and
+    * blockSize=16 force multi-cluster, multi-block folds at sf0.01. */
+  def embedKmeans(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.kmeansAssign(embs(spark, sfDir), "vec_id", "embedding",
+        k = 5, rounds = 3, blockSize = 16)
+      .orderBy("vec_id")
+
+  /** Cluster-balanced sampling: exact-25 per k-means cluster in
+    * portable-md5 order (the hashSplit determinism trick) — the
+    * topic-balanced subset constructor, composed over the proven
+    * clustering. One windowed shuffle per cluster beyond the k-means
+    * rounds; nothing global. */
+  def sampleCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = Similarity.kmeansAssign(embs(spark, sfDir), "vec_id", "embedding",
+      k = 5, rounds = 3, blockSize = 16)
+    val w = Window.partitionBy("cid")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    a.withColumn("rn", row_number().over(w)).where(col("rn") <= 25)
+      .select("vec_id", "cid").orderBy("vec_id")
+  }
 
   /** Quality-gate pass rates rolled up per language — the per-source
     * curation dashboard view (integer counts + one division of exact
@@ -1358,6 +1423,8 @@ object PipelineQueries {
     "p_decontaminate_ngram" -> (decontaminateNgram _),
     "p_domain_stats" -> (domainStatsQ _),
     "p_embed_centroids" -> (embedCentroids _),
+    "p_embed_kmeans" -> (embedKmeans _),
+    "p_sample_cluster" -> (sampleCluster _),
     "p_quality_by_lang" -> (qualityByLang _),
     "p_bpe_learn" -> (bpeLearn _),
     "p_bpe_tokenize" -> (bpeTokenize _),
@@ -1384,6 +1451,8 @@ object PipelineQueries {
     "p_shuffle_order" -> (shuffleOrder _),
     "p_text_lang_fingerprint" -> (textLangFingerprint _),
     "p_text_clean" -> (textClean _),
+    "p_pii_scrub" -> (piiScrub _),
+    "p_pii_report" -> (piiReport _),
     "p_text_html_strip" -> (textHtmlStrip _),
     "p_chunk_documents" -> (chunkDocuments _),
     "p_url_filter" -> (urlFilter _),
@@ -1428,6 +1497,97 @@ object PipelineQueries {
     val list = words.map(w => s"'$w'").mkString(", ")
     s"SELECT doc_id, '$lang' AS lang, len(list_filter(t, x -> list_contains([$list], x))) AS hits FROM toks"
   }.mkString("\n  UNION ALL\n  ")
+
+  /** Generated k-means replay (the BPE/PageRank pattern): a WITH prefix
+    * whose final CTE `a<rounds>` holds the round-`rounds` assignment
+    * (vec_id, v, cid). Every FP step mirrors [[Similarity.kmeansAssign]]
+    * operation for operation: NormalizeExpr's float normalize (double
+    * division, round to real, widen back), the DotExpr left-to-right
+    * fold, argmax with ties to the lowest cid, the meanPoolExact
+    * two-level ordered fold, and the double re-normalization. `list_
+    * reduce` lacks Spark's 0.0 fold seed — the results differ only in
+    * the sign of an all-negative-zero prefix, which real data never
+    * produces and SQL comparison cannot observe. */
+  private def kmeansWithSql(k: Int, rounds: Int, blockSize: Int): String = {
+    def dotSql(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    val header =
+      s"""nrm AS (
+         |  SELECT vec_id, sqrt(list_reduce(
+         |    list_transform(embedding, x -> cast(x AS double) * cast(x AS double)),
+         |    (a, b) -> a + b)) AS nm
+         |  FROM embeddings),
+         |ev AS MATERIALIZED (
+         |  SELECT e.vec_id,
+         |    CASE WHEN n.nm = 0 THEN list_transform(e.embedding, x -> cast(x AS double))
+         |         ELSE list_transform(e.embedding,
+         |           x -> cast(cast(cast(x AS double) / n.nm AS real) AS double)) END AS v
+         |  FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+         |  FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT $k) s)""".stripMargin
+    val roundsSql = (1 to rounds).map { r =>
+      val assign =
+        s"""a$r AS (
+           |  SELECT vec_id, v, cid FROM (
+           |    SELECT e.vec_id, e.v, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${dotSql("e.v", "c.cv")} DESC, c.cid) AS rn
+           |    FROM ev e CROSS JOIN c${r - 1} c) t
+           |  WHERE rn = 1)""".stripMargin
+      val update = if (r == rounds) "" else
+        s""",
+           |m$r AS (
+           |  SELECT cid, blk, count(*) AS bn,
+           |    list_reduce(list(v ORDER BY vec_id),
+           |      (a, b) -> list_transform(range(1, len(a) + 1), i -> a[i] + b[i])) AS bs
+           |  FROM (SELECT cid, vec_id, vec_id // $blockSize AS blk, v FROM a$r) q
+           |  GROUP BY cid, blk),
+           |t$r AS (
+           |  SELECT cid, sum(bn) AS n,
+           |    list_reduce(list(bs ORDER BY blk),
+           |      (a, b) -> list_transform(range(1, len(a) + 1), i -> a[i] + b[i])) AS s
+           |  FROM m$r GROUP BY cid),
+           |c$r AS (
+           |  SELECT cid, list_transform(m, x -> x / sqrt(${dotSql("m", "m")})) AS cv
+           |  FROM (SELECT cid, list_transform(s, x -> x / cast(n AS double)) AS m
+           |        FROM t$r) u)""".stripMargin
+      assign + update
+    }.mkString(",\n")
+    s"WITH $header,\n$roundsSql"
+  }
+
+  /** The same PII decoration as [[piiCorpus]]. */
+  private val piiCorpusSql =
+    """SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ' mail alice@foo.org or bob.smith+x@bar.co today' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 1 THEN ' host 10.0.0.1 called (555) 123-4567 then 555-987-6543 x9' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 2 THEN ' dial +44 123-456-7890 about build 1.2.3.4' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 3 THEN ' ping admin@localhost at 12-34 5678 done' ELSE '' END AS text
+      |  FROM documents""".stripMargin
+
+  /** The identical regex chain as [[graft.functions.TextAnalysis.scrubPii]]
+    * — the patterns are shared Scala constants, lookaround-free so RE2
+    * and Java regex agree match-for-match. */
+  private val piiScrubbedSql = {
+    val (e, i, p) =
+      (TextAnalysis.PiiEmailRe, TextAnalysis.PiiIpRe, TextAnalysis.PiiPhoneRe)
+    s"""SELECT doc_id,
+       |    regexp_replace(t2, '$p', '<PHONE>', 'g') AS text,
+       |    cast(n_email AS bigint) AS n_email,
+       |    cast(n_ip AS bigint) AS n_ip,
+       |    cast(len(regexp_extract_all(t2, '$p')) AS bigint) AS n_phone
+       |  FROM (
+       |    SELECT doc_id,
+       |      regexp_replace(t1, '$i', '<IP>', 'g') AS t2,
+       |      n_email,
+       |      len(regexp_extract_all(t1, '$i')) AS n_ip
+       |    FROM (
+       |      SELECT doc_id,
+       |        regexp_replace(text, '$e', '<EMAIL>', 'g') AS t1,
+       |        len(regexp_extract_all(text, '$e')) AS n_email
+       |      FROM pc) s1) s2""".stripMargin
+  }
 
   /** The same deterministic PII/whitespace decoration as [[textClean]]
     * (the tab characters ride through DuckDB's e'…' escape syntax). */
@@ -1669,6 +1829,25 @@ object PipelineQueries {
         |         / greatest(len(toks) - 2, 0) END AS rep3
         |FROM toked
         |ORDER BY doc_id""".stripMargin),
+
+    "p_pii_scrub" ->
+      (s"""WITH pc AS (
+        |  $piiCorpusSql)
+        |SELECT * FROM (
+        |  $piiScrubbedSql) s
+        |ORDER BY doc_id""".stripMargin),
+
+    "p_pii_report" ->
+      (s"""WITH pc AS (
+        |  $piiCorpusSql),
+        |scrubbed AS (
+        |  $piiScrubbedSql)
+        |SELECT cast(sum(n_email) AS bigint) AS total_email,
+        |  cast(sum(n_ip) AS bigint) AS total_ip,
+        |  cast(sum(n_phone) AS bigint) AS total_phone,
+        |  cast(sum(CASE WHEN n_email + n_ip + n_phone > 0 THEN 1 ELSE 0 END) AS bigint) AS docs_with_pii,
+        |  cast(count(*) AS bigint) AS n_docs
+        |FROM scrubbed""".stripMargin),
 
     // Identical RE2 regexp chain as TextAnalysis.stripHtml (comments →
     // script/style blocks → tags → entities with amp last → whitespace).
@@ -2409,6 +2588,19 @@ object PipelineQueries {
     // vec_id order within id-div-16 blocks, block sums fold in block
     // order — the FP operation sequence is identical, so the centroid
     // doubles compare bit-exactly
+    "p_embed_kmeans" ->
+      (s"""${kmeansWithSql(k = 5, rounds = 3, blockSize = 16)}
+        |SELECT vec_id, cast(cid AS int) AS cid FROM a3
+        |ORDER BY vec_id""".stripMargin),
+
+    "p_sample_cluster" ->
+      (s"""${kmeansWithSql(k = 5, rounds = 3, blockSize = 16)}
+        |SELECT vec_id, cast(cid AS int) AS cid FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY cid
+        |    ORDER BY md5(cast(vec_id AS varchar)), vec_id) AS rn
+        |  FROM a3) t
+        |WHERE rn <= 25 ORDER BY vec_id""".stripMargin),
+
     "p_embed_centroids" ->
       """WITH v AS (
         |  SELECT label, vec_id, vec_id // 16 AS blk,

@@ -462,6 +462,68 @@ object Similarity {
           x => x / col("n").cast("double")).as("centroid"))
   }
 
+  /** Deterministic spherical k-means assignment over an embedding
+    * column — the clustering primitive behind cluster-balanced sampling,
+    * topic bucketing, and SemDeDup-style curation. Every arithmetic step
+    * is a fixed-order operation so the assignment is a pure function of
+    * the data, replayable bit-for-bit by an external engine:
+    *
+    *  - inputs L2-normalize via [[NormalizeExpr]] (float arithmetic),
+    *    then widen to double;
+    *  - seeds = the `k` lowest-id vectors, `cid` 0..k-1 in id order;
+    *  - assignment = argmax of the [[DotExpr]] left-to-right fold
+    *    against each centroid, ties to the lowest cid;
+    *  - update = [[meanPoolExact]]'s two-level ordered fold, then an
+    *    L2 re-normalization in doubles;
+    *  - a centroid that loses all members drops (documented dead-cluster
+    *    policy — the standard alternatives re-seed randomly, which would
+    *    forfeit determinism).
+    *
+    * Scale shape: centroids are k tiny rows, `localCheckpoint`ed each
+    * round (flat lineage, one job per round — the componentMin
+    * discipline) and broadcast into the scoring join; the corpus is
+    * scanned once per round (conf-gated cache), shuffled only as
+    * map-side-combined per-id argmax partials. Nothing is ever
+    * all-pairs. Output: (idCol, cid) after `rounds` assignment rounds. */
+  def kmeansAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int,
+      blockSize: Int = 1024): DataFrame = {
+    require(k > 0 && rounds > 0, "k and rounds must be positive")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val v = Dedup.maybeCache(df.select(col(idCol),
+      transform(normalize(col(vecCol)), x => x.cast("double")).as("__v")))
+    def renorm(c: Column): Column =
+      transform(c, x => x / sqrt(dot(c, c)))
+    // Assignment against the driver-resident matrix: one fused loop per
+    // row, index mapped back to the surviving cid. Rows are ordered by
+    // ascending cid, so the strict-> comparison inside the expression
+    // realizes the ties-to-lowest-cid rule.
+    def assign(cids: Array[Int], matrix: Seq[Seq[Double]]): Column =
+      element_at(lit(cids), ColumnBridge.column(
+        NearestCentroidDoubleExpr(ColumnBridge.expression(col("__v")), matrix)) + 1)
+    // Seeds: the k lowest-id vectors, cid = position in id order.
+    var matrix: Seq[Seq[Double]] =
+      v.orderBy(col(idCol)).limit(k).collect().map(_.getSeq[Double](1)).toSeq
+    var cids: Array[Int] = matrix.indices.toArray
+    var r = 1
+    while (r < rounds) {
+      val assigned = v.select(col(idCol), col("__v"),
+        assign(cids, matrix).as("__cid"))
+      val next = meanPoolExact(assigned, "__cid", idCol, "__v", blockSize)
+        .select(col("__cid"), renorm(col("centroid")).as("__cv"))
+        .collect().map(row => row.getInt(0) -> row.getSeq[Double](1))
+        .sortBy(_._1)
+      cids = next.map(_._1)
+      matrix = next.map(_._2).toSeq
+      r += 1
+    }
+    v.select(col(idCol), assign(cids, matrix).cast("int").as("cid"))
+  }
+
   /** Two-stage retrieval: a quantized coarse scan keeps `candidates`
     * per query (1/4 the scan bytes), then an EXACT float rerank over the
     * candidate set only — the classic SQ/PQ + rerank production shape.
@@ -767,6 +829,91 @@ object HyperplaneSigsExpr {
   * scale). Null vector → null; null elements read as 0 (callers feed
   * [[NormalizeExpr]] output, which nulls whole malformed vectors).
   */
+/** Argmax-dot centroid index of a DOUBLE vector against a driver-resident
+  * double matrix — the k-means assignment kernel. One fused loop per row
+  * (matrix ships via the codegen reference mechanism); each per-centroid
+  * dot is the same left-to-right double fold as [[DotExpr]], and the
+  * strict `>` comparison keeps the EARLIEST maximal row, so with rows
+  * ordered by ascending cid the tie rule is "lowest cid". Null on a
+  * dimension mismatch (the DotExpr contract). */
+case class NearestCentroidDoubleExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    centroids: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+  require(centroids.nonEmpty, "nearest_centroid_d needs at least one centroid")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid_d expects array<double>, got ${other.simpleString}")
+    }
+
+  private val dim: Int = centroids.head.length
+  @transient private lazy val matrix: Array[Double] = {
+    val out = new Array[Double](centroids.length * dim)
+    var i = 0
+    centroids.foreach { c =>
+      require(c.length == dim, "ragged centroid matrix")
+      c.foreach { x => out(i) = x; i += 1 }
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroidDoubleExpr.best(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], matrix, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matrixRef = ctx.addReferenceObj("centroidMatrixD", matrix, "double[]")
+    val result = ctx.freshName("bestCid")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""java.lang.Integer $result =
+         |  graft.functions.NearestCentroidDoubleExpr.best($c, $matrixRef, $dim);
+         |if ($result == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $result.intValue(); }
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_centroid_d"
+}
+
+object NearestCentroidDoubleExpr {
+  /** Boxed so a dimension mismatch / null element can signal null;
+    * called from codegen. */
+  def best(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      m: Array[Double], dim: Int): java.lang.Integer = {
+    if (a.numElements() != dim) return null
+    val k = m.length / dim
+    var bestIdx = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < dim) {
+        if (a.isNullAt(i)) return null
+        acc += a.getDouble(i) * m(off + i)
+        i += 1
+      }
+      if (acc > bestDot) { bestDot = acc; bestIdx = c }
+      c += 1
+    }
+    bestIdx
+  }
+}
+
 case class NearestCentroidsExpr(
     child: org.apache.spark.sql.catalyst.expressions.Expression,
     centroids: Seq[Seq[Float]],

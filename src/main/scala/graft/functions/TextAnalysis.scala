@@ -132,6 +132,43 @@ object TextAnalysis {
       "(?<!\\d)(?:\\+?\\d{1,3}[ .-]?)?(?:\\(\\d{2,4}\\)[ .-]?)?\\d{3}[ .-]\\d{3,4}[ .-]?\\d{0,4}(?!\\d)", "<PHONE>")
   }
 
+  /** Portable PII patterns — deliberately lookaround-free so Java regex
+    * and RE2 engines produce identical matches (leftmost-first with
+    * greedy quantifiers coincides on these shapes). Kept alongside
+    * [[maskPii]], whose phone pattern uses Java-only lookarounds. */
+  final val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val PiiIpRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  final val PiiPhoneRe = "(?:\\+\\d{1,3}[ .-])?\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}\\b"
+
+  /** Typed PII redaction with per-category hit counts (the Dolma/FineWeb
+    * pre-training scrub): emails, then IPv4 addresses, then phone-shaped
+    * sequences are replaced with placeholder tokens, each category
+    * counted on the text AFTER the previous category's scrub so counts
+    * and redactions describe the same rewrite. Pure narrow projection —
+    * zero shuffle, codegen'd regex evaluation, trivially parallel.
+    *
+    * Returns (id, text, n_email, n_ip, n_phone) with `text` scrubbed.
+    * reference: astro has no redaction surface; this follows the
+    * published Dolma toolkit recipe (Soldaini et al. 2024, §PII). */
+  /** The scrub chain alone (email → IP → phone), for the SQL surface. */
+  def scrubPiiText(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      PiiEmailRe, "<EMAIL>"), PiiIpRe, "<IP>"), PiiPhoneRe, "<PHONE>")
+
+  def scrubPii(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), PiiEmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, PiiIpRe, "<IP>")
+    val afterPhone = regexp_replace(afterIp, PiiPhoneRe, "<PHONE>")
+    df.select(
+      col(idCol),
+      afterPhone.as("text"),
+      regexp_count(col(textCol), lit(PiiEmailRe)).cast("bigint").as("n_email"),
+      regexp_count(afterEmail, lit(PiiIpRe)).cast("bigint").as("n_ip"),
+      regexp_count(afterIp, lit(PiiPhoneRe)).cast("bigint").as("n_phone"))
+  }
+
   /** Gopher-style repetition signals: fraction of duplicate word n-grams
     * (1 − distinct/total). High values flag boilerplate/spam. Returns a
     * double in [0, 1]; 0 for texts shorter than n tokens.

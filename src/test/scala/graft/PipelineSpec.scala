@@ -1071,6 +1071,42 @@ class PipelineSpec extends GraftSuite {
     assert(out(4L) == "")
   }
 
+  test("kmeansAssign: separates obvious clusters, deterministic across partitionings") {
+    import graft.functions.Similarity
+    // two tight groups on orthogonal axes; seeds (ids 0,1) land one per group
+    val vecs = Seq(
+      0L -> Array(1.0f, 0.0f, 0.0f), 2L -> Array(0.9f, 0.1f, 0.0f),
+      4L -> Array(0.95f, 0.05f, 0.0f),
+      1L -> Array(0.0f, 1.0f, 0.0f), 3L -> Array(0.1f, 0.9f, 0.0f),
+      5L -> Array(0.0f, 0.95f, 0.05f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 2, rounds = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(Set(0L, 2L, 4L).map(out) == Set(0) && Set(1L, 3L, 5L).map(out) == Set(1), out)
+    // identical assignment regardless of input partitioning
+    val out7 = Similarity.kmeansAssign(df.repartition(7), "vec_id", "embedding",
+      k = 2, rounds = 3).as[(Long, Int)].collect().toMap
+    assert(out7 == out)
+  }
+
+  test("scrubPii: typed redaction with per-category counts, near-misses survive") {
+    val out = TextAnalysis.scrubPii(Seq(
+      (1L, "mail alice@foo.org or bob.smith+x@bar.co now"),
+      (2L, "host 10.0.0.1 called (555) 123-4567 then 555-987-6543 x9"),
+      (3L, "dial +44 123-456-7890 about build 1.2.3.4"),
+      (4L, "ping admin@localhost at 12-34 5678 done"), // no TLD, short runs
+      (5L, "plain words only")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == (("mail <EMAIL> or <EMAIL> now", 2L, 0L, 0L)))
+    assert(out(2L) == (("host <IP> called <PHONE> then <PHONE> x9", 0L, 1L, 2L)))
+    // version string trips the conservative IPv4 shape — the documented
+    // false positive, identical in the DuckDB oracle
+    assert(out(3L) == (("dial <PHONE> about build <IP>", 0L, 1L, 1L)))
+    assert(out(4L) == (("ping admin@localhost at 12-34 5678 done", 0L, 0L, 0L)))
+    assert(out(5L) == (("plain words only", 0L, 0L, 0L)))
+  }
+
   test("bigram LM: counts, signals, and add-k perplexity match the hand formula") {
     import graft.functions.LanguageModel
     val corpus = Seq(

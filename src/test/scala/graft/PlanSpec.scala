@@ -315,6 +315,26 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("kmeans: assignment is a fused matrix projection — no join, no shuffle") {
+    val p = plan("p_embed_kmeans")
+    // centroids ride the expression references, so the FINAL assignment
+    // is one narrow projection over the (cached) corpus: no join of any
+    // kind, and no exchange except the presentation orderBy's range
+    // partitioning; the per-round meanPool shuffles happen inside the
+    // collect()ed update rounds, never in this output plan
+    assert(p.contains("nearest_centroid_d"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("pii scrub: zero-shuffle regex projection over the scan") {
+    val p = plan("p_pii_scrub")
+    // redaction + counts are one projection; only the presentation
+    // orderBy's range partitioning may exchange
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+  }
+
   test("lm scoring: model rides the expression references — narrow scoring projection") {
     val p = plan("p_lm_score")
     // the fused LM probes are in-plan; scoring itself never shuffles

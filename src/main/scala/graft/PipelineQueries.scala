@@ -871,6 +871,57 @@ object PipelineQueries {
       .select("vec_id", "cid").orderBy("vec_id")
   }
 
+  /** URL decoration behind the canonicalization queries: 50 sites, five
+    * surface variants per site (tracking params, default ports, mixed
+    * case, fragments, bare-slash path) constructed so variants 0/1 and
+    * 2/3 canonicalize to the same key and 4 stands alone. */
+  private def urlCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val site = concat(lit("example"), (col("doc_id") % 50).cast("string"))
+    // variant = (doc_id div 50) % 5 — INDEPENDENT of the site key, so
+    // every site sees all five surface forms and the 0/1 and 2/3 pairs
+    // genuinely merge across docs under canonicalization
+    val variant = expr("(doc_id div 50) % 5")
+    docs(spark, sfDir).select(col("doc_id"), concat(
+      when(variant === 0, concat(lit("https://"), upper(site), lit(".com:443/page/1?utm_source=x&id=7#frag")))
+        .when(variant === 1, concat(lit("https://"), site, lit(".com/page/1?id=7")))
+        .when(variant === 2, concat(lit("HTTP://"), upper(site), lit(".COM:80/page/1?id=7&utm_campaign=z")))
+        .when(variant === 3, concat(lit("http://"), site, lit(".com/page/1?id=7")))
+        .otherwise(concat(lit("https://"), site, lit(".com/")))).as("url"))
+  }
+
+  /** URL canonicalization, text-exactly oracle-checked: DuckDB replays
+    * the identical fragment/case/port/tracking-param chain (split →
+    * filter → rejoin — no backreference replacement, which the two
+    * regex engines spell differently). */
+  def urlCanonical(spark: SparkSession, sfDir: String): DataFrame =
+    urlCorpus(spark, sfDir).select(col("doc_id"), col("url"),
+      TextAnalysis.canonicalizeUrl(col("url")).as("canon_url"))
+      .orderBy("doc_id")
+
+  /** URL-keyed dedup (the CommonCrawl-style first pass): exact dedup on
+    * the canonical URL, keep-min doc per key — composed over the proven
+    * exactDedup agg+join (payload never sorted). */
+  def dedupUrl(spark: SparkSession, sfDir: String): DataFrame = {
+    val withC = urlCorpus(spark, sfDir)
+      .withColumn("canon_url", TextAnalysis.canonicalizeUrl(col("url")))
+    Dedup.exactDedup(withC, Seq("canon_url"), "doc_id")
+      .select("doc_id", "canon_url").orderBy("doc_id")
+  }
+
+  /** BM25-rational salient terms (log-free idf so scores replay as
+    * exactly-rounded IEEE ops — see [[TextAnalysis.salientTerms]]);
+    * DuckDB rebuilds tf, df, the score, and the per-doc top-3 ranking
+    * and hash-matches every column including the score doubles. */
+  def tfidfTerms(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.salientTerms(docs(spark, sfDir), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
+  /** DSIR hashed-bigram feature map: portable-md5 buckets, counts with
+    * multiplicity — integer-exact, fully oracled. */
+  def dsirFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.hashedNgramFeatures(docs(spark, sfDir), "doc_id", "text", n = 2)
+      .orderBy("doc_id", "bucket")
+
   /** Quality-gate pass rates rolled up per language — the per-source
     * curation dashboard view (integer counts + one division of exact
     * integers). */
@@ -1425,6 +1476,10 @@ object PipelineQueries {
     "p_embed_centroids" -> (embedCentroids _),
     "p_embed_kmeans" -> (embedKmeans _),
     "p_sample_cluster" -> (sampleCluster _),
+    "p_url_canonical" -> (urlCanonical _),
+    "p_dedup_url" -> (dedupUrl _),
+    "p_tfidf_terms" -> (tfidfTerms _),
+    "p_dsir_features" -> (dsirFeatures _),
     "p_quality_by_lang" -> (qualityByLang _),
     "p_bpe_learn" -> (bpeLearn _),
     "p_bpe_tokenize" -> (bpeTokenize _),
@@ -1556,6 +1611,42 @@ object PipelineQueries {
     }.mkString(",\n")
     s"WITH $header,\n$roundsSql"
   }
+
+  /** The same URL decoration as [[urlCorpus]] plus the canonicalization
+    * replay, ending in a CTE `canon` of (doc_id, url, canon_url). */
+  private val urlCanonSql =
+    """uc AS (
+      |  SELECT doc_id, CASE
+      |    WHEN (doc_id // 50) % 5 = 0 THEN 'https://' || upper('example' || cast(doc_id % 50 AS varchar)) || '.com:443/page/1?utm_source=x&id=7#frag'
+      |    WHEN (doc_id // 50) % 5 = 1 THEN 'https://example' || cast(doc_id % 50 AS varchar) || '.com/page/1?id=7'
+      |    WHEN (doc_id // 50) % 5 = 2 THEN 'HTTP://' || upper('example' || cast(doc_id % 50 AS varchar)) || '.COM:80/page/1?id=7&utm_campaign=z'
+      |    WHEN (doc_id // 50) % 5 = 3 THEN 'http://example' || cast(doc_id % 50 AS varchar) || '.com/page/1?id=7'
+      |    ELSE 'https://example' || cast(doc_id % 50 AS varchar) || '.com/' END AS url
+      |  FROM documents),
+      |ub AS (
+      |  SELECT doc_id, url, base,
+      |    regexp_extract(base, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS auth
+      |  FROM (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS base FROM uc) s),
+      |ur AS (
+      |  SELECT doc_id, url, lower(auth) AS al, substr(base, length(auth) + 1) AS rest
+      |  FROM ub),
+      |up AS (
+      |  SELECT doc_id, url,
+      |    CASE WHEN starts_with(al, 'http://') AND al LIKE '%:80' THEN substr(al, 1, length(al) - 3)
+      |         WHEN starts_with(al, 'https://') AND al LIKE '%:443' THEN substr(al, 1, length(al) - 4)
+      |         ELSE al END AS anp,
+      |    CASE WHEN instr(rest, '?') > 0 THEN substr(rest, 1, instr(rest, '?') - 1) ELSE rest END AS path,
+      |    CASE WHEN instr(rest, '?') > 0 THEN substr(rest, instr(rest, '?') + 1) ELSE '' END AS q
+      |  FROM ur),
+      |canon AS (
+      |  SELECT doc_id, url,
+      |    anp || CASE WHEN path = '/' THEN '' ELSE path END ||
+      |      CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canon_url
+      |  FROM (SELECT doc_id, url, anp, path,
+      |          coalesce(array_to_string(list_filter(string_split(q, '&'),
+      |            x -> x <> '' AND substr(x, 1, 4) <> 'utm_'
+      |              AND substr(x, 1, 7) <> 'fbclid=' AND substr(x, 1, 6) <> 'gclid='), '&'), '') AS q2
+      |        FROM up) t)""".stripMargin
 
   /** The same PII decoration as [[piiCorpus]]. */
   private val piiCorpusSql =
@@ -1829,6 +1920,48 @@ object PipelineQueries {
         |         / greatest(len(toks) - 2, 0) END AS rep3
         |FROM toked
         |ORDER BY doc_id""".stripMargin),
+
+    "p_url_canonical" ->
+      (s"""WITH $urlCanonSql
+        |SELECT doc_id, url, canon_url FROM canon ORDER BY doc_id""".stripMargin),
+
+    "p_dedup_url" ->
+      (s"""WITH $urlCanonSql
+        |SELECT doc_id, canon_url FROM (
+        |  SELECT doc_id, canon_url,
+        |    min(doc_id) OVER (PARTITION BY canon_url) AS m
+        |  FROM canon) t
+        |WHERE doc_id = m ORDER BY doc_id""".stripMargin),
+
+    "p_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+        |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |sc AS (
+        |  SELECT t.doc_id, t.token, t.tf, d.df,
+        |    cast(t.tf AS double) *
+        |      ((cast((SELECT count(*) FROM documents) AS double) - cast(d.df AS double) + 0.5) /
+        |        (cast(d.df AS double) + 0.5)) AS score
+        |  FROM tf t JOIN dfr d ON t.token = d.token)
+        |SELECT doc_id, token, cast(tf AS bigint) AS tf, cast(df AS bigint) AS df,
+        |  score, cast(rank AS int) AS rank
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, token) AS rank
+        |  FROM sc) r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "p_dsir_features" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')) END) AS gm
+        |  FROM toks)
+        |SELECT doc_id, substr(md5(gm), 1, 2) AS bucket, cast(count(*) AS bigint) AS cnt
+        |FROM g GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
 
     "p_pii_scrub" ->
       (s"""WITH pc AS (

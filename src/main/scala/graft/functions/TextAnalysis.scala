@@ -543,6 +543,98 @@ object TextAnalysis {
         col("postings"))
       .where(col("df") >= minDf)
 
+  /** Per-document salient terms: top-`k` tokens by `tf · idf` where
+    * `idf = (N − df + 0.5) / (df + 0.5)` — the BM25 idf WITHOUT the log.
+    * The log is a monotone per-term transform an external engine's libm
+    * may round differently; the rational form keeps the score a chain of
+    * exactly-rounded IEEE ops (one subtraction chain, one division, one
+    * multiplication), so scores AND ranks replay bit-exactly anywhere.
+    * Ties break on the token.
+    *
+    * Scale shape: tf is a map-side-combinable (id, token) aggregation;
+    * df is the same relation re-aggregated by token (distinct docs);
+    * the join back is a standard token-keyed equi-join — nothing is
+    * vocabulary-broadcast, nothing all-pairs. The final top-k window
+    * partitions by doc. `n` (corpus size) is one count action, scalar
+    * like the IVF centroid collect. */
+  def salientTerms(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val toks = df.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfRel, Seq("token"))
+      .withColumn("score", col("tf").cast("double") *
+        ((lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf").cast("bigint").as("tf"),
+        col("df").cast("bigint").as("df"), col("score"), col("rank"))
+  }
+
+  /** DSIR-style hashed n-gram features (Xie et al. 2023): word-`n`-grams
+    * bucketed by their portable-md5 prefix (256 buckets), counted per
+    * document — the sparse feature map importance-resampling pipelines
+    * score against. The md5 prefix is the [[graft.functions.Sampling]]
+    * hash-split trick again: stable across runs, partitionings, and
+    * engines, replayable as plain SQL. One map-side-combinable
+    * (id, bucket) aggregation; docs shorter than `n` tokens contribute
+    * their whole text as one gram. */
+  def hashedNgramFeatures(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2): org.apache.spark.sql.DataFrame = {
+    // raw string grams WITH multiplicity (unlike the dedup shingles —
+    // DSIR features are counts, and md5 keeps the bucket portable)
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val grams = when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    df.select(col(idCol), explode(grams).as("__g"))
+      .select(col(idCol), substring(md5(col("__g")), 1, 2).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+  }
+
+  /** Canonicalize a URL for identity comparison (the CommonCrawl-style
+    * URL-dedup key): drop the fragment, lowercase the scheme+authority,
+    * strip default ports (`:80` http, `:443` https), drop tracking
+    * params (`utm_*`, `fbclid`, `gclid`) via a split→filter→rejoin (no
+    * backreference replacement — Spark's `$1` and RE2's `\1` disagree,
+    * so the whole chain sticks to ops both engines spell identically),
+    * and collapse a bare `/` path. Pure narrow string expression. */
+  def canonicalizeUrl(u: Column): Column = {
+    val base = regexp_replace(u, "#.*", "")
+    val auth = regexp_extract(base, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    val rest = base.substr(length(auth) + 1, length(base))
+    val authLc = lower(auth)
+    val authNp =
+      when(authLc.startsWith("http://") && authLc.endsWith(":80"),
+        authLc.substr(lit(1), length(authLc) - 3))
+      .when(authLc.startsWith("https://") && authLc.endsWith(":443"),
+        authLc.substr(lit(1), length(authLc) - 4))
+      .otherwise(authLc)
+    val qPos = instr(rest, "?")
+    val path = when(qPos > 0, rest.substr(lit(1), qPos - 1)).otherwise(rest)
+    val query = when(qPos > 0, rest.substr(qPos + 1, length(rest))).otherwise(lit(""))
+    val kept = filter(split(query, "&"), p =>
+      p =!= "" && substring(p, 1, 4) =!= "utm_" &&
+        substring(p, 1, 7) =!= "fbclid=" && substring(p, 1, 6) =!= "gclid=")
+    val q2 = array_join(kept, "&")
+    val path2 = when(path === "/", lit("")).otherwise(path)
+    concat(authNp, path2,
+      when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))
+  }
+
   /** Snapshot diff between two corpus versions: one full-outer hash join
     * on id, status derived from presence and text equality. Emits only
     * changed rows (added/removed/changed) — the dataset-versioning view.

@@ -1071,6 +1071,38 @@ class PipelineSpec extends GraftSuite {
     assert(out(4L) == "")
   }
 
+  test("canonicalizeUrl: fragment, default ports, tracking params, case, bare slash") {
+    val out = Seq(
+      1L -> "https://Example.COM:443/a/b?utm_source=x&id=7&gclid=g#frag",
+      2L -> "http://host.org:80/p?fbclid=f",
+      3L -> "http://host.org:8080/p?id=1", // non-default port survives
+      4L -> "HTTPS://HOST.org/",
+      5L -> "https://host.org/a?utm_a=1&utm_b=2", // all params stripped
+      6L -> "https://host.org/a?id=1&id=2") // duplicate keys survive in order
+      .toDF("id", "u")
+      .select($"id", TextAnalysis.canonicalizeUrl($"u").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "https://example.com/a/b?id=7")
+    assert(out(2L) == "http://host.org/p")
+    assert(out(3L) == "http://host.org:8080/p?id=1")
+    assert(out(4L) == "https://host.org")
+    assert(out(5L) == "https://host.org/a")
+    assert(out(6L) == "https://host.org/a?id=1&id=2")
+  }
+
+  test("salientTerms: BM25-rational ranking on a hand example") {
+    // 3 docs; 'rare' appears twice in doc 1 and nowhere else → top term;
+    // 'common' is in every doc → idf (3-3+0.5)/(3+0.5)=1/7, never top
+    val df = Seq(
+      (1L, "common rare rare alpha"),
+      (2L, "common beta beta"),
+      (3L, "common gamma")).toDF("doc_id", "text")
+    val out = TextAnalysis.salientTerms(df, "doc_id", "text", k = 1)
+      .select("doc_id", "token", "tf", "df")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "rare", 2L, 1L), (2L, "beta", 2L, 1L), (3L, "gamma", 1L, 1L)))
+  }
+
   test("kmeansAssign: separates obvious clusters, deterministic across partitionings") {
     import graft.functions.Similarity
     // two tight groups on orthogonal axes; seeds (ids 0,1) land one per group

@@ -922,6 +922,47 @@ object PipelineQueries {
     TextAnalysis.hashedNgramFeatures(docs(spark, sfDir), "doc_id", "text", n = 2)
       .orderBy("doc_id", "bucket")
 
+  /** DSIR importance scores against the English subset as the target
+    * corpus: bucket ratio weights are integer counts + one division,
+    * and the per-doc sum folds in bucket order, so the importance
+    * DOUBLES hash-match (the meanPoolExact discipline for scalars). */
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    TextAnalysis.dsirImportance(d.select("doc_id", "text"), "doc_id", "text",
+        d.where(col("lang") === "en").select("doc_id", "text"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact token-count quantiles WITHOUT a global sort: the cumsum
+    * window runs over the domain-sized count relation (distinct token
+    * counts), never the corpus — the exact counterpart of
+    * percentile_approx at 100 TB. Threshold arithmetic (`ceil(q·N)`)
+    * replays identically. */
+  def tokenQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.exactIntQuantiles(docs(spark, sfDir),
+        TextAnalysis.tokenCount(col("text")), Seq(0.1, 0.5, 0.9, 0.99))
+      .select(col("q"), col("value").cast("bigint").as("value"))
+      .orderBy("q")
+
+  /** Per-cluster composition report over the proven k-means assignment:
+    * sizes, distinct true labels, and the majority label (ties to the
+    * lowest label) — the clustering-quality dashboard view, oracled
+    * end-to-end through the generated k-means replay. */
+  def clusterReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val a = Similarity.kmeansAssign(e, "vec_id", "embedding",
+      k = 5, rounds = 3, blockSize = 16)
+    val j = a.join(e.select("vec_id", "label"), Seq("vec_id"))
+    val stats = j.groupBy("cid").agg(
+      count(lit(1)).cast("bigint").as("n_vecs"),
+      countDistinct(col("label")).cast("bigint").as("n_labels"))
+    val top = j.groupBy("cid", "label").agg(count(lit(1)).as("lc"))
+      .groupBy("cid")
+      .agg(max(struct(col("lc").as("lc"), negate(col("label")).as("nl"))).as("m"))
+      .select(col("cid"), negate(col("m.nl")).cast("int").as("top_label"))
+    stats.join(top, Seq("cid")).orderBy("cid")
+  }
+
   /** Quality-gate pass rates rolled up per language — the per-source
     * curation dashboard view (integer counts + one division of exact
     * integers). */
@@ -1480,6 +1521,9 @@ object PipelineQueries {
     "p_dedup_url" -> (dedupUrl _),
     "p_tfidf_terms" -> (tfidfTerms _),
     "p_dsir_features" -> (dsirFeatures _),
+    "p_dsir_weights" -> (dsirWeights _),
+    "p_token_quantiles" -> (tokenQuantiles _),
+    "p_cluster_report" -> (clusterReport _),
     "p_quality_by_lang" -> (qualityByLang _),
     "p_bpe_learn" -> (bpeLearn _),
     "p_bpe_tokenize" -> (bpeTokenize _),
@@ -1611,6 +1655,20 @@ object PipelineQueries {
     }.mkString(",\n")
     s"WITH $header,\n$roundsSql"
   }
+
+  /** The same hashed-bigram feature construction as
+    * [[graft.functions.TextAnalysis.hashedNgramFeatures]] (n=2), ending
+    * in a CTE `feats` of (doc_id, bucket, cnt). */
+  private val dsirFeatsSql =
+    """dtoks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |dgrams AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')) END) AS gm
+      |  FROM dtoks),
+      |feats AS (
+      |  SELECT doc_id, substr(md5(gm), 1, 2) AS bucket, count(*) AS cnt
+      |  FROM dgrams GROUP BY doc_id, bucket)""".stripMargin
 
   /** The same URL decoration as [[urlCorpus]] plus the canonicalization
     * replay, ending in a CTE `canon` of (doc_id, url, canon_url). */
@@ -1954,14 +2012,70 @@ object PipelineQueries {
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "p_dsir_features" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
-        |g AS (
-        |  SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
-        |    ELSE list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')) END) AS gm
-        |  FROM toks)
-        |SELECT doc_id, substr(md5(gm), 1, 2) AS bucket, cast(count(*) AS bigint) AS cnt
-        |FROM g GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
+      (s"""WITH $dsirFeatsSql
+        |SELECT doc_id, bucket, cast(cnt AS bigint) AS cnt
+        |FROM feats ORDER BY doc_id, bucket""".stripMargin),
+
+    "p_dsir_weights" ->
+      (s"""WITH $dsirFeatsSql,
+        |rawb AS (SELECT bucket, sum(cnt) AS r FROM feats GROUP BY bucket),
+        |tgtb AS (
+        |  SELECT f.bucket, sum(f.cnt) AS t
+        |  FROM feats f JOIN documents d ON f.doc_id = d.doc_id
+        |  WHERE d.lang = 'en' GROUP BY f.bucket),
+        |wt AS (
+        |  SELECT r.bucket,
+        |    (cast(coalesce(t.t, 0) AS double) + 1.0) / (cast(r.r AS double) + 1.0) AS w
+        |  FROM rawb r LEFT JOIN tgtb t ON r.bucket = t.bucket)
+        |SELECT f.doc_id, cast(sum(f.cnt) AS bigint) AS n_grams,
+        |  list_reduce(list(cast(f.cnt AS double) * wt.w ORDER BY f.bucket),
+        |    (a, b) -> a + b) / cast(sum(f.cnt) AS double) AS importance
+        |FROM feats f JOIN wt ON f.bucket = wt.bucket
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin),
+
+    "p_token_quantiles" ->
+      """WITH tc AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS v
+        |  FROM documents),
+        |counts AS (SELECT v, count(*) AS c FROM tc GROUP BY v),
+        |cum AS (
+        |  SELECT v, sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM counts),
+        |nn AS (SELECT cast(count(*) AS double) AS n FROM documents)
+        |SELECT cast(0.1 AS double) AS q, (SELECT cast(min(v) AS bigint) FROM cum
+        |  WHERE cum >= greatest(1, cast(ceil(cast(0.1 AS double) * (SELECT n FROM nn)) AS bigint))) AS value
+        |UNION ALL
+        |SELECT cast(0.5 AS double), (SELECT cast(min(v) AS bigint) FROM cum
+        |  WHERE cum >= greatest(1, cast(ceil(cast(0.5 AS double) * (SELECT n FROM nn)) AS bigint)))
+        |UNION ALL
+        |SELECT cast(0.9 AS double), (SELECT cast(min(v) AS bigint) FROM cum
+        |  WHERE cum >= greatest(1, cast(ceil(cast(0.9 AS double) * (SELECT n FROM nn)) AS bigint)))
+        |UNION ALL
+        |SELECT cast(0.99 AS double), (SELECT cast(min(v) AS bigint) FROM cum
+        |  WHERE cum >= greatest(1, cast(ceil(cast(0.99 AS double) * (SELECT n FROM nn)) AS bigint)))
+        |ORDER BY q""".stripMargin,
+
+    "p_cluster_report" ->
+      (s"""${kmeansWithSql(k = 5, rounds = 3, blockSize = 16)},
+        |lj AS (
+        |  SELECT a.cid, e.label FROM a3 a JOIN embeddings e ON a.vec_id = e.vec_id),
+        |lc AS (SELECT cid, label, count(*) AS lc FROM lj GROUP BY cid, label),
+        |top AS (
+        |  SELECT cid, label AS top_label FROM (
+        |    SELECT cid, label,
+        |      row_number() OVER (PARTITION BY cid ORDER BY lc DESC, label) AS rn
+        |    FROM lc) t
+        |  WHERE rn = 1)
+        |SELECT cast(s.cid AS int) AS cid, s.n_vecs, s.n_labels,
+        |  cast(top.top_label AS int) AS top_label
+        |FROM (
+        |  SELECT cid, cast(count(*) AS bigint) AS n_vecs,
+        |    cast(count(DISTINCT label) AS bigint) AS n_labels
+        |  FROM lj GROUP BY cid) s
+        |JOIN top ON s.cid = top.cid
+        |ORDER BY cid""".stripMargin),
 
     "p_pii_scrub" ->
       (s"""WITH pc AS (

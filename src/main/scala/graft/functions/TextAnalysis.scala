@@ -605,6 +605,51 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("bigint").as("cnt"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, NeurIPS): score each raw
+    * document by how target-like its hashed n-gram profile is. Bucket
+    * weight = smoothed target/raw count ratio `(t_b+1)/(r_b+1)` (integer
+    * counts + one division — portable); per-doc importance = the MEAN
+    * ratio `(Σ cnt_b · w_b) / n_grams`, the sum folded IN BUCKET ORDER
+    * so the FP summation sequence is a pure function of the data (the
+    * meanPoolExact discipline for scalars) and replays bit-exactly.
+    * The reference paper multiplies per-feature probabilities in log
+    * space; the mean-ratio form keeps every step exactly rounded while
+    * preserving the "more target-like gram mass → higher score"
+    * ordering contract, and the length normalization stops raw volume
+    * from outscoring affinity.
+    *
+    * Scale shape: features are (id, bucket) combinable aggs; the weight
+    * relation is ≤256 rows and broadcasts; the per-doc fold touches at
+    * most 256 structs. `target` is typically a small clean corpus (the
+    * quality-gated subset, a reference crawl). */
+  def dsirImportance(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      target: org.apache.spark.sql.DataFrame,
+      n: Int = 2): org.apache.spark.sql.DataFrame = {
+    val rawF = hashedNgramFeatures(df, idCol, textCol, n)
+    val tgtF = hashedNgramFeatures(target, idCol, textCol, n)
+    val rawB = rawF.groupBy("bucket").agg(sum("cnt").as("r"))
+    val tgtB = tgtF.groupBy("bucket").agg(sum("cnt").as("t"))
+    val w = rawB.join(tgtB, Seq("bucket"), "left")
+      .select(col("bucket"),
+        ((coalesce(col("t"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("r").cast("double") + lit(1.0))).as("w"))
+    val withW = rawF.join(broadcast(w), Seq("bucket"))
+      .select(col(idCol), col("cnt"),
+        struct(col("bucket"), (col("cnt").cast("double") * col("w")).as("p")).as("__bp"))
+    withW.groupBy(col(idCol))
+      .agg(sum("cnt").cast("bigint").as("n_grams"),
+        sort_array(collect_list(col("__bp"))).as("__ps"))
+      .select(col(idCol), col("n_grams"),
+        (aggregate(
+          slice(col("__ps"), lit(2), size(col("__ps")) - 1),
+          element_at(col("__ps"), 1).getField("p"),
+          (acc, sv) => acc + sv.getField("p")) /
+            col("n_grams").cast("double")).as("importance"))
+  }
+
   /** Canonicalize a URL for identity comparison (the CommonCrawl-style
     * URL-dedup key): drop the fragment, lowercase the scheme+authority,
     * strip default ports (`:80` http, `:443` https), drop tracking
@@ -666,6 +711,37 @@ object TextAnalysis {
       .select((expr("__n div 10") * 10).as("bucket_lo"))
       .groupBy("bucket_lo")
       .agg(count(lit(1)).as("n_docs"))
+
+  /** Exact quantiles over a bounded-cardinality integer column WITHOUT a
+    * global sort: count per distinct value (combinable agg), cumulative
+    * sum over the DOMAIN-sized count relation, then `q` resolves to the
+    * smallest value whose cumulative count reaches `ceil(q·N)`. At
+    * 100 TB the corpus never sorts and never moves — only |domain| rows
+    * enter the one-partition cumsum window (token counts, lengths,
+    * scores on a grid: thousands of rows, not trillions). This is the
+    * exact counterpart to `percentile_approx` for integer-ish columns —
+    * same cost shape, no approximation. Threshold arithmetic is
+    * `ceil(q · double(N))`, exactly rounded and replayable. Output:
+    * one (q, value) row per requested quantile. */
+  def exactIntQuantiles(
+      df: org.apache.spark.sql.DataFrame,
+      valueCol: Column,
+      qs: Seq[Double]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty, "need at least one quantile")
+    val counts = df.select(valueCol.cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val cum = counts.withColumn("cum",
+      sum("c").over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = df.count()
+    qs.map { q =>
+      val thr = math.max(1L, math.ceil(q * n.toDouble).toLong)
+      cum.where(col("cum") >= thr)
+        .agg(min("v").as("value"))
+        .select(lit(q).as("q"), col("value"))
+    }.reduce(_ unionByName _)
+  }
 
   def dupSpanFraction(
       df: org.apache.spark.sql.DataFrame,

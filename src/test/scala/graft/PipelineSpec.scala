@@ -1071,6 +1071,33 @@ class PipelineSpec extends GraftSuite {
     assert(out(4L) == "")
   }
 
+  test("dsirImportance: target-like docs outscore off-target docs") {
+    val raw = Seq(
+      (1L, "the cat sat on the mat"),   // English-ish — matches target grams
+      (2L, "le chat est sur le tapis"), // off-target
+      (3L, "the cat sat here now")).toDF("doc_id", "text")
+    val target = Seq((10L, "the cat sat on the mat again")).toDF("doc_id", "text")
+    val out = TextAnalysis.dsirImportance(raw, "doc_id", "text", target)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // mean-ratio normalization: doc 1 shares 5/5 grams with the target,
+    // doc 3 shares 2/4, doc 2 none — ordering follows affinity, not length
+    assert(out(1L) > out(3L) && out(3L) > out(2L), out)
+  }
+
+  test("exactIntQuantiles matches the sorted definition on random data") {
+    val rnd = new scala.util.Random(11)
+    val vals = Seq.fill(997)(rnd.nextInt(40).toLong)
+    val df = vals.map(Tuple1(_)).toDF("v").repartition(13)
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    val got = TextAnalysis.exactIntQuantiles(df, $"v", qs)
+      .as[(Double, Long)].collect().toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val expected = sorted(math.max(1, math.ceil(q * vals.size.toDouble).toLong).toInt - 1)
+      assert(got(q) == expected, s"q=$q got=${got(q)} want=$expected")
+    }
+  }
+
   test("canonicalizeUrl: fragment, default ports, tracking params, case, bare slash") {
     val out = Seq(
       1L -> "https://Example.COM:443/a/b?utm_source=x&id=7&gclid=g#frag",

@@ -963,6 +963,29 @@ object PipelineQueries {
     stats.join(top, Seq("cid")).orderBy("cid")
   }
 
+  /** Perceptual image dedup over real container bytes: the corpus is
+    * image docs plus leading-edit mutated copies at doc_id+99999 (÷3 so
+    * copies stay images; odd, so every PNG's copy re-encodes as JPEG and
+    * vice versa — a byte-hash dedup provably cannot pair them). The
+    * Spark side walks PNG/JPEG structure to the payload, dHashes the
+    * decoded buffer, bands 4×16, verifies hamming ≤ 3, keeps min id.
+    * The oracle never sees a container: it recomputes the SAME dHash
+    * bits from the source text (integer cell sums, cross-multiplied
+    * mean comparisons) and replays all-pairs Hamming — one hash-match
+    * certifies container round-trip + payload walk + dHash + banding +
+    * keep rule end to end. */
+  def dedupImage(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"), col("text"),
+      col("n_chars").cast("long").as("n_chars"))
+    val mut = d.select((col("doc_id") + 99999).as("doc_id"),
+      expr("concat('zzz', substr(text, 4))").as("text"), col("n_chars"))
+    val corpus = d.unionByName(mut).where(col("doc_id") % 3 === 0)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val media = Multimodal.mediaFromDocuments(corpus).toDF()
+    Multimodal.imageNearDupKeep(media, "media_id", "content", maxHamming = 3)
+      .orderBy("media_id")
+  }
+
   /** Quality-gate pass rates rolled up per language — the per-source
     * curation dashboard view (integer counts + one division of exact
     * integers). */
@@ -1522,6 +1545,7 @@ object PipelineQueries {
     "p_tfidf_terms" -> (tfidfTerms _),
     "p_dsir_features" -> (dsirFeatures _),
     "p_dsir_weights" -> (dsirWeights _),
+    "p_dedup_image" -> (dedupImage _),
     "p_token_quantiles" -> (tokenQuantiles _),
     "p_cluster_report" -> (clusterReport _),
     "p_quality_by_lang" -> (qualityByLang _),
@@ -2032,6 +2056,44 @@ object PipelineQueries {
         |    (a, b) -> a + b) / cast(sum(f.cnt) AS double) AS importance
         |FROM feats f JOIN wt ON f.bucket = wt.bucket
         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin),
+
+    // the dHash bits recomputed from source text — integer cell sums over
+    // codepoint chunks (floor boundaries k·L/72), cross-multiplied mean
+    // comparisons, exactly the PayloadDHashExpr arithmetic — then exact
+    // all-pairs Hamming and the keep-first rule
+    "p_dedup_image" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 99999, 'zzz' || substr(text, 4) FROM base),
+        |codes AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cs,
+        |    length(text) AS L
+        |  FROM corpus),
+        |cells AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 72),
+        |      k -> coalesce(list_sum(cs[(k * L) // 72 + 1 : ((k + 1) * L) // 72]), 0)) AS s,
+        |    list_transform(range(0, 72),
+        |      k -> ((k + 1) * L) // 72 - (k * L) // 72) AS l
+        |  FROM codes),
+        |bits AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), j ->
+        |      CASE WHEN s[(j // 8) * 9 + (j % 8) + 1] * l[(j // 8) * 9 + (j % 8) + 2]
+        |              > s[(j // 8) * 9 + (j % 8) + 2] * l[(j // 8) * 9 + (j % 8) + 1]
+        |           THEN 1 ELSE 0 END) AS bb
+        |  FROM cells),
+        |losers AS (
+        |  SELECT DISTINCT b.doc_id AS id_b
+        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |  WHERE list_sum(list_transform(range(1, 65), j -> abs(a.bb[j] - b.bb[j]))) <= 3)
+        |SELECT c.doc_id AS media_id
+        |FROM corpus c LEFT JOIN losers ON c.doc_id = losers.id_b
+        |WHERE losers.id_b IS NULL ORDER BY media_id""".stripMargin,
 
     "p_token_quantiles" ->
       """WITH tc AS (

@@ -168,6 +168,36 @@ object Multimodal {
       b(0xff, 0xd9) // EOI
       out.toByteArray
     }
+
+    /** Extract the embedded payload from a synthesized container: the
+      * PNG `tEXt` chunk data or the JPEG `COM` segment body — the walk
+      * parses real chunk/segment structure (lengths, markers, EOI), the
+      * same standard as [[decode]]. None when no payload chunk exists. */
+    def extractPayload(b: Array[Byte]): Option[Array[Byte]] = {
+      if (b.length >= 8 && PngSig.indices.forall(i => b(i) == PngSig(i))) {
+        var i = 8
+        while (i + 8 <= b.length) {
+          val len = be32(b, i)
+          val tpe = new String(b, i + 4, 4, "US-ASCII")
+          if (tpe == "tEXt" && i + 8 + len <= b.length)
+            return Some(java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len))
+          if (tpe == "IEND") return None
+          i += 12 + len // length + type + data + crc
+        }
+        None
+      } else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+        var i = 2
+        while (i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
+          val marker = b(i + 1) & 0xff
+          if (marker == 0xd9) return None // EOI
+          val len = be16(b, i + 2)
+          if (marker == 0xfe && i + 2 + len <= b.length)
+            return Some(java.util.Arrays.copyOfRange(b, i + 4, i + 2 + len))
+          i += 2 + len
+        }
+        None
+      } else None
+    }
   }
 
   /** Minimal real encoder/decoder for the canonical PCM audio container —
@@ -469,4 +499,115 @@ object Multimodal {
         MediaRecord(id, modality, s"mem://doc/$id", content, w, h, nChars * 10L)
       }
   }
+
+  /** Perceptual dHash of an image's content ([[PayloadDHashExpr]]):
+    * payload extracted from the real container walk, hashed with the
+    * standard difference-hash construction. Null for rows without a
+    * parseable payload. */
+  def imagePayloadDHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(PayloadDHashExpr(ColumnBridge.expression(content)))
+  }
+
+  /** Image near-duplicate keep-set by perceptual hash: dHash each image's
+    * decoded buffer, band the 64-bit hashes 4×16 (exact for hamming ≤ 3 —
+    * the [[graft.functions.Dedup.hammingPairsFromHashes]] machinery), and
+    * keep the lowest media_id of each near-dup group. Because the hash is
+    * computed from the DECODED PAYLOAD, re-encoding the same image into a
+    * different container (PNG ↔ JPEG here) does not defeat the dedup —
+    * that is the point of perceptual hashing over byte hashing. The scan
+    * is one narrow codegen'd projection; only (chunk, id, hash) rows
+    * shuffle. */
+  def imageNearDupKeep(
+      media: DataFrame,
+      idCol: String,
+      contentCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val hashed = media
+      .select(col(idCol).as("__id"), imagePayloadDHash(col(contentCol)).as("__sh"))
+      .where(col("__sh").isNotNull)
+    val pairs = Dedup.hammingPairsFromHashes(hashed, maxHamming)
+    Dedup.keepFirstFromPairs(media.select(col(idCol)), idCol, pairs)
+  }
+}
+
+/** dHash (difference hash) of an image over the declared decode boundary:
+  * the grayscale buffer is the container's extracted payload read as
+  * UTF-8 CODEPOINTS (a real decoder hands pixel lumas to this same grid;
+  * codepoints keep the arithmetic integer-exact and replayable by an
+  * external engine). Construction is the standard perceptual dHash: the
+  * buffer splits into 8×9 equal cells (floor boundaries `k·L/72`), and
+  * bit (r,c) compares the MEAN of cell (r,c) against its right neighbor —
+  * cross-multiplied sums, so every comparison is exact integer
+  * arithmetic. Near-identical buffers differ in few bits; Hamming
+  * distance then measures perceptual closeness. */
+case class PayloadDHashExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"payload_dhash expects binary content, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    PayloadDHashExpr.hash(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val result = ctx.freshName("dhash")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""java.lang.Long $result = graft.functions.PayloadDHashExpr.hash($c);
+         |if ($result == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $result.longValue(); }
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "payload_dhash"
+}
+
+object PayloadDHashExpr {
+  /** Boxed so an unparseable container can signal null; called from
+    * codegen. */
+  def hash(content: Array[Byte]): java.lang.Long =
+    Multimodal.ImageHeader.extractPayload(content) match {
+      case None => null
+      case Some(payload) =>
+        val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+        // codepoint array (surrogate-safe — matches per-character
+        // semantics of external engines)
+        val cps = s.codePoints().toArray
+        val n = cps.length
+        val sums = new Array[Long](72)
+        val lens = new Array[Long](72)
+        var k = 0
+        while (k < 72) {
+          val lo = (k.toLong * n / 72).toInt
+          val hi = ((k + 1).toLong * n / 72).toInt
+          var acc = 0L
+          var i = lo
+          while (i < hi) { acc += cps(i); i += 1 }
+          sums(k) = acc
+          lens(k) = (hi - lo).toLong
+          k += 1
+        }
+        var h = 0L
+        var j = 0
+        while (j < 64) {
+          val i1 = (j / 8) * 9 + (j % 8)
+          val i2 = i1 + 1
+          if (sums(i1) * lens(i2) > sums(i2) * lens(i1)) h |= (1L << j)
+          j += 1
+        }
+        h
+    }
 }

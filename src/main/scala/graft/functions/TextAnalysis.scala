@@ -735,12 +735,13 @@ object TextAnalysis {
       sum("c").over(Window.orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val n = df.count()
-    qs.map { q =>
-      val thr = math.max(1L, math.ceil(q * n.toDouble).toLong)
-      cum.where(col("cum") >= thr)
-        .agg(min("v").as("value"))
-        .select(lit(q).as("q"), col("value"))
-    }.reduce(_ unionByName _)
+    // ONE corpus scan for every requested quantile: the 4-row threshold
+    // relation broadcast-theta-joins the domain-sized cum relation (a
+    // union of per-q branches would rescan the corpus once per q)
+    val qrows = qs.map(q => (q, math.max(1L, math.ceil(q * n.toDouble).toLong)))
+    val qdf = df.sparkSession.createDataFrame(qrows).toDF("q", "thr")
+    cum.join(broadcast(qdf), col("cum") >= col("thr"))
+      .groupBy("q").agg(min("v").as("value"))
   }
 
   def dupSpanFraction(

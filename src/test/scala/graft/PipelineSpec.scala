@@ -1071,6 +1071,37 @@ class PipelineSpec extends GraftSuite {
     assert(out(4L) == "")
   }
 
+  test("perceptual dHash: container-invariant, edit-local, dedup keeps originals") {
+    import graft.functions.{Multimodal, PayloadDHashExpr}
+    val text = ("the quick brown fox jumps over the lazy dog " * 12).trim
+    val bytes = text.getBytes("UTF-8")
+    val png = Multimodal.ImageHeader.synthPng(64, 48, bytes)
+    val jpg = Multimodal.ImageHeader.synthJpeg(64, 48, bytes)
+    // payload walks recover the exact embedded bytes from both containers
+    assert(Multimodal.ImageHeader.extractPayload(png).get.toSeq == bytes.toSeq)
+    assert(Multimodal.ImageHeader.extractPayload(jpg).get.toSeq == bytes.toSeq)
+    // same decoded buffer → same perceptual hash across container formats
+    val hPng = PayloadDHashExpr.hash(png)
+    val hJpg = PayloadDHashExpr.hash(jpg)
+    assert(hPng != null && hPng == hJpg)
+    // a leading 3-char edit lands in one cell → hamming ≤ 1
+    val mut = Multimodal.ImageHeader.synthPng(64, 48,
+      ("zzz" + text.substring(3)).getBytes("UTF-8"))
+    val hMut = PayloadDHashExpr.hash(mut)
+    assert(java.lang.Long.bitCount(hPng ^ hMut) <= 1,
+      s"hamming=${java.lang.Long.bitCount(hPng ^ hMut)}")
+    // unparseable content → null, filtered out of the dedup
+    assert(PayloadDHashExpr.hash(Array[Byte](1, 2, 3)) == null)
+    // keep-set: copies (higher ids, either container) drop, originals stay
+    val media = Seq(
+      (1L, png), (2L, jpg), (3L, mut),
+      (4L, Multimodal.ImageHeader.synthJpeg(8, 8, "completely different words all over this buffer here".getBytes("UTF-8"))))
+      .toDF("media_id", "content")
+    val kept = Multimodal.imageNearDupKeep(media, "media_id", "content")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L), kept)
+  }
+
   test("dsirImportance: target-like docs outscore off-target docs") {
     val raw = Seq(
       (1L, "the cat sat on the mat"),   // English-ish — matches target grams

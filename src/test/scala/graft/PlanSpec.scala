@@ -327,6 +327,13 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("image dedup: fused dhash projection, banded join, no cartesian") {
+    val p = plan("p_dedup_image")
+    assert(p.contains("payload_dhash"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("pii scrub: zero-shuffle regex projection over the scan") {
     val p = plan("p_pii_scrub")
     // redaction + counts are one projection; only the presentation

@@ -986,6 +986,34 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  /** Perceptual dedup across BOTH image and audio rows: the same dHash
+    * chain as [[dedupImage]], but the corpus keeps doc_id%3 ∈ {0,1} so
+    * every WAV payload rides too (copies re-declare a different sample
+    * rate — byte-identical PCM in a different container still pairs).
+    * One oracle certifies PNG, JPEG, and WAV payload walks at once. */
+  def dedupMedia(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"), col("text"),
+      col("n_chars").cast("long").as("n_chars"))
+    val mut = d.select((col("doc_id") + 99999).as("doc_id"),
+      expr("concat('zzz', substr(text, 4))").as("text"), col("n_chars"))
+    val corpus = d.unionByName(mut).where(col("doc_id") % 3 < 2)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val media = Multimodal.mediaFromDocuments(corpus).toDF()
+    Multimodal.imageNearDupKeep(media, "media_id", "content", maxHamming = 3)
+      .orderBy("media_id")
+  }
+
+  /** BM25-style retrieval against the corpus's own top-3 tokens as the
+    * query (both engines derive the query deterministically): rational
+    * idf, per-doc token-ordered fold, TakeOrdered top-20 — scores AND
+    * ranks hash-match. */
+  def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val terms = TextAnalysis.topTokens(d, "text", 3).select("token")
+    TextAnalysis.searchTopDocs(d, "doc_id", "text", terms, k = 20)
+      .orderBy("rank")
+  }
+
   /** Quality-gate pass rates rolled up per language — the per-source
     * curation dashboard view (integer counts + one division of exact
     * integers). */
@@ -1546,6 +1574,8 @@ object PipelineQueries {
     "p_dsir_features" -> (dsirFeatures _),
     "p_dsir_weights" -> (dsirWeights _),
     "p_dedup_image" -> (dedupImage _),
+    "p_dedup_media" -> (dedupMedia _),
+    "p_bm25_search" -> (bm25Search _),
     "p_token_quantiles" -> (tokenQuantiles _),
     "p_cluster_report" -> (clusterReport _),
     "p_quality_by_lang" -> (qualityByLang _),
@@ -1679,6 +1709,43 @@ object PipelineQueries {
     }.mkString(",\n")
     s"WITH $header,\n$roundsSql"
   }
+
+  /** The perceptual-dedup replay parameterized by the modality filter:
+    * dHash bits from source text (the PayloadDHashExpr arithmetic),
+    * all-pairs Hamming ≤ 3, keep-min. */
+  private def perceptualDedupOracle(filterSql: String): String =
+    s"""WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE $filterSql),
+      |corpus AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 99999, 'zzz' || substr(text, 4) FROM base),
+      |codes AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cs,
+      |    length(text) AS L
+      |  FROM corpus),
+      |cells AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 72),
+      |      k -> coalesce(list_sum(cs[(k * L) // 72 + 1 : ((k + 1) * L) // 72]), 0)) AS s,
+      |    list_transform(range(0, 72),
+      |      k -> ((k + 1) * L) // 72 - (k * L) // 72) AS l
+      |  FROM codes),
+      |bits AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 64), j ->
+      |      CASE WHEN s[(j // 8) * 9 + (j % 8) + 1] * l[(j // 8) * 9 + (j % 8) + 2]
+      |              > s[(j // 8) * 9 + (j % 8) + 2] * l[(j // 8) * 9 + (j % 8) + 1]
+      |           THEN 1 ELSE 0 END) AS bb
+      |  FROM cells),
+      |losers AS (
+      |  SELECT DISTINCT b.doc_id AS id_b
+      |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+      |  WHERE list_sum(list_transform(range(1, 65), j -> abs(a.bb[j] - b.bb[j]))) <= 3)
+      |SELECT c.doc_id AS media_id
+      |FROM corpus c LEFT JOIN losers ON c.doc_id = losers.id_b
+      |WHERE losers.id_b IS NULL ORDER BY media_id""".stripMargin
 
   /** The same hashed-bigram feature construction as
     * [[graft.functions.TextAnalysis.hashedNgramFeatures]] (n=2), ending
@@ -2061,39 +2128,36 @@ object PipelineQueries {
     // codepoint chunks (floor boundaries k·L/72), cross-multiplied mean
     // comparisons, exactly the PayloadDHashExpr arithmetic — then exact
     // all-pairs Hamming and the keep-first rule
-    "p_dedup_image" ->
-      """WITH base AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
-        |corpus AS (
-        |  SELECT doc_id, text FROM base
-        |  UNION ALL
-        |  SELECT doc_id + 99999, 'zzz' || substr(text, 4) FROM base),
-        |codes AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cs,
-        |    length(text) AS L
-        |  FROM corpus),
-        |cells AS (
-        |  SELECT doc_id,
-        |    list_transform(range(0, 72),
-        |      k -> coalesce(list_sum(cs[(k * L) // 72 + 1 : ((k + 1) * L) // 72]), 0)) AS s,
-        |    list_transform(range(0, 72),
-        |      k -> ((k + 1) * L) // 72 - (k * L) // 72) AS l
-        |  FROM codes),
-        |bits AS (
-        |  SELECT doc_id,
-        |    list_transform(range(0, 64), j ->
-        |      CASE WHEN s[(j // 8) * 9 + (j % 8) + 1] * l[(j // 8) * 9 + (j % 8) + 2]
-        |              > s[(j // 8) * 9 + (j % 8) + 2] * l[(j // 8) * 9 + (j % 8) + 1]
-        |           THEN 1 ELSE 0 END) AS bb
-        |  FROM cells),
-        |losers AS (
-        |  SELECT DISTINCT b.doc_id AS id_b
-        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
-        |  WHERE list_sum(list_transform(range(1, 65), j -> abs(a.bb[j] - b.bb[j]))) <= 3)
-        |SELECT c.doc_id AS media_id
-        |FROM corpus c LEFT JOIN losers ON c.doc_id = losers.id_b
-        |WHERE losers.id_b IS NULL ORDER BY media_id""".stripMargin,
+    "p_dedup_image" -> perceptualDedupOracle("doc_id % 3 = 0"),
+
+    // the same replay over image AND audio rows (WAV data-chunk payloads
+    // walk through the identical dHash)
+    "p_dedup_media" -> perceptualDedupOracle("doc_id % 3 < 2"),
+
+    "p_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+        |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |qt AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS n FROM toks WHERE length(token) > 0
+        |    GROUP BY token ORDER BY n DESC, token LIMIT 3) t),
+        |contrib AS (
+        |  SELECT t.doc_id, t.token,
+        |    cast(t.tf AS double) *
+        |      ((cast((SELECT count(*) FROM documents) AS double) - cast(d.df AS double) + 0.5) /
+        |        (cast(d.df AS double) + 0.5)) AS p
+        |  FROM tf t JOIN qt ON t.token = qt.token JOIN dfr d ON t.token = d.token),
+        |scored AS (
+        |  SELECT doc_id, list_reduce(list(p ORDER BY token), (a, b) -> a + b) AS score
+        |  FROM contrib GROUP BY doc_id)
+        |SELECT doc_id, score, cast(rank AS int) AS rank FROM (
+        |  SELECT doc_id, score,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored) r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "p_token_quantiles" ->
       """WITH tc AS (

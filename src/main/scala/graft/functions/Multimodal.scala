@@ -261,6 +261,23 @@ object Multimodal {
       if (pad == 1) out.write(0)
       out.toByteArray
     }
+
+    /** Extract the `data` chunk contents (the PCM payload) by the same
+      * RIFF chunk walk as [[decode]] — the declared chunk length, so the
+      * word-alignment pad byte never leaks into the payload. */
+    def extractData(b: Array[Byte]): Option[Array[Byte]] = {
+      if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+          !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+      var i = 12
+      while (i + 8 <= b.length) {
+        val tpe = new String(b, i, 4, "US-ASCII")
+        val len = le32(b, i + 4)
+        if (tpe == "data" && i + 8 + len <= b.length)
+          return Some(java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len))
+        i += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      None
+    }
   }
 
   /** Minimal real decoder/encoder for the canonical video container —
@@ -500,10 +517,10 @@ object Multimodal {
       }
   }
 
-  /** Perceptual dHash of an image's content ([[PayloadDHashExpr]]):
-    * payload extracted from the real container walk, hashed with the
-    * standard difference-hash construction. Null for rows without a
-    * parseable payload. */
+  /** Perceptual dHash of a media row's content ([[PayloadDHashExpr]]):
+    * decoded buffer extracted by the real container walk (PNG tEXt /
+    * JPEG COM / WAV data), hashed with the standard difference-hash
+    * construction. Null for rows without a parseable payload. */
   def imagePayloadDHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(PayloadDHashExpr(ColumnBridge.expression(content)))
@@ -579,7 +596,8 @@ object PayloadDHashExpr {
   /** Boxed so an unparseable container can signal null; called from
     * codegen. */
   def hash(content: Array[Byte]): java.lang.Long =
-    Multimodal.ImageHeader.extractPayload(content) match {
+    Multimodal.ImageHeader.extractPayload(content)
+      .orElse(Multimodal.AudioHeader.extractData(content)) match {
       case None => null
       case Some(payload) =>
         val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)

@@ -580,6 +580,48 @@ object TextAnalysis {
         col("df").cast("bigint").as("df"), col("score"), col("rank"))
   }
 
+  /** BM25-style document retrieval for a bag-of-terms query: each doc
+    * scores `Σ_t tf(d,t) · idf(t)` over the query terms, with the same
+    * log-free rational idf as [[salientTerms]] and the per-doc sum
+    * folded IN TOKEN ORDER (query terms are a handful, but the fold
+    * keeps the FP sequence data-determined and replayable). Query terms
+    * join as a broadcast relation against the tf relation — the corpus
+    * is never rescanned per term. Output: top-`k` (id, score, rank). */
+  def searchTopDocs(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: org.apache.spark.sql.DataFrame, // one column: token
+      k: Int = 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val toks = df.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(queryTerms.select(col("token"))), Seq("token"))
+      .join(dfRel, Seq("token"))
+      .select(col(idCol), struct(col("token"),
+        (col("tf").cast("double") *
+          ((lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)))).as("p")).as("__tp"))
+    val scored = contrib.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__tp"))).as("__ps"))
+      .select(col(idCol),
+        aggregate(
+          slice(col("__ps"), lit(2), size(col("__ps")) - 1),
+          element_at(col("__ps"), 1).getField("p"),
+          (acc, sv) => acc + sv.getField("p")).as("score"))
+    // sort+limit lowers to TakeOrderedAndProject (per-partition heaps +
+    // driver merge of k·partitions rows); the ranking window then only
+    // ever sees k rows — never a global single-partition sort
+    scored.orderBy(col("score").desc, col(idCol)).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+  }
+
   /** DSIR-style hashed n-gram features (Xie et al. 2023): word-`n`-grams
     * bucketed by their portable-md5 prefix (256 buckets), counted per
     * document — the sparse feature map importance-resampling pipelines

@@ -1102,6 +1102,33 @@ class PipelineSpec extends GraftSuite {
     assert(kept == Seq(1L, 4L), kept)
   }
 
+  test("perceptual dHash covers WAV: data-chunk walk, pad byte excluded, container-invariant") {
+    import graft.functions.{Multimodal, PayloadDHashExpr}
+    val text = "an odd-length audio payload body!" // odd byte count → pad byte
+    val bytes = text.getBytes("UTF-8")
+    assert(bytes.length % 2 == 1)
+    val wav = Multimodal.AudioHeader.synthWav(16000, 2, bytes)
+    assert(Multimodal.AudioHeader.extractData(wav).get.toSeq == bytes.toSeq)
+    // same payload through image and audio containers → identical hash
+    val png = Multimodal.ImageHeader.synthPng(8, 8, bytes)
+    assert(PayloadDHashExpr.hash(wav) == PayloadDHashExpr.hash(png))
+    // a different declared sample rate re-encode still hashes identically
+    assert(PayloadDHashExpr.hash(Multimodal.AudioHeader.synthWav(8000, 1, bytes)) ==
+      PayloadDHashExpr.hash(wav))
+  }
+
+  test("searchTopDocs: BM25-rational retrieval ranks the term-dense doc first") {
+    val df = Seq(
+      (1L, "alpha alpha alpha beta"),
+      (2L, "alpha gamma gamma gamma"),
+      (3L, "delta delta delta delta")).toDF("doc_id", "text")
+    val terms = Seq("alpha").map(Tuple1(_)).toDF("token")
+    val out = TextAnalysis.searchTopDocs(df, "doc_id", "text", terms, k = 2)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toSeq
+    // doc 3 has no query term → absent; doc 1 (tf=3) beats doc 2 (tf=1)
+    assert(out.sortBy(_._2) == Seq((1L, 1), (2L, 2)), out)
+  }
+
   test("dsirImportance: target-like docs outscore off-target docs") {
     val raw = Seq(
       (1L, "the cat sat on the mat"),   // English-ish — matches target grams

@@ -991,14 +991,25 @@ object PipelineQueries {
     * every WAV payload rides too (copies re-declare a different sample
     * rate — byte-identical PCM in a different container still pairs).
     * One oracle certifies PNG, JPEG, and WAV payload walks at once. */
-  def dedupMedia(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The (bases, copies) media relations behind [[dedupMedia]] and the
+    * streaming variant — (media_id, content) only, so parquet staging
+    * stays compact. */
+  private[graft] def mediaDedupInputs(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val d = docs(spark, sfDir).select(col("doc_id"), col("text"),
       col("n_chars").cast("long").as("n_chars"))
     val mut = d.select((col("doc_id") + 99999).as("doc_id"),
       expr("concat('zzz', substr(text, 4))").as("text"), col("n_chars"))
-    val corpus = d.unionByName(mut).where(col("doc_id") % 3 < 2)
+    def media(src: DataFrame) =
+      Multimodal.mediaFromDocuments(src.where(col("doc_id") % 3 < 2))
+        .toDF().select("media_id", "content")
+    (media(d), media(mut))
+  }
+
+  def dedupMedia(spark: SparkSession, sfDir: String): DataFrame = {
+    val (bases, copies) = mediaDedupInputs(spark, sfDir)
+    val media = bases.unionByName(copies)
       .repartition(spark.sparkContext.defaultParallelism)
-    val media = Multimodal.mediaFromDocuments(corpus).toDF()
     Multimodal.imageNearDupKeep(media, "media_id", "content", maxHamming = 3)
       .orderBy("media_id")
   }
@@ -1713,7 +1724,7 @@ object PipelineQueries {
   /** The perceptual-dedup replay parameterized by the modality filter:
     * dHash bits from source text (the PayloadDHashExpr arithmetic),
     * all-pairs Hamming ≤ 3, keep-min. */
-  private def perceptualDedupOracle(filterSql: String): String =
+  private[graft] def perceptualDedupOracle(filterSql: String): String =
     s"""WITH base AS (
       |  SELECT doc_id, text FROM documents WHERE $filterSql),
       |corpus AS (

@@ -259,6 +259,30 @@ object StreamingQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Streaming perceptual media dedup: PNG/JPEG/WAV rows arrive in two
+    * micro-batches (originals, then re-encoded near-dup copies), each
+    * row dHashes its DECODED payload in the stream projection, and the
+    * shared per-bucket [[graft.streaming.Streams.hashPairsStream]] state
+    * pairs new arrivals against everything seen — the cross-batch
+    * version of [[PipelineQueries.dedupMedia]], checked against the
+    * IDENTICAL batch oracle. */
+  def dedupMediaStream(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    val (bases, copies) = PipelineQueries.mediaDedupInputs(spark, sfDir)
+    val corpus = bases.unionByName(copies)
+    val dir = stageTwoBatches(spark, bases, copies, "graft_stream_media")
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val hashed = stream.select(col("media_id").as("doc_id"),
+        graft.functions.Multimodal.imagePayloadDHash(col("content")).as("sh"))
+      .where(col("sh").isNotNull)
+    val pairs = Streams.hashPairsStream(hashed, maxHamming = 3)
+    val name = "graft_stream_media_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val pairsDf = Streams.runToMemorySink(pairs.toDF(), name, OutputMode.Append())
+      .dropDuplicates("id_a", "id_b")
+    graft.functions.Dedup.keepFirstFromPairs(corpus.select("media_id"), "media_id", pairsDf)
+      .select("media_id").orderBy("media_id")
+  }
+
   /** Stream-stream inner join with an event-time interval condition:
     * each view pairs with the same user's purchases in the following
     * hour. Watermarks on both sides bound the join state (views evict
@@ -294,6 +318,7 @@ object StreamingQueries {
     "s_quality_stream" -> (qualityStream _),
     "s_dedup_stream" -> (dedupStream _),
     "s_dedup_neardup_stream" -> (dedupNearDupStream _),
+    "s_dedup_media_stream" -> (dedupMediaStream _),
     "s_decontaminate_stream" -> (decontaminateStream _),
   )
 
@@ -327,6 +352,9 @@ object StreamingQueries {
         |ORDER BY window_start, event_type""".stripMargin,
     "s_sessionize_batch" -> sessionizeOracle,
     "s_sessionize_stream" -> sessionizeOracle,
+    // the IDENTICAL batch replay — streaming must converge to the batch
+    // keep-set on the same corpus
+    "s_dedup_media_stream" -> PipelineQueries.perceptualDedupOracle("doc_id % 3 < 2"),
     "s_stream_stream_join" ->
       """WITH v AS (SELECT event_id AS view_id, user_id, ts AS vts FROM events WHERE event_type = 'view'),
         |p AS (SELECT event_id AS purchase_id, user_id, ts AS pts FROM events WHERE event_type = 'purchase')

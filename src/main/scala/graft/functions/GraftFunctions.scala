@@ -39,6 +39,8 @@ object GraftFunctions {
     register1("graft_clean_text", TextAnalysis.cleanText)
     register1("graft_mask_pii", TextAnalysis.maskPii)
     register1("graft_scrub_pii", TextAnalysis.scrubPiiText)
+    register1("graft_canonical_url", TextAnalysis.canonicalizeUrl)
+    register1("graft_payload_dhash", Multimodal.imagePayloadDHash)
     register1("graft_repetition_ratio3", TextAnalysis.repetitionRatio(_, 3))
     register1("graft_strip_html", TextAnalysis.stripHtml)
     register1("graft_quality_pass", TextAnalysis.qualityPass(_))

@@ -187,12 +187,24 @@ object Streams {
       textCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 10000): Dataset[NearDupPair] = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      graft.functions.Dedup.simHash64(col(textCol)).as("sh"))
+    hashPairsStream(sh, maxHamming, maxBucketSize)
+  }
+
+  /** Cross-batch near-dup pairs among precomputed 64-bit hashes — the
+    * streaming counterpart of
+    * [[graft.functions.Dedup.hammingPairsFromHashes]], shared by SimHash
+    * text dedup and perceptual media dedup. Input: (`doc_id`, `sh`);
+    * per-bucket [[GroupState]] holds ids+signatures seen so far. */
+  def hashPairsStream(
+      sh: DataFrame,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): Dataset[NearDupPair] = {
     implicit val pairEnc = Encoders.product[NearDupPair]
     implicit val stateEnc = Encoders.product[LshBucketState]
     implicit val rowEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
     implicit val keyEnc = Encoders.scalaLong
-    val sh = docs.select(col(idCol).as("doc_id"),
-      graft.functions.Dedup.simHash64(col(textCol)).as("sh"))
     val chunked = sh.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { i =>
         shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL)) + lit(i * 65536L)

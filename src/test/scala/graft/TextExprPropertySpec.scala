@@ -106,4 +106,34 @@ object TextExprPropertySpec extends Properties("TextExprs") {
         stat(bytes, lm.runtime, HitBigrams) == expHit
     }
   }
+
+  // include multi-byte codepoints: the dHash grid must count CODEPOINTS
+  // (the portable cross-engine unit), not UTF-16 units or bytes
+  private val payloadGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumStr.map(_.take(5)),
+      2 -> Gen.oneOf("世", "界", "é", "ß", " "),
+      1 -> Gen.const("𝄞"))).map(_.mkString)
+
+  property("PayloadDHashExpr == naive codepoint-grid dHash through all containers") =
+    Prop.forAll(payloadGen) { t =>
+      // independent naive reference: functional-style grid over codepoints
+      val cps = t.codePoints.toArray
+      val n = cps.length
+      val cells = (0 until 72).map { k =>
+        val lo = (k.toLong * n / 72).toInt; val hi = ((k + 1).toLong * n / 72).toInt
+        (cps.slice(lo, hi).map(_.toLong).sum, (hi - lo).toLong)
+      }
+      val expected = (0 until 64).foldLeft(0L) { (h, j) =>
+        val (s1, l1) = cells((j / 8) * 9 + (j % 8))
+        val (s2, l2) = cells((j / 8) * 9 + (j % 8) + 1)
+        if (s1 * l2 > s2 * l1) h | (1L << j) else h
+      }
+      val bytes = t.getBytes("UTF-8")
+      import graft.functions.{Multimodal, PayloadDHashExpr}
+      val viaPng = PayloadDHashExpr.hash(Multimodal.ImageHeader.synthPng(4, 4, bytes))
+      val viaJpg = PayloadDHashExpr.hash(Multimodal.ImageHeader.synthJpeg(4, 4, bytes))
+      val viaWav = PayloadDHashExpr.hash(Multimodal.AudioHeader.synthWav(8000, 1, bytes))
+      viaPng == expected && viaJpg == expected && viaWav == expected
+    }
 }

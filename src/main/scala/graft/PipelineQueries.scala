@@ -986,11 +986,11 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
-  /** Perceptual dedup across BOTH image and audio rows: the same dHash
-    * chain as [[dedupImage]], but the corpus keeps doc_id%3 ∈ {0,1} so
-    * every WAV payload rides too (copies re-declare a different sample
-    * rate — byte-identical PCM in a different container still pairs).
-    * One oracle certifies PNG, JPEG, and WAV payload walks at once. */
+  /** Perceptual dedup across ALL modalities: the same dHash chain as
+    * [[dedupImage]] over the full media table — PNG tEXt, JPEG COM, WAV
+    * data, and AVI movi payload walks all feed the one hash (copies
+    * flip PNG↔JPEG and re-declare WAV rates; a byte hash pairs none of
+    * them). One oracle certifies all four container walks at once. */
   /** The (bases, copies) media relations behind [[dedupMedia]] and the
     * streaming variant — (media_id, content) only, so parquet staging
     * stays compact. */
@@ -1001,8 +1001,7 @@ object PipelineQueries {
     val mut = d.select((col("doc_id") + 99999).as("doc_id"),
       expr("concat('zzz', substr(text, 4))").as("text"), col("n_chars"))
     def media(src: DataFrame) =
-      Multimodal.mediaFromDocuments(src.where(col("doc_id") % 3 < 2))
-        .toDF().select("media_id", "content")
+      Multimodal.mediaFromDocuments(src).toDF().select("media_id", "content")
     (media(d), media(mut))
   }
 
@@ -2141,9 +2140,9 @@ object PipelineQueries {
     // all-pairs Hamming and the keep-first rule
     "p_dedup_image" -> perceptualDedupOracle("doc_id % 3 = 0"),
 
-    // the same replay over image AND audio rows (WAV data-chunk payloads
-    // walk through the identical dHash)
-    "p_dedup_media" -> perceptualDedupOracle("doc_id % 3 < 2"),
+    // the same replay over ALL modalities — PNG tEXt, JPEG COM, WAV
+    // data, and AVI movi payloads walk through the identical dHash
+    "p_dedup_media" -> perceptualDedupOracle("1 = 1"),
 
     "p_bm25_search" ->
       """WITH toks AS (

@@ -354,7 +354,7 @@ object StreamingQueries {
     "s_sessionize_stream" -> sessionizeOracle,
     // the IDENTICAL batch replay — streaming must converge to the batch
     // keep-set on the same corpus
-    "s_dedup_media_stream" -> PipelineQueries.perceptualDedupOracle("doc_id % 3 < 2"),
+    "s_dedup_media_stream" -> PipelineQueries.perceptualDedupOracle("1 = 1"),
     "s_stream_stream_join" ->
       """WITH v AS (SELECT event_id AS view_id, user_id, ts AS vts FROM events WHERE event_type = 'view'),
         |p AS (SELECT event_id AS purchase_id, user_id, ts AS pts FROM events WHERE event_type = 'purchase')

@@ -357,6 +357,34 @@ object Multimodal {
       if (pad == 1) out.write(0)
       out.toByteArray
     }
+
+    /** Extract the first `00db` frame payload by walking RIFF LISTs to
+      * `movi` — the same chunk structure [[decode]] parses; declared
+      * lengths, so the word-align pad never leaks in. */
+    def extractFrame(b: Array[Byte]): Option[Array[Byte]] = {
+      if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+          !(b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return None
+      var i = 12
+      while (i + 8 <= b.length) {
+        val tpe = new String(b, i, 4, "US-ASCII")
+        val len = le32(b, i + 4)
+        if (tpe == "LIST" && i + 12 <= b.length &&
+            new String(b, i + 8, 4, "US-ASCII") == "movi") {
+          var j = i + 12
+          val end = math.min(b.length, i + 8 + len)
+          while (j + 8 <= end) {
+            val ct = new String(b, j, 4, "US-ASCII")
+            val cl = le32(b, j + 4)
+            if (ct == "00db" && j + 8 + cl <= end)
+              return Some(java.util.Arrays.copyOfRange(b, j + 8, j + 8 + cl))
+            j += 8 + cl + (cl & 1)
+          }
+          return None
+        }
+        i += 8 + len + (len & 1)
+      }
+      None
+    }
   }
 
   /** Batched media decoder: container headers are parsed from the payload
@@ -597,7 +625,8 @@ object PayloadDHashExpr {
     * codegen. */
   def hash(content: Array[Byte]): java.lang.Long =
     Multimodal.ImageHeader.extractPayload(content)
-      .orElse(Multimodal.AudioHeader.extractData(content)) match {
+      .orElse(Multimodal.AudioHeader.extractData(content))
+      .orElse(Multimodal.VideoHeader.extractFrame(content)) match {
       case None => null
       case Some(payload) =>
         val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)

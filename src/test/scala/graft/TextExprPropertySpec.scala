@@ -134,6 +134,7 @@ object TextExprPropertySpec extends Properties("TextExprs") {
       val viaPng = PayloadDHashExpr.hash(Multimodal.ImageHeader.synthPng(4, 4, bytes))
       val viaJpg = PayloadDHashExpr.hash(Multimodal.ImageHeader.synthJpeg(4, 4, bytes))
       val viaWav = PayloadDHashExpr.hash(Multimodal.AudioHeader.synthWav(8000, 1, bytes))
-      viaPng == expected && viaJpg == expected && viaWav == expected
+      val viaAvi = PayloadDHashExpr.hash(Multimodal.VideoHeader.synthAvi(4, 4, 2, 40000, bytes))
+      viaPng == expected && viaJpg == expected && viaWav == expected && viaAvi == expected
     }
 }

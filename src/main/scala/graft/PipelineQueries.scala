@@ -1318,6 +1318,20 @@ object PipelineQueries {
       .orderBy("lang", "seq_id")
   }
 
+  /** Shard manifest over the materialized packed sequences: the
+    * dataset-reproducibility audit — counts, token totals, and an
+    * order-stable content md5 per language shard, hash-matched against
+    * DuckDB replaying the same packing and the same byte stream. */
+  def shardManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"), col("lang"), col("text"),
+      TextAnalysis.tokenCount(col("text")).cast("bigint").as("ntok"))
+    val packed = graft.functions.Sampling.materializePacked(d, Seq("lang"),
+      "doc_id", "ntok", "text", budget = 500L)
+    graft.functions.Sampling.shardManifest(packed, Seq("lang"),
+        "seq_id", "seq_text", "seq_tokens")
+      .orderBy("lang")
+  }
+
   /** Stratified exact-k sample: 20 docs per language, ranked by a hash
     * both engines compute identically — md5 of the stringified id (Spark
     * and DuckDB emit the same lowercase hex) — so the selected SET is
@@ -1376,6 +1390,20 @@ object PipelineQueries {
     graft.functions.Sampling.sampleToTokenBudgetWeighted(d, "lang", "ntok",
         totalBudget = 3000L,
         weights = Map("en" -> 0.6, "zh" -> 0.3, "de" -> 0.1),
+        orderBy = Seq(md5(col("doc_id").cast("string")), col("doc_id")))
+      .select("doc_id", "lang", "ntok")
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-2 mixing, self-calibrated: budgets ∝ √(per-language
+    * token totals) of this corpus. DuckDB recomputes the totals, the
+    * stratum-ordered √-sum, the floor budgets, and the same greedy
+    * window — every double exactly rounded on both sides. */
+  def sampleTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+    graft.functions.Sampling.sampleToTokenBudgetSqrt(d, "lang", "ntok",
+        totalBudget = 5000L,
         orderBy = Seq(md5(col("doc_id").cast("string")), col("doc_id")))
       .select("doc_id", "lang", "ntok")
       .orderBy("doc_id")
@@ -1608,6 +1636,8 @@ object PipelineQueries {
     "p_split_train_val" -> (splitTrainVal _),
     "p_sample_token_budget" -> (sampleTokenBudget _),
     "p_sample_mix_weighted" -> (sampleMixWeighted _),
+    "p_sample_temperature" -> (sampleTemperature _),
+    "p_shard_manifest" -> (shardManifest _),
     "p_vocab_coverage" -> (vocabCoverageQ _),
     "p_corpus_report" -> (corpusReportQ _),
     "p_corpus_drift" -> (corpusDriftQ _),
@@ -1719,6 +1749,27 @@ object PipelineQueries {
     }.mkString(",\n")
     s"WITH $header,\n$roundsSql"
   }
+
+  /** The materialized-packing replay, shared by `p_pack_materialize`
+    * and the shard manifest built over it. */
+  private val packMaterializeOracle =
+    """WITH t AS (
+      |  SELECT doc_id, lang, text,
+      |    cast(len(string_split_regex(trim(text), '\s+')) as bigint) AS ntok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, text, ntok,
+      |    coalesce(sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+      |  FROM t),
+      |s AS (SELECT doc_id, lang, text, ntok,
+      |        cast(floor(pre / 500.0) as bigint) AS seq_id FROM c)
+      |SELECT lang, seq_id,
+      |  string_agg(text, ' <|eod|> ' ORDER BY doc_id) AS seq_text,
+      |  cast(sum(ntok) as bigint) AS seq_tokens,
+      |  cast(count(*) as bigint) AS n_docs
+      |FROM s GROUP BY lang, seq_id
+      |ORDER BY lang, seq_id""".stripMargin
 
   /** The perceptual-dedup replay parameterized by the modality filter:
     * dHash bits from source text (the PayloadDHashExpr arithmetic),
@@ -2372,24 +2423,18 @@ object PipelineQueries {
 
     // same packing window as p_pack_sequences, then string_agg in slot
     // order around the EOD separator.
-    "p_pack_materialize" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, text,
-        |    cast(len(string_split_regex(trim(text), '\s+')) as bigint) AS ntok
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, lang, text, ntok,
-        |    coalesce(sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
-        |  FROM t),
-        |s AS (SELECT doc_id, lang, text, ntok,
-        |        cast(floor(pre / 500.0) as bigint) AS seq_id FROM c)
-        |SELECT lang, seq_id,
-        |  string_agg(text, ' <|eod|> ' ORDER BY doc_id) AS seq_text,
-        |  cast(sum(ntok) as bigint) AS seq_tokens,
-        |  cast(count(*) as bigint) AS n_docs
-        |FROM s GROUP BY lang, seq_id
-        |ORDER BY lang, seq_id""".stripMargin,
+    "p_pack_materialize" -> packMaterializeOracle,
+
+    // the manifest over the SAME materialized sequences: per-lang shard
+    // counts, token totals, and an order-stable md5 over the sequence
+    // texts — both engines hash the identical byte stream
+    "p_shard_manifest" ->
+      (s"""WITH m AS (
+        |  $packMaterializeOracle)
+        |SELECT lang, cast(count(*) AS bigint) AS n_seqs,
+        |  cast(sum(seq_tokens) AS bigint) AS total_tokens,
+        |  md5(string_agg(seq_text, '|#|' ORDER BY seq_id)) AS content_md5
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin),
 
     // vocabulary = corpus top-12 tokens by (count desc, token); coverage
     // = hits/ntok, one double division (see TextAnalysis.vocabCoverage).
@@ -2479,6 +2524,30 @@ object PipelineQueries {
         |WHERE cum <= (CASE lang WHEN 'en' THEN 1800 WHEN 'zh' THEN 900
         |                        WHEN 'de' THEN 300 ELSE 0 END)
         |ORDER BY doc_id""".stripMargin,
+
+    "p_sample_temperature" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    cast(len(string_split_regex(trim(text), '\s+')) as bigint) AS ntok
+        |  FROM documents),
+        |tot AS (SELECT lang, sum(ntok) AS n FROM t GROUP BY lang),
+        |z AS (
+        |  SELECT list_reduce(list(sqrt(cast(n AS double)) ORDER BY lang),
+        |    (a, b) -> a + b) AS z
+        |  FROM tot),
+        |bud AS (
+        |  SELECT lang,
+        |    cast(floor(cast(5000 AS double) * (sqrt(cast(n AS double)) / (SELECT z FROM z))) AS bigint) AS b
+        |  FROM tot),
+        |c AS (
+        |  SELECT doc_id, lang, ntok,
+        |    sum(ntok) OVER (PARTITION BY lang
+        |      ORDER BY md5(cast(doc_id AS varchar)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT c.doc_id, c.lang, c.ntok FROM c JOIN bud ON c.lang = bud.lang
+        |WHERE c.cum <= bud.b
+        |ORDER BY c.doc_id""".stripMargin,
 
     "p_sample_stratified" ->
       """SELECT doc_id, lang FROM (

@@ -237,6 +237,66 @@ object Sampling {
     * `weights` get zero (dropped). Same single-window shape and the same
     * stability guarantees; the per-stratum budget rides a broadcast-sized
     * when-chain, never a join against the corpus. */
+  /** Reproducibility manifest over a sharded dataset: per shard, the
+    * row count, token total, and an ORDER-STABLE md5 over the member
+    * texts (sorted by `orderCol`, joined with a fixed separator) — the
+    * audit row a training run records so a rebuilt dataset can be
+    * byte-verified shard by shard without shipping the data. One
+    * combinable aggregation; the collect_list is bounded by shard size
+    * (shards are budget-packed, not corpus-sized). */
+  def shardManifest(
+      df: DataFrame,
+      shardCols: Seq[String],
+      orderCol: String,
+      textCol: String,
+      tokenCol: String): DataFrame = {
+    val sorted = sort_array(collect_list(struct(col(orderCol).as("o"),
+      col(textCol).as("t"))))
+    df.groupBy(shardCols.map(col): _*)
+      .agg(count(lit(1)).cast("bigint").as("n_seqs"),
+        sum(col(tokenCol)).cast("bigint").as("total_tokens"),
+        md5(array_join(transform(sorted, x => x.getField("t")), "|#|"))
+          .as("content_md5"))
+  }
+
+  /** Temperature-flattened domain mixing (the GPT-3/PaLM recipe at
+    * T = 2): per-stratum budgets ∝ √(stratum token total), computed from
+    * the corpus's OWN composition rather than hand-set weights — small
+    * domains get boosted, huge ones damped. `sqrt` is IEEE
+    * correctly-rounded (unlike `pow`, which is only 1-ulp and may
+    * differ across libms — that is why the exponent is fixed at ½), the
+    * √-sum folds in stratum order, and each budget is
+    * `floor(T · (√n / Σ√n))` — every FP step exactly rounded and
+    * replayable. Stratum totals are #strata rows, driver-resident (the
+    * LM/centroid discipline); the corpus pays one aggregation plus the
+    * same single budget window as the weighted variant. */
+  def sampleToTokenBudgetSqrt(
+      df: DataFrame,
+      strataCol: String,
+      tokenCol: String,
+      totalBudget: Long,
+      orderBy: Seq[Column]): DataFrame = {
+    require(totalBudget > 0, "token budget must be positive")
+    val totals = df.groupBy(col(strataCol)).agg(sum(col(tokenCol)).as("__n"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+      .sortBy(_._1)
+    require(totals.nonEmpty, "corpus has no strata")
+    val roots = totals.map { case (s, n) => s -> math.sqrt(n.toDouble) }
+    val z = roots.map(_._2).reduceLeft(_ + _) // stratum-ordered fold
+    val budgets = roots.map { case (s, r) =>
+      s -> math.floor(totalBudget.toDouble * (r / z)).toLong
+    }
+    val budgetFor = budgets.foldLeft(lit(0L)) { case (acc, (stratum, b)) =>
+      when(col(strataCol) === stratum, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(strataCol)).orderBy(orderBy: _*)
+    val through = sum(col(tokenCol)).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn("__cum", through)
+      .where(col("__cum") <= budgetFor)
+      .drop("__cum")
+  }
+
   def sampleToTokenBudgetWeighted(
       df: DataFrame,
       strataCol: String,

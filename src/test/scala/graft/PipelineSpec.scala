@@ -1129,6 +1129,20 @@ class PipelineSpec extends GraftSuite {
     assert(out.sortBy(_._2) == Seq((1L, 1), (2L, 2)), out)
   }
 
+  test("sampleToTokenBudgetSqrt: temperature flattening boosts small strata") {
+    import graft.functions.Sampling
+    // big stratum 'a' (1600 tokens), small 'b' (100): plain proportional
+    // budgeting gives b ~6% of the pie; sqrt gives 10/(40+10) = 20%
+    val df = (1 to 16).map(i => (i.toLong, "a", 100L)) ++
+      Seq((100L, "b", 50L), (101L, "b", 50L))
+    val out = Sampling.sampleToTokenBudgetSqrt(df.toDF("id", "s", "ntok"),
+      "s", "ntok", totalBudget = 500L, orderBy = Seq($"id"))
+      .groupBy("s").agg(sum("ntok").as("got"))
+      .as[(String, Long)].collect().toMap
+    // budgets: z = 40+10 = 50 → a: floor(500·0.8)=400, b: floor(500·0.2)=100
+    assert(out("a") == 400L && out("b") == 100L, out)
+  }
+
   test("dsirImportance: target-like docs outscore off-target docs") {
     val raw = Seq(
       (1L, "the cat sat on the mat"),   // English-ish — matches target grams

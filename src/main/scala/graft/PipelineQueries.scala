@@ -1332,6 +1332,29 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** The "release a dataset" composition: PII scrub → exact dedup
+    * (keep-min on scrubbed text) → temperature-2 mixing → sequence
+    * packing → shard manifest, chained over the PII-decorated corpus.
+    * The final five manifest rows' md5s certify every stage at once —
+    * the p_pipeline_full/p_pipeline_curate treatment for the
+    * second-half round-7 family. */
+  def pipelineRelease(spark: SparkSession, sfDir: String): DataFrame = {
+    val scrubbed = TextAnalysis.scrubPii(piiCorpus(spark, sfDir), "doc_id", "text")
+      .select("doc_id", "text")
+      .join(docs(spark, sfDir).select("doc_id", "lang"), Seq("doc_id"))
+    val deduped = Dedup.exactDedup(scrubbed, Seq("text"), "doc_id")
+    val withTok = deduped.select(col("doc_id"), col("lang"), col("text"),
+      TextAnalysis.tokenCount(col("text")).cast("bigint").as("ntok"))
+    val mixed = graft.functions.Sampling.sampleToTokenBudgetSqrt(withTok,
+      "lang", "ntok", totalBudget = 4000L,
+      orderBy = Seq(md5(col("doc_id").cast("string")), col("doc_id")))
+    val packed = graft.functions.Sampling.materializePacked(mixed, Seq("lang"),
+      "doc_id", "ntok", "text", budget = 500L)
+    graft.functions.Sampling.shardManifest(packed, Seq("lang"),
+        "seq_id", "seq_text", "seq_tokens")
+      .orderBy("lang")
+  }
+
   /** Stratified exact-k sample: 20 docs per language, ranked by a hash
     * both engines compute identically — md5 of the stringified id (Spark
     * and DuckDB emit the same lowercase hex) — so the selected SET is
@@ -1638,6 +1661,7 @@ object PipelineQueries {
     "p_sample_mix_weighted" -> (sampleMixWeighted _),
     "p_sample_temperature" -> (sampleTemperature _),
     "p_shard_manifest" -> (shardManifest _),
+    "p_pipeline_release" -> (pipelineRelease _),
     "p_vocab_coverage" -> (vocabCoverageQ _),
     "p_corpus_report" -> (corpusReportQ _),
     "p_corpus_drift" -> (corpusDriftQ _),
@@ -2524,6 +2548,64 @@ object PipelineQueries {
         |WHERE cum <= (CASE lang WHEN 'en' THEN 1800 WHEN 'zh' THEN 900
         |                        WHEN 'de' THEN 300 ELSE 0 END)
         |ORDER BY doc_id""".stripMargin,
+
+    // the five-stage release chain replayed end to end: PII scrub →
+    // keep-min text dedup → √-budget mixing → packing → manifest md5
+    "p_pipeline_release" ->
+      (s"""WITH pc AS (
+        |  $piiCorpusSql),
+        |jl AS (
+        |  SELECT s.doc_id, s.text, d.lang
+        |  FROM (
+        |    $piiScrubbedSql) s
+        |  JOIN documents d ON s.doc_id = d.doc_id),
+        |dd AS (
+        |  SELECT doc_id, lang, text FROM (
+        |    SELECT doc_id, lang, text,
+        |      min(doc_id) OVER (PARTITION BY text) AS m
+        |    FROM jl) q
+        |  WHERE doc_id = m),
+        |t AS (
+        |  SELECT doc_id, lang, text,
+        |    cast(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS bigint) AS ntok
+        |  FROM dd),
+        |tot AS (SELECT lang, sum(ntok) AS n FROM t GROUP BY lang),
+        |z AS (
+        |  SELECT list_reduce(list(sqrt(cast(n AS double)) ORDER BY lang),
+        |    (a, b) -> a + b) AS z
+        |  FROM tot),
+        |bud AS (
+        |  SELECT lang,
+        |    cast(floor(cast(4000 AS double) * (sqrt(cast(n AS double)) / (SELECT z FROM z))) AS bigint) AS b
+        |  FROM tot),
+        |cm AS (
+        |  SELECT doc_id, lang, text, ntok,
+        |    sum(ntok) OVER (PARTITION BY lang
+        |      ORDER BY md5(cast(doc_id AS varchar)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |mixed AS (
+        |  SELECT cm.doc_id, cm.lang, cm.text, cm.ntok
+        |  FROM cm JOIN bud ON cm.lang = bud.lang WHERE cm.cum <= bud.b),
+        |pk AS (
+        |  SELECT doc_id, lang, text, ntok,
+        |    coalesce(sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM mixed),
+        |sq AS (
+        |  SELECT lang, cast(floor(pre / 500.0) AS bigint) AS seq_id,
+        |    doc_id, text, ntok
+        |  FROM pk),
+        |mz AS (
+        |  SELECT lang, seq_id,
+        |    string_agg(text, ' <|eod|> ' ORDER BY doc_id) AS seq_text,
+        |    cast(sum(ntok) AS bigint) AS seq_tokens
+        |  FROM sq GROUP BY lang, seq_id)
+        |SELECT lang, cast(count(*) AS bigint) AS n_seqs,
+        |  cast(sum(seq_tokens) AS bigint) AS total_tokens,
+        |  md5(string_agg(seq_text, '|#|' ORDER BY seq_id)) AS content_md5
+        |FROM mz GROUP BY lang ORDER BY lang""".stripMargin),
 
     "p_sample_temperature" ->
       """WITH t AS (

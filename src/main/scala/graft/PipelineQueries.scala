@@ -1355,6 +1355,24 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** Cluster-balanced token budgeting (cluster-then-balance): the
+    * temperature-2 √-budget split applied across K-MEANS clusters
+    * instead of metadata strata — topic balance without labels. The
+    * oracle composes the two generated machineries: the k-means round
+    * replay feeds the √-fold/budget/window blocks, and the selected
+    * set hash-matches end to end. */
+  def sampleClusterBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = Similarity.kmeansAssign(embs(spark, sfDir), "vec_id", "embedding",
+      k = 5, rounds = 3, blockSize = 16)
+    val d = docs(spark, sfDir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("bigint").as("ntok"))
+    val j = d.join(a.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+    graft.functions.Sampling.sampleToTokenBudgetSqrt(j, "cid", "ntok",
+        totalBudget = 4000L,
+        orderBy = Seq(md5(col("doc_id").cast("string")), col("doc_id")))
+      .select("doc_id", "cid", "ntok").orderBy("doc_id")
+  }
+
   /** Stratified exact-k sample: 20 docs per language, ranked by a hash
     * both engines compute identically — md5 of the stringified id (Spark
     * and DuckDB emit the same lowercase hex) — so the selected SET is
@@ -1662,6 +1680,7 @@ object PipelineQueries {
     "p_sample_temperature" -> (sampleTemperature _),
     "p_shard_manifest" -> (shardManifest _),
     "p_pipeline_release" -> (pipelineRelease _),
+    "p_sample_cluster_budget" -> (sampleClusterBudget _),
     "p_vocab_coverage" -> (vocabCoverageQ _),
     "p_corpus_report" -> (corpusReportQ _),
     "p_corpus_drift" -> (corpusDriftQ _),
@@ -2606,6 +2625,35 @@ object PipelineQueries {
         |  cast(sum(seq_tokens) AS bigint) AS total_tokens,
         |  md5(string_agg(seq_text, '|#|' ORDER BY seq_id)) AS content_md5
         |FROM mz GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // the k-means replay composed with the √-budget blocks; the fold
+    // orders by the STRINGIFIED cid, mirroring the Scala stratum sort
+    "p_sample_cluster_budget" ->
+      (s"""${kmeansWithSql(k = 5, rounds = 3, blockSize = 16)},
+        |tq AS (SELECT vec_id AS doc_id, cast(cid AS int) AS cid FROM a3),
+        |t AS (
+        |  SELECT d.doc_id, tq.cid,
+        |    cast(CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(d.text), '\\s+')) END AS bigint) AS ntok
+        |  FROM documents d JOIN tq ON d.doc_id = tq.doc_id),
+        |tot AS (SELECT cid, sum(ntok) AS n FROM t GROUP BY cid),
+        |z AS (
+        |  SELECT list_reduce(list(sqrt(cast(n AS double)) ORDER BY cast(cid AS varchar)),
+        |    (a, b) -> a + b) AS z
+        |  FROM tot),
+        |bud AS (
+        |  SELECT cid,
+        |    cast(floor(cast(4000 AS double) * (sqrt(cast(n AS double)) / (SELECT z FROM z))) AS bigint) AS b
+        |  FROM tot),
+        |cm AS (
+        |  SELECT doc_id, cid, ntok,
+        |    sum(ntok) OVER (PARTITION BY cid
+        |      ORDER BY md5(cast(doc_id AS varchar)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT cm.doc_id, cm.cid, cm.ntok
+        |FROM cm JOIN bud ON cm.cid = bud.cid WHERE cm.cum <= bud.b
+        |ORDER BY cm.doc_id""".stripMargin),
 
     "p_sample_temperature" ->
       """WITH t AS (

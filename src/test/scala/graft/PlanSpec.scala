@@ -327,6 +327,18 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("release pipeline: five stages, bounded exchanges, no cartesian") {
+    val p = plan("p_pipeline_release")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size <= 8, p)
+  }
+
+  test("cluster budgeting: fused assignment, broadcast join, no cartesian") {
+    val p = plan("p_sample_cluster_budget")
+    assert(p.contains("nearest_centroid_d"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("image dedup: fused dhash projection, banded join, no cartesian") {
     val p = plan("p_dedup_image")
     assert(p.contains("payload_dhash"), p)

@@ -101,6 +101,23 @@ class ScaleSpec extends GraftSuite {
     assert(row.getAs[String]("d") == "nav\nbody text")
   }
 
+  test("SQL-registered PII scrub, canonical URL, and payload dHash work in spark.sql") {
+    GraftFunctions.registerAll(spark)
+    val png = graft.functions.Multimodal.ImageHeader.synthPng(4, 4,
+      "same buffer both ways".getBytes("UTF-8"))
+    val wav = graft.functions.Multimodal.AudioHeader.synthWav(8000, 1,
+      "same buffer both ways".getBytes("UTF-8"))
+    Seq((1L, "mail a@b.org at 10.0.0.1", "https://Host.COM:443/p?utm_x=1&id=2#f", png, wav))
+      .toDF("id", "t", "u", "img", "aud").createOrReplaceTempView("fn_new")
+    val row = spark.sql(
+      """SELECT graft_scrub_pii(t) AS s, graft_canonical_url(u) AS c,
+        |  graft_payload_dhash(img) AS hi, graft_payload_dhash(aud) AS ha
+        |FROM fn_new""".stripMargin).collect()(0)
+    assert(row.getAs[String]("s") == "mail <EMAIL> at <IP>")
+    assert(row.getAs[String]("c") == "https://host.com/p?id=2")
+    assert(row.getAs[Long]("hi") == row.getAs[Long]("ha")) // container-invariant
+  }
+
   test("SQL-registered C4 line filter works in spark.sql") {
     GraftFunctions.registerAll(spark)
     Seq((1L, "keep this line with enough words here.\nshort.\nenable javascript on this long page."))

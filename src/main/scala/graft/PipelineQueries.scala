@@ -908,6 +908,23 @@ object PipelineQueries {
       .select("doc_id", "canon_url").orderBy("doc_id")
   }
 
+  /** URL dedup keeping the BEST page per canonical URL (argmax token
+    * count, ties to the lowest id) — the production keep policy when
+    * the same page was crawled repeatedly at different completeness.
+    * One max(struct) aggregation per key; payload never window-sorted
+    * (the keepBestComponent discipline applied to URL keys). */
+  def dedupUrlBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val withC = urlCorpus(spark, sfDir)
+      .join(docs(spark, sfDir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint").as("ntok")), Seq("doc_id"))
+      .withColumn("canon_url", TextAnalysis.canonicalizeUrl(col("url")))
+    withC.groupBy("canon_url")
+      .agg(max(struct(col("ntok").as("ntok"), negate(col("doc_id")).as("nid"))).as("m"))
+      .select(negate(col("m.nid")).as("doc_id"), col("canon_url"),
+        col("m.ntok").as("ntok"))
+      .orderBy("doc_id")
+  }
+
   /** BM25-rational salient terms (log-free idf so scores replay as
     * exactly-rounded IEEE ops — see [[TextAnalysis.salientTerms]]);
     * DuckDB rebuilds tf, df, the score, and the per-doc top-3 ranking
@@ -1649,6 +1666,7 @@ object PipelineQueries {
     "p_sample_cluster" -> (sampleCluster _),
     "p_url_canonical" -> (urlCanonical _),
     "p_dedup_url" -> (dedupUrl _),
+    "p_dedup_url_best" -> (dedupUrlBest _),
     "p_tfidf_terms" -> (tfidfTerms _),
     "p_dsir_features" -> (dsirFeatures _),
     "p_dsir_weights" -> (dsirWeights _),
@@ -2185,6 +2203,20 @@ object PipelineQueries {
         |    min(doc_id) OVER (PARTITION BY canon_url) AS m
         |  FROM canon) t
         |WHERE doc_id = m ORDER BY doc_id""".stripMargin),
+
+    "p_dedup_url_best" ->
+      (s"""WITH $urlCanonSql,
+        |wt AS (
+        |  SELECT c.doc_id, c.canon_url,
+        |    cast(CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(d.text), '\\s+')) END AS bigint) AS ntok
+        |  FROM canon c JOIN documents d ON c.doc_id = d.doc_id)
+        |SELECT doc_id, canon_url, ntok FROM (
+        |  SELECT doc_id, canon_url, ntok,
+        |    row_number() OVER (PARTITION BY canon_url
+        |      ORDER BY ntok DESC, doc_id) AS rn
+        |  FROM wt) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
 
     "p_tfidf_terms" ->
       """WITH toks AS (

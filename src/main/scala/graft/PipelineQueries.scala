@@ -447,12 +447,16 @@ object PipelineQueries {
 
   /** Int8 quantization codes for every embedding — full integer oracle
     * (mn/mx are exact float→double lifts; codes are one round() of a
-    * fixed-association double chain both engines replay). */
+    * fixed-association double chain both engines replay). Codes are
+    * emitted as a comma-joined string: the driver's checker sorts rows
+    * in pandas, which cannot order array cells — integer codes
+    * stringify identically in both engines, so the hash contract is
+    * unchanged. */
   def embedQuantize(spark: SparkSession, sfDir: String): DataFrame =
     embs(spark, sfDir)
       .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("q"))
       .select(col("vec_id"), col("q.mn").as("mn"), col("q.mx").as("mx"),
-        col("q.codes").as("codes"))
+        array_join(col("q.codes").cast("array<string>"), ",").as("codes"))
       .orderBy("vec_id")
 
   /** Top-k over the quantized corpus, rank-oracled: both engines score
@@ -837,12 +841,18 @@ object PipelineQueries {
     * ordered fold ([[Similarity.meanPoolExact]]) — blockSize=16 so the
     * sf corpus exercises multiple blocks per label (~50 vectors/label).
     * The centroid doubles hash-compare bit-exactly because the FP fold
-    * order is a pure function of the data in both engines. */
+    * order is a pure function of the data in both engines. Centroids
+    * are exploded to (label, n, dim, value) rows — the driver's checker
+    * sorts rows in pandas, which cannot order array cells; the exploded
+    * doubles keep the bit-exact contract without stringification. */
   def embedCentroids(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.meanPoolExact(embs(spark, sfDir), "label", "vec_id", "embedding",
         blockSize = 16)
-      .select(col("label"), col("n").cast("bigint").as("n"), col("centroid"))
-      .orderBy("label")
+      .select(col("label"), col("n").cast("bigint").as("n"),
+        posexplode(col("centroid")).as(Seq("dim", "value")))
+      .select(col("label"), col("n"), col("dim").cast("bigint").as("dim"),
+        col("value"))
+      .orderBy("label", "dim")
 
   /** Deterministic spherical k-means assignments, fully oracle-checked:
     * DuckDB replays the seeding, every assignment round (the same
@@ -1097,9 +1107,13 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
 
   /** Inverted index restricted to tokens in ≥ 50 docs (bounds the
-    * posting payload); postings are integer-exact sorted id lists. */
+    * posting payload); postings are integer-exact sorted id lists,
+    * emitted comma-joined (the driver's pandas checker cannot sort
+    * array cells; sorted integer lists stringify identically in both
+    * engines). */
   def invertedIndexQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.invertedIndex(docs(spark, sfDir), "doc_id", "text", minDf = 50L)
+      .withColumn("postings", array_join(col("postings").cast("array<string>"), ","))
       .orderBy("token")
 
   /** Snapshot diff: version B drops every 11th doc, edits every 7th,
@@ -1626,7 +1640,6 @@ object PipelineQueries {
     "p_pipeline_full" -> (pipelineFull _),
     "p_dedup_exact" -> (dedupExact _),
     "p_dedup_minhash" -> (dedupMinHash _),
-    "p_dedup_minhash_scale" -> (dedupMinHashScale _),
     "p_dedup_minhash_keep" -> (dedupMinHashKeep _),
     "p_dedup_cc" -> (dedupCcKeep _),
     "p_dedup_cc_labels" -> (dedupCcLabels _),
@@ -1636,7 +1649,6 @@ object PipelineQueries {
     "p_decontaminate" -> (decontaminate _),
     "p_decontaminate_bloom" -> (decontaminateBloom _),
     "p_dedup_paragraph" -> (dedupParagraph _),
-    "p_dedup_simhash" -> (dedupSimHash _),
     "p_dedup_simhash_keep" -> (dedupSimHashKeep _),
     "p_dedup_simhash_pairs" -> (dedupSimHashPairs _),
     "p_dedup_ngram" -> (dedupNgram _),
@@ -1644,7 +1656,6 @@ object PipelineQueries {
     "p_dedup_semantic" -> (dedupSemantic _),
     "p_dedup_semantic_exhaustive" -> (dedupSemanticExhaustive _),
     "p_ann_bruteforce" -> (annBruteForce _),
-    "p_ann_ivf" -> (annIvf _),
     "p_ann_ivf_exhaustive" -> (annIvfExhaustive _),
     "p_embed_quantize" -> (embedQuantize _),
     "p_ann_quantized" -> (annQuantized _),
@@ -1717,6 +1728,32 @@ object PipelineQueries {
     "p_multimodal" -> (multimodal _),
     "p_media_resize" -> (mediaResize _),
     "p_frame_sample" -> (frameSample _),
+  )
+
+  /** Bench-only variants (NOT in the driver's correctness contract):
+    * each runs the organic-corpus / production-parameter form of a code
+    * path whose designed-corpus sibling is hash-matched in [[queries]],
+    * and each is genuinely un-oracle-able in DuckDB —
+    *  - `p_dedup_minhash_scale`: banding over fused xxhash64 MinHash
+    *    signatures (not DuckDB-computable); `p_dedup_minhash` /
+    *    `p_dedup_minhash_keep` hash-match the identical shingle →
+    *    signature → band → bucket-min → verify → keep chain.
+    *  - `p_dedup_simhash`: 64-bit xxhash64 sign-sums;
+    *    `p_dedup_simhash_keep` + the full pair set
+    *    `p_dedup_simhash_pairs` hash-match the same machinery.
+    *  - `p_ann_ivf` (nProbe = 4): probed-cell choice depends on centroid
+    *    bits produced by a partition-order FP partial aggregate
+    *    ([[Similarity.lloydRefine]]'s VecSumAgg), so no engine-external
+    *    replay can exist without changing the production scale shape;
+    *    `p_ann_ivf_exhaustive` hash-matches the same build+search at
+    *    nProbe = nCentroids, and recall ≥ 7/10 at nProbe = 4 is pinned
+    *    in PipelineSpec.
+    * They stay in the benchmark suite and the scale curve so their
+    * wall-clocks and linearity remain tracked per round. */
+  val benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_dedup_minhash_scale" -> (dedupMinHashScale _),
+    "p_dedup_simhash" -> (dedupSimHash _),
+    "p_ann_ivf" -> (annIvf _),
   )
 
   /** Word-3-shingle set expression shared by the minhash oracle. */
@@ -1976,27 +2013,10 @@ object PipelineQueries {
       |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** DuckDB oracles for the SQL-expressible subset.
-    *
-    * Three queries are deliberately ABSENT (→ rows-only `no_oracle` in the
-    * driver artifact), each triangulated by a hash-matched sibling:
-    *  - `p_dedup_minhash_scale`: bucket-MIN pairing is not SQL-expressible,
-    *    but `p_dedup_minhash_keep` hash-matches the identical scale path
-    *    (shingle → fused signatures → banding → bucket-min → exact verify →
-    *    keep-first) on a token-tagged corpus whose keep-set IS SQL; the raw
-    *    variant's semantics are additionally pinned in PipelineSpec.
-    *  - `p_dedup_simhash`: raw (id_a, id_b, hamming) pairs over the
-    *    NATURAL corpus need a 64-bit popcount over xxhash64 sign-sums —
-    *    not DuckDB-computable; the banding ≡ brute-force-Hamming
-    *    equivalence is pinned in PipelineSpec, and BOTH the keep-set
-    *    (`p_dedup_simhash_keep`) and the full pair set
-    *    (`p_dedup_simhash_pairs`) hash-match the same machinery through
-    *    an anchor-dominated corpus.
-    *  - `p_ann_ivf` (nProbe = 4): approximate by design, so no exact oracle
-    *    can exist; `p_ann_ivf_exhaustive` (nProbe = nCentroids) runs the
-    *    SAME index build + search and hash-matches the brute-force oracle,
-    *    and recall ≥ 7/10 at the production probe count is pinned in
-    *    PipelineSpec. */
+  /** DuckDB oracles, one per [[queries]] entry — the declared contract is
+    * fully oracled (the three genuinely un-oracle-able organic-corpus
+    * variants were moved to [[benchOnlyQueries]], each triangulated by a
+    * hash-matched sibling here; see that map's scaladoc). */
   val oracleSql: Map[String, String] = Map(
     // nProbe = nCentroids ⇒ exhaustive search ⇒ identical to brute force,
     // so the IVF path shares the brute-force oracle verbatim.
@@ -2777,7 +2797,8 @@ object PipelineQueries {
 
     // the quantization chain replayed with the same association:
     // ((x−mn)·255)/(mx−mn), round, clamp — mn/mx as double lifts of the
-    // float min/max
+    // float min/max; codes comma-joined (integer stringification is
+    // engine-independent), coalesce for the []→NULL DuckDB gotcha
     "p_embed_quantize" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,
@@ -2785,10 +2806,11 @@ object PipelineQueries {
         |    cast(list_max(embedding) as double) AS mx
         |  FROM embeddings)
         |SELECT vec_id, mn, mx,
-        |  CASE WHEN mx = mn THEN list_transform(embedding, x -> 0)
-        |       ELSE list_transform(embedding, x ->
-        |         least(255, cast(round((cast(x as double) - mn) * 255.0 / (mx - mn)) as int)))
-        |  END AS codes
+        |  coalesce(array_to_string(
+        |    CASE WHEN mx = mn THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding, x ->
+        |           least(255, cast(round((cast(x as double) - mn) * 255.0 / (mx - mn)) as int)))
+        |    END, ','), '') AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
 
     // quantize → dequantize → cosine(dot/(‖a‖·‖b‖), left-to-right sums)
@@ -3099,12 +3121,13 @@ object PipelineQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // per-doc-distinct tokens, doc-frequency floor, ordered postings
+    // comma-joined (integer stringification is engine-independent)
     "p_inverted_index" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS token
         |  FROM documents)
         |SELECT token, cast(count(*) AS bigint) AS df,
-        |  list(doc_id ORDER BY doc_id) AS postings
+        |  string_agg(cast(doc_id AS varchar), ',' ORDER BY doc_id) AS postings
         |FROM tok GROUP BY token HAVING count(*) >= 50
         |ORDER BY token""".stripMargin,
 
@@ -3215,6 +3238,8 @@ object PipelineQueries {
         |  FROM a3) t
         |WHERE rn <= 25 ORDER BY vec_id""".stripMargin),
 
+    // centroids exploded to (label, n, dim, value) scalar rows — the
+    // parallel unnest(range(len))/unnest(centroid) pair aligns in DuckDB
     "p_embed_centroids" ->
       """WITH v AS (
         |  SELECT label, vec_id, vec_id // 16 AS blk,
@@ -3231,8 +3256,9 @@ object PipelineQueries {
         |      (a, b) -> list_transform(range(1, len(a) + 1), i -> a[i] + b[i])) AS s
         |  FROM blocks GROUP BY label)
         |SELECT label, cast(n AS bigint) AS n,
-        |  list_transform(s, x -> x / cast(n AS double)) AS centroid
-        |FROM tot ORDER BY label""".stripMargin,
+        |  unnest(range(len(s))) AS dim,
+        |  unnest(list_transform(s, x -> x / cast(n AS double))) AS value
+        |FROM tot ORDER BY label, dim""".stripMargin,
 
     // the proven quality calc block rolled up per language (integer
     // counts + one division of exact integers)

@@ -46,7 +46,7 @@ object ScaleDiag {
           spark.catalog.clearCache()
           System.gc()
           val t0 = System.nanoTime()
-          SparkEntry.queries("p_dedup_minhash_scale")(spark, dir)
+          SparkEntry.benchOnlyQueries("p_dedup_minhash_scale")(spark, dir)
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
@@ -115,6 +115,79 @@ object ScaleDiag {
         rounds.foreach { case (r, ch, mat, probe) =>
           println(f"DIAG-CC-ROUND x$m%-3d r=$r changed=$ch materialize=$mat%6.2f probe=$probe%6.2f")
         }
+
+        // -------- p_dedup_edit attribution (round-7 weak perf flag:
+        // 26.9 s driver point vs 4.2 s builder bench, the suite max) —
+        // per-stage walls: char-12-gram set build, LSH mining (banding +
+        // estimate prefilter + exact-jaccard verify), Levenshtein verify
+        // — plus candidate cardinality and the bucket-size maximum, so an
+        // environment gap is attributable to one stage (sets-cache
+        // eviction forcing recompute, or a pathological bucket under the
+        // 100k cap) instead of "the query".
+        spark.catalog.clearCache()
+        val eCorpus = PipelineQueries.docsWithNearDups(spark, dir)
+        val tS0 = System.nanoTime()
+        val eSets = Dedup.charNgramSets(eCorpus, "doc_id", "text", n = 12)
+          .withColumnRenamed("__id", "doc_id").persist()
+        eSets.count()
+        val tSets = (System.nanoTime() - tS0) / 1e9
+        val eBstats = eSets.select(col("doc_id"),
+            explode(Dedup.lshBands(
+              Dedup.minHashSignature(col("sets"), 64), 32, 2)).as("__bucket"))
+          .groupBy("__bucket").agg(count(lit(1)).as("bn"))
+          .agg(max("bn").as("maxB"), sum(col("bn") * (col("bn") - 1) / 2).as("allPairs"))
+          .head()
+        val tM0 = System.nanoTime()
+        val ePairs = Dedup.nearDupPairsFromSets(eSets, "doc_id", numHashes = 64,
+          bands = 32, threshold = 0.55, maxBucketSize = 100000).persist()
+        val eCand = ePairs.count()
+        val tMineE = (System.nanoTime() - tM0) / 1e9
+        val tV0 = System.nanoTime()
+        val eVerified = ePairs
+          .join(eCorpus.select(col("doc_id").as("id_a"), col("text").as("__ta")), Seq("id_a"))
+          .join(eCorpus.select(col("doc_id").as("id_b"), col("text").as("__tb")), Seq("id_b"))
+          .where(levenshtein(col("__ta"), col("__tb")) <= 30).count()
+        val tLev = (System.nanoTime() - tV0) / 1e9
+        ePairs.unpersist(); eSets.unpersist()
+        def timeEdit(): Double = {
+          spark.catalog.clearCache(); System.gc()
+          val t0 = System.nanoTime()
+          SparkEntry.queries("p_dedup_edit")(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val te1 = timeEdit(); val te2 = timeEdit()
+        println(f"DIAG-EDIT x$m%-3d sets=$tSets%6.2f mine=$tMineE%6.2f lev=$tLev%6.2f " +
+          s"candidates=$eCand verified=$eVerified maxBucket=${eBstats.getLong(0)} " +
+          s"all_pairs_if_uncapped=${eBstats.getLong(1)} " +
+          f"full_t1=$te1%6.2f full_t2=$te2%6.2f full_min2=${math.min(te1, te2)}%6.2f")
+
+        // -------- p_decontaminate_bloom regression chase (1.47 → 2.26 s
+        // r6→r7 at ×1): the query is four small jobs — ref-key count,
+        // bloom-filter build (both EAGER inside bloomDecontaminate, before
+        // any output row), the shuffle-free clean scan, and the candidate
+        // anti-join. Split build vs probe so a bench-point move is
+        // attributable to a stage or dismissed as fixed-cost drift.
+        spark.catalog.clearCache()
+        val bD = Tables.read(spark, dir, "documents").select("doc_id", "text")
+          .repartition(spark.sparkContext.defaultParallelism)
+        val bRef = bD.where(col("doc_id") % 7 === 0).select("text")
+        val tB0 = System.nanoTime()
+        val bDecon = Dedup.bloomDecontaminate(bD, "text", bRef, "text")
+        val tBloomBuild = (System.nanoTime() - tB0) / 1e9
+        val tP0 = System.nanoTime()
+        val bKept = bDecon.count()
+        val tProbe = (System.nanoTime() - tP0) / 1e9
+        def timeBloom(): Double = {
+          spark.catalog.clearCache(); System.gc()
+          val t0 = System.nanoTime()
+          SparkEntry.queries("p_decontaminate_bloom")(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val tb1 = timeBloom(); val tb2 = timeBloom()
+        println(f"DIAG-BLOOM x$m%-3d build=$tBloomBuild%6.2f probe=$tProbe%6.2f kept=$bKept " +
+          f"full_t1=$tb1%6.2f full_t2=$tb2%6.2f full_min2=${math.min(tb1, tb2)}%6.2f")
       }
     } finally {
       val p = new org.apache.hadoop.fs.Path(scaleRoot)

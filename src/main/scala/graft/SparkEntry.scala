@@ -32,6 +32,14 @@ object SparkEntry {
     relational ++ OperatorQueries.queries ++ PipelineQueries.queries ++
       StreamingQueries.queries
 
+  /** Benchmark-only queries — run (and scale-curve-tracked) by
+    * [[Bench]] but excluded from the driver's correctness contract:
+    * each is un-oracle-able in DuckDB and triangulated by a
+    * hash-matched sibling in [[queries]]
+    * (see [[PipelineQueries.benchOnlyQueries]]). */
+  def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] =
+    PipelineQueries.benchOnlyQueries
+
   def oracleSql: Map[String, String] =
     RelationalQueries.byName ++ OperatorQueries.oracleSql ++
       PipelineQueries.oracleSql ++ StreamingQueries.oracleSql

@@ -15,7 +15,7 @@ class PlanSpec extends GraftSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   private def plan(name: String): String = {
-    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    val df: DataFrame = (SparkEntry.queries ++ SparkEntry.benchOnlyQueries)(name)(spark, sfDir)
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 

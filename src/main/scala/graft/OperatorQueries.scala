@@ -111,6 +111,35 @@ object OperatorQueries {
       .orderBy("s_suppkey")
   }
 
+  /** loadFile from a gdrive:// URL (files/locations/google/gdrive.py
+    * parity). The transport is the configured fetch command
+    * (`spark.graft.gdriveFetchCmd`; the rclone CLI by default) — here a
+    * local-copy transport stands in for rclone, which has no Drive
+    * remote in the test container, so everything EXCEPT the Drive byte
+    * transfer is the production path: URL parse, `{hostpath}` template
+    * substitution (the rclone-remote path form the default template
+    * uses), external process exec + failure surfacing, temp staging,
+    * distributed read, table materialization. */
+  def loadGdrive(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val dir = tmpDir("graft_gdrive_fixture")
+    val src = spark.table("nation").select("n_nationkey", "n_name", "n_regionkey")
+    g.exportToFile(src, FileRef(s"$dir/reports/nation.csv"), singleFile = true)
+    val prev = spark.conf.getOption("spark.graft.gdriveFetchCmd")
+    spark.conf.set("spark.graft.gdriveFetchCmd", s"cp $dir/{hostpath} {dest}")
+    try
+      g.loadFile(FileRef("gdrive://reports/nation.csv"),
+        Some(TableRef("op_gdrive_t")), IfExists.Replace)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.gdriveFetchCmd", v)
+      case None => spark.conf.unset("spark.graft.gdriveFetchCmd")
+    }
+    spark.table("op_gdrive_t")
+      .select(col("n_nationkey").cast("bigint"), col("n_name"),
+        col("n_regionkey").cast("bigint"))
+      .orderBy("n_nationkey")
+  }
+
   /** Nested NDJSON → loadFile with json_normalize-style flattening
     * (files/types/ndjson.py:54-96 parity). */
   def loadNdjsonFlatten(spark: SparkSession, sfDir: String): DataFrame = {
@@ -470,6 +499,7 @@ object OperatorQueries {
     "op_load_csv_roundtrip" -> (loadCsvRoundtrip _),
     "op_load_http" -> (loadHttp _),
     "op_load_sftp" -> (loadSftp _),
+    "op_load_gdrive" -> (loadGdrive _),
     "op_export_parquet_roundtrip" -> (exportParquetRoundtrip _),
     "op_load_ndjson_flatten" -> (loadNdjsonFlatten _),
     "op_flatten_projection" -> (flattenProjection _),
@@ -516,6 +546,9 @@ object OperatorQueries {
 
     "op_load_sftp" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+
+    "op_load_gdrive" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
     "op_export_parquet_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",

@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: time + explain individual queries.
   * Usage: runMain graft.PerfProbe <sfDir> <query...> [--explain]
+  *   [--conf:key=value ...]
   */
 object PerfProbe {
   def main(args: Array[String]): Unit = {
@@ -11,16 +12,44 @@ object PerfProbe {
     val explain = args.contains("--explain")
     val names = args.drop(1).filterNot(_.startsWith("--"))
     val spark = GraftSession.localSpark()
+    args.filter(_.startsWith("--conf:")).foreach { a =>
+      val kv = a.stripPrefix("--conf:").split("=", 2)
+      spark.conf.set(kv(0), kv(1))
+    }
+    val stages = args.contains("--stages")
+    // per-stage wall + task parallelism: the AQE-coalescing failure mode
+    // (byte-small compute-dense stage squeezed to 1 task) shows up here
+    // as a long stage with numTasks ≈ 1
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      val rows = scala.collection.mutable.ArrayBuffer[(Int, Int, Long, String)]()
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val wall = (for {a <- i.completionTime; b <- i.submissionTime} yield a - b).getOrElse(-1L)
+        rows.synchronized {
+          rows += ((i.stageId, i.numTasks, wall, i.name.takeWhile(_ != '\n').take(60)))
+        }
+      }
+    }
+    if (stages) spark.sparkContext.addSparkListener(listener)
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = SparkEntry.queries.getOrElse(name, SparkEntry.benchOnlyQueries(name))
       if (explain) fn(spark, sfDir).explain("formatted")
       // warm + timed runs, same materialization + isolation as Bench
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).map { i =>
         spark.catalog.clearCache()
         System.gc()
+        listener.rows.synchronized(listener.rows.clear())
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        if (stages && i == 2) {
+          listener.rows.synchronized(listener.rows.toSeq).sortBy(-_._3).take(12).foreach {
+            case (id, n, wall, nm) =>
+              println(f"STAGE $name id=$id tasks=$n wall=${wall / 1e3}%7.2fs $nm")
+          }
+        }
+        t
       }
       println(f"PERF $name first=${times.head}%.2fs second=${times.last}%.2fs")
     }

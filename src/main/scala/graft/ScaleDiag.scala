@@ -135,7 +135,8 @@ object ScaleDiag {
             explode(Dedup.lshBands(
               Dedup.minHashSignature(col("sets"), 64), 32, 2)).as("__bucket"))
           .groupBy("__bucket").agg(count(lit(1)).as("bn"))
-          .agg(max("bn").as("maxB"), sum(col("bn") * (col("bn") - 1) / 2).as("allPairs"))
+          .agg(max("bn").as("maxB"),
+            (sum(col("bn") * (col("bn") - 1)) / 2).cast("bigint").as("allPairs"))
           .head()
         val tM0 = System.nanoTime()
         val ePairs = Dedup.nearDupPairsFromSets(eSets, "doc_id", numHashes = 64,

@@ -68,6 +68,7 @@ object Bpe {
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var cur = wf
     var k = 0
+    var sinceCkpt = 0
     var exhausted = false
     while (k < numMerges && !exhausted) {
       val syms = split(trim(col("seg")), "  ")
@@ -92,6 +93,16 @@ object Bpe {
           org.apache.spark.sql.functions.replace(
             col("seg"), lit(s" $l  $r "), lit(s" $l$r ")))
         k += 1
+        // re-checkpoint periodically (the Graph.pageRankExact /
+        // componentMin lineage discipline): without this, round k's
+        // collect replays all k−1 chained replaces plus the pair explode
+        // from the single wf checkpoint — O(numMerges²) recomputation,
+        // ruinous at realistic merge-table sizes (tens of thousands)
+        sinceCkpt += 1
+        if (sinceCkpt >= 8 && k < numMerges) {
+          cur = cur.localCheckpoint()
+          sinceCkpt = 0
+        }
       }
     }
     out.result()

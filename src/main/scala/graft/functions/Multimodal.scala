@@ -585,7 +585,14 @@ object Multimodal {
   * bit (r,c) compares the MEAN of cell (r,c) against its right neighbor —
   * cross-multiplied sums, so every comparison is exact integer
   * arithmetic. Near-identical buffers differ in few bits; Hamming
-  * distance then measures perceptual closeness. */
+  * distance then measures perceptual closeness.
+  *
+  * Contract caveat: the unit is the Unicode CODEPOINT, not the grapheme
+  * cluster — a combining sequence (`e` + U+0301, ZWJ emoji) counts one
+  * cell entry per codepoint. An external replay that indexes by grapheme
+  * (e.g. DuckDB's `text[i]`) diverges on such payloads; the oracle
+  * corpora are precomposed-only by construction, and the codepoint
+  * behavior is pinned by TextExprPropertySpec's combining-mark cases. */
 case class PayloadDHashExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}

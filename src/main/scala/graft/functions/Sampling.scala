@@ -229,14 +229,6 @@ object Sampling {
       .drop("__cum")
   }
 
-  /** Domain-mixing variant of [[sampleToTokenBudget]]: one total token
-    * budget divided across strata by `weights` (the "70% web / 20% code /
-    * 10% books" training-mix recipe) — each stratum takes its greedy
-    * deterministic prefix under its own share, floor-rounded so the
-    * realized total never exceeds `totalBudget`. Strata missing from
-    * `weights` get zero (dropped). Same single-window shape and the same
-    * stability guarantees; the per-stratum budget rides a broadcast-sized
-    * when-chain, never a join against the corpus. */
   /** Reproducibility manifest over a sharded dataset: per shard, the
     * row count, token total, and an ORDER-STABLE md5 over the member
     * texts (sorted by `orderCol`, joined with a fixed separator) — the
@@ -277,8 +269,13 @@ object Sampling {
       totalBudget: Long,
       orderBy: Seq[Column]): DataFrame = {
     require(totalBudget > 0, "token budget must be positive")
-    val totals = df.groupBy(col(strataCol)).agg(sum(col(tokenCol)).as("__n"))
-      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+    val totalRows = df.groupBy(col(strataCol)).agg(sum(col(tokenCol)).as("__n")).collect()
+    // a NULL stratum would stringify to "null" here but the === selector
+    // below can never match NULL rows — they'd silently eat budget share
+    // while contributing zero rows; fail loudly instead
+    require(totalRows.forall(!_.isNullAt(0)),
+      s"sampleToTokenBudgetSqrt: NULL $strataCol stratum — filter or impute it before budgeting")
+    val totals = totalRows.map(r => String.valueOf(r.get(0)) -> r.getLong(1))
       .sortBy(_._1)
     require(totals.nonEmpty, "corpus has no strata")
     val roots = totals.map { case (s, n) => s -> math.sqrt(n.toDouble) }
@@ -297,6 +294,14 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Domain-mixing variant of [[sampleToTokenBudget]]: one total token
+    * budget divided across strata by `weights` (the "70% web / 20% code /
+    * 10% books" training-mix recipe) — each stratum takes its greedy
+    * deterministic prefix under its own share, floor-rounded so the
+    * realized total never exceeds `totalBudget`. Strata missing from
+    * `weights` get zero (dropped). Same single-window shape and the same
+    * stability guarantees; the per-stratum budget rides a broadcast-sized
+    * when-chain, never a join against the corpus. */
   def sampleToTokenBudgetWeighted(
       df: DataFrame,
       strataCol: String,

@@ -140,6 +140,11 @@ object TextAnalysis {
   final val PiiIpRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
   final val PiiPhoneRe = "(?:\\+\\d{1,3}[ .-])?\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}\\b"
 
+  /** The scrub chain alone (email → IP → phone), for the SQL surface. */
+  def scrubPiiText(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      PiiEmailRe, "<EMAIL>"), PiiIpRe, "<IP>"), PiiPhoneRe, "<PHONE>")
+
   /** Typed PII redaction with per-category hit counts (the Dolma/FineWeb
     * pre-training scrub): emails, then IPv4 addresses, then phone-shaped
     * sequences are replaced with placeholder tokens, each category
@@ -150,11 +155,6 @@ object TextAnalysis {
     * Returns (id, text, n_email, n_ip, n_phone) with `text` scrubbed.
     * reference: astro has no redaction surface; this follows the
     * published Dolma toolkit recipe (Soldaini et al. 2024, §PII). */
-  /** The scrub chain alone (email → IP → phone), for the SQL surface. */
-  def scrubPiiText(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(c,
-      PiiEmailRe, "<EMAIL>"), PiiIpRe, "<IP>"), PiiPhoneRe, "<PHONE>")
-
   def scrubPii(
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String
   ): org.apache.spark.sql.DataFrame = {

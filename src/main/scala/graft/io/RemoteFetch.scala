@@ -24,11 +24,12 @@ import java.nio.file.{Files, Path}
   * `sftp -q -oBatchMode=yes -P {port} {userhost}:{path} {dest}` — so
   * key-based auth, jump hosts, or an entirely different transfer tool are
   * one conf away, and tests can substitute a stub command. The same
-  * mechanism generalizes: `spark.graft.fetchCmd.<scheme>` configures a
-  * command transport for any routed scheme, so Google Drive
-  * (google/gdrive.py) — whose OAuth client library is out of scope — can
-  * be served by e.g. an rclone/gdrive CLI; unconfigured, `gdrive://`
-  * raises explicitly rather than failing opaquely.
+  * mechanism serves Google Drive (google/gdrive.py) — whose OAuth client
+  * library the reference delegates to GoogleDriveHook — through the
+  * rclone CLI by default ([[DefaultGdriveCmd]]; remote name, auth mode,
+  * or a different tool via `spark.graft.gdriveFetchCmd` /
+  * `spark.graft.fetchCmd.gdrive`), and generalizes: any future routed
+  * scheme gets a command transport from `spark.graft.fetchCmd.<scheme>`.
   */
 object RemoteFetch {
 
@@ -36,13 +37,15 @@ object RemoteFetch {
     * URLConnection handler. */
   val fetchSchemes: Set[String] = Set("http", "https", "ftp")
 
-  /** Schemes routed to an external command transport. sftp has a default
-    * (the OpenSSH client); gdrive must be configured via
-    * `spark.graft.fetchCmd.gdrive` or it raises. */
+  /** Schemes routed to an external command transport. sftp defaults to
+    * the OpenSSH client, gdrive to the rclone CLI; both are one conf
+    * away from any other tool (`spark.graft.fetchCmd.<scheme>`). */
   val commandSchemes: Set[String] = Set("sftp", "gdrive")
 
-  /** Schemes that raise when no command transport is configured. */
-  val unsupportedSchemes: Set[String] = Set("gdrive")
+  /** Schemes that raise when no command transport is configured —
+    * empty since every routed scheme gained a default transport, kept
+    * so a future scheme without one fails loudly, not opaquely. */
+  val unsupportedSchemes: Set[String] = Set.empty
 
   def scheme(path: String): Option[String] = {
     val i = path.indexOf("://")
@@ -89,23 +92,39 @@ object RemoteFetch {
   /** Default sftp fetch command template; see [[fetchViaCommand]]. */
   val DefaultSftpCmd = "sftp -q -oBatchMode=yes -P {port} {userhost}:{path} {dest}"
 
+  /** Default gdrive fetch command template: the rclone CLI against a
+    * configured remote named `gdrive` (`rclone config` one-time setup —
+    * rclone is the de-facto standard Drive CLI and handles the OAuth
+    * dance the reference delegates to GoogleDriveHook). A
+    * `gdrive://reports/2024/q1.csv` URL maps to
+    * `rclone copyto gdrive:reports/2024/q1.csv <dest>` via the
+    * `{hostpath}` token. Different remote name, service-account auth, or
+    * another tool entirely: set `spark.graft.gdriveFetchCmd` (or the
+    * generic `spark.graft.fetchCmd.gdrive`). */
+  val DefaultGdriveCmd = "rclone copyto gdrive:{hostpath} {dest}"
+
   /** The command template serving `sch`, if any: the per-scheme conf
     * `spark.graft.fetchCmd.<scheme>` wins; sftp falls back to
-    * `spark.graft.sftpFetchCmd`, then to the OpenSSH [[DefaultSftpCmd]];
-    * other schemes have no default. */
+    * `spark.graft.sftpFetchCmd` then the OpenSSH [[DefaultSftpCmd]];
+    * gdrive falls back to `spark.graft.gdriveFetchCmd` then the rclone
+    * [[DefaultGdriveCmd]]; other schemes have no default. */
   def commandTemplate(
       spark: org.apache.spark.sql.SparkSession, sch: String): Option[String] =
     spark.conf.getOption(s"spark.graft.fetchCmd.$sch").orElse(sch match {
       case "sftp" =>
         Some(spark.conf.getOption("spark.graft.sftpFetchCmd").getOrElse(DefaultSftpCmd))
+      case "gdrive" =>
+        Some(spark.conf.getOption("spark.graft.gdriveFetchCmd").getOrElse(DefaultGdriveCmd))
       case _ => None
     })
 
   /** Fetch a `scheme://[user@]host[:port]/path` URL to a local temp file
     * by running an external command built from `template`. Tokens:
     * `{userhost}` = `user@host` (or bare host), `{host}`, `{user}`,
-    * `{port}` (22 when absent), `{path}` (remote path), `{dest}` (local
-    * target file), `{url}` (the original URL). The command is tokenized
+    * `{port}` (22 when absent), `{path}` (remote path), `{hostpath}` =
+    * `host/path` with no leading slash (the whole-URL remote path for
+    * tools like rclone, where the URL "host" is really the first path
+    * segment), `{dest}` (local target file), `{url}` (the original URL). The command is tokenized
     * on whitespace and exec'd directly — no shell, so no quoting
     * surface. For the default sftp transport, BatchMode means auth must
     * be non-interactive (keys/agent), exactly the reference's
@@ -123,12 +142,14 @@ object RemoteFetch {
     val host = Option(uri.getHost).getOrElse("")
     val userhost = if (user.nonEmpty) s"$user@$host" else host
     val port = if (uri.getPort > 0) uri.getPort else 22
+    val rawPath = Option(uri.getPath).getOrElse("")
     val cmd = template
       .replace("{userhost}", userhost)
+      .replace("{hostpath}", host + rawPath)
       .replace("{host}", host)
       .replace("{user}", user)
       .replace("{port}", port.toString)
-      .replace("{path}", Option(uri.getPath).getOrElse(""))
+      .replace("{path}", rawPath)
       .replace("{dest}", dest.toString)
       .replace("{url}", url)
       .split("\\s+").filter(_.nonEmpty)

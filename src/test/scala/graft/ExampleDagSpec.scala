@@ -100,10 +100,11 @@ class ExampleDagSpec extends GraftSuite {
     g.dropTable(out)
   }
 
-  test("gdrive:// raises explicitly; sftp:// routes to the configured transport") {
-    // sftp is a supported location (OpenSSH-client delegation): a failing
-    // transport surfaces as a loud IOException with exit code + output,
-    // never a silent miss. Full happy path is op_load_sftp / IoSpec.
+  test("gdrive:// and sftp:// route to their command transports; failures are loud") {
+    // both are supported locations (OpenSSH-client / rclone delegation): a
+    // failing transport surfaces as a loud IOException with exit code +
+    // output, never a silent miss. Full happy paths are op_load_sftp /
+    // op_load_gdrive / IoSpec.
     spark.conf.set("spark.graft.sftpFetchCmd", "false")
     try {
       val e = intercept[java.io.IOException] {
@@ -111,8 +112,12 @@ class ExampleDagSpec extends GraftSuite {
       }
       assert(e.getMessage.contains("sftp fetch failed"), e.getMessage)
     } finally spark.conf.unset("spark.graft.sftpFetchCmd")
-    intercept[UnsupportedOperationException] {
-      g.loadFile(FileRef("gdrive://folder/data.csv"))
-    }
+    spark.conf.set("spark.graft.gdriveFetchCmd", "false")
+    try {
+      val e = intercept[java.io.IOException] {
+        g.loadFile(FileRef("gdrive://folder/data.csv"))
+      }
+      assert(e.getMessage.contains("gdrive fetch failed"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.gdriveFetchCmd")
   }
 }

@@ -268,11 +268,24 @@ class IoSpec extends GraftSuite {
         graft.io.RemoteFetch.fetch(spark, "sftp://h/x"))
       assert(e.getMessage.contains("sftp fetch failed"), e.getMessage)
     } finally spark.conf.unset("spark.graft.sftpFetchCmd")
-    // gdrive raises with guidance unless a command transport is configured
-    val eg = intercept[UnsupportedOperationException](
-      graft.io.RemoteFetch.fetchToLocal("gdrive://file/abc123"))
-    assert(eg.getMessage.contains("spark.graft.fetchCmd.gdrive"), eg.getMessage)
-    // ...and the generic per-scheme hook serves it when configured
+    // gdrive default transport: the rclone template — pin the exact argv
+    // the DEFAULT template produces ({hostpath} folds the URL host into
+    // the rclone remote path), with a stand-in performing the copy
+    val gscript = java.nio.file.Paths.get(tmp("graft_gdrive_bin"), "fakerclone.sh")
+    java.nio.file.Files.writeString(gscript,
+      s"""#!/bin/bash
+         |[ "$$1" = "copyto" ] || exit 64
+         |[ "$$2" = "gdrive:folder/data.csv" ] || exit 64
+         |cp "$root/data.csv" "$$3"
+         |""".stripMargin)
+    gscript.toFile.setExecutable(true)
+    val gtpl = graft.io.RemoteFetch.DefaultGdriveCmd.replace("rclone ", gscript.toString + " ")
+    spark.conf.set("spark.graft.gdriveFetchCmd", gtpl)
+    try {
+      val gl = graft.io.RemoteFetch.fetch(spark, "gdrive://folder/data.csv")
+      assert(java.nio.file.Files.readString(java.nio.file.Paths.get(gl)).contains("2,b"))
+    } finally spark.conf.unset("spark.graft.gdriveFetchCmd")
+    // ...and the generic per-scheme hook takes precedence when configured
     spark.conf.set("spark.graft.fetchCmd.gdrive", s"cp $root{path} {dest}")
     try {
       val gl = graft.io.RemoteFetch.fetch(spark, "gdrive://folder/data.csv")

@@ -107,13 +107,17 @@ object TextExprPropertySpec extends Properties("TextExprs") {
     }
   }
 
-  // include multi-byte codepoints: the dHash grid must count CODEPOINTS
-  // (the portable cross-engine unit), not UTF-16 units or bytes
+  // include multi-byte codepoints AND combining sequences: the dHash
+  // grid must count CODEPOINTS (the declared contract unit), not UTF-16
+  // units, bytes, or grapheme clusters — "é" and the ZWJ emoji pin
+  // that a combining sequence contributes one cell entry PER CODEPOINT
+  // (a grapheme-indexing engine would diverge; see PayloadDHashExpr doc)
   private val payloadGen: Gen[String] =
     Gen.listOf(Gen.frequency(
       6 -> Gen.alphaNumStr.map(_.take(5)),
       2 -> Gen.oneOf("世", "界", "é", "ß", " "),
-      1 -> Gen.const("𝄞"))).map(_.mkString)
+      1 -> Gen.oneOf("𝄞", "e\u0301" /* e + combining acute */,
+        "\ud83d\udc69\u200d\ud83d\udcbb" /* ZWJ emoji */))).map(_.mkString)
 
   property("PayloadDHashExpr == naive codepoint-grid dHash through all containers") =
     Prop.forAll(payloadGen) { t =>

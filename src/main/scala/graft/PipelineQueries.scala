@@ -1481,6 +1481,31 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** FastText-style linear quality scoring over the corpus: the
+    * integer-perceptron model trained on the bounded labeled seed
+    * ([[graft.functions.Classifier.QualitySeed]]) scores every document;
+    * the oracle replays the scoring from the SAME weight literals (the
+    * generated-SQL pattern of [[kmeansWithSql]]) — training itself is
+    * deterministic integer arithmetic, pinned by unit test. */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.Classifier.scoreQuality(
+        docs(spark, sfDir).select("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Epoch-based domain mixing (the LLaMA table-1 recipe): German
+    * upsampled 2.4 epochs, French downsampled to 0.65, Chinese dropped,
+    * English 1.3, Spanish defaulting to exactly 1. The fractional-epoch
+    * membership is the portable md5 idiom, so DuckDB replays the full
+    * mix — replica counts, thresholds, and the 0-based epoch index —
+    * from the same literals. */
+  def sampleEpochs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select("doc_id", "lang")
+    graft.functions.Sampling.epochMix(d, "lang", "doc_id",
+        Seq("de" -> 2.4, "fr" -> 0.65, "zh" -> 0.0, "en" -> 1.3), salt = "mix8")
+      .select(col("doc_id"), col("lang"), col("epoch").cast("bigint").as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
   /** Per-language corpus health report over URL-decorated docs (every
     * 6th doc gets a URL so the incidence column is non-trivial). Integer
     * aggregates + one double division; n_distinct_texts counts 64-bit
@@ -1707,6 +1732,8 @@ object PipelineQueries {
     "p_sample_token_budget" -> (sampleTokenBudget _),
     "p_sample_mix_weighted" -> (sampleMixWeighted _),
     "p_sample_temperature" -> (sampleTemperature _),
+    "p_sample_epochs" -> (sampleEpochs _),
+    "p_quality_classifier" -> (qualityClassifier _),
     "p_shard_manifest" -> (shardManifest _),
     "p_pipeline_release" -> (pipelineRelease _),
     "p_sample_cluster_budget" -> (sampleClusterBudget _),
@@ -2730,6 +2757,39 @@ object PipelineQueries {
         |SELECT c.doc_id, c.lang, c.ntok FROM c JOIN bud ON c.lang = bud.lang
         |WHERE c.cum <= bud.b
         |ORDER BY c.doc_id""".stripMargin,
+
+    "p_quality_classifier" ->
+      (s"""WITH w(b, wt) AS (VALUES ${graft.functions.Classifier.weightsSqlValues}),""" +
+       raw"""
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |bt AS (
+        |  SELECT doc_id, substr(md5(t), 1, 4) AS b FROM toks WHERE t <> ''),
+        |s AS (
+        |  SELECT bt.doc_id, cast(sum(w.wt) AS bigint) AS s
+        |  FROM bt JOIN w ON bt.b = w.b GROUP BY bt.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(s.s, 0) + ${graft.functions.Classifier.QualityModel._2} AS score,
+        |  (coalesce(s.s, 0) + ${graft.functions.Classifier.QualityModel._2}) > 0 AS keep
+        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+
+    "p_sample_epochs" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    (CASE lang WHEN 'de' THEN 2 WHEN 'fr' THEN 0 WHEN 'zh' THEN 0
+        |      WHEN 'en' THEN 1 ELSE 1 END)
+        |    + (CASE WHEN substr(md5(cast(doc_id AS varchar) || 'mix8'), 1, 8)
+        |        < (CASE lang WHEN 'de' THEN '66666666' WHEN 'fr' THEN 'a6666666'
+        |            WHEN 'zh' THEN '00000000' WHEN 'en' THEN '4ccccccd'
+        |            ELSE '00000000' END)
+        |       THEN 1 ELSE 0 END) AS n
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT doc_id, lang, unnest(range(0, n)) AS epoch FROM t) u
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     "p_sample_stratified" ->
       """SELECT doc_id, lang FROM (

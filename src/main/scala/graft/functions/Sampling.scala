@@ -325,4 +325,48 @@ object Sampling {
       .where(col("__cum") <= budgetFor)
       .drop("__cum")
   }
+
+  /** Epoch-based domain mixing — the published LLaMA recipe (Touvron et
+    * al. 2023, table 1: "Wikipedia 2.45 epochs, C4 0.64 epochs, …"; also
+    * the DoReMi resampling step, Xie et al. 2023): each stratum is
+    * repeated `factor` epochs, where a fractional epoch keeps a
+    * deterministic `frac(factor)` subset. Row `r` in stratum `s` with
+    * factor `f` emits `floor(f)` replicas plus one more iff the first 8
+    * hex chars of `md5(key ∥ salt)` sort below the per-stratum threshold
+    * `round(frac(f)·2³²)` — the [[hashSplit]] portable-hash idiom, so the
+    * realized mix is stable across runs, partitionings, cluster sizes,
+    * AND engines (any consumer can recompute membership from md5 alone).
+    * Output rows carry `epochCol` (0-based replica index). Strata absent
+    * from `factors` default to exactly 1 epoch; a factor of 0.0 drops the
+    * stratum.
+    *
+    * Scale shape: pure narrow projection + explode — zero shuffle, zero
+    * join; both the replica count and the hex threshold ride
+    * broadcast-sized literal when-chains. Output size is Σ fₛ·|s| by
+    * construction. (The `where(n ≥ 1)` guard precedes the explode because
+    * Spark's `sequence(0, -1)` counts DOWN rather than returning empty.) */
+  def epochMix(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      factors: Seq[(String, Double)],
+      salt: String = "",
+      epochCol: String = "epoch"): DataFrame = {
+    require(factors.forall(_._2 >= 0), "epoch factors must be non-negative")
+    require(factors.map(_._1).distinct.size == factors.size, "duplicate stratum in factors")
+    def hexThr(frac: Double): String =
+      f"${math.min(0xffffffffL, math.round(frac * 4294967296.0))}%08x"
+    val copies = factors.foldRight(lit(1): Column) { case ((s, x), rest) =>
+      when(col(strataCol) === s, lit(math.floor(x).toInt)).otherwise(rest)
+    }
+    val thr = factors.foldRight(lit("00000000"): Column) { case ((s, x), rest) =>
+      when(col(strataCol) === s, lit(hexThr(x - math.floor(x)))).otherwise(rest)
+    }
+    val h = substring(md5(concat(col(keyCol).cast("string"), lit(salt))), 1, 8)
+    val n = copies + when(h < thr, lit(1)).otherwise(lit(0))
+    df.withColumn("__n", n)
+      .where(col("__n") >= 1)
+      .withColumn(epochCol, explode(sequence(lit(0), col("__n") - 1)))
+      .drop("__n")
+  }
 }

@@ -329,6 +329,71 @@ class PipelineSpec extends GraftSuite {
     assert(again == Seq(1L, 2L, 5L))
   }
 
+  test("quality perceptron: separates its seed, bucket matches Spark md5, scoring matches driver replay") {
+    import graft.functions.Classifier
+    val (w, b) = Classifier.QualityModel
+    // the trained model classifies its own seed perfectly (linearly
+    // separable by construction: disjoint vocabularies)
+    Classifier.QualitySeed.foreach { case (t, y) =>
+      val s = Classifier.tokenize(t).groupBy(Classifier.bucket)
+        .map { case (k, c) => w.getOrElse(k, 0L) * c.size }.sum + b
+      assert((s > 0) == (y == 1), s"seed misclassified (score $s, label $y): $t")
+    }
+    // the driver-side feature hash IS Spark's substring(md5(t), 1, 4)
+    val toks = Seq("the", "committee", "世界", "Mixed-Case")
+    val sparkBuckets = toks.toDF("t")
+      .select(substring(md5(col("t")), 1, 4)).as[String].collect().toSeq
+    assert(sparkBuckets == toks.map(Classifier.bucket))
+    // engine scoring == driver-side replay on arbitrary rows
+    val d = Seq(
+      (1L, "The committee published its findings after a review."),
+      (2L, "click here to unlock your exclusive bonus now"),
+      (3L, ""), (4L, "zzz unseen tokens only qqq")).toDF("doc_id", "text")
+    val got = Classifier.scoreQuality(d, "doc_id", "text")
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    val want = Seq(
+      (1L, "The committee published its findings after a review."),
+      (2L, "click here to unlock your exclusive bonus now"),
+      (3L, ""), (4L, "zzz unseen tokens only qqq")).map { case (id, t) =>
+      id -> (Classifier.tokenize(t).map(tok => w.getOrElse(Classifier.bucket(tok), 0L)).sum + b)
+    }.toMap
+    assert(got == want, s"got $got want $want")
+    assert(got(1L) > 0 && got(2L) <= 0)
+  }
+
+  test("epochMix: integral replicas + deterministic fractional top-up, 0 drops, absent defaults to 1") {
+    val d = (1L to 400L).map(i => (i, i match {
+      case x if x % 4 == 0 => "de" case x if x % 4 == 1 => "fr"
+      case x if x % 4 == 2 => "zh" case _ => "es"
+    })).toDF("doc_id", "lang")
+    val out = graft.functions.Sampling.epochMix(d, "lang", "doc_id",
+        Seq("de" -> 2.5, "fr" -> 0.5, "zh" -> 0.0), salt = "s")
+      .select("doc_id", "lang", "epoch")
+      .as[(Long, String, Int)].collect().toSeq
+    val byLang = out.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    // de: every doc at least twice (epochs 0,1), ~half a third time
+    val deCounts = byLang("de").groupBy(identity).view.mapValues(_.size)
+    assert(deCounts.forall { case (_, c) => c == 2 || c == 3 })
+    assert(deCounts.count(_._2 == 3) > 20 && deCounts.count(_._2 == 3) < 80)
+    // fr: subset kept exactly once, roughly half
+    val frCounts = byLang("fr").groupBy(identity).view.mapValues(_.size)
+    assert(frCounts.forall(_._2 == 1))
+    assert(frCounts.size > 20 && frCounts.size < 80)
+    // zh: dropped entirely; es (absent from factors): exactly once each
+    assert(!byLang.contains("zh"))
+    assert(byLang("es").sorted == (1L to 400L).filter(_ % 4 == 3))
+    // epoch indices are 0-based and dense per doc
+    out.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (0 until rows.size))
+    }
+    // deterministic across partitionings
+    val again = graft.functions.Sampling.epochMix(d.repartition(7), "lang", "doc_id",
+        Seq("de" -> 2.5, "fr" -> 0.5, "zh" -> 0.0), salt = "s")
+      .select("doc_id", "lang", "epoch")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(out.sorted == again.sorted)
+  }
+
   test("stratifiedExactK: exact per-stratum counts, deterministic, salt-independent membership") {
     val d = (1L to 300L).map(i => (i, if (i % 3 == 0) "de" else "en")).toDF("doc_id", "lang")
     val s1 = graft.functions.Sampling

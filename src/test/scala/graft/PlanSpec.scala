@@ -400,4 +400,22 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("Join"), p)
     assert(p.contains("Scan parquet"), p)
   }
+
+  test("LSH/edit/embedding verify joins: every join-back exchange is pinned REPARTITION_BY_NUM") {
+    // AQE's byte-based partition coalescing serializes CPU-dense stages
+    // whose input is byte-small (the round-7 p_dedup_edit 25 s pathology:
+    // candidates are two longs per row, the verification is a 64-slot
+    // signature agreement + array_intersect + Levenshtein DP). The fix —
+    // repartition on each verify join's own key with an explicit count —
+    // must survive refactors: the candidate→verify join-backs in every
+    // LSH family must read from a REPARTITION_BY_NUM exchange, which AQE
+    // never coalesces. (ENSURE_REQUIREMENTS exchanges elsewhere in the
+    // plan are fine — they feed byte-proportional work.)
+    for (name <- Seq("p_dedup_edit", "p_dedup_minhash", "p_dedup_embedding")) {
+      val p = plan(name)
+      val pinned = "REPARTITION_BY_NUM".r.findAllIn(p).size
+      assert(pinned >= 2,
+        s"$name: expected ≥2 pinned verify exchanges, found $pinned\n$p")
+    }
+  }
 }

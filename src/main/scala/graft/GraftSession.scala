@@ -259,6 +259,10 @@ class GraftSession(val spark: SparkSession) {
         if (effSchema.isEmpty) reader = reader.option("inferSchema", "true")
       case FileFormat.Json =>
         reader = reader.option("multiLine", "true")
+      case FileFormat.Xml =>
+        // match the writer's default element names so a graft-written
+        // file reads back without configuration; user options still win
+        reader = reader.option("rowTag", "ROW")
       case _ => ()
     }
     reader = reader.options(resolved.options) // user options win
@@ -347,6 +351,7 @@ class GraftSession(val spark: SparkSession) {
     if (!singleFile) {
       var w = input.write.mode(mode).format(fmt.sparkFormat).options(output.options)
       if (fmt == FileFormat.Csv) w = w.option("header", "true")
+      if (fmt == FileFormat.Xml && !output.options.contains("rowTag")) w = w.option("rowTag", "ROW")
       w.save(output.path)
       output.path
     } else {
@@ -376,12 +381,14 @@ class GraftSession(val spark: SparkSession) {
           var r = spark.read.format(fmt.sparkFormat).schema(input.schema)
             .options(output.options)
           if (fmt == FileFormat.Csv) r = r.option("header", "true")
+          if (fmt == FileFormat.Xml && !output.options.contains("rowTag")) r = r.option("rowTag", "ROW")
           r.load(output.path).unionByName(input)
         } else input
       val tmp = new Path(output.path + "_graft_tmp_" + java.util.UUID.randomUUID().toString.take(8))
       var w = toWrite.coalesce(1).write.mode(SaveMode.Overwrite)
         .format(fmt.sparkFormat).options(output.options)
       if (fmt == FileFormat.Csv) w = w.option("header", "true")
+      if (fmt == FileFormat.Xml && !output.options.contains("rowTag")) w = w.option("rowTag", "ROW")
       w.save(tmp.toString)
       val part = fs.listStatus(tmp).map(_.getPath)
         .find(p => p.getName.startsWith("part-"))

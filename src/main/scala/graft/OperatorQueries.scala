@@ -442,6 +442,25 @@ object OperatorQueries {
       .orderBy("c_custkey")
   }
 
+  /** XML export → load roundtrip through Spark 4's built-in XML
+    * datasource (a file type BEYOND the reference's registry —
+    * files/types/__init__.py stops at csv/json/ndjson/parquet/xls*).
+    * Default element names (rowTag ROW) are symmetric between
+    * [[GraftSession.exportToFile]] and the reader, so the roundtrip
+    * needs no options; XML carries no type metadata, so numerics read
+    * back through the inferencer and are pinned by casts like the csv
+    * path. */
+  def loadXmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val dir = tmpDir("graft_xml")
+    val src = spark.table("nation").select("n_nationkey", "n_name", "n_regionkey")
+    g.exportToFile(src, FileRef(s"$dir/nation.xml"))
+    g.loadFile(FileRef(s"$dir/nation.xml"))
+      .select(col("n_nationkey").cast("bigint"), col("n_name"),
+        col("n_regionkey").cast("bigint"))
+      .orderBy("n_nationkey")
+  }
+
   // ---------------------------------------------------------------
   // scale layout + sampling (ops.Scale / functions.Sampling)
   // ---------------------------------------------------------------
@@ -496,6 +515,7 @@ object OperatorQueries {
     "op_bucketed_join" -> (bucketedJoin _),
     "op_topk_sample" -> (topkSample _),
     "op_load_xls_roundtrip" -> (loadXlsRoundtrip _),
+    "op_load_xml_roundtrip" -> (loadXmlRoundtrip _),
     "op_load_csv_roundtrip" -> (loadCsvRoundtrip _),
     "op_load_http" -> (loadHttp _),
     "op_load_sftp" -> (loadSftp _),
@@ -540,6 +560,9 @@ object OperatorQueries {
 
     "op_load_xls_roundtrip" ->
       "SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer ORDER BY c_custkey",
+
+    "op_load_xml_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
     "op_load_http" ->
       "SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer ORDER BY c_custkey",

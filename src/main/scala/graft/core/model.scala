@@ -66,6 +66,8 @@ object FileFormat {
   case object Parquet extends FileFormat("parquet")
   case object Orc extends FileFormat("orc")
   case object Text extends FileFormat("text")
+  /** Spark 4 built-in XML datasource (needs a rowTag option). */
+  case object Xml extends FileFormat("xml")
   /** Driver-side OOXML path (graft.io.Excel), no Spark datasource. */
   case object Xlsx extends FileFormat("xlsx")
   /** Driver-side legacy BIFF8 path (graft.io.ExcelBiff). */
@@ -84,6 +86,7 @@ object FileFormat {
       case "parquet" | "pq"  => Parquet
       case "orc"             => Orc
       case "txt" | "text"    => Text
+      case "xml"             => Xml
       case "xlsx"            => Xlsx
       // Legacy BIFF8 .xls (files/types/xls.py, read via pandas/xlrd in
       // the reference) — dependency-free CFB+BIFF8 parser in ExcelBiff.

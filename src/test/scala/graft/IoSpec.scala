@@ -53,6 +53,25 @@ class IoSpec extends GraftSuite {
     assert(back(1).getDouble(2) == 2.5)
   }
 
+  test("xml single-file export + load roundtrip; custom rowTag wins over the default") {
+    val dir = tmp("graft_io_xml")
+    val df = Seq((1L, "a <b> & 'c'", 1.5), (2L, "plain", 2.5)).toDF("k", "s", "v")
+    val path = s"$dir/out.xml"
+    g.exportToFile(df, FileRef(path), singleFile = true)
+    assert(new java.io.File(path).isFile)
+    // default element names are symmetric: no options needed to read back
+    val back = g.loadFile(FileRef(path)).orderBy("k").collect()
+    assert(back.length == 2)
+    assert(back(0).getString(1) == "a <b> & 'c'", "XML escaping must roundtrip")
+    assert(back(1).getDouble(2) == 2.5)
+    // user rowTag overrides the default on both sides
+    val p2 = s"$dir/custom.xml"
+    g.exportToFile(df, FileRef(p2, options = Map("rowTag" -> "rec")), singleFile = true)
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(p2)).contains("<rec>"))
+    val b2 = g.loadFile(FileRef(p2, options = Map("rowTag" -> "rec"))).orderBy("k").collect()
+    assert(b2.length == 2 && b2(0).getLong(0) == 1L)
+  }
+
   test("single-file append keeps existing rows (no silent replace)") {
     val dir = tmp("graft_io_appendsf")
     val path = s"$dir/out.csv"

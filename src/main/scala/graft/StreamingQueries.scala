@@ -209,6 +209,25 @@ object StreamingQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Streaming quality-classifier scoring: the fused zero-state scorer
+    * ([[graft.functions.Classifier.scoreQualityFused]] — the whole model
+    * inside one codegen'd projection) over a two-batch document stream.
+    * Stateless, so Append mode needs no watermark and the stream result
+    * equals the batch scorer row-for-row — which is exactly what the
+    * oracle (the batch p_quality_classifier replay) checks. */
+  def classifierStream(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    val corpus = Tables.read(spark, sfDir, "documents").select("doc_id", "text")
+    val dir = stageTwoBatches(spark,
+      corpus.where(col("doc_id") % 2 === 0), corpus.where(col("doc_id") % 2 === 1),
+      "graft_stream_classifier")
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val scored = graft.functions.Classifier.scoreQualityFused(stream, "doc_id", "text")
+    val name = "graft_stream_classifier_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    Streams.runToMemorySink(scored, name, OutputMode.Append())
+      .select("doc_id", "score", "keep").orderBy("doc_id")
+  }
+
   /** Streaming exact dedup: the documents corpus (∪ shifted-id copies, so
     * real duplicates span micro-batches) flows through a streaming
     * groupBy(content fingerprint) keeping the minimum doc_id — stateful
@@ -316,6 +335,7 @@ object StreamingQueries {
     "s_sessionize_batch" -> (sessionizeBatch _),
     "s_sessionize_stream" -> (sessionizeStream _),
     "s_quality_stream" -> (qualityStream _),
+    "s_classifier_stream" -> (classifierStream _),
     "s_dedup_stream" -> (dedupStream _),
     "s_dedup_neardup_stream" -> (dedupNearDupStream _),
     "s_dedup_media_stream" -> (dedupMediaStream _),
@@ -375,6 +395,10 @@ object StreamingQueries {
       s"""SELECT doc_id FROM (
          |${PipelineQueries.oracleSql("p_quality_filter")}
          |) WHERE pass ORDER BY doc_id""".stripMargin,
+
+    // the batch classifier oracle verbatim — the fused streaming scorer
+    // must reproduce the relational scorer row-for-row
+    "s_classifier_stream" -> PipelineQueries.oracleSql("p_quality_classifier"),
 
     "s_dedup_stream" ->
       """WITH corpus AS (

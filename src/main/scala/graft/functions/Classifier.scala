@@ -153,4 +153,95 @@ object Classifier {
   private[graft] def weightsSqlValues: String =
     QualityModel._1.toSeq.sortBy(_._1)
       .map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+
+  /** [[QualityModel]] as a dense 65536-slot weight array (bucket hex →
+    * index) + bias, for the fused scorer. */
+  private[graft] lazy val qualityWeightArray: (Array[Long], Long) = {
+    val (w, b) = QualityModel
+    val arr = new Array[Long](65536)
+    w.foreach { case (hex, wt) => arr(Integer.parseInt(hex, 16)) = wt }
+    (arr, b)
+  }
+
+  /** Zero-shuffle scoring: the whole model rides inside one codegen'd
+    * expression ([[PerceptronScoreExpr]], the [[BigramLmStatExpr]]
+    * pattern) — no explode, no join, no aggregation, so the projection is
+    * embarrassingly parallel AND stateless-streaming-safe (the join-based
+    * [[scoreQuality]] would need streaming aggregation state). Scores are
+    * bit-identical to [[scoreQuality]] (PipelineSpec-pinned). */
+  def scoreQualityFused(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val (arr, b) = qualityWeightArray
+    df.select(col(idCol),
+        ColumnBridge.column(PerceptronScoreExpr(
+          ColumnBridge.expression(col(textCol)), arr, b)).as("score"))
+      .withColumn("keep", col("score") > 0)
+  }
+}
+
+/** One-pass perceptron scoring over whitespace tokens of the input:
+  * `bias + Σ weights[md5₁₆(lower(token))]` — the token walk is the
+  * [[BigramLmStatExpr]] byte loop, the feature hash is the first two
+  * md5 bytes (the same 4-hex bucket the relational scorer and the
+  * DuckDB oracle use, compared as an int index into the dense array). */
+case class PerceptronScoreExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    weights: Array[Long],
+    bias: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.types.{DataType, LongType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    PerceptronScoreExpr.score(input.asInstanceOf[UTF8String], weights, bias)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("w", weights, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PerceptronScoreExpr.score($c, $ref, ${bias}L);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "perceptron_score"
+}
+
+object PerceptronScoreExpr {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def isWs(b: Byte): Boolean =
+    b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
+      b == 0x0b.toByte || b == '\f'.toByte || b == '\r'.toByte
+
+  /** The whitespace walk matches `split(..., "\\s+")` + the non-empty
+    * filter of the relational scorer; each token lowercases exactly like
+    * Spark `lower()` (UTF8String.toLowerCase) before hashing. */
+  def score(s: UTF8String, w: Array[Long], bias: Long): Long = {
+    val bytes = s.getBytes
+    val md = digest.get()
+    var sum = bias
+    def token(st: Int, e: Int): Unit = {
+      val t = UTF8String.fromBytes(bytes, st, e - st).toLowerCase
+      md.reset()
+      val d = md.digest(t.getBytes)
+      sum += w(((d(0) & 0xff) << 8) | (d(1) & 0xff))
+    }
+    var i = 0
+    var start = -1
+    val len = bytes.length
+    while (i < len) {
+      if (isWs(bytes(i))) {
+        if (start >= 0) { token(start, i); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    if (start >= 0) token(start, len)
+    sum
+  }
 }

@@ -191,14 +191,14 @@ object Similarity {
     val normed = Dedup.maybeCache(
       df.select(col(idCol).as("__id"), normalize(col(vecCol)).as("__v")))
     val pairs = embeddingCandidatePairs(normed, dim, bits, tables, maxBucketSize)
-    // pin each join-back's exchange on its own key with an explicit count
-    // (the Dedup.estimateAndVerify discipline): candidates are two longs
-    // per row, so AQE's byte-based coalescing would otherwise run the
-    // O(dim)-per-pair cosine verification nearly serially once the
-    // candidate bytes drop under the per-partition floor
+    // pin the cosine-verification stage's exchange on the second join's
+    // own key with an explicit count (the Dedup.estimateAndVerify
+    // discipline): candidates are two longs per row, so AQE's byte-based
+    // coalescing would otherwise run the O(dim)-per-pair verification
+    // nearly serially once the candidate bytes drop under the
+    // per-partition floor
     val par = df.sparkSession.sparkContext.defaultParallelism
     pairs
-      .repartition(par, col("id_a"))
       .join(normed.select(col("__id").as("id_a"), col("__v").as("__va")), Seq("id_a"))
       .repartition(par, col("id_b"))
       .join(normed.select(col("__id").as("id_b"), col("__v").as("__vb")), Seq("id_b"))

@@ -361,6 +361,27 @@ class PipelineSpec extends GraftSuite {
     assert(got(1L) > 0 && got(2L) <= 0)
   }
 
+  test("fused perceptron scorer == relational scorer, including whitespace and unicode shapes") {
+    import graft.functions.Classifier
+    val d = Seq(
+      (1L, "The committee published its findings after a review."),
+      (2L, "click here  to\tunlock\nyour exclusive bonus now"),
+      (3L, ""), (4L, "   "), (5L, "Mixed CASE Tokens 世界 é"),
+      (6L, " leading and trailing  ")).toDF("doc_id", "text")
+    val rel = Classifier.scoreQuality(d, "doc_id", "text")
+      .select("doc_id", "score", "keep").as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val fus = Classifier.scoreQualityFused(d, "doc_id", "text")
+      .select("doc_id", "score", "keep").as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(rel == fus, s"rel $rel\nfus $fus")
+    // and over a real corpus slice
+    val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    val r2 = Classifier.scoreQuality(docs, "doc_id", "text")
+      .select("doc_id", "score").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val f2 = Classifier.scoreQualityFused(docs, "doc_id", "text")
+      .select("doc_id", "score").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r2 == f2)
+  }
+
   test("epochMix: integral replicas + deterministic fractional top-up, 0 drops, absent defaults to 1") {
     val d = (1L to 400L).map(i => (i, i match {
       case x if x % 4 == 0 => "de" case x if x % 4 == 1 => "fr"

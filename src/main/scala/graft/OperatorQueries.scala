@@ -410,6 +410,25 @@ object OperatorQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** Dynamic partition overwrite — the daily-backfill pattern: the
+    * partitioned orders table gets its 1995 partition REPLACED (prices
+    * re-stated ×2) while every other year's partition must come through
+    * byte-untouched. The per-year aggregate proves both halves. */
+  def partitionOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val src = spark.table("orders")
+      .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+    g.writeTablePartitioned(src, TableRef("op_po_orders"), Seq("o_year"))
+    val restated = src.where(col("o_year") === 1995)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    g.overwritePartitions(restated, TableRef("op_po_orders"))
+    spark.table("op_po_orders")
+      .groupBy("o_year")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint").as("cents"))
+      .orderBy("o_year")
+  }
+
   // ---------------------------------------------------------------
   // temp-table lifecycle
   // ---------------------------------------------------------------
@@ -539,6 +558,7 @@ object OperatorQueries {
     "op_check_table" -> (checkTableOp _),
     "op_cleanup_lifecycle" -> (cleanupLifecycle _),
     "op_partitioned_write" -> (partitionedWrite _),
+    "op_partition_overwrite" -> (partitionOverwrite _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -689,5 +709,15 @@ object OperatorQueries {
         |  cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS cents
         |FROM orders WHERE year(o_orderdate) = 1995
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "op_partition_overwrite" ->
+      """WITH t AS (
+        |  SELECT cast(year(o_orderdate) AS int) AS o_year,
+        |    CASE WHEN year(o_orderdate) = 1995 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS p
+        |  FROM orders)
+        |SELECT o_year, cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(round(p * 100) as bigint)) as bigint) AS cents
+        |FROM t GROUP BY o_year ORDER BY o_year""".stripMargin,
   )
 }

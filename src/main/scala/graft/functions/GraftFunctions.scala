@@ -78,5 +78,15 @@ object GraftFunctions {
       "graft_minhash_sig64",
       exprs => MinHashSigExpr(exprs.head, 64),
       "built-in")
+    // the fused quality classifier (model inside the expression) —
+    // corpus filtering composes in pure SQL:
+    //   SELECT * FROM docs WHERE graft_quality_score(text) > 0
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_quality_score",
+      exprs => {
+        val (arr, b) = Classifier.qualityWeightArray
+        PerceptronScoreExpr(exprs.head, arr, b)
+      },
+      "built-in")
   }
 }

@@ -101,6 +101,22 @@ class ScaleSpec extends GraftSuite {
     assert(row.getAs[String]("d") == "nav\nbody text")
   }
 
+  test("SQL-registered quality score matches the Scala fused scorer") {
+    GraftFunctions.registerAll(spark)
+    Seq((1L, "The committee published its findings after a review."),
+        (2L, "click here to unlock your exclusive bonus now"))
+      .toDF("id", "t").createOrReplaceTempView("fn_cls")
+    val rows = spark.sql(
+      "SELECT id, graft_quality_score(t) AS s FROM fn_cls ORDER BY id").collect()
+    val want = graft.functions.Classifier.scoreQualityFused(
+        Seq((1L, "The committee published its findings after a review."),
+          (2L, "click here to unlock your exclusive bonus now")).toDF("id", "t"), "id", "t")
+      .orderBy("id").select("score").collect()
+    assert(rows(0).getLong(1) == want(0).getLong(0))
+    assert(rows(1).getLong(1) == want(1).getLong(0))
+    assert(rows(0).getLong(1) > 0 && rows(1).getLong(1) <= 0)
+  }
+
   test("SQL-registered PII scrub, canonical URL, and payload dHash work in spark.sql") {
     GraftFunctions.registerAll(spark)
     val png = graft.functions.Multimodal.ImageHeader.synthPng(4, 4,

@@ -1159,7 +1159,9 @@ object PipelineQueries {
     * pairs per doc, and [[graft.functions.Graph.pageRankExact]] runs 5
     * micro-unit integer rounds — bit-exact in any engine, so the oracle
     * replays extraction + every iteration and hash-matches the ranks. */
-  def domainRank(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The decorated crawl-domain edge relation shared by the graph
+    * queries (adjacent-URL co-citation edges, deduplicated). */
+  private def crawlDomainEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val deco = docs(spark, sfDir).select(col("doc_id"), concat(col("text"),
       lit(" https://d"), col("doc_id") % 7, lit(".crawl.org/a https://d"),
       col("doc_id") % 5, lit(".hub.net/b"),
@@ -1170,16 +1172,30 @@ object PipelineQueries {
     val doms = deco.select(
       transform(TextAnalysis.extractUrls(col("text")),
         u => TextAnalysis.urlDomain(u)).as("d"))
-    val edges = doms.where(size(col("d")) >= 2)
+    doms.where(size(col("d")) >= 2)
       .select(explode(transform(sequence(lit(0), size(col("d")) - 2),
         i => struct(element_at(col("d"), i + 1).as("src"),
           element_at(col("d"), i + 2).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-    graft.functions.Graph.pageRankExact(edges, "src", "dst", iterations = 5)
+  }
+
+  def domainRank(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.Graph.pageRankExact(
+        crawlDomainEdges(spark, sfDir), "src", "dst", iterations = 5)
       .select(col("node"), col("rank_micros").cast("bigint").as("rank_micros"))
       .orderBy("node")
-  }
+
+  /** Integer-exact HITS over the same crawl-domain graph: hub scores
+    * (good out-linkers) and authority scores (well-cited domains), every
+    * round — both sums and both max-normalizations — replayed by the
+    * generated DuckDB oracle. */
+  def domainHits(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.Graph.hitsExact(
+        crawlDomainEdges(spark, sfDir), "src", "dst", iterations = 4)
+      .select(col("node"), col("hub_micros").cast("bigint").as("hub_micros"),
+        col("auth_micros").cast("bigint").as("auth_micros"))
+      .orderBy("node")
 
   /** Connected components over a 4-component domain graph (group key
     * doc_id % 4; chains g{m}a→g{m}b→g{m}c) — [[Dedup.componentMin]] on
@@ -1720,6 +1736,7 @@ object PipelineQueries {
     "p_length_histogram" -> (lengthHistogramQ _),
     "p_pack_bpe" -> (packBpe _),
     "p_domain_rank" -> (domainRank _),
+    "p_domain_hits" -> (domainHits _),
     "p_domain_components" -> (domainComponents _),
     "p_pipeline_curate" -> (pipelineCurate _),
     "p_dedup_incremental" -> (dedupIncremental _),
@@ -3639,6 +3656,7 @@ object PipelineQueries {
         |FROM dtok JOIN seg8 s ON dtok.w = s.word
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "p_domain_rank" -> domainRankOracleSql(5),
+    "p_domain_hits" -> domainHitsOracleSql(4),
 
     // an INDEPENDENT definition of connected components: recursive-CTE
     // reachability closure + min over the undirected edge set — no
@@ -3687,10 +3705,11 @@ object PipelineQueries {
   /** Relational replay of `k` integer-PageRank rounds over the URL-pair
     * domain graph (same extraction regexes as p_url_filter's oracle;
     * same floor-division arithmetic as `Graph.pageRankExact`). */
-  private def domainRankOracleSql(k: Int): String = {
-    val base = graft.functions.Graph.Scale * 15 / 100
-    val sb = new StringBuilder
-    sb ++= s"""WITH deco AS (
+  /** The crawl-domain graph (deco → url list → adjacent-pair edges →
+    * nodes) as a DuckDB CTE prefix — shared by the PageRank and HITS
+    * oracles; mirrors [[crawlDomainEdges]] construct for construct. */
+  private def domainGraphCtePrefix: String =
+    s"""WITH deco AS (
       |  SELECT doc_id, text || ' https://d' || (doc_id % 7) || '.crawl.org/a https://d' ||
       |    (doc_id % 5) || '.hub.net/b' ||
       |    CASE WHEN doc_id % 3 = 0
@@ -3704,7 +3723,13 @@ object PipelineQueries {
       |  FROM ulist, unnest(range(1, len(us))) AS t(i) WHERE len(us) >= 2),
       |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM epairs),
       |nodes AS MATERIALIZED (
-      |  SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+      |  SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),""".stripMargin
+
+  private def domainRankOracleSql(k: Int): String = {
+    val base = graft.functions.Graph.Scale * 15 / 100
+    val sb = new StringBuilder
+    sb ++= domainGraphCtePrefix
+    sb ++= s"""
       |outdeg AS MATERIALIZED (SELECT src, count(*) AS od FROM edges GROUP BY src),
       |rank0 AS (SELECT node, cast(${graft.functions.Graph.Scale} AS bigint) AS r FROM nodes),""".stripMargin
     for (i <- 0 until k) {
@@ -3720,6 +3745,41 @@ object PipelineQueries {
     sb ++= s"""
       |fin AS (SELECT 1)
       |SELECT node, cast(r AS bigint) AS rank_micros FROM rank$k ORDER BY node""".stripMargin
+    sb.toString
+  }
+
+  /** Relational replay of `k` integer-HITS rounds over the same graph:
+    * per round, the in-edge hub sum, max-floor renormalization of auths,
+    * then the out-edge auth sum and hub renormalization — mirroring
+    * [[graft.functions.Graph.hitsExact]] operation for operation
+    * (DuckDB `//` ≡ Spark `div` on the positive longs involved). */
+  private def domainHitsOracleSql(k: Int): String = {
+    val sc = graft.functions.Graph.Scale
+    val sb = new StringBuilder
+    sb ++= domainGraphCtePrefix
+    sb ++= s"""
+      |hub0 AS (SELECT node, cast($sc AS bigint) AS r FROM nodes),""".stripMargin
+    for (i <- 0 until k) {
+      sb ++= s"""
+        |rawa$i AS MATERIALIZED (
+        |  SELECT e.dst AS node, sum(h.r) AS ra
+        |  FROM edges e JOIN hub$i h ON e.src = h.node GROUP BY e.dst),
+        |auth${i + 1} AS MATERIALIZED (
+        |  SELECT n.node,
+        |    (coalesce(a.ra, 0) * $sc) // (SELECT greatest(coalesce(max(ra), 1), 1) FROM rawa$i) AS r
+        |  FROM nodes n LEFT JOIN rawa$i a ON n.node = a.node),
+        |rawh$i AS MATERIALIZED (
+        |  SELECT e.src AS node, sum(a.r) AS rh
+        |  FROM edges e JOIN auth${i + 1} a ON e.dst = a.node GROUP BY e.src),
+        |hub${i + 1} AS MATERIALIZED (
+        |  SELECT n.node,
+        |    (coalesce(h.rh, 0) * $sc) // (SELECT greatest(coalesce(max(rh), 1), 1) FROM rawh$i) AS r
+        |  FROM nodes n LEFT JOIN rawh$i h ON n.node = h.node),""".stripMargin
+    }
+    sb ++= s"""
+      |fin AS (SELECT 1)
+      |SELECT h.node, cast(h.r AS bigint) AS hub_micros, cast(a.r AS bigint) AS auth_micros
+      |FROM hub$k h JOIN auth$k a ON h.node = a.node ORDER BY h.node""".stripMargin
     sb.toString
   }
 

@@ -58,4 +58,56 @@ object Graph {
     }
     ranks
   }
+
+  /** `iterations` rounds of integer HITS (Kleinberg 1999) over directed
+    * `edges`: auth(v) = Σ hub(u) over in-edges, hub(u) = Σ auth(v) over
+    * out-edges, each re-scaled to [[Scale]] micro-units by FLOOR-dividing
+    * by the round's maximum — max-normalization instead of the classic
+    * L2, because max of longs and floor division are exact integer
+    * operations (L2 would drag in sqrt over sums of squares), so scores
+    * are bit-identical across partitionings, engines, and runs (the
+    * [[pageRankExact]] contract). The per-round maximum is a single long
+    * collected to the driver (bounded by construction — the k-means
+    * centroid argument).
+    *
+    * Scale shape: per round, two joins on the edge relation (each the
+    * src- or dst-keyed equi-join) + two map-side-combinable sums + two
+    * 1-row aggregations; score relations are `localCheckpoint`ed so
+    * lineage stays flat. Returns (node, hub_micros, auth_micros). */
+  def hitsExact(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 0)
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node"))).distinct()
+      .localCheckpoint()
+    def maxOf(df: DataFrame, c: String): Long =
+      Option(df.agg(max(col(c))).head().get(0)).map(_.asInstanceOf[Long]).filter(_ > 0)
+        .getOrElse(1L)
+    var hubs = nodes.select(col("node"), lit(Scale).as("hub_micros"))
+    var auths = nodes.select(col("node"), lit(Scale).as("auth_micros"))
+    for (_ <- 0 until iterations) {
+      val rawA = e.join(hubs.withColumnRenamed("node", "__src"), Seq("__src"))
+        .groupBy(col("__dst").as("node")).agg(sum(col("hub_micros")).as("__ra"))
+        .localCheckpoint()
+      val mA = maxOf(rawA, "__ra")
+      auths = nodes.join(rawA, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"(coalesce(__ra, 0L) * $Scale) div ${mA}L").as("auth_micros"))
+        .localCheckpoint()
+      val rawH = e.join(auths.withColumnRenamed("node", "__dst"), Seq("__dst"))
+        .groupBy(col("__src").as("node")).agg(sum(col("auth_micros")).as("__rh"))
+        .localCheckpoint()
+      val mH = maxOf(rawH, "__rh")
+      hubs = nodes.join(rawH, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"(coalesce(__rh, 0L) * $Scale) div ${mH}L").as("hub_micros"))
+        .localCheckpoint()
+    }
+    hubs.join(auths, Seq("node"))
+  }
 }

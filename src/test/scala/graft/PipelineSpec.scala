@@ -361,6 +361,31 @@ class PipelineSpec extends GraftSuite {
     assert(got(1L) > 0 && got(2L) <= 0)
   }
 
+  test("hitsExact: hub/authority separation on a bipartite-ish graph, deterministic, max=Scale") {
+    // h1,h2 each link to a1,a2,a3; a* link nowhere; plus one weak node
+    val edges = Seq(
+      ("h1", "a1"), ("h1", "a2"), ("h1", "a3"),
+      ("h2", "a1"), ("h2", "a2"), ("h2", "a3"),
+      ("w", "a1")).toDF("src", "dst")
+    val out = graft.functions.Graph.hitsExact(edges, "src", "dst", iterations = 4)
+      .select("node", "hub_micros", "auth_micros")
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // hubs: h1 == h2 (symmetric), both at the max; w weaker but nonzero
+    assert(out("h1") == out("h2"))
+    assert(out("h1")._1 == graft.functions.Graph.Scale)
+    assert(out("w")._1 > 0 && out("w")._1 < out("h1")._1)
+    // authorities: a1 (cited by all three) at the max; a2 == a3 below it
+    assert(out("a1")._2 == graft.functions.Graph.Scale)
+    assert(out("a2")._2 == out("a3")._2 && out("a2")._2 < out("a1")._2)
+    // pure authorities have zero hub score; pure hubs zero authority
+    assert(out("a1")._1 == 0L && out("h1")._2 == 0L)
+    // deterministic across partitionings
+    val again = graft.functions.Graph.hitsExact(edges.repartition(5), "src", "dst", iterations = 4)
+      .select("node", "hub_micros", "auth_micros")
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out == again)
+  }
+
   test("fused perceptron scorer == relational scorer, including whitespace and unicode shapes") {
     import graft.functions.Classifier
     val d = Seq(

@@ -193,6 +193,38 @@ object PipelineQueries {
       .orderBy("cluster_size")
   }
 
+  /** Dedup-recall canary harness — the "measure your pipeline" QA
+    * operator real curation stacks run before trusting a dedup config:
+    * inject known near-duplicates (every 11th doc re-emitted at
+    * id+500000 with a 3-token tail), run the production MinHash LSH
+    * path, and report how many injected pairs it recovered. At
+    * bands=32/r=2 the per-pair LSH miss probability at the canaries'
+    * Jaccard (≈ m/(m+3), well above the 0.6 threshold for all but the
+    * shortest docs) is ~1e-9, so the caught set equals the
+    * exact-Jaccard-qualified set — which is precisely what the oracle
+    * computes (pairwise only, id ↔ id+500000 — a LINEAR k-row join, not
+    * all-pairs, so this one survives the sf0.1 cross-check too). Canary
+    * pairs whose exact Jaccard falls below the threshold (very short
+    * docs) are excluded identically on both sides by the exact verify.
+    * Output: (n_canaries, n_caught, recall). */
+  def dedupRecallCanary(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val canaries = d.where(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(col("text"), lit(" zq canary tail")).as("text"))
+    val corpus = d.unionByName(canaries)
+    val pairs = Dedup.minHashNearDupPairs(corpus, "doc_id", "text",
+      numHashes = 64, bands = 32, threshold = 0.6, maxBucketSize = 100000)
+    val caught = pairs
+      .where(col("id_b") === col("id_a") + 500000 && col("id_a") % 11 === 0)
+      .select("id_a").distinct()
+    val nC = canaries.agg(count(lit(1)).cast("bigint").as("n_canaries"))
+    val nG = caught.agg(count(lit(1)).cast("bigint").as("n_caught"))
+    nC.crossJoin(nG).select(col("n_canaries"), col("n_caught"),
+      (col("n_caught").cast("double") / col("n_canaries")).as("recall"))
+  }
+
   /** Per-source dedup-rate report over the exact-dup corpus: docs seen,
     * docs surviving exact dedup, and the dup rate — the "which crawl
     * source is most duplicated" view (integer counts + one division). */
@@ -616,7 +648,7 @@ object PipelineQueries {
     * must NOT match (no-TLD email, short digit runs) and a version
     * string that deliberately trips the IPv4 shape the same way in both
     * engines (the documented conservative-pattern false positive). */
-  private def piiCorpus(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def piiCorpus(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir).select(col("doc_id"), concat(col("text"),
       when(col("doc_id") % 5 === 0,
         lit(" mail alice@foo.org or bob.smith+x@bar.co today"))
@@ -1687,6 +1719,7 @@ object PipelineQueries {
     "p_dedup_cc_longest" -> (dedupCcLongest _),
     "p_dedup_cluster_sizes" -> (dedupClusterSizes _),
     "p_dedup_report" -> (dedupReport _),
+    "p_dedup_recall_canary" -> (dedupRecallCanary _),
     "p_decontaminate" -> (decontaminate _),
     "p_decontaminate_bloom" -> (decontaminateBloom _),
     "p_dedup_paragraph" -> (dedupParagraph _),
@@ -2077,6 +2110,25 @@ object PipelineQueries {
         |ORDER BY qid, rank""".stripMargin,
 
     "p_dedup_minhash" -> keepFirstJaccardOracle(shingleSetsSql, 0.6),
+
+    "p_dedup_recall_canary" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 500000, text || ' zq canary tail' FROM documents
+         |  WHERE doc_id % 11 = 0),
+         |sh AS (
+         |  $shingleSetsSql),
+         |qualified AS (
+         |  SELECT a.doc_id FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 500000
+         |  WHERE a.doc_id % 11 = 0
+         |    AND len(list_intersect(a.s, b.s))::double
+         |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6)
+         |SELECT
+         |  cast((SELECT count(*) FROM documents WHERE doc_id % 11 = 0) AS bigint) AS n_canaries,
+         |  cast((SELECT count(*) FROM qualified) AS bigint) AS n_caught,
+         |  (SELECT count(*) FROM qualified)::double
+         |    / (SELECT count(*) FROM documents WHERE doc_id % 11 = 0) AS recall""".stripMargin,
 
     "p_dedup_ngram" -> keepFirstJaccardOracle(ngramSetsSql, 0.55),
 

@@ -228,6 +228,25 @@ object StreamingQueries {
       .select("doc_id", "score", "keep").orderBy("doc_id")
   }
 
+  /** Streaming PII scrub: the typed redaction chain
+    * ([[graft.functions.TextAnalysis.scrubPii]] — email → IP → phone
+    * placeholders with per-category counts) over a two-batch stream of
+    * the PII-decorated corpus. Stateless projections, so Append mode
+    * needs no watermark and the stream equals the batch scrub
+    * row-for-row — the oracle IS the batch p_pii_scrub replay. */
+  def piiScrubStream(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    val corpus = PipelineQueries.piiCorpus(spark, sfDir)
+    val dir = stageTwoBatches(spark,
+      corpus.where(col("doc_id") % 2 === 0), corpus.where(col("doc_id") % 2 === 1),
+      "graft_stream_pii")
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val scrubbed = graft.functions.TextAnalysis.scrubPii(stream, "doc_id", "text")
+    val name = "graft_stream_pii_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    Streams.runToMemorySink(scrubbed, name, OutputMode.Append())
+      .select("doc_id", "text", "n_email", "n_ip", "n_phone").orderBy("doc_id")
+  }
+
   /** Streaming exact dedup: the documents corpus (∪ shifted-id copies, so
     * real duplicates span micro-batches) flows through a streaming
     * groupBy(content fingerprint) keeping the minimum doc_id — stateful
@@ -336,6 +355,7 @@ object StreamingQueries {
     "s_sessionize_stream" -> (sessionizeStream _),
     "s_quality_stream" -> (qualityStream _),
     "s_classifier_stream" -> (classifierStream _),
+    "s_pii_stream" -> (piiScrubStream _),
     "s_dedup_stream" -> (dedupStream _),
     "s_dedup_neardup_stream" -> (dedupNearDupStream _),
     "s_dedup_media_stream" -> (dedupMediaStream _),
@@ -399,6 +419,9 @@ object StreamingQueries {
     // the batch classifier oracle verbatim — the fused streaming scorer
     // must reproduce the relational scorer row-for-row
     "s_classifier_stream" -> PipelineQueries.oracleSql("p_quality_classifier"),
+
+    // the batch PII-scrub oracle verbatim — stateless stream == batch
+    "s_pii_stream" -> PipelineQueries.oracleSql("p_pii_scrub"),
 
     "s_dedup_stream" ->
       """WITH corpus AS (

@@ -338,7 +338,9 @@ object Sampling {
     * AND engines (any consumer can recompute membership from md5 alone).
     * Output rows carry `epochCol` (0-based replica index). Strata absent
     * from `factors` default to exactly 1 epoch; a factor of 0.0 drops the
-    * stratum.
+    * stratum. A NULL stratum can never match a factor entry and so also
+    * defaults to 1 epoch (and a NULL key gets no fractional top-up) —
+    * both deterministic, neither silently dropped.
     *
     * Scale shape: pure narrow projection + explode — zero shuffle, zero
     * join; both the replica count and the hex threshold ride

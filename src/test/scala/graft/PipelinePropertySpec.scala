@@ -113,4 +113,37 @@ class PipelinePropertySpec extends GraftSuite {
       assert(got == want, s"seed=$seed scrub diverges\n got=$got\nwant=$want")
     }
   }
+
+  // ---- naive epoch-mix reference (per-row md5 arithmetic in plain Scala) ----
+
+  private def naiveEpochMix(
+      rows: Seq[(Long, String)], factors: Seq[(String, Double)], salt: String): Seq[(Long, String, Int)] = {
+    val fm = factors.toMap
+    rows.flatMap { case (id, s) =>
+      val f = fm.getOrElse(s, 1.0)
+      val whole = math.floor(f).toInt
+      val thr = f"${math.min(0xffffffffL, math.round((f - math.floor(f)) * 4294967296.0))}%08x"
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((id.toString + salt).getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"${b & 0xff}%02x").mkString
+      val n = whole + (if (hex < thr) 1 else 0)
+      (0 until n).map(e => (id, s, e))
+    }
+  }
+
+  test("epochMix matches the naive md5 reference on random factor maps") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      val strata = Vector("a", "b", "c", "d", "e")
+      val rows = (1L to 300L).map(i => (i, strata(rnd.nextInt(strata.length))))
+      // random factors in [0, 3.2), with one stratum deliberately absent
+      val factors = strata.take(4).map(s => s -> rnd.nextDouble() * 3.2)
+      val got = graft.functions.Sampling.epochMix(
+          rows.toDF("doc_id", "lang"), "lang", "doc_id", factors, salt = s"s$seed")
+        .select("doc_id", "lang", "epoch")
+        .as[(Long, String, Int)].collect().sorted.toSeq
+      val want = naiveEpochMix(rows, factors, s"s$seed").sorted
+      assert(got == want, s"seed=$seed epochMix diverges: got ${got.size} want ${want.size}")
+    }
+  }
 }

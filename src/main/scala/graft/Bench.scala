@@ -68,6 +68,7 @@ object Bench {
     val scaleQueries = Seq(
       "p_dedup_exact", "p_dedup_minhash_scale", "p_decontaminate", "p_dedup_embedding",
       "p_decontaminate_bloom", "p_dedup_paragraph", "p_ann_bruteforce", "p_ann_ivf",
+      "p_ann_ivf_free",
       "p_dedup_cc", "p_dedup_semantic", "p_quality_filter", "p_lm_score",
       "p_ann_rerank", "p_dedup_span_scrub",
       "p_embed_kmeans", "p_dsir_weights", "p_tfidf_terms", "p_dedup_media",

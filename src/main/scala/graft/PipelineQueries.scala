@@ -520,7 +520,30 @@ object PipelineQueries {
       .orderBy("qid", "rank")
   }
 
+  /** Approximate IVF search at nProbe = 4, on the DETERMINISTIC index
+    * ([[Similarity.ivfTopKDet]] — the kmeansFit build whose every double
+    * is bit-replayable): the oracle replays the k-means rounds (the
+    * generated [[kmeansWithSql]] machinery), the top-4 probed-cell
+    * choice per query, and the in-cell ranking — the first fully
+    * hash-matched APPROXIMATE ANN row (nothing exhaustive about it; the
+    * probe selection itself is certified). The order-free
+    * [[Similarity.ivfTopK]] build stays the scale default and remains
+    * tracked bench-only as `p_ann_ivf_free`. */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.ivfTopKDet(e, "vec_id", "embedding", q, "qid", "qv",
+        topK = 10, nCentroids = 16, rounds = 2, nProbe = 4, blockSize = 16)
+      .select(col("qid"), col("vec_id"), col("rank").cast("bigint").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** The order-free-build IVF (the 100 TB scale default): VecSumAgg
+    * Lloyd pass + hash seeding — partition-order FP centroid bits, so
+    * bench-only; [[annIvf]] oracles the deterministic-build variant of
+    * the same probe machinery. */
+  def annIvfFree(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir)
     val q = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -1731,6 +1754,7 @@ object PipelineQueries {
     "p_dedup_semantic_exhaustive" -> (dedupSemanticExhaustive _),
     "p_ann_bruteforce" -> (annBruteForce _),
     "p_ann_ivf_exhaustive" -> (annIvfExhaustive _),
+    "p_ann_ivf" -> (annIvf _),
     "p_embed_quantize" -> (embedQuantize _),
     "p_ann_quantized" -> (annQuantized _),
     "p_ann_rerank" -> (annRerank _),
@@ -1818,19 +1842,22 @@ object PipelineQueries {
     *  - `p_dedup_simhash`: 64-bit xxhash64 sign-sums;
     *    `p_dedup_simhash_keep` + the full pair set
     *    `p_dedup_simhash_pairs` hash-match the same machinery.
-    *  - `p_ann_ivf` (nProbe = 4): probed-cell choice depends on centroid
-    *    bits produced by a partition-order FP partial aggregate
-    *    ([[Similarity.lloydRefine]]'s VecSumAgg), so no engine-external
-    *    replay can exist without changing the production scale shape;
-    *    `p_ann_ivf_exhaustive` hash-matches the same build+search at
-    *    nProbe = nCentroids, and recall ≥ 7/10 at nProbe = 4 is pinned
-    *    in PipelineSpec.
+    *  - `p_ann_ivf_free` (nProbe = 4, order-free build): probed-cell
+    *    choice depends on centroid bits produced by a partition-order FP
+    *    partial aggregate ([[Similarity.lloydRefine]]'s VecSumAgg), so no
+    *    engine-external replay can exist for THIS build. The oracled
+    *    `p_ann_ivf` runs the same probe machinery on the deterministic
+    *    kmeansFit index (every round, the probed-cell choice, and the
+    *    in-cell ranking replayed — a fully hash-matched APPROXIMATE
+    *    search); `p_ann_ivf_exhaustive` additionally pins the order-free
+    *    build+search at nProbe = nCentroids, and recall ≥ 7/10 at
+    *    nProbe = 4 is pinned in PipelineSpec.
     * They stay in the benchmark suite and the scale curve so their
     * wall-clocks and linearity remain tracked per round. */
   val benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_dedup_minhash_scale" -> (dedupMinHashScale _),
     "p_dedup_simhash" -> (dedupSimHash _),
-    "p_ann_ivf" -> (annIvf _),
+    "p_ann_ivf_free" -> (annIvfFree _),
   )
 
   /** Word-3-shingle set expression shared by the minhash oracle. */
@@ -1876,9 +1903,12 @@ object PipelineQueries {
     * reduce` lacks Spark's 0.0 fold seed — the results differ only in
     * the sign of an all-negative-zero prefix, which real data never
     * produces and SQL comparison cannot observe. */
+  /** The ascending-index left-fold dot product in DuckDB — bitwise the
+    * engine's `DotExpr` (up to the unobservable 0.0-seed sign). */
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
   private def kmeansWithSql(k: Int, rounds: Int, blockSize: Int): String = {
-    def dotSql(a: String, b: String) =
-      s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
     val header =
       s"""nrm AS (
          |  SELECT vec_id, sqrt(list_reduce(
@@ -2108,6 +2138,23 @@ object PipelineQueries {
         |  FROM s) t
         |WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    "p_ann_ivf" ->
+      (s"""${kmeansWithSql(k = 16, rounds = 2, blockSize = 16)},
+        |probes AS (
+        |  SELECT qid, qv, cell FROM (
+        |    SELECT q.vec_id AS qid, q.v AS qv, c.cid AS cell,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${dotSql("q.v", "c.cv")} DESC, c.cid) AS pr
+        |    FROM (SELECT vec_id, v FROM ev WHERE vec_id < 5) q CROSS JOIN c1 c) t
+        |  WHERE pr <= 4),
+        |cand AS (
+        |  SELECT p.qid, a.vec_id,
+        |    row_number() OVER (PARTITION BY p.qid
+        |      ORDER BY ${dotSql("p.qv", "a.v")} DESC, a.vec_id) AS rank
+        |  FROM probes p JOIN a2 a ON p.cell = a.cid)
+        |SELECT qid, vec_id, cast(rank AS bigint) AS rank FROM cand
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin),
 
     "p_dedup_minhash" -> keepFirstJaccardOracle(shingleSetsSql, 0.6),
 

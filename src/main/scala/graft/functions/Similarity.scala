@@ -500,19 +500,38 @@ object Similarity {
       k: Int,
       rounds: Int,
       blockSize: Int = 1024): DataFrame = {
-    require(k > 0 && rounds > 0, "k and rounds must be positive")
+    val (v, cids, matrix) = kmeansFit(df, idCol, vecCol, k, rounds, blockSize)
+    v.select(col(idCol), kmeansAssignCol(cids, matrix).cast("int").as("cid"))
+  }
+
+  /** Assignment column against the driver-resident matrix: one fused loop
+    * per row, index mapped back to the surviving cid. Rows are ordered by
+    * ascending cid, so the strict-> comparison inside the expression
+    * realizes the ties-to-lowest-cid rule. Expects the normalized-double
+    * `__v` column produced by [[kmeansFit]]. */
+  private def kmeansAssignCol(cids: Array[Int], matrix: Seq[Seq[Double]]): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    element_at(lit(cids), ColumnBridge.column(
+      NearestCentroidDoubleExpr(ColumnBridge.expression(col("__v")), matrix)) + 1)
+  }
+
+  /** The deterministic k-means fit behind [[kmeansAssign]], exposed so
+    * other index builds (deterministic IVF) can reuse the proven
+    * bit-replayable machinery: returns the cached normalized-double
+    * relation (`idCol`, `__v`), the surviving cids (ascending), and the
+    * matching centroid matrix. */
+  private[graft] def kmeansFit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int,
+      blockSize: Int = 1024): (DataFrame, Array[Int], Seq[Seq[Double]]) = {
+    require(k > 0 && rounds > 0, "k and rounds must be positive")
     val v = Dedup.maybeCache(df.select(col(idCol),
       transform(normalize(col(vecCol)), x => x.cast("double")).as("__v")))
     def renorm(c: Column): Column =
       transform(c, x => x / sqrt(dot(c, c)))
-    // Assignment against the driver-resident matrix: one fused loop per
-    // row, index mapped back to the surviving cid. Rows are ordered by
-    // ascending cid, so the strict-> comparison inside the expression
-    // realizes the ties-to-lowest-cid rule.
-    def assign(cids: Array[Int], matrix: Seq[Seq[Double]]): Column =
-      element_at(lit(cids), ColumnBridge.column(
-        NearestCentroidDoubleExpr(ColumnBridge.expression(col("__v")), matrix)) + 1)
     // Seeds: the k lowest-id vectors, cid = position in id order.
     var matrix: Seq[Seq[Double]] =
       v.orderBy(col(idCol)).limit(k).collect().map(_.getSeq[Double](1)).toSeq
@@ -520,7 +539,7 @@ object Similarity {
     var r = 1
     while (r < rounds) {
       val assigned = v.select(col(idCol), col("__v"),
-        assign(cids, matrix).as("__cid"))
+        kmeansAssignCol(cids, matrix).as("__cid"))
       val next = meanPoolExact(assigned, "__cid", idCol, "__v", blockSize)
         .select(col("__cid"), renorm(col("centroid")).as("__cv"))
         .collect().map(row => row.getInt(0) -> row.getSeq[Double](1))
@@ -529,7 +548,57 @@ object Similarity {
       matrix = next.map(_._2).toSeq
       r += 1
     }
-    v.select(col(idCol), assign(cids, matrix).cast("int").as("cid"))
+    (v, cids, matrix)
+  }
+
+  /** Deterministic IVF top-k — the engine-replayable variant of
+    * [[ivfTopK]]: the index is the [[kmeansFit]] machinery (lowest-id
+    * seeding, ordered-fold Lloyd rounds — every double bit-replayable by
+    * the generated k-means oracle), cell probing and in-cell scoring are
+    * RELATIONAL with pinned tie rules (score desc, cid asc / id asc), so
+    * an external engine can replay the ENTIRE approximate search —
+    * including which `nProbe` cells each query visits — from the same
+    * literals. Use this when the index must be auditable/reproducible
+    * across engines; [[ivfTopK]]'s order-free build remains the default.
+    *
+    * Scale shape: centroids are driver-resident O(k·dim) and broadcast
+    * into the probe scoring (k rows per query — tiny); candidates join
+    * cells on the dense int cid (vectors ship cell-partitioned once);
+    * the final rank is a per-query window over only the probed cells'
+    * members. Output: (qidCol, idCol, cosine, rank), rank ≤ `topK`. */
+  def ivfTopKDet(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      topK: Int,
+      nCentroids: Int,
+      rounds: Int,
+      nProbe: Int,
+      blockSize: Int = 1024): DataFrame = {
+    require(topK > 0 && nProbe > 0, "topK and nProbe must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (v, cids, matrix) = kmeansFit(corpus, idCol, vecCol, nCentroids, rounds, blockSize)
+    val cells = v.select(col(idCol), col("__v"),
+      kmeansAssignCol(cids, matrix).cast("int").as("__cell"))
+    val centDf = cids.toSeq.zip(matrix).toDF("__cell", "__cv")
+    val qn = queries.select(col(qidCol),
+      transform(normalize(col(qvecCol)), x => x.cast("double")).as("__qv"))
+    val probeW = Window.partitionBy(qidCol)
+      .orderBy(dot(col("__qv"), col("__cv")).desc, col("__cell"))
+    val probes = qn.crossJoin(broadcast(centDf))
+      .withColumn("__pr", row_number().over(probeW))
+      .where(col("__pr") <= nProbe)
+      .select(col(qidCol), col("__qv"), col("__cell"))
+    val rankW = Window.partitionBy(qidCol)
+      .orderBy(col("cosine").desc, col(idCol))
+    probes.join(cells, Seq("__cell"))
+      .select(col(qidCol), col(idCol), dot(col("__qv"), col("__v")).as("cosine"))
+      .withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= topK)
   }
 
   /** Two-stage retrieval: a quantized coarse scan keeps `candidates`

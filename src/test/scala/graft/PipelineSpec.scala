@@ -806,6 +806,35 @@ class PipelineSpec extends GraftSuite {
     assert(ivf.intersect(brute).size >= 7, s"IVF recall too low: ${ivf.intersect(brute).size}/10")
   }
 
+  test("ivfTopKDet: recall on clustered data; exhaustive probing equals brute force; deterministic") {
+    val n = 200
+    val clustered = (0 until n).map { i =>
+      val c = i % 4
+      val basev = Array.fill(8)(0.0f)
+      basev(c * 2) = 1.0f
+      basev((c * 2 + 1) % 8) = 0.3f + (i % 10) * 0.01f
+      (i.toLong, basev.toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = Seq((0L, { val a = Array.fill(8)(0.0f); a(0) = 1.0f; a(1) = 0.35f; a.toSeq }))
+      .toDF("qid", "qv")
+    val brute = Similarity.bruteForceTopK(clustered, "vec_id", "embedding", q, "qid", "qv", k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val det = Similarity.ivfTopKDet(clustered, "vec_id", "embedding", q, "qid", "qv",
+        topK = 10, nCentroids = 8, rounds = 2, nProbe = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(det.intersect(brute).size >= 7, s"det-IVF recall too low: ${det.intersect(brute).size}/10")
+    // probing every cell ≡ brute force (the det analogue of p_ann_ivf_exhaustive)
+    val all = Similarity.ivfTopKDet(clustered, "vec_id", "embedding", q, "qid", "qv",
+        topK = 10, nCentroids = 8, rounds = 2, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all == brute, s"exhaustive det-IVF must equal brute force: $all vs $brute")
+    // partitioning-invariant (the whole point of the deterministic build)
+    val again = Similarity.ivfTopKDet(clustered.repartition(7), "vec_id", "embedding",
+        q, "qid", "qv", topK = 10, nCentroids = 8, rounds = 2, nProbe = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(det == again)
+  }
+
   test("buildIvfIndex/searchIvf: one index serves many query batches, equal to the one-shot form") {
     import graft.functions.Similarity
     val sfDir = "/root/testdata/sf0.001"

@@ -116,7 +116,7 @@ class PlanSpec extends GraftSuite {
   }
 
   test("ann top-k is two-phase: per-partition pruning before the ranking window") {
-    for (name <- Seq("p_ann_bruteforce", "p_ann_ivf")) {
+    for (name <- Seq("p_ann_bruteforce", "p_ann_ivf_free")) {
       val p = plan(name)
       // phase 1: the bounded-heap mapPartitions truncation must sit below…
       assert(p.contains("MapPartitions"), s"$name missing local top-k pruning\n$p")
@@ -132,10 +132,15 @@ class PlanSpec extends GraftSuite {
   }
 
   test("ivf: centroid assignment is the fused matrix loop, not a per-centroid tree") {
-    val p = plan("p_ann_ivf")
+    val p = plan("p_ann_ivf_free")
     // a greatest(struct(dot…)) tree per centroid stops codegen'ing past a
     // few dozen cells; the fused expression must be in the final plan
     assert(p.contains("nearest_centroids"), p)
+    // the deterministic variant fuses its double-matrix assignment too,
+    // and its centroid relation broadcasts into the probe scoring
+    val pd = plan("p_ann_ivf")
+    assert(pd.contains("nearest_centroid_d"), pd)
+    assert(pd.contains("BroadcastExchange") || pd.contains("BroadcastHashJoin"), pd)
   }
 
   test("ivf: Lloyd refinement is a vector-sum aggregate, no corpus explode") {

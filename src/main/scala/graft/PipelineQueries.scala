@@ -95,6 +95,48 @@ object PipelineQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Portable-md5 MinHash banding over the ORGANIC near-dup corpus —
+    * the round-7 verdict's preferred closure for the banding residue:
+    * every stage of LSH candidate generation (16 min-wise slot hashes
+    * per doc from md5(shingle‖slot), 8 two-row band buckets from
+    * md5(slot-pair‖band), bucket-minimum pairing, exact string-shingle
+    * Jaccard verify, keep-first) is a deterministic function of md5 —
+    * so DuckDB replays the IDENTICAL candidate set on the organic
+    * corpus, miss rates and all, and the keep-set hash-matches without
+    * any tagging construction. The production engine path keeps the
+    * fused xxhash64 machinery (5× fewer hash bits per shingle); this
+    * twin certifies the banding ARITHMETIC on organic data. */
+  def dedupMinHashPortable(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = docsWithNearDups(spark, sfDir)
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val grams = array_distinct(when(size(toks) < 3, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
+    val sets = corpus.select(col("doc_id"), grams.as("__g")).cache()
+    val slotAggs = (0 until 16).map(i =>
+      min(substring(md5(concat(col("g"), lit("|" + i))), 1, 8)).as(s"s$i"))
+    val sigs = sets.select(col("doc_id"), explode(col("__g")).as("g"))
+      .groupBy("doc_id").agg(slotAggs.head, slotAggs.tail: _*)
+    val buckets = array((0 until 8).map(b =>
+      md5(concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"), lit("b" + b)))): _*)
+    val banded = sigs.select(col("doc_id"), explode(buckets).as("__bucket"))
+    val bucketMin = banded.groupBy("__bucket").agg(min("doc_id").as("id_a"))
+    val cand = banded.join(bucketMin, Seq("__bucket"))
+      .where(col("doc_id") > col("id_a"))
+      .select(col("id_a"), col("doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val inter = size(array_intersect(col("__ga"), col("__gb")))
+    val uni = size(col("__ga")) + size(col("__gb")) - inter
+    val losers = cand
+      .join(sets.select(col("doc_id").as("id_a"), col("__g").as("__ga")), Seq("id_a"))
+      .repartition(spark.sparkContext.defaultParallelism, col("id_b"))
+      .join(sets.select(col("doc_id").as("id_b"), col("__g").as("__gb")), Seq("id_b"))
+      .where(inter.cast("double") / uni >= 0.6)
+      .select(col("id_b").as("doc_id")).distinct()
+    corpus.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** MinHash bucket-min (100 TB scale mode) keep-set with a full DuckDB
     * oracle, via token tagging. Every token of every doc is prefixed with
     * the doc's own id (`g<id>w<token>`), so distinct docs' word-shingle
@@ -1737,6 +1779,7 @@ object PipelineQueries {
     "p_dedup_exact" -> (dedupExact _),
     "p_dedup_minhash" -> (dedupMinHash _),
     "p_dedup_minhash_keep" -> (dedupMinHashKeep _),
+    "p_dedup_minhash_portable" -> (dedupMinHashPortable _),
     "p_dedup_cc" -> (dedupCcKeep _),
     "p_dedup_cc_labels" -> (dedupCcLabels _),
     "p_dedup_cc_longest" -> (dedupCcLongest _),
@@ -1838,7 +1881,10 @@ object PipelineQueries {
     *  - `p_dedup_minhash_scale`: banding over fused xxhash64 MinHash
     *    signatures (not DuckDB-computable); `p_dedup_minhash` /
     *    `p_dedup_minhash_keep` hash-match the identical shingle →
-    *    signature → band → bucket-min → verify → keep chain.
+    *    signature → band → bucket-min → verify → keep chain, and
+    *    `p_dedup_minhash_portable` hash-matches the same banding
+    *    ARITHMETIC on the organic corpus via portable md5 min-hashes
+    *    (the round-7 verdict's preferred closure).
     *  - `p_dedup_simhash`: 64-bit xxhash64 sign-sums;
     *    `p_dedup_simhash_keep` + the full pair set
     *    `p_dedup_simhash_pairs` hash-match the same machinery.
@@ -2157,6 +2203,36 @@ object PipelineQueries {
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin),
 
     "p_dedup_minhash" -> keepFirstJaccardOracle(shingleSetsSql, 0.6),
+
+    "p_dedup_minhash_portable" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text || ' zq extra trailing token' FROM documents),
+         |sh AS MATERIALIZED (
+         |  $shingleSetsSql),
+         |slotmin AS (
+         |  SELECT doc_id, i, min(substr(md5(g || '|' || i), 1, 8)) AS m
+         |  FROM (SELECT doc_id, unnest(s) AS g FROM sh)
+         |       CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+         |  GROUP BY doc_id, i),
+         |sig AS MATERIALIZED (
+         |  SELECT doc_id, list(m ORDER BY i) AS sg FROM slotmin GROUP BY doc_id),
+         |banded AS MATERIALIZED (
+         |  SELECT doc_id, md5(sg[2*b+1] || sg[2*b+2] || 'b' || b) AS bucket
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+         |bmin AS (SELECT bucket, min(doc_id) AS id_a FROM banded GROUP BY bucket),
+         |cand AS (
+         |  SELECT DISTINCT m.id_a, d.doc_id AS id_b
+         |  FROM banded d JOIN bmin m ON d.bucket = m.bucket
+         |  WHERE d.doc_id > m.id_a),
+         |losers AS (
+         |  SELECT DISTINCT c.id_b AS doc_id
+         |  FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+         |  WHERE len(list_intersect(x.s, y.s))::double
+         |        / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.6)
+         |SELECT c.doc_id FROM corpus c LEFT JOIN losers l ON c.doc_id = l.doc_id
+         |WHERE l.doc_id IS NULL ORDER BY c.doc_id""".stripMargin,
 
     "p_dedup_recall_canary" ->
       s"""WITH corpus AS (

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.{Dedup, Multimodal, Similarity, Sketch, TextAnalysis}
 
 /** Verification queries for the LLM-training-data pipeline operators
   * (dedup / similarity / text analysis / multimodal — builder-prompt north
@@ -132,6 +132,59 @@ object PipelineQueries {
       .repartition(spark.sparkContext.defaultParallelism, col("id_b"))
       .join(sets.select(col("doc_id").as("id_b"), col("__g").as("__gb")), Seq("id_b"))
       .where(inter.cast("double") / uni >= 0.6)
+      .select(col("id_b").as("doc_id")).distinct()
+    corpus.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** Portable-md5 SimHash twin — the same closure as
+    * [[dedupMinHashPortable]] for the OTHER banding family: a 64-bit
+    * SimHash built from md5 token bits (per bit, the ±1 majority over
+    * tokens; ties → 0), reassembled as 16 hex digits, banded in 4
+    * 16-bit slices, bucket-share candidates verified by EXACT Hamming
+    * distance ≤ 3, keep-first. Every stage is a deterministic function
+    * of md5 and integer arithmetic, so DuckDB replays the identical
+    * signature bits, candidates, and keep-set on the organic corpus.
+    * The engine default stays the fused xxhash64 [[SimHash64Expr]];
+    * this twin certifies the sign-sum/banding/Hamming arithmetic. */
+  def dedupSimHashPortable(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = docsWithNearDups(spark, sfDir)
+    val hexDigitVal = (s: String, i: String) =>
+      s"(locate(substring($s, $i, 1), '0123456789abcdef') - 1)"
+    val toks = corpus
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .where(col("t") =!= "")
+    // (doc, bit, ±1): bit b of md5(t) = bit (3 − b%4) of hex digit b/4
+    val bits = toks.select(col("doc_id"), md5(col("t")).as("h"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("b"), col("h"))
+      .select(col("doc_id"), col("b"),
+        expr(s"CASE WHEN shiftright(${hexDigitVal("h", "1 + b div 4")}, 3 - b % 4) % 2 = 1" +
+          " THEN 1 ELSE -1 END").as("pm"))
+    // per-digit value from the four bit-majorities, then the hex string
+    val digits = bits.groupBy(col("doc_id"), col("b")).agg(sum(col("pm")).as("s"))
+      .groupBy(col("doc_id"), expr("b div 4").as("d"))
+      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(1, 3 - b % 4) ELSE 0 END")).as("dv"))
+    val sims = digits
+      .select(col("doc_id"), col("d"),
+        expr("substring('0123456789abcdef', cast(dv AS int) + 1, 1)").as("c"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        x => x.getField("c")), "").as("sim"))
+      .cache()
+    val banded = sims.select(col("doc_id"),
+      explode(array((0 until 4).map(k =>
+        concat(lit(k + ":"), substring(col("sim"), 1 + 4 * k, 4))): _*)).as("__bucket"))
+    val cand = banded.select(col("__bucket"), col("doc_id").as("id_a"))
+      .join(banded.select(col("__bucket"), col("doc_id").as("id_b")), Seq("__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val ham = expr("aggregate(sequence(1, 16), 0, (acc, i) -> acc + bit_count(" +
+      s"${hexDigitVal("sa", "i")} ^ ${hexDigitVal("sb", "i")}))")
+    val losers = cand
+      .join(sims.select(col("doc_id").as("id_a"), col("sim").as("sa")), Seq("id_a"))
+      .repartition(spark.sparkContext.defaultParallelism, col("id_b"))
+      .join(sims.select(col("doc_id").as("id_b"), col("sim").as("sb")), Seq("id_b"))
+      .where(ham <= 3)
       .select(col("id_b").as("doc_id")).distinct()
     corpus.join(losers, Seq("doc_id"), "left_anti")
       .select("doc_id").orderBy("doc_id")
@@ -1068,6 +1121,67 @@ object PipelineQueries {
       .select(col("q"), col("value").cast("bigint").as("value"))
       .orderBy("q")
 
+  /** Shared word-bigram item stream for the KMV sketch queries — the
+    * [[graft.functions.TextAnalysis.hashedNgramFeatures]] gram
+    * construction (n=2, multiplicity kept; the sketch dedups by hash). */
+  private def bigramItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val grams = when(size(toks) < 2, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+    docs(spark, sfDir).select(col("source"), explode(grams).as("gm"))
+  }
+
+  /** Per-source distinct-bigram cardinality via the bounded KMV sketch
+    * ([[graft.functions.Sketch]], k = 64): the 100 TB replacement for a
+    * per-group COUNT(DISTINCT gram). Per-group state is the 64 smallest
+    * 60-bit md5 gram hashes, combined map-side, so the shuffle carries
+    * ≤ 64 longs per (partition, source) instead of the group's whole
+    * vocabulary. Every stage — hash, k-min set, estimator — is a
+    * deterministic order-free function of md5, so DuckDB replays the
+    * sketch cell-exactly (sorted 15-hex prefixes ARE the sorted hash
+    * values; the estimator is one exact product and one
+    * correctly-rounded division). */
+  def sketchVocab(spark: SparkSession, sfDir: String): DataFrame =
+    bigramItems(spark, sfDir)
+      .select(col("source"), Sketch.kmvHash(col("gm")).as("h"))
+      .groupBy("source").agg(Sketch.kmv(col("h"), 64).as("km"))
+      .select(col("source"),
+        size(col("km")).cast("bigint").as("n_kmins"),
+        element_at(col("km"), size(col("km"))).as("max_kmin"),
+        Sketch.kmvEstimate(col("km"), 64).as("est_distinct"))
+      .orderBy("source")
+
+  /** Sketch-merge set overlap between the even- and odd-numbered source
+    * shards: both KMV sketches build in ONE corpus pass (null-skipping
+    * filtered aggregates), then union/intersection/Jaccard estimates
+    * come from the k-min SETS alone — the 100 TB path for "how much do
+    * two crawls overlap" without ever shuffling the raw vocabularies
+    * against each other ([[Sketch.kmvUnion]] merge law, pinned by
+    * SketchSpec). All set arithmetic and both divisions replay
+    * bit-exactly in DuckDB. */
+  def sketchOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val side = (substring(col("source"), 4, 10).cast("int") % 2).as("side")
+    val items = bigramItems(spark, sfDir).select(side, col("gm"))
+      .select(col("side"), Sketch.kmvHash(col("gm")).as("h"))
+    val km = items.groupBy().agg(
+      Sketch.kmv(when(col("side") === 0, col("h")), 64).as("ka"),
+      Sketch.kmv(when(col("side") === 1, col("h")), 64).as("kb"))
+    km.withColumn("ku", Sketch.kmvUnion(col("ka"), col("kb"), 64))
+      .withColumn("k_inter",
+        size(array_intersect(array_intersect(col("ku"), col("ka")), col("kb")))
+          .cast("bigint"))
+      .withColumn("jaccard_est",
+        col("k_inter").cast("double") / size(col("ku")).cast("double"))
+      .withColumn("union_est", Sketch.kmvEstimate(col("ku"), 64))
+      .select(
+        size(col("ka")).cast("bigint").as("n_a"),
+        size(col("kb")).cast("bigint").as("n_b"),
+        size(col("ku")).cast("bigint").as("k_union"),
+        col("k_inter"), col("jaccard_est"), col("union_est"),
+        (col("jaccard_est") * col("union_est")).as("inter_est"))
+  }
+
   /** Per-cluster composition report over the proven k-means assignment:
     * sizes, distinct true labels, and the majority label (ties to the
     * lowest label) — the clustering-quality dashboard view, oracled
@@ -1780,6 +1894,9 @@ object PipelineQueries {
     "p_dedup_minhash" -> (dedupMinHash _),
     "p_dedup_minhash_keep" -> (dedupMinHashKeep _),
     "p_dedup_minhash_portable" -> (dedupMinHashPortable _),
+    "p_dedup_simhash_portable" -> (dedupSimHashPortable _),
+    "p_sketch_vocab" -> (sketchVocab _),
+    "p_sketch_overlap" -> (sketchOverlap _),
     "p_dedup_cc" -> (dedupCcKeep _),
     "p_dedup_cc_labels" -> (dedupCcLabels _),
     "p_dedup_cc_longest" -> (dedupCcLongest _),
@@ -1887,7 +2004,9 @@ object PipelineQueries {
     *    (the round-7 verdict's preferred closure).
     *  - `p_dedup_simhash`: 64-bit xxhash64 sign-sums;
     *    `p_dedup_simhash_keep` + the full pair set
-    *    `p_dedup_simhash_pairs` hash-match the same machinery.
+    *    `p_dedup_simhash_pairs` hash-match the same machinery, and
+    *    `p_dedup_simhash_portable` hash-matches the sign-sum/banding/
+    *    Hamming arithmetic on the organic corpus via md5 token bits.
     *  - `p_ann_ivf_free` (nProbe = 4, order-free build): probed-cell
     *    choice depends on centroid bits produced by a partition-order FP
     *    partial aggregate ([[Similarity.lloydRefine]]'s VecSumAgg), so no
@@ -2062,6 +2181,24 @@ object PipelineQueries {
   /** The same hashed-bigram feature construction as
     * [[graft.functions.TextAnalysis.hashedNgramFeatures]] (n=2), ending
     * in a CTE `feats` of (doc_id, bucket, cnt). */
+  /** Word-bigram item stream for the sketch queries — the same gram
+    * construction as [[dsirFeatsSql]]'s `dgrams`, keyed by source; ends
+    * in a CTE `sgrams` of (source, gm). */
+  private val sketchGramsSql =
+    """stoks AS (
+      |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |sgrams AS (
+      |  SELECT source, unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')) END) AS gm
+      |  FROM stoks)""".stripMargin
+
+  /** 15-hex-digit md5 prefix (column `kth`) → 60-bit integer: the
+    * digit-fold DuckDB twin of Spark's `conv(hex, 16, 10)`. */
+  private val hex15ToIntSql =
+    """list_reduce(list_transform(range(1, 16), i ->
+      |    CAST(strpos('0123456789abcdef', substr(kth, i, 1)) - 1 AS BIGINT)),
+      |    (a, b) -> a * 16 + b)""".stripMargin
+
   private val dsirFeatsSql =
     """dtoks AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
@@ -2203,6 +2340,45 @@ object PipelineQueries {
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin),
 
     "p_dedup_minhash" -> keepFirstJaccardOracle(shingleSetsSql, 0.6),
+
+    "p_dedup_simhash_portable" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' zq extra trailing token' FROM documents),
+        |toks AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |    FROM corpus) WHERE t <> ''),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), 1 + b // 4, 1)) - 1)
+        |               >> (3 - b % 4)) % 2 = 1 THEN 1 ELSE -1 END AS pm
+        |  FROM toks CROSS JOIN (SELECT unnest(range(0, 64)) AS b)),
+        |bsum AS (SELECT doc_id, b, sum(pm) AS s FROM bits GROUP BY doc_id, b),
+        |digits AS (
+        |  SELECT doc_id, b // 4 AS d,
+        |    sum(CASE WHEN s > 0 THEN 1 << (3 - b % 4) ELSE 0 END) AS dv
+        |  FROM bsum GROUP BY doc_id, b // 4),
+        |sims AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    string_agg(substr('0123456789abcdef', cast(dv AS int) + 1, 1), '' ORDER BY d) AS sim
+        |  FROM digits GROUP BY doc_id),
+        |banded AS MATERIALIZED (
+        |  SELECT doc_id, k || ':' || substr(sim, 1 + 4*k, 4) AS bucket
+        |  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS k)),
+        |cand AS (
+        |  SELECT DISTINCT p.doc_id AS id_a, q.doc_id AS id_b
+        |  FROM banded p JOIN banded q ON p.bucket = q.bucket AND p.doc_id < q.doc_id),
+        |losers AS (
+        |  SELECT DISTINCT c.id_b AS doc_id
+        |  FROM cand c JOIN sims x ON x.doc_id = c.id_a JOIN sims y ON y.doc_id = c.id_b
+        |  WHERE list_reduce(list_transform(range(1, 17), i ->
+        |      bit_count(xor(strpos('0123456789abcdef', substr(x.sim, i, 1)) - 1,
+        |                    strpos('0123456789abcdef', substr(y.sim, i, 1)) - 1))),
+        |    (acc, h) -> acc + h) <= 3)
+        |SELECT c.doc_id FROM corpus c LEFT JOIN losers l ON c.doc_id = l.doc_id
+        |WHERE l.doc_id IS NULL ORDER BY c.doc_id""".stripMargin,
 
     "p_dedup_minhash_portable" ->
       s"""WITH corpus AS (
@@ -2476,6 +2652,52 @@ object PipelineQueries {
         |    ORDER BY score DESC, token) AS rank
         |  FROM sc) r
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // the KMV sketch replay: distinct 15-hex md5 prefixes per group,
+    // k smallest by lexicographic hex order (≡ numeric order at fixed
+    // width), the k-th converted to a 60-bit integer for the estimator
+    // (one exact 63·2^60 product, one correctly-rounded division)
+    "p_sketch_vocab" ->
+      s"""WITH $sketchGramsSql,
+        |h AS (SELECT DISTINCT source, substr(md5(gm), 1, 15) AS hx FROM sgrams),
+        |r AS (SELECT source, hx,
+        |  row_number() OVER (PARTITION BY source ORDER BY hx) AS rn FROM h),
+        |km AS (SELECT source, count(*) AS nk, max(hx) AS kth
+        |  FROM r WHERE rn <= 64 GROUP BY source),
+        |ki AS (SELECT source, nk, $hex15ToIntSql AS max_kmin FROM km)
+        |SELECT source, cast(nk AS bigint) AS n_kmins, max_kmin,
+        |  CASE WHEN nk < 64 THEN cast(nk AS double)
+        |    ELSE 63.0 * 1152921504606846976.0 / cast(max_kmin AS double) END
+        |    AS est_distinct
+        |FROM ki ORDER BY source""".stripMargin,
+
+    "p_sketch_overlap" ->
+      s"""WITH $sketchGramsSql,
+        |hs AS (SELECT DISTINCT (CAST(substr(source, 4) AS INT) % 2) AS side,
+        |  substr(md5(gm), 1, 15) AS hx FROM sgrams),
+        |r AS (SELECT side, hx,
+        |  row_number() OVER (PARTITION BY side ORDER BY hx) AS rn FROM hs),
+        |ka AS MATERIALIZED (SELECT hx FROM r WHERE side = 0 AND rn <= 64),
+        |kb AS MATERIALIZED (SELECT hx FROM r WHERE side = 1 AND rn <= 64),
+        |ku AS MATERIALIZED (SELECT hx FROM
+        |  (SELECT hx FROM ka UNION SELECT hx FROM kb) uu ORDER BY hx LIMIT 64),
+        |stats AS (SELECT
+        |  (SELECT count(*) FROM ka) AS n_a,
+        |  (SELECT count(*) FROM kb) AS n_b,
+        |  (SELECT count(*) FROM ku) AS k_union,
+        |  (SELECT count(*) FROM ku WHERE hx IN (SELECT hx FROM ka)
+        |     AND hx IN (SELECT hx FROM kb)) AS k_inter,
+        |  (SELECT max(hx) FROM ku) AS kth),
+        |sc AS (SELECT *, $hex15ToIntSql AS maxk,
+        |  cast(k_inter AS double) / cast(k_union AS double) AS jac FROM stats),
+        |se AS (SELECT *,
+        |  CASE WHEN k_union < 64 THEN cast(k_union AS double)
+        |    ELSE 63.0 * 1152921504606846976.0 / cast(maxk AS double) END AS ue
+        |  FROM sc)
+        |SELECT cast(n_a AS bigint) AS n_a, cast(n_b AS bigint) AS n_b,
+        |  cast(k_union AS bigint) AS k_union, cast(k_inter AS bigint) AS k_inter,
+        |  jac AS jaccard_est, ue AS union_est, jac * ue AS inter_est
+        |FROM se""".stripMargin,
 
     "p_dsir_features" ->
       (s"""WITH $dsirFeatsSql

@@ -153,6 +153,13 @@ class GraftSession(val spark: SparkSession) {
   def overwritePartitions(df: DataFrame, table: TableRef): Unit = {
     val qn = table.qualifiedName
     require(spark.catalog.tableExists(qn), s"overwritePartitions: $qn does not exist")
+    // On an UNpartitioned table, dynamic overwrite mode + SaveMode.Overwrite
+    // degenerates to a full-table replace — silently violating the
+    // "replace only the partitions present in df" contract. Fail loudly.
+    require(
+      spark.catalog.listColumns(qn).collect().exists(_.isPartition),
+      s"overwritePartitions: $qn has no partition columns — a dynamic " +
+        "overwrite would silently replace the whole table; use writeTable instead")
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {

@@ -14,6 +14,10 @@ object PerfProbe {
     val spark = GraftSession.localSpark()
     args.filter(_.startsWith("--conf:")).foreach { a =>
       val kv = a.stripPrefix("--conf:").split("=", 2)
+      if (kv.length != 2 || kv(0).isEmpty) {
+        System.err.println(s"malformed $a — expected --conf:key=value")
+        sys.exit(2)
+      }
       spark.conf.set(kv(0), kv(1))
     }
     val stages = args.contains("--stages")

@@ -154,14 +154,34 @@ object PipelineQueries {
     val toks = corpus
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
       .where(col("t") =!= "")
-    // (doc, bit, ±1): bit b of md5(t) = bit (3 − b%4) of hex digit b/4
-    val bits = toks.select(col("doc_id"), md5(col("t")).as("h"))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("b"), col("h"))
-      .select(col("doc_id"), col("b"),
-        expr(s"CASE WHEN shiftright(${hexDigitVal("h", "1 + b div 4")}, 3 - b % 4) % 2 = 1" +
-          " THEN 1 ELSE -1 END").as("pm"))
+    // The sign-sum over token OCCURRENCES equals the count-weighted sum
+    // over DISTINCT (doc, token) pairs — so md5 bit derivation runs once
+    // per distinct pair (the map-side combine collapses within-doc
+    // repeats before any shuffle), and the 64 ±1 bits come from 16 hex
+    // digit lookups + integer shifts instead of 64 per-bit string walks.
+    // Same integers as the naive per-occurrence form (the oracle's
+    // shape), ~4× less CPU on the twin's dominant stage (round-9 task).
+    val tokCounts = toks.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    // (doc, bit, ±1·count): bit b of md5(t) = bit (3 − b%4) of hex digit
+    // b/4; flatten(digit-major, shift 3→0) makes posexplode's pos = b.
+    // The REPARTITION_BY_NUM pin is the standing AQE counter-measure
+    // (SCALING.md): tokCounts' shuffle output is byte-small, so AQE
+    // would coalesce the md5+flatten+posexplode compute stage to ~3
+    // tasks (measured 4.9 s of the twin's wall); hash(doc_id) satisfies
+    // both downstream groupBys, so no further exchange stacks on top.
+    val bits = tokCounts
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("c"), md5(col("t")).as("h"))
+      .select(col("doc_id"), col("c"), expr(
+        s"""flatten(transform(sequence(0, 15), d ->
+           |  transform(sequence(3, 0, -1), k ->
+           |    CASE WHEN shiftright(${hexDigitVal("h", "d + 1")}, k) % 2 = 1
+           |         THEN 1 ELSE -1 END)))""".stripMargin).as("pmv"))
+      .select(col("doc_id"), col("c"), posexplode(col("pmv")).as(Seq("b", "pm")))
     // per-digit value from the four bit-majorities, then the hex string
-    val digits = bits.groupBy(col("doc_id"), col("b")).agg(sum(col("pm")).as("s"))
+    val digits = bits.groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("pm") * col("c")).as("s"))
       .groupBy(col("doc_id"), expr("b div 4").as("d"))
       .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(1, 3 - b % 4) ELSE 0 END")).as("dv"))
     val sims = digits
@@ -301,7 +321,17 @@ object PipelineQueries {
     * all-pairs, so this one survives the sf0.1 cross-check too). Canary
     * pairs whose exact Jaccard falls below the threshold (very short
     * docs) are excluded identically on both sides by the exact verify.
-    * Output: (n_canaries, n_caught, recall). */
+    * Output: (n_canaries, n_caught, recall).
+    *
+    * KNOWN FRAGILITY (accepted deliberately): the oracle equates the
+    * LSH-caught set with the exact-Jaccard-qualified set. That equality
+    * is an empirical pin on the fixed test corpora — verified at every
+    * sf dir, per-pair band-miss probability ~1e-7..1e-9 — not a theorem;
+    * a future corpus or scale change that produces a single banding miss
+    * would fail the hash-match with no code bug. That is the POINT of a
+    * canary (a recall drop should be loud), so we keep the exact pin
+    * rather than a tolerance; if the corpus ever changes, re-verify the
+    * pin or relax the oracle to a recall-floor comparison. */
   def dedupRecallCanary(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir).select("doc_id", "text")
       .repartition(spark.sparkContext.defaultParallelism)
@@ -1148,7 +1178,11 @@ object PipelineQueries {
       .groupBy("source").agg(Sketch.kmv(col("h"), 64).as("km"))
       .select(col("source"),
         size(col("km")).cast("bigint").as("n_kmins"),
-        element_at(col("km"), size(col("km"))).as("max_kmin"),
+        // guard the (unreachable-today) empty-sketch case: element_at with
+        // index 0 errors under ANSI mode; a group with zero non-null grams
+        // should report NULL, not crash the query
+        when(size(col("km")) > 0, element_at(col("km"), size(col("km"))))
+          .as("max_kmin"),
         Sketch.kmvEstimate(col("km"), 64).as("est_distinct"))
       .orderBy("source")
 
@@ -1180,6 +1214,37 @@ object PipelineQueries {
         size(col("ku")).cast("bigint").as("k_union"),
         col("k_inter"), col("jaccard_est"), col("union_est"),
         (col("jaccard_est") * col("union_est")).as("inter_est"))
+  }
+
+  /** Per-source token-length QUANTILES from the bounded bottom-k-by-hash
+    * sample ([[Sketch.kmvQuantilePack]], k = 64): the 100 TB replacement
+    * for per-group exact percentiles over an unbounded value domain
+    * (exactIntQuantiles covers bounded domains; a full per-group sort
+    * does not survive corpus scale). Per-group state is 64 packed
+    * (hash36, value24) longs combined map-side; the sample is keyed by
+    * md5(doc_id) so it is uniform over documents, order-free, and
+    * duplicate-safe, and every stage — pack, k-min set, unpack, sorted
+    * ranks — is exact integer arithmetic DuckDB replays cell-for-cell.
+    * Groups under 64 docs report their EXACT quantiles (below-k law,
+    * pinned in SketchSpec). */
+  def sketchQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val packed = Sketch.kmvQuantilePack(
+      col("doc_id"), TextAnalysis.tokenCount(col("text")))
+    // grouped by lang (hundreds of docs per group at every sf), so the
+    // contract exercises the SAMPLED path (k fills and trims), not just
+    // the below-k exact path
+    docs(spark, sfDir)
+      .select(col("lang"), packed.as("pk"))
+      .groupBy("lang").agg(Sketch.kmv(col("pk"), 64).as("km"))
+      .select(col("lang"),
+        size(col("km")).cast("bigint").as("n_sample"),
+        Sketch.kmvSampleValues(col("km")).as("__v"))
+      .select(col("lang"), col("n_sample"),
+        Sketch.kmvQuantileAt(col("__v"), 25).cast("bigint").as("p25"),
+        Sketch.kmvQuantileAt(col("__v"), 50).cast("bigint").as("p50"),
+        Sketch.kmvQuantileAt(col("__v"), 75).cast("bigint").as("p75"),
+        Sketch.kmvQuantileAt(col("__v"), 90).cast("bigint").as("p90"))
+      .orderBy("lang")
   }
 
   /** Per-cluster composition report over the proven k-means assignment:
@@ -1220,6 +1285,40 @@ object PipelineQueries {
     val corpus = d.unionByName(mut).where(col("doc_id") % 3 === 0)
       .repartition(spark.sparkContext.defaultParallelism)
     val media = Multimodal.mediaFromDocuments(corpus).toDF()
+    Multimodal.imageNearDupKeep(media, "media_id", "content", maxHamming = 3)
+      .orderBy("media_id")
+  }
+
+  /** PIXEL-level perceptual image dedup — the honesty upgrade over
+    * [[dedupImage]]: the corpus is the SAME pixels (a deterministic
+    * luma field derived from each doc's text,
+    * [[Multimodal.ImagePixels.pixelsFromText]], 27×16 grayscale)
+    * encoded TWICE as real zlib-compressed PNGs with different encoder
+    * settings — the base at deflate level 1 / filter None, the copy at
+    * id+700000 with level 9 and a per-id scanline filter
+    * (Sub/Up/Average/Paeth), so every defilter branch is exercised on
+    * the contract path. The files are byte-different (a byte hash or the
+    * old payload-as-luma hash provably cannot pair them — MultimodalSpec
+    * pins that the tEXt-payload twin files differ), but decode →
+    * de-filter → luma → 2D dHash sees identical pixels, so every
+    * (base, copy) pairs at Hamming 0. The oracle never inflates zlib:
+    * it recomputes the dHash bits from the same generative pixel rule
+    * and replays all-pairs Hamming + keep-min — the hash-match therefore
+    * certifies the WHOLE pixel decode chain (chunk walk, multi-IDAT
+    * inflate, all five filters, luma, grid) end to end. */
+  def dedupImagePx(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      .where(col("doc_id") % 3 === 0)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val media = d.as[(Long, String)].flatMap { case (id, text) =>
+      val pix = Multimodal.ImagePixels.pixelsFromText(text, 27, 16)
+      Seq(
+        (id, Multimodal.ImagePixels.encodePngGray(27, 16, pix, level = 1, filter = 0)),
+        (id + 700000,
+          Multimodal.ImagePixels.encodePngGray(27, 16, pix, level = 9,
+            filter = (id % 4 + 1).toInt)))
+    }.toDF("media_id", "content")
     Multimodal.imageNearDupKeep(media, "media_id", "content", maxHamming = 3)
       .orderBy("media_id")
   }
@@ -1310,10 +1409,21 @@ object PipelineQueries {
     * (mutated copies sit at edit distance 24 — the appended token). The
     * oracle replays candidates as exact all-pairs char-12-gram Jaccard
     * (the proven p_dedup_ngram contract) and verifies with the identical
-    * integer Levenshtein. */
+    * integer Levenshtein.
+    *
+    * maxBucketSize = 1500 is the production giant-bucket cap (round-9
+    * ScaleDiag attribution): every copy shares the appended-tail
+    * 12-grams, so at bench scale multiples one tail-dominated band
+    * bucket grows to ~4k docs whose in-bucket pairs are ALL junk
+    * (J ≈ 0.13, killed by the estimate prefilter after costing ~8M pair
+    * rows — 70% of the query's ×10 wall). Buckets that large are
+    * non-discriminative by construction; qualifying pairs (J ≥ 0.55)
+    * collide in ~10 pair-specific bands and are unaffected. At the
+    * correctness scales the largest bucket is 178 (measured at sf0.1),
+    * so the cap is provably a no-op for the oracle corpora. */
   def dedupEdit(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.editDistanceNearDupPairs(docsWithNearDups(spark, sfDir), "doc_id", "text",
-        ngramSize = 12, threshold = 0.55, maxDist = 30)
+        ngramSize = 12, threshold = 0.55, maxDist = 30, maxBucketSize = 1500)
       .select(col("id_a"), col("id_b"), col("edit_dist").cast("bigint").as("edit_dist"))
       .orderBy("id_a", "id_b")
 
@@ -1719,6 +1829,53 @@ object PipelineQueries {
         docs(spark, sfDir).select("doc_id", "text"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Known-class decoration tails for [[classifierEval]] — held-out
+    * phrases (not in the training seed verbatim) composed from the two
+    * classes' vocabulary. Shared with the oracle so the replay decorates
+    * identically. */
+  private val EvalPosTail = " researchers uncovered evidence beneath the" +
+    " temple and the committee published findings after a review of the" +
+    " experiments"
+  private val EvalNegTail = " click here buy cheap free shipping order now" +
+    " subscribe today exclusive bonus limited time offer act fast"
+
+  /** Held-out classifier evaluation — the [[dedupRecallCanary]] analog
+    * for the quality model: close the train→score loop with a measured
+    * accuracy instead of trusting the seed fit. Every doc is decorated
+    * with a KNOWN class tail (odd ids: reference-prose vocabulary, even
+    * ids: boilerplate/SEO vocabulary — phrases held OUT of the training
+    * seed, composed from the model's feature space), scored with the
+    * production fused scorer, and the exact confusion counts reported.
+    * The decoration is repeated 3× so the injected class dominates the
+    * (class-unknown) base text for most docs — residual misclassification
+    * is real signal about model margin on long documents, which is what a
+    * held-out eval is FOR. All counts integer; accuracy is one
+    * correctly-rounded division; the oracle replays scoring from the same
+    * weight literals. The measured accuracy floor is pinned in
+    * PipelineSpec. */
+  def classifierEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val deco = when(col("doc_id") % 2 === 1, lit(EvalPosTail * 3))
+      .otherwise(lit(EvalNegTail * 3))
+    val decorated = docs(spark, sfDir)
+      .select(col("doc_id"), concat(col("text"), deco).as("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    graft.functions.Classifier.scoreQualityFused(decorated, "doc_id", "text")
+      .withColumn("is_pos", col("doc_id") % 2 === 1)
+      .agg(
+        sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("is_pos"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("is_pos") && col("keep"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("is_pos") && col("keep"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("is_pos") && !col("keep"), 1L).otherwise(0L)).as("tn"),
+        sum(when(col("is_pos") && !col("keep"), 1L).otherwise(0L)).as("fn"))
+      .select(col("n_pos").cast("bigint").as("n_pos"),
+        col("n_neg").cast("bigint").as("n_neg"),
+        col("tp").cast("bigint").as("tp"), col("fp").cast("bigint").as("fp"),
+        col("tn").cast("bigint").as("tn"), col("fn").cast("bigint").as("fn"),
+        ((col("tp") + col("tn")).cast("double") /
+          (col("n_pos") + col("n_neg")).cast("double")).as("accuracy"))
+  }
+
   /** Epoch-based domain mixing (the LLaMA table-1 recipe): German
     * upsampled 2.4 epochs, French downsampled to 0.65, Chinese dropped,
     * English 1.3, Spanish defaulting to exactly 1. The fractional-epoch
@@ -1897,6 +2054,7 @@ object PipelineQueries {
     "p_dedup_simhash_portable" -> (dedupSimHashPortable _),
     "p_sketch_vocab" -> (sketchVocab _),
     "p_sketch_overlap" -> (sketchOverlap _),
+    "p_sketch_quantiles" -> (sketchQuantiles _),
     "p_dedup_cc" -> (dedupCcKeep _),
     "p_dedup_cc_labels" -> (dedupCcLabels _),
     "p_dedup_cc_longest" -> (dedupCcLongest _),
@@ -1940,6 +2098,7 @@ object PipelineQueries {
     "p_dsir_features" -> (dsirFeatures _),
     "p_dsir_weights" -> (dsirWeights _),
     "p_dedup_image" -> (dedupImage _),
+    "p_dedup_image_px" -> (dedupImagePx _),
     "p_dedup_media" -> (dedupMedia _),
     "p_bm25_search" -> (bm25Search _),
     "p_token_quantiles" -> (tokenQuantiles _),
@@ -1968,6 +2127,7 @@ object PipelineQueries {
     "p_sample_temperature" -> (sampleTemperature _),
     "p_sample_epochs" -> (sampleEpochs _),
     "p_quality_classifier" -> (qualityClassifier _),
+    "p_classifier_eval" -> (classifierEval _),
     "p_shard_manifest" -> (shardManifest _),
     "p_pipeline_release" -> (pipelineRelease _),
     "p_sample_cluster_budget" -> (sampleClusterBudget _),
@@ -2699,6 +2859,36 @@ object PipelineQueries {
         |  jac AS jaccard_est, ue AS union_est, jac * ue AS inter_est
         |FROM se""".stripMargin,
 
+    // the packed bottom-k-by-hash sample replayed relationally: the same
+    // 36-bit md5(doc_id) prefix, the same (hash << 24 | clamped value)
+    // packing, DISTINCT + row_number for the k-min SET semantics, and the
+    // same nearest-lower integer ranks over the sorted sample values
+    "p_sketch_quantiles" ->
+      """WITH base AS (
+        |  SELECT lang, doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS v
+        |  FROM documents),
+        |pk AS (
+        |  SELECT DISTINCT lang,
+        |    list_reduce(list_transform(range(1, 10), i ->
+        |        CAST(strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) * 16777216
+        |    + least(greatest(CAST(v AS BIGINT), 0), 16777215) AS p
+        |  FROM base),
+        |r AS (SELECT lang, p,
+        |  row_number() OVER (PARTITION BY lang ORDER BY p) AS rn FROM pk),
+        |km AS (SELECT lang, count(*) AS m,
+        |  list(p % 16777216 ORDER BY p % 16777216) AS vals
+        |  FROM r WHERE rn <= 64 GROUP BY lang)
+        |SELECT lang, cast(m AS bigint) AS n_sample,
+        |  cast(vals[CAST(1 + (25 * (m - 1)) // 100 AS INT)] AS bigint) AS p25,
+        |  cast(vals[CAST(1 + (50 * (m - 1)) // 100 AS INT)] AS bigint) AS p50,
+        |  cast(vals[CAST(1 + (75 * (m - 1)) // 100 AS INT)] AS bigint) AS p75,
+        |  cast(vals[CAST(1 + (90 * (m - 1)) // 100 AS INT)] AS bigint) AS p90
+        |FROM km ORDER BY lang""".stripMargin,
+
     "p_dsir_features" ->
       (s"""WITH $dsirFeatsSql
         |SELECT doc_id, bucket, cast(cnt AS bigint) AS cnt
@@ -2726,6 +2916,49 @@ object PipelineQueries {
     // comparisons, exactly the PayloadDHashExpr arithmetic — then exact
     // all-pairs Hamming and the keep-first rule
     "p_dedup_image" -> perceptualDedupOracle("doc_id % 3 = 0"),
+
+    // pixel-path replay: the oracle never inflates zlib — it recomputes
+    // the dHash bits from the same generative 27×16 luma rule
+    // (codepoint[p mod n] mod 256) both encodes carry, so the hash-match
+    // certifies the real decode chain (chunk walk, inflate, all five
+    // scanline filters, luma, 8×9 grid). Cells are all 6 pixels here, so
+    // the cross-multiplied mean comparison reduces to a plain sum compare.
+    "p_dedup_image_px" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |corpus AS (
+        |  SELECT doc_id AS media_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 700000, text FROM base),
+        |codes AS (
+        |  SELECT media_id,
+        |    list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cs,
+        |    length(text) AS n
+        |  FROM corpus),
+        |pxs AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 432), p ->
+        |      CASE WHEN n = 0 THEN 0 ELSE cs[(p % n) + 1] % 256 END) AS px
+        |  FROM codes),
+        |cells AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 72), k ->
+        |      list_sum(flatten(list_transform(range((k // 9) * 2, (k // 9) * 2 + 2), y ->
+        |        list_transform(range((k % 9) * 3, (k % 9) * 3 + 3),
+        |          x -> px[y * 27 + x + 1]))))) AS s
+        |  FROM pxs),
+        |bits AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 64), j ->
+        |      CASE WHEN s[(j // 8) * 9 + (j % 8) + 1] > s[(j // 8) * 9 + (j % 8) + 2]
+        |           THEN 1 ELSE 0 END) AS bb
+        |  FROM cells),
+        |losers AS (
+        |  SELECT DISTINCT b.media_id AS id_b
+        |  FROM bits a JOIN bits b ON a.media_id < b.media_id
+        |  WHERE list_sum(list_transform(range(1, 65), j -> abs(a.bb[j] - b.bb[j]))) <= 3)
+        |SELECT c.media_id FROM corpus c LEFT JOIN losers ON c.media_id = losers.id_b
+        |WHERE losers.id_b IS NULL ORDER BY media_id""".stripMargin,
 
     // the same replay over ALL modalities — PNG tEXt, JPEG COM, WAV
     // data, and AVI movi payloads walk through the identical dHash
@@ -3189,6 +3422,43 @@ object PipelineQueries {
         |  (coalesce(s.s, 0) + ${graft.functions.Classifier.QualityModel._2}) > 0 AS keep
         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         |ORDER BY d.doc_id""".stripMargin),
+
+    // the same decorate → score-from-weight-literals → confusion counts:
+    // every stage integer, accuracy one correctly-rounded division
+    "p_classifier_eval" ->
+      (s"""WITH w(b, wt) AS (VALUES ${graft.functions.Classifier.weightsSqlValues}),""" +
+       s"""
+        |deco AS (
+        |  SELECT doc_id, doc_id % 2 = 1 AS is_pos,
+        |    text || CASE WHEN doc_id % 2 = 1
+        |      THEN '${EvalPosTail * 3}' ELSE '${EvalNegTail * 3}' END AS text
+        |  FROM documents),""".stripMargin +
+       raw"""
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM deco),
+        |bt AS (
+        |  SELECT doc_id, substr(md5(t), 1, 4) AS b FROM toks WHERE t <> ''),
+        |s AS (
+        |  SELECT bt.doc_id, cast(sum(w.wt) AS bigint) AS s
+        |  FROM bt JOIN w ON bt.b = w.b GROUP BY bt.doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, d.is_pos,
+        |    (coalesce(s.s, 0) + ${graft.functions.Classifier.QualityModel._2}) > 0 AS keep
+        |  FROM deco d LEFT JOIN s ON d.doc_id = s.doc_id),
+        |conf AS (
+        |  SELECT
+        |    cast(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS bigint) AS n_pos,
+        |    cast(sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS bigint) AS n_neg,
+        |    cast(sum(CASE WHEN is_pos AND keep THEN 1 ELSE 0 END) AS bigint) AS tp,
+        |    cast(sum(CASE WHEN NOT is_pos AND keep THEN 1 ELSE 0 END) AS bigint) AS fp,
+        |    cast(sum(CASE WHEN NOT is_pos AND NOT keep THEN 1 ELSE 0 END) AS bigint) AS tn,
+        |    cast(sum(CASE WHEN is_pos AND NOT keep THEN 1 ELSE 0 END) AS bigint) AS fn
+        |  FROM scored)
+        |SELECT n_pos, n_neg, tp, fp, tn, fn,
+        |  cast(tp + tn AS double) / cast(n_pos + n_neg AS double) AS accuracy
+        |FROM conf""".stripMargin),
 
     "p_sample_epochs" ->
       """WITH t AS (

@@ -168,13 +168,17 @@ object Classifier {
     * pattern) — no explode, no join, no aggregation, so the projection is
     * embarrassingly parallel AND stateless-streaming-safe (the join-based
     * [[scoreQuality]] would need streaming aggregation state). Scores are
-    * bit-identical to [[scoreQuality]] (PipelineSpec-pinned). */
+    * bit-identical to [[scoreQuality]] on ALL inputs, null text included:
+    * the relational path's explode-then-left-join yields `score = bias`
+    * for a null/empty document, so the fused path coalesces null text to
+    * "" (zero tokens → the walk returns bias) rather than letting the
+    * UnaryExpression null-propagate. */
   def scoreQualityFused(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val (arr, b) = qualityWeightArray
     df.select(col(idCol),
         ColumnBridge.column(PerceptronScoreExpr(
-          ColumnBridge.expression(col(textCol)), arr, b)).as("score"))
+          ColumnBridge.expression(coalesce(col(textCol), lit(""))), arr, b)).as("score"))
       .withColumn("keep", col("score") > 0)
   }
 }

@@ -200,6 +200,195 @@ object Multimodal {
     }
   }
 
+  /** REAL pixel-level PNG codec — dependency-free (`java.util.zip`
+    * Inflater/Deflater + the five standard scanline filters from the PNG
+    * spec, RFC 2083 §6). This retires the round-8 "payload-as-luma" stub
+    * boundary for PNG: two visually identical PNGs written by different
+    * encoders (different zlib levels, different filter choices) have
+    * different BYTES but decode to the same pixels, so perceptual dedup
+    * must hash pixels, not payload bytes — pinned by MultimodalSpec's
+    * different-encoder fixture and the `p_dedup_image_px` contract query.
+    * JPEG/WAV/AVI pixel kernels remain the declared stub boundary (a DCT
+    * decoder is not bounded code; README named-limitations).
+    *
+    * Decoder scope (documented contract): 8-bit depth, color types 0
+    * (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced,
+    * multi-IDAT. Anything else → None (never a wrong answer). */
+  object ImagePixels {
+    private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    private def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+    /** Integer luma (ITU-R BT.601 weights, floor division — exact and
+      * engine-replayable): gray passes through, RGB(A) folds. */
+    private def luma(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b) / 1000
+
+    /** Decode a PNG to (width, height, per-pixel luma ints in row-major
+      * order). None when the bytes are not a PNG in the supported scope. */
+    def decodePngLuma(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      if (b.length < 33 || !PngSig.indices.forall(i => b(i) == PngSig(i))) return None
+      if (new String(b, 12, 4, "US-ASCII") != "IHDR") return None
+      val w = be32(b, 16); val h = be32(b, 20)
+      val bitDepth = b(24) & 0xff; val colorType = b(25) & 0xff
+      val interlace = b(28) & 0xff
+      if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+      val channels = colorType match {
+        case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+        case _ => return None
+      }
+      // gather IDAT chunk data (chunks may split the zlib stream anywhere)
+      val idat = new java.io.ByteArrayOutputStream()
+      var i = 8
+      var sawEnd = false
+      while (i + 8 <= b.length && !sawEnd) {
+        val len = be32(b, i)
+        if (len < 0 || i + 12 + len > b.length) return None
+        val tpe = new String(b, i + 4, 4, "US-ASCII")
+        if (tpe == "IDAT") idat.write(b, i + 8, len)
+        else if (tpe == "IEND") sawEnd = true
+        i += 12 + len
+      }
+      val compressed = idat.toByteArray
+      if (compressed.isEmpty) return None
+      // inflate to exactly h filtered scanlines of (1 + w·channels) bytes
+      val stride = 1 + w * channels
+      val expect = h.toLong * stride
+      if (expect > Int.MaxValue) return None
+      val raw = new Array[Byte](expect.toInt)
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(compressed)
+        var off = 0
+        while (off < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, off, raw.length - off)
+          if (n == 0 && inf.needsInput()) return None // truncated stream
+          off += n
+        }
+        if (off != raw.length) return None
+      } catch { case _: java.util.zip.DataFormatException => return None }
+      finally inf.end()
+      // de-filter in place per scanline (PNG spec §6.2-6.6)
+      val bpp = channels
+      var y = 0
+      while (y < h) {
+        val rowOff = y * stride
+        val ft = raw(rowOff) & 0xff
+        var x = 1
+        while (x < stride) {
+          val cur = raw(rowOff + x) & 0xff
+          val left = if (x > bpp) raw(rowOff + x - bpp) & 0xff else 0
+          val up = if (y > 0) raw(rowOff - stride + x) & 0xff else 0
+          val ul = if (y > 0 && x > bpp) raw(rowOff - stride + x - bpp) & 0xff else 0
+          val rec = ft match {
+            case 0 => cur
+            case 1 => cur + left
+            case 2 => cur + up
+            case 3 => cur + (left + up) / 2
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+              cur + pred
+            case _ => return None
+          }
+          raw(rowOff + x) = (rec & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      // luma per pixel
+      val out = new Array[Int](w * h)
+      var p = 0
+      y = 0
+      while (y < h) {
+        var x = 0
+        val rowOff = y * stride + 1
+        while (x < w) {
+          val o = rowOff + x * channels
+          out(p) = channels match {
+            case 1 => raw(o) & 0xff
+            case 2 => raw(o) & 0xff // gray + alpha: luma is the gray sample
+            case _ => luma(raw(o) & 0xff, raw(o + 1) & 0xff, raw(o + 2) & 0xff)
+          }
+          p += 1; x += 1
+        }
+        y += 1
+      }
+      Some((w, h, out))
+    }
+
+    /** Encode 8-bit grayscale pixels as a real PNG: zlib-deflated IDAT at
+      * the given compression `level` with the given scanline `filter`
+      * (0-4, applied uniformly). Different (level, filter) choices give
+      * byte-DIFFERENT files for the same pixels — the different-encoder
+      * fixture [[decodePngLuma]] must see through. */
+    def encodePngGray(w: Int, h: Int, gray: Array[Int], level: Int, filter: Int): Array[Byte] = {
+      require(gray.length == w * h, s"need $w*$h pixels, got ${gray.length}")
+      require(filter >= 0 && filter <= 4, "filter must be 0-4")
+      val stride = 1 + w
+      val raw = new Array[Byte](h * stride)
+      var y = 0
+      while (y < h) {
+        raw(y * stride) = filter.toByte
+        var x = 0
+        while (x < w) {
+          val cur = gray(y * w + x) & 0xff
+          val left = if (x > 0) gray(y * w + x - 1) & 0xff else 0
+          val up = if (y > 0) gray((y - 1) * w + x) & 0xff else 0
+          val ul = if (y > 0 && x > 0) gray((y - 1) * w + x - 1) & 0xff else 0
+          val f = filter match {
+            case 0 => cur
+            case 1 => cur - left
+            case 2 => cur - up
+            case 3 => cur - (left + up) / 2
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+              cur - pred
+          }
+          raw(y * stride + 1 + x) = (f & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater(level)
+      deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val zOut = new java.io.ByteArrayOutputStream()
+      while (!deflater.finished()) zOut.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(PngSig)
+      def chunk(tpe: String, data: Array[Byte]): Unit = {
+        def w32(v: Int): Unit =
+          out.write(Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+        w32(data.length)
+        val tb = tpe.getBytes("US-ASCII")
+        out.write(tb); out.write(data)
+        val crc = new java.util.zip.CRC32
+        crc.update(tb); crc.update(data)
+        w32(crc.getValue.toInt)
+      }
+      chunk("IHDR", java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(8.toByte).put(0.toByte) // 8-bit grayscale
+        .put(0.toByte).put(0.toByte).put(0.toByte).array())
+      chunk("IDAT", zOut.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    /** Deterministic pixel field from text — the generative rule the
+      * DuckDB oracle replays (the pixel analog of the payload-as-text
+      * oracles): pixel p of the row-major w×h grid is
+      * `codepoint[p mod n] mod 256` (0 for empty text). */
+    def pixelsFromText(text: String, w: Int, h: Int): Array[Int] = {
+      val cps = text.codePoints().toArray
+      val n = cps.length
+      Array.tabulate(w * h)(p => if (n == 0) 0 else cps(p % n) % 256)
+    }
+  }
+
   /** Minimal real encoder/decoder for the canonical PCM audio container —
     * RIFF/WAVE (public format): 12-byte RIFF header, `fmt ` chunk
     * (channels at offset 2, sample rate at 4, byte rate at 8, bits at 14,
@@ -628,9 +817,56 @@ case class PayloadDHashExpr(child: org.apache.spark.sql.catalyst.expressions.Exp
 }
 
 object PayloadDHashExpr {
+  /** Standard 2D dHash over a decoded pixel grid: the luma field splits
+    * into an 8×9 grid of cells (floor boundaries `r·h/8`, `c·w/9`), and
+    * bit (r,c) compares the MEAN of cell (r,c) against its right
+    * neighbor — cross-multiplied integer sums, so every comparison is
+    * exact and externally replayable. This is the honest perceptual
+    * hash: it sees pixels, so re-encodes of the same image (different
+    * zlib level, different scanline filters) hash IDENTICALLY. */
+  def hashPixels(w: Int, h: Int, lum: Array[Int]): Long = {
+    val sums = new Array[Long](72)
+    val lens = new Array[Long](72)
+    var r = 0
+    while (r < 8) {
+      val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+      var c = 0
+      while (c < 9) {
+        val x0 = c * w / 9; val x1 = (c + 1) * w / 9
+        var acc = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { acc += lum(y * w + x); x += 1 }
+          y += 1
+        }
+        sums(r * 9 + c) = acc
+        lens(r * 9 + c) = (y1 - y0).toLong * (x1 - x0)
+        c += 1
+      }
+      r += 1
+    }
+    var hv = 0L
+    var j = 0
+    while (j < 64) {
+      val i1 = (j / 8) * 9 + (j % 8)
+      val i2 = i1 + 1
+      if (sums(i1) * lens(i2) > sums(i2) * lens(i1)) hv |= (1L << j)
+      j += 1
+    }
+    hv
+  }
+
   /** Boxed so an unparseable container can signal null; called from
-    * codegen. */
-  def hash(content: Array[Byte]): java.lang.Long =
+    * codegen. PNG with real pixel data (IDAT) takes the PIXEL path —
+    * decode, de-filter, luma, 2D dHash; payload-as-luma remains the
+    * declared boundary for the other containers (and pixel-less
+    * synthesized PNGs, which carry their buffer in a tEXt chunk). */
+  def hash(content: Array[Byte]): java.lang.Long = {
+    Multimodal.ImagePixels.decodePngLuma(content) match {
+      case Some((w, h, lum)) => return java.lang.Long.valueOf(hashPixels(w, h, lum))
+      case None =>
+    }
     Multimodal.ImageHeader.extractPayload(content)
       .orElse(Multimodal.AudioHeader.extractData(content))
       .orElse(Multimodal.VideoHeader.extractFrame(content)) match {
@@ -664,4 +900,5 @@ object PayloadDHashExpr {
         }
         h
     }
+  }
 }

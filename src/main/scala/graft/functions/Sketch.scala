@@ -66,6 +66,58 @@ object Sketch {
     * KMV merge law, pinned by SketchSpec). */
   def kmvUnion(a: Column, b: Column, k: Int): Column =
     slice(array_sort(array_union(a, b)), 1, k)
+
+  // ---------------------------------------------------------------------
+  // Bottom-k-by-hash QUANTILE sketch: the same [[KmvAgg]] machinery turned
+  // into a bounded-state quantile estimator. Pack (36-bit md5 hash of the
+  // item's IDENTITY, 24-bit clamped VALUE) into one long — the k-min SET
+  // over packed longs is then a deterministic, order-free, duplicate-safe
+  // bottom-k sample keyed by hash with the value riding in the low bits.
+  // Merge stays set-union + trim (partition-invariant, map-side
+  // combinable, O(k) state per group), and because every stage is integer
+  // arithmetic over md5 prefixes, DuckDB replays the sample AND the
+  // quantiles cell-exactly. Below k items per group, the sample is the
+  // whole group → quantiles are EXACT (the KMV below-k law carried over).
+  //
+  // 100 TB shape: exact per-group quantiles need a full sort or an exact
+  // histogram of the value domain; this carries ≤ k longs per
+  // (partition, group) through the shuffle no matter the corpus size —
+  // the standard bottom-k-sampling estimator (relative rank error
+  // ~ 1/sqrt(k)). exactIntQuantiles remains the tool for small bounded
+  // value domains; this is the unbounded-domain path.
+  // ---------------------------------------------------------------------
+
+  /** Low-bits value domain of a packed quantile-sketch item: 2^24. */
+  val QuantileValueDomain: Long = 1L << 24
+
+  /** Pack an item for the quantile sketch: 36-bit hash of `id` (first 9
+    * hex digits of md5) in the high bits, `value` clamped to
+    * [0, 2^24) in the low bits — 60 bits total, exact in a BIGINT and in
+    * a double-free DuckDB replay. `id` must identify the item (so the
+    * sample is uniform over items); clamping bounds are part of the
+    * declared contract (token counts / scores at 2^24 ≈ 16.7M are
+    * saturated, which for a p90-style statistic is indistinguishable). */
+  def kmvQuantilePack(id: Column, value: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 9), 16, 10).cast("long") *
+      lit(QuantileValueDomain) +
+      least(greatest(value.cast("long"), lit(0L)), lit(QuantileValueDomain - 1))
+
+  /** The sorted sample VALUES back out of a packed k-min sketch. */
+  def kmvSampleValues(kmins: Column): Column =
+    array_sort(transform(kmins, x => x % QuantileValueDomain))
+
+  /** `pct`-th percentile (0..100) of a sorted sample: the nearest-lower
+    * rank `1 + floor(pct·(m−1)/100)`. The rank arithmetic is exact in
+    * doubles (pct·(m−1) ≤ 100k ≪ 2^53 and true integer quotients are
+    * representable, so floor cannot straddle a boundary) and replays as
+    * DuckDB integer `//`. NULL on an empty sample — the estimator is
+    * total. */
+  def kmvQuantileAt(sortedVals: Column, pct: Int): Column = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    when(size(sortedVals) > 0,
+      element_at(sortedVals,
+        (lit(1) + floor(lit(pct) * (size(sortedVals) - 1) / lit(100.0))).cast("int")))
+  }
 }
 
 /** Typed partial aggregate holding a group's k smallest distinct long

@@ -51,6 +51,53 @@ class SketchSpec extends GraftSuite {
     assert(full == merged)
   }
 
+  private def qsketch(
+      df: org.apache.spark.sql.DataFrame, k: Int): (Long, Seq[Long]) = {
+    val row = df
+      .select(Sketch.kmvQuantilePack(col("id"), col("v")).as("p"))
+      .groupBy().agg(Sketch.kmv(col("p"), k).as("km"))
+      .select(size(col("km")).cast("long").as("m"),
+        Sketch.kmvSampleValues(col("km")).as("vals"))
+      .as[(Long, Seq[Long])].head()
+    row
+  }
+
+  test("quantile sketch: below k items the sample is the whole group and quantiles exact") {
+    val d = (1 to 40).map(i => (i.toLong, (i * 7L) % 100)).toDF("id", "v")
+    val (m, vals) = qsketch(d, 64)
+    assert(m == 40)
+    assert(vals == d.select("v").as[Long].collect().sorted.toSeq)
+    val p50 = d.select(Sketch.kmvQuantilePack(col("id"), col("v")).as("p"))
+      .groupBy().agg(Sketch.kmv(col("p"), 64).as("km"))
+      .select(Sketch.kmvQuantileAt(Sketch.kmvSampleValues(col("km")), 50))
+      .as[Long].head()
+    // nearest-lower rank 1 + floor(50·39/100) = 20 of the 40 sorted values
+    assert(p50 == d.select("v").as[Long].collect().sorted.apply(19))
+  }
+
+  test("quantile sketch is partition-invariant") {
+    val d = (1 to 5000).map(i => (i.toLong, i * 3L)).toDF("id", "v")
+    assert(qsketch(d.repartition(1), 32) == qsketch(d.repartition(17), 32))
+  }
+
+  test("quantile sketch clamps values into the 24-bit domain") {
+    val d = Seq((1L, -5L), (2L, 1L << 30)).toDF("id", "v")
+    val (_, vals) = qsketch(d, 8)
+    assert(vals == Seq(0L, (1L << 24) - 1))
+  }
+
+  test("quantile sketch estimates land near exact quantiles at k=256") {
+    val n = 20000
+    val d = (1 to n).map(i => (i.toLong, i.toLong)).toDF("id", "v") // values 1..n
+    val sorted = d.select(Sketch.kmvQuantilePack(col("id"), col("v")).as("p"))
+      .groupBy().agg(Sketch.kmv(col("p"), 256).as("km"))
+      .select(Sketch.kmvQuantileAt(Sketch.kmvSampleValues(col("km")), 50))
+      .as[Long].head()
+    // sample median of a uniform bottom-k-by-hash sample: rank rsd
+    // ~ 1/(2·sqrt(k)) ≈ 3.1%; allow 5 sigma
+    assert(math.abs(sorted - n / 2) < 0.16 * n, s"p50=$sorted")
+  }
+
   test("estimator lands near the true cardinality at k=128") {
     val n = 20000
     val d = (1 to n).map(i => s"word$i").toDF("v")

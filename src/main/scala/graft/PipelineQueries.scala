@@ -1411,19 +1411,23 @@ object PipelineQueries {
     * (the proven p_dedup_ngram contract) and verifies with the identical
     * integer Levenshtein.
     *
-    * maxBucketSize = 1500 is the production giant-bucket cap (round-9
-    * ScaleDiag attribution): every copy shares the appended-tail
-    * 12-grams, so at bench scale multiples one tail-dominated band
-    * bucket grows to ~4k docs whose in-bucket pairs are ALL junk
-    * (J ≈ 0.13, killed by the estimate prefilter after costing ~8M pair
-    * rows — 70% of the query's ×10 wall). Buckets that large are
-    * non-discriminative by construction; qualifying pairs (J ≥ 0.55)
-    * collide in ~10 pair-specific bands and are unaffected. At the
-    * correctness scales the largest bucket is 178 (measured at sf0.1),
-    * so the cap is provably a no-op for the oracle corpora. */
+    * maxBucketSize = 1000 is the production giant-bucket cap (round-9
+    * ScaleDiag): every copy shares the appended-tail 12-grams, so at
+    * bench scale multiples one tail-dominated band bucket grows to ~4k
+    * docs whose in-bucket pairs are ALL junk (J ≈ 0.13 — only tail
+    * grams shared; the estimate prefilter kills every one, measured:
+    * candidate and verified counts are IDENTICAL at caps 10⁵/1500/200).
+    * At local bench scale the cap does not move wall-clock (the mining
+    * wall is the linear signature build — SCALING.md round-9), but
+    * bucket pairing is quadratic in bucket size, so at real corpus
+    * scale an uncapped non-discriminative bucket is the term that
+    * explodes; qualifying pairs (J ≥ 0.55) collide in ~10 pair-specific
+    * bands and are unaffected by the cap. At the correctness scales the
+    * largest bucket is 178 (measured, sf0.1), so the cap is provably a
+    * no-op for the oracle corpora — re-verified green. */
   def dedupEdit(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.editDistanceNearDupPairs(docsWithNearDups(spark, sfDir), "doc_id", "text",
-        ngramSize = 12, threshold = 0.55, maxDist = 30, maxBucketSize = 1500)
+        ngramSize = 12, threshold = 0.55, maxDist = 30, maxBucketSize = 1000)
       .select(col("id_a"), col("id_b"), col("edit_dist").cast("bigint").as("edit_dist"))
       .orderBy("id_a", "id_b")
 

@@ -142,7 +142,7 @@ object ScaleDiag {
         // mirrors dedupEdit's production config, including the round-9
         // giant-bucket cap (tail-dominated junk buckets at scale multiples)
         val ePairs = Dedup.nearDupPairsFromSets(eSets, "doc_id", numHashes = 64,
-          bands = 32, threshold = 0.55, maxBucketSize = 1500).persist()
+          bands = 32, threshold = 0.55, maxBucketSize = 1000).persist()
         val eCand = ePairs.count()
         val tMineE = (System.nanoTime() - tM0) / 1e9
         val tV0 = System.nanoTime()

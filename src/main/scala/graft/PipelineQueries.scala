@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Multimodal, Similarity, Sketch, TextAnalysis}
@@ -1154,12 +1154,17 @@ object PipelineQueries {
   /** Shared word-bigram item stream for the KMV sketch queries — the
     * [[graft.functions.TextAnalysis.hashedNgramFeatures]] gram
     * construction (n=2, multiplicity kept; the sketch dedups by hash). */
-  private def bigramItems(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = split(lower(trim(col("text"))), "\\s+")
-    val grams = when(size(toks) < 2, array(concat_ws(" ", toks)))
+  private def bigramItems(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("source"), explode(bigramsOf(col("text"))).as("gm"))
+
+  /** The word-bigram array of a text column — shared by [[bigramItems]]
+    * and the streaming sketch ([[StreamingQueries]]), so the stream and
+    * the batch oracle stay the same construction by definition. */
+  private[graft] def bigramsOf(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) < 2, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(0), size(toks) - 2),
         i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
-    docs(spark, sfDir).select(col("source"), explode(grams).as("gm"))
   }
 
   /** Per-source distinct-bigram cardinality via the bounded KMV sketch
@@ -1173,7 +1178,15 @@ object PipelineQueries {
     * values; the estimator is one exact product and one
     * correctly-rounded division). */
   def sketchVocab(spark: SparkSession, sfDir: String): DataFrame =
-    bigramItems(spark, sfDir)
+    sketchVocabAgg(bigramItems(spark, sfDir)).orderBy("source")
+
+  /** (source, gm) items → the per-source sketch report. Shared with the
+    * streaming variant ([[StreamingQueries]]) so batch and stream are the
+    * same aggregation by definition — which is the sketch's selling
+    * point: the merge-associative O(k) state aggregates identically over
+    * a static corpus or an unbounded stream of it. */
+  private[graft] def sketchVocabAgg(items: DataFrame): DataFrame =
+    items
       .select(col("source"), Sketch.kmvHash(col("gm")).as("h"))
       .groupBy("source").agg(Sketch.kmv(col("h"), 64).as("km"))
       .select(col("source"),
@@ -1184,7 +1197,6 @@ object PipelineQueries {
         when(size(col("km")) > 0, element_at(col("km"), size(col("km"))))
           .as("max_kmin"),
         Sketch.kmvEstimate(col("km"), 64).as("est_distinct"))
-      .orderBy("source")
 
   /** Sketch-merge set overlap between the even- and odd-numbered source
     * shards: both KMV sketches build in ONE corpus pass (null-skipping
@@ -1311,6 +1323,10 @@ object PipelineQueries {
     val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
       .where(col("doc_id") % 3 === 0)
       .repartition(spark.sparkContext.defaultParallelism)
+    // persisted: the hamming machinery consumes the media relation five
+    // times (banding, oversized count, both verify sides, keep side) and
+    // column pruning cannot reach inside the typed flatMap — without the
+    // persist the level-9 deflate encode re-runs per consumer
     val media = d.as[(Long, String)].flatMap { case (id, text) =>
       val pix = Multimodal.ImagePixels.pixelsFromText(text, 27, 16)
       Seq(
@@ -1318,7 +1334,7 @@ object PipelineQueries {
         (id + 700000,
           Multimodal.ImagePixels.encodePngGray(27, 16, pix, level = 9,
             filter = (id % 4 + 1).toInt)))
-    }.toDF("media_id", "content")
+    }.toDF("media_id", "content").persist()
     Multimodal.imageNearDupKeep(media, "media_id", "content", maxHamming = 3)
       .orderBy("media_id")
   }

@@ -247,6 +247,35 @@ object StreamingQueries {
       .select("doc_id", "text", "n_email", "n_ip", "n_phone").orderBy("doc_id")
   }
 
+  /** Streaming bounded-state sketching: the per-source KMV
+    * distinct-bigram sketch ([[graft.functions.Sketch]]) as a STATEFUL
+    * streaming aggregation — the operational point of an O(k)
+    * merge-associative sketch at 100 TB is precisely that corpus stats
+    * keep running over an incoming crawl without reprocessing history.
+    * Per-source state is the 64-long k-min set (the
+    * TypedImperativeAggregate buffer serializing into the state store);
+    * set-semantics merge makes the result independent of how the corpus
+    * splits into micro-batches, so draining the two-batch stream in
+    * Complete mode yields EXACTLY the batch sketch — the oracle IS the
+    * batch `p_sketch_vocab` replay, and the gram/aggregation code is
+    * shared with the batch query by construction
+    * ([[PipelineQueries.sketchVocabAgg]]). */
+  def sketchStream(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    val corpus = Tables.read(spark, sfDir, "documents")
+      .select("doc_id", "source", "text")
+    val dir = stageTwoBatches(spark,
+      corpus.where(col("doc_id") % 2 === 0), corpus.where(col("doc_id") % 2 === 1),
+      "graft_stream_sketch")
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val items = stream.select(col("source"),
+      explode(PipelineQueries.bigramsOf(col("text"))).as("gm"))
+    val out = PipelineQueries.sketchVocabAgg(items)
+    val name = "graft_stream_sketch_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    Streams.runToMemorySink(out, name, OutputMode.Complete())
+      .orderBy("source")
+  }
+
   /** Streaming exact dedup: the documents corpus (∪ shifted-id copies, so
     * real duplicates span micro-batches) flows through a streaming
     * groupBy(content fingerprint) keeping the minimum doc_id — stateful
@@ -360,6 +389,7 @@ object StreamingQueries {
     "s_dedup_neardup_stream" -> (dedupNearDupStream _),
     "s_dedup_media_stream" -> (dedupMediaStream _),
     "s_decontaminate_stream" -> (decontaminateStream _),
+    "s_sketch_stream" -> (sketchStream _),
   )
 
   private val sessionizeOracle =
@@ -422,6 +452,11 @@ object StreamingQueries {
 
     // the batch PII-scrub oracle verbatim — stateless stream == batch
     "s_pii_stream" -> PipelineQueries.oracleSql("p_pii_scrub"),
+
+    // the batch sketch oracle verbatim — the k-min SET is batch-split
+    // invariant, so the drained stream must equal the batch sketch
+    // cell-for-cell (max_kmin and the estimator double included)
+    "s_sketch_stream" -> PipelineQueries.oracleSql("p_sketch_vocab"),
 
     "s_dedup_stream" ->
       """WITH corpus AS (

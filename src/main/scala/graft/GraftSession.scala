@@ -607,6 +607,28 @@ class GraftSession(val spark: SparkSession) {
     target
   }
 
+  /** Type-2 slowly-changing-dimension merge ([[graft.ops.Scd2]]): apply
+    * `source` to the versioned dimension `target` at `effectiveDate` —
+    * changed keys close their current row and append a new version, new
+    * keys insert, history never rewrites. The staged swap-pointer write
+    * makes the self-referencing plan (new state reads old state) safe,
+    * and duplicate source keys surface as the typed merge conflict via
+    * the same in-plan raise_error discipline. */
+  def scd2Merge(
+      source: TableRef,
+      target: TableRef,
+      keyCols: Seq[String],
+      compareCols: Seq[String],
+      effectiveDate: String): TableRef = {
+    val next = graft.ops.Scd2.scd2Plan(
+      spark.table(target.qualifiedName),
+      spark.table(source.qualifiedName),
+      keyCols, compareCols, lit(effectiveDate))
+    Merge.surfacingConflicts { replaceTable(next, target) }
+    logOp("scd2_merge", Seq(source.qualifiedName), Seq(target.qualifiedName))
+    target
+  }
+
   /** drop_table (sql/operators/drop.py:14-51). */
   def dropTable(table: TableRef): Unit = {
     val qn = table.qualifiedName

@@ -263,6 +263,43 @@ object OperatorQueries {
       TableRef("op_merge_src"), IfExists.Replace)
   }
 
+  /** Type-2 SCD merge over a versioned customer dimension: one batch
+    * exercises all four decision branches at once — untouched history
+    * (every 10th key carries a pre-2020 closed version), changed keys
+    * (every 7th existing key arrives with a rewritten segment → current
+    * row closes at the effective date + a new version inserts), present
+    *-but-identical keys (every 3rd, not 7th — untouched), and brand-new
+    * keys (custkey % 4 = 3, absent from the dimension). Runs through the
+    * real session path (writeTable seeds, [[GraftSession.scd2Merge]]
+    * swap-pointer apply), and the oracle replays the whole decision from
+    * the same customer predicates. */
+  def scd2MergeOp(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val c = spark.table("customer")
+    val nat = col("c_nationkey").cast("bigint").as("c_nationkey")
+    val cur = c.where(col("c_custkey") % 4 < 3).select(
+      col("c_custkey"), col("c_mktsegment"), nat,
+      to_date(lit("2020-01-01")).as("valid_from"),
+      lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+    val hist = c.where(col("c_custkey") % 4 < 3 && col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"),
+        concat(lit("OLD-"), col("c_mktsegment")).as("c_mktsegment"), nat,
+        to_date(lit("2019-01-01")).as("valid_from"),
+        to_date(lit("2020-01-01")).as("valid_to"), lit(false).as("is_current"))
+    g.writeTable(hist.unionByName(cur), TableRef("op_scd2_tgt"), IfExists.Replace)
+    val src = c.where(
+        (col("c_custkey") % 4 < 3 &&
+          (col("c_custkey") % 7 === 0 || col("c_custkey") % 3 === 0)) ||
+        col("c_custkey") % 4 === 3)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, concat(lit("NEW-"), col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"), nat)
+    g.writeTable(src, TableRef("op_scd2_src"), IfExists.Replace)
+    g.scd2Merge(TableRef("op_scd2_src"), TableRef("op_scd2_tgt"),
+      Seq("c_custkey"), Seq("c_mktsegment", "c_nationkey"), "2021-06-01")
+    spark.table("op_scd2_tgt").orderBy("c_custkey", "valid_from", "is_current")
+  }
+
   /** merge if_conflicts=ignore: target rows win, only new keys inserted. */
   def mergeIgnore(spark: SparkSession, sfDir: String): DataFrame = {
     val g = gs(spark, sfDir)
@@ -548,6 +585,7 @@ object OperatorQueries {
     "op_dataframe_op" -> (dataframeOp _),
     "op_append" -> (appendOp _),
     "op_merge_ignore" -> (mergeIgnore _),
+    "op_scd2_merge" -> (scd2MergeOp _),
     "op_merge_update" -> (mergeUpdate _),
     "op_merge_exception" -> (mergeException _),
     "op_load_append" -> (loadAppend _),
@@ -631,6 +669,48 @@ object OperatorQueries {
         |UNION ALL
         |SELECT o_orderkey, NULL, NULL, o_totalprice FROM orders WHERE o_orderkey % 3 = 1
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the four-way SCD2 decision replayed from the same predicates:
+    // untouched history, kept-current, closed-current, inserts
+    "op_scd2_merge" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey
+        |  FROM customer WHERE c_custkey % 4 < 3),
+        |hist AS (
+        |  SELECT c_custkey, 'OLD-' || c_mktsegment AS c_mktsegment,
+        |    CAST(c_nationkey AS BIGINT) AS c_nationkey
+        |  FROM customer WHERE c_custkey % 4 < 3 AND c_custkey % 10 = 0),
+        |src AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'NEW-' || c_mktsegment
+        |         ELSE c_mktsegment END AS c_mktsegment,
+        |    CAST(c_nationkey AS BIGINT) AS c_nationkey
+        |  FROM customer
+        |  WHERE (c_custkey % 4 < 3 AND (c_custkey % 7 = 0 OR c_custkey % 3 = 0))
+        |     OR c_custkey % 4 = 3),
+        |changed AS (
+        |  SELECT c.c_custkey FROM cur c JOIN src s ON c.c_custkey = s.c_custkey
+        |  WHERE s.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+        |     OR s.c_nationkey IS DISTINCT FROM c.c_nationkey)
+        |SELECT * FROM (
+        |  SELECT c_custkey, c_mktsegment, c_nationkey,
+        |    DATE '2019-01-01' AS valid_from, DATE '2020-01-01' AS valid_to,
+        |    false AS is_current
+        |  FROM hist
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_nationkey,
+        |    DATE '2020-01-01', CAST(NULL AS DATE), true
+        |  FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_nationkey,
+        |    DATE '2020-01-01', DATE '2021-06-01', false
+        |  FROM cur WHERE c_custkey IN (SELECT c_custkey FROM changed)
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_nationkey,
+        |    DATE '2021-06-01', CAST(NULL AS DATE), true
+        |  FROM src WHERE c_custkey IN (SELECT c_custkey FROM changed)
+        |     OR c_custkey NOT IN (SELECT c_custkey FROM cur)
+        |) scd ORDER BY c_custkey, valid_from, is_current""".stripMargin,
 
     "op_merge_ignore" ->
       """WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 < 5),

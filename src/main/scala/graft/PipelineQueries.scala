@@ -664,6 +664,45 @@ object PipelineQueries {
       .orderBy("qid", "rank")
   }
 
+  /** Product-quantized ADC search ([[Similarity.pqTopKDet]], Jégou et
+    * al. 2011): 4 subspaces × 16 dims, 16-centroid Euclidean codebooks
+    * per subspace (deterministic Lloyd — min-L2 assignment, exact
+    * block-fold means), corpus compressed to 4 codes per vector, query
+    * scoring = 4 lookup-table reads per row instead of a 64-dim dot.
+    * The oracle replays EVERYTHING — per-subspace codebook training
+    * rounds, code assignment, the per-query lookup tables, the
+    * left-associated 4-term ADC sum, and the ranking — so the
+    * hash-match certifies the full compressed-domain search, scores
+    * included. Recall vs the exact scan pinned in PipelineSpec. */
+  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.pqTopKDet(e, "vec_id", "embedding", q, "qid", "qv",
+        topK = 10, m = 4, subDim = 16, k = 16, rounds = 2, blockSize = 16)
+      .select(col("qid"), col("vec_id"), col("adc"),
+        col("rank").cast("bigint").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** PQ + exact rerank ([[Similarity.pqRerankTopK]]): the ADC scan keeps
+    * 50 candidates per query reading only the 4 codes per vector, then
+    * the float corpus is touched only for the candidate slice — exact
+    * rerank to top-10. The oracle replays both stages (the full PQ
+    * replay + the candidate cut + the exact dot rerank), scores
+    * included. */
+  def annPqRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.pqRerankTopK(e, "vec_id", "embedding", q, "qid", "qv",
+        k = 10, candidates = 50, m = 4, subDim = 16, kCent = 16,
+        rounds = 2, blockSize = 16)
+      .select(col("qid"), col("vec_id"), col("cosine"),
+        col("rank").cast("bigint").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** The order-free-build IVF (the 100 TB scale default): VecSumAgg
     * Lloyd pass + hash seeding — partition-order FP centroid bits, so
     * bench-only; [[annIvf]] oracles the deterministic-build variant of
@@ -2093,6 +2132,8 @@ object PipelineQueries {
     "p_ann_bruteforce" -> (annBruteForce _),
     "p_ann_ivf_exhaustive" -> (annIvfExhaustive _),
     "p_ann_ivf" -> (annIvf _),
+    "p_ann_pq" -> (annPq _),
+    "p_ann_pq_rerank" -> (annPqRerank _),
     "p_embed_quantize" -> (embedQuantize _),
     "p_ann_quantized" -> (annQuantized _),
     "p_ann_rerank" -> (annRerank _),
@@ -2252,6 +2293,94 @@ object PipelineQueries {
     * engine's `DotExpr` (up to the unobservable 0.0-seed sign). */
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** Generated PQ replay: normalized corpus (the kmeans header), then per
+    * subspace `mi` the Euclidean codebook rounds (min-L2 assignment with
+    * ties to the lowest cid, exact two-level block-fold means, NO
+    * renormalization — mirroring [[Similarity.pqFit]] op for op), the
+    * final code assignment, per-query lookup tables against the final
+    * codebook, the left-associated m-term ADC sum, and the ranking. */
+  private def pqWithSql(
+      m: Int, subDim: Int, k: Int, rounds: Int, blockSize: Int): String = {
+    def dist2Sql(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, $subDim + 1), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+    val header =
+      s"""nrm AS (
+         |  SELECT vec_id, sqrt(list_reduce(
+         |    list_transform(embedding, x -> cast(x AS double) * cast(x AS double)),
+         |    (a, b) -> a + b)) AS nm
+         |  FROM embeddings),
+         |ev AS MATERIALIZED (
+         |  SELECT e.vec_id,
+         |    CASE WHEN n.nm = 0 THEN list_transform(e.embedding, x -> cast(x AS double))
+         |         ELSE list_transform(e.embedding,
+         |           x -> cast(cast(cast(x AS double) / n.nm AS real) AS double)) END AS v
+         |  FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id)""".stripMargin
+    val subspaces = (0 until m).map { mi =>
+      val off = mi * subDim
+      val sub =
+        s"""s$mi AS MATERIALIZED (
+           |  SELECT vec_id, v[${off + 1}:${off + subDim}] AS sv FROM ev),
+           |p${mi}c0 AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sv AS cv
+           |  FROM (SELECT vec_id, sv FROM s$mi ORDER BY vec_id LIMIT $k) z)""".stripMargin
+      val roundsSql = (1 to rounds).map { r =>
+        val assign =
+          s"""p${mi}a$r AS (
+             |  SELECT vec_id, sv, cid FROM (
+             |    SELECT e.vec_id, e.sv, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${dist2Sql("e.sv", "c.cv")} ASC, c.cid) AS rn
+             |    FROM s$mi e CROSS JOIN p${mi}c${r - 1} c) t
+             |  WHERE rn = 1)""".stripMargin
+        val update = if (r == rounds) "" else
+          s""",
+             |p${mi}m$r AS (
+             |  SELECT cid, blk, count(*) AS bn,
+             |    list_reduce(list(sv ORDER BY vec_id),
+             |      (a, b) -> list_transform(range(1, len(a) + 1), i -> a[i] + b[i])) AS bs
+             |  FROM (SELECT cid, vec_id, vec_id // $blockSize AS blk, sv FROM p${mi}a$r) q
+             |  GROUP BY cid, blk),
+             |p${mi}t$r AS (
+             |  SELECT cid, sum(bn) AS n,
+             |    list_reduce(list(bs ORDER BY blk),
+             |      (a, b) -> list_transform(range(1, len(a) + 1), i -> a[i] + b[i])) AS s
+             |  FROM p${mi}m$r GROUP BY cid),
+             |p${mi}c$r AS (
+             |  SELECT cid, list_transform(s, x -> x / cast(n AS double)) AS cv
+             |  FROM p${mi}t$r)""".stripMargin
+        assign + update
+      }.mkString(",\n")
+      sub + ",\n" + roundsSql
+    }.mkString(",\n")
+    val codeCols = (0 until m).map(mi => s"a$mi.cid AS c$mi").mkString(", ")
+    val codeJoins = (1 until m)
+      .map(mi => s"JOIN p${mi}a$rounds a$mi ON a$mi.vec_id = a0.vec_id")
+      .mkString(" ")
+    val luts = (0 until m).map { mi =>
+      val off = mi * subDim
+      s"""lut$mi AS MATERIALIZED (
+         |  SELECT q.qid, c.cid,
+         |    list_reduce(list_transform(range(1, $subDim + 1),
+         |      i -> q.qv[$off + i] * c.cv[i]), (x, y) -> x + y) AS p
+         |  FROM qn q CROSS JOIN p${mi}c${rounds - 1} c)""".stripMargin
+    }.mkString(",\n")
+    val adcSum = (0 until m).map(mi => s"l$mi.p").mkString(" + ")
+    val lutJoins = (0 until m).map { mi =>
+      if (mi == 0) s"JOIN lut0 l0 ON l0.cid = c.c0"
+      else s"JOIN lut$mi l$mi ON l$mi.qid = l0.qid AND l$mi.cid = c.c$mi"
+    }.mkString(" ")
+    s"""WITH $header,
+       |$subspaces,
+       |codes AS MATERIALIZED (
+       |  SELECT a0.vec_id, $codeCols FROM p0a$rounds a0 $codeJoins),
+       |qn AS (SELECT vec_id AS qid, v AS qv FROM ev WHERE vec_id < 5),
+       |$luts,
+       |sc AS (
+       |  SELECT l0.qid, c.vec_id, $adcSum AS adc
+       |  FROM codes c $lutJoins)""".stripMargin
+  }
 
   private def kmeansWithSql(k: Int, rounds: Int, blockSize: Int): String = {
     val header =
@@ -2501,6 +2630,33 @@ object PipelineQueries {
         |  FROM s) t
         |WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    "p_ann_pq" ->
+      (s"""${pqWithSql(m = 4, subDim = 16, k = 16, rounds = 2, blockSize = 16)},
+         |ranked AS (
+         |  SELECT qid, vec_id, adc,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank
+         |  FROM sc)
+         |SELECT qid, vec_id, adc, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin),
+
+    "p_ann_pq_rerank" ->
+      (s"""${pqWithSql(m = 4, subDim = 16, k = 16, rounds = 2, blockSize = 16)},
+         |cand AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS crn
+         |    FROM sc) z
+         |  WHERE crn <= 50),
+         |rr AS (
+         |  SELECT c.qid, c.vec_id, ${dotSql("q.qv", "e.v")} AS cosine
+         |  FROM cand c JOIN qn q ON q.qid = c.qid JOIN ev e ON e.vec_id = c.vec_id),
+         |ranked AS (
+         |  SELECT qid, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM rr)
+         |SELECT qid, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin),
 
     "p_ann_ivf" ->
       (s"""${kmeansWithSql(k = 16, rounds = 2, blockSize = 16)},

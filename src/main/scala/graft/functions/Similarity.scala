@@ -601,6 +601,169 @@ object Similarity {
       .where(col("rank") <= topK)
   }
 
+  // -----------------------------------------------------------------
+  // Product quantization (PQ) — ADC search
+  // -----------------------------------------------------------------
+
+  /** Argmin-L2 subspace assignment against a driver-resident codebook:
+    * `array_min` over (squared-distance, cid) structs — each distance is
+    * a fixed ascending-index fold of exact `(x−c)²` terms, the struct
+    * min realizes ties-to-lowest-cid — so the code is a pure function
+    * of the data, replayable as `row_number() OVER (ORDER BY dist2, cid)`
+    * in an external engine. */
+  private def argminL2Col(
+      sub: Column, cids: Array[Int], matrix: Seq[Seq[Double]]): Column = {
+    val entries = cids.toSeq.zip(matrix).map { case (cid, c) =>
+      struct(
+        aggregate(zip_with(sub, lit(c.toArray), (x, cc) => (x - cc) * (x - cc)),
+          lit(0.0), (a, b) => a + b).as("d"),
+        lit(cid).as("i"))
+    }
+    array_min(array(entries: _*)).getField("i")
+  }
+
+  /** Deterministic per-subspace Lloyd fit for product quantization —
+    * plain Euclidean k-means (min-L2 assignment, [[meanPoolExact]]
+    * block-fold means, NO renormalization: PQ approximates subvectors,
+    * not directions — contrast the spherical [[kmeansFit]]). Seeds per
+    * subspace are the `k` lowest-id subvectors; dead clusters drop, the
+    * documented [[kmeansFit]] policy. Vectors must have `m · subDim`
+    * dimensions. Returns the cached normalized corpus relation
+    * (`idCol`, `__v`) and per-subspace (surviving cids, centroid
+    * matrix) — all driver-resident, O(m·k·subDim) doubles. */
+  private[graft] def pqFit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      subDim: Int,
+      k: Int,
+      rounds: Int,
+      blockSize: Int): (DataFrame, Seq[(Array[Int], Seq[Seq[Double]])]) = {
+    require(m > 0 && subDim > 0 && k > 0 && rounds > 0,
+      "m, subDim, k, rounds must be positive")
+    val v = Dedup.maybeCache(df.select(col(idCol),
+      transform(normalize(col(vecCol)), x => x.cast("double")).as("__v")))
+    val books = (0 until m).map { mi =>
+      val sub = v.select(col(idCol),
+        slice(col("__v"), mi * subDim + 1, subDim).as("__s"))
+      var matrix: Seq[Seq[Double]] =
+        sub.orderBy(col(idCol)).limit(k).collect().map(_.getSeq[Double](1)).toSeq
+      var cids: Array[Int] = matrix.indices.toArray
+      var r = 1
+      while (r < rounds) {
+        val assigned = sub.select(col(idCol), col("__s"),
+          argminL2Col(col("__s"), cids, matrix).as("__cid"))
+        val next = meanPoolExact(assigned, "__cid", idCol, "__s", blockSize)
+          .select(col("__cid"), col("centroid"))
+          .collect().map(row => row.getInt(0) -> row.getSeq[Double](1))
+          .sortBy(_._1)
+        cids = next.map(_._1)
+        matrix = next.map(_._2).toSeq
+        r += 1
+      }
+      (cids, matrix)
+    }
+    (v, books)
+  }
+
+  /** Product-quantized top-k by asymmetric distance computation (ADC) —
+    * Jégou et al. 2011, the memory-bound production ANN shape: each
+    * corpus vector compresses to `m` small codes (here m bytes-worth —
+    * a 16× reduction over float32 at m=4/dim=64), and query scoring
+    * reads ONLY the codes: per query a lookup table of `m × k`
+    * query-to-centroid dot products is computed once (tiny, rides the
+    * broadcast), and a corpus row's approximate cosine is the sum of
+    * `m` array lookups — no per-row full-dimension arithmetic, so the
+    * scan is bounded by code bytes, not vector bytes. Deterministic end
+    * to end: the codebooks are the [[pqFit]] fixed-order machinery,
+    * lookup entries are ascending-index dot folds, the m-term sum is
+    * left-associated, and ranking ties break on id — so an external
+    * engine replays codebooks, codes, LUTs, scores, and ranks exactly
+    * (`p_ann_pq`'s full DuckDB hash-match). Recall vs the exact scan is
+    * pinned in PipelineSpec. Output: (qidCol, idCol, adc, rank). */
+  def pqTopKDet(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      topK: Int,
+      m: Int,
+      subDim: Int,
+      k: Int,
+      rounds: Int,
+      blockSize: Int = 1024): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val (v, books) = pqFit(corpus, idCol, vecCol, m, subDim, k, rounds, blockSize)
+    val codes = v.select(col(idCol) +: (0 until m).map(mi =>
+      argminL2Col(slice(col("__v"), mi * subDim + 1, subDim),
+        books(mi)._1, books(mi)._2).as(s"__c$mi")): _*)
+    val qn = queries.select(col(qidCol),
+      transform(normalize(col(qvecCol)), x => x.cast("double")).as("__qv"))
+    // per-query ADC lookup array for subspace mi: slot j+1 = the dot of
+    // the query subvector against centroid j (0.0 for dead cids — never
+    // indexed, codes only take surviving values)
+    def lutArr(mi: Int): Column = {
+      val (cids, matrix) = books(mi)
+      val byCid = cids.zip(matrix).toMap
+      val qSub = slice(col("__qv"), mi * subDim + 1, subDim)
+      array((0 to cids.max).map { j =>
+        byCid.get(j) match {
+          case Some(c) =>
+            aggregate(zip_with(qSub, lit(c.toArray), (x, cc) => x * cc),
+              lit(0.0), (a, b) => a + b)
+          case None => lit(0.0)
+        }
+      }: _*).as(s"__l$mi")
+    }
+    val qlut = qn.select(col(qidCol) +: (0 until m).map(lutArr): _*)
+    val adc = (0 until m)
+      .map(mi => element_at(col(s"__l$mi"), col(s"__c$mi") + 1))
+      .reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(qlut))
+      .select(col(qidCol), col(idCol), adc.as("cosine"))
+    val pruned = localTopK(scored, qidCol, idCol, topK)
+    val w = Window.partitionBy(qidCol).orderBy(col("cosine").desc, col(idCol))
+    pruned.withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
+      .withColumnRenamed("cosine", "adc")
+  }
+
+  /** PQ + exact rerank — the full production compressed-domain shape
+    * (Jégou et al. 2011 §IV): the [[pqTopKDet]] ADC scan keeps
+    * `candidates` per query reading only codes, then the float corpus is
+    * touched ONLY for the candidate slice, scored exactly and reranked.
+    * Deterministic end to end (both stages tie-break on id), so the
+    * oracle replays codebooks → codes → LUT → candidate cut → exact
+    * rerank rank-for-rank. Output: (qidCol, idCol, cosine, rank). */
+  def pqRerankTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      candidates: Int,
+      m: Int,
+      subDim: Int,
+      kCent: Int,
+      rounds: Int,
+      blockSize: Int = 1024): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val coarse = pqTopKDet(corpus, idCol, vecCol, queries, qidCol, qvecCol,
+        candidates, m, subDim, kCent, rounds, blockSize)
+      .select(col(qidCol), col(idCol))
+    val cand = coarse.join(
+      corpus.select(col(idCol), normalize(col(vecCol)).as("__cv")), Seq(idCol))
+    val q = queries.select(col(qidCol), normalize(col(qvecCol)).as("__qv"))
+    val scored = cand.join(broadcast(q), Seq(qidCol))
+      .select(col(qidCol), col(idCol), dot(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy(qidCol).orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Two-stage retrieval: a quantized coarse scan keeps `candidates`
     * per query (1/4 the scan bytes), then an EXACT float rerank over the
     * candidate set only — the classic SQ/PQ + rerank production shape.

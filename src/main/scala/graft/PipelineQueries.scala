@@ -1378,6 +1378,78 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  /** SAMPLE-level perceptual audio dedup — the audio analog of
+    * [[dedupImagePx]]: the corpus is the SAME 16-bit PCM samples (the
+    * deterministic affine rule `min(cp,255)·257 − 32768` over each doc's
+    * codepoints) encoded TWICE as real WAVs with different container
+    * layouts — the base mono at 16 kHz, the copy at id+800000 STEREO
+    * (channel-replicated) at 8 kHz with a LIST/INFO chunk inserted
+    * before `data`. The files are byte-different (different channel
+    * counts, different chunk walks — a byte hash cannot pair them), but
+    * chunk walk → PCM decode → mono mixdown → 1-D dHash sees identical
+    * samples, so every (base, copy) pairs at Hamming 0. The oracle
+    * replays the dHash bits from the CODEPOINT rule — exact because the
+    * cross-multiplied mean comparison is invariant under the positive
+    * affine sample map — so the hash-match certifies the whole sample
+    * decode chain (fmt parse, LIST-chunk skip, little-endian
+    * sign-extension, stereo mixdown, binning) end to end. */
+  def dedupAudioPx(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      .where(col("doc_id") % 3 === 1)
+      .repartition(spark.sparkContext.defaultParallelism)
+    // persisted for the same reason as dedupImagePx: the hamming
+    // machinery consumes the relation five times and pruning cannot
+    // reach inside the typed flatMap
+    val media = d.as[(Long, String)].flatMap { case (id, text) =>
+      val samples = text.codePoints().toArray.map(cp => math.min(cp, 255) * 257 - 32768)
+      Seq(
+        (id, Multimodal.AudioSamples.synthPcmWav(16000, 1, samples)),
+        (id + 800000, Multimodal.AudioSamples.synthPcmWav(8000, 2, samples, junk = true)))
+    }.toDF("media_id", "content").persist()
+    Multimodal.imageNearDupKeep(media, "media_id", "content", maxHamming = 3)
+      .orderBy("media_id")
+  }
+
+  /** FRAME-level perceptual video dedup — the video analog of
+    * [[dedupImagePx]] / [[dedupAudioPx]]: the corpus is the SAME three
+    * 27×16 gray frames (frame f's pixel p is the deterministic rule
+    * `cs[(p + 97f) mod n] mod 256` over each doc's codepoints — frame 0
+    * IS the image rule, later frames are shifted so the temporal axis
+    * carries signal) encoded TWICE as real uncompressed-DIB AVIs with
+    * different container layouts — the base standard, the copy at
+    * id+900000 with a JUNK chunk between `hdrl` and `movi`, an `idx1`
+    * index appended, and a different buffer-size hint. The files are
+    * byte-different (a byte hash or the old movi-payload walk cannot
+    * pair them), but chunk walk → per-frame BGR24 decode → bottom-up
+    * unflip → temporal-sum luma → 2D dHash sees identical pixels, so
+    * every (base, copy) pairs at Hamming 0. The oracle replays the
+    * dHash bits from the codepoint rule (exact: B = G = R makes the
+    * BT.601 luma the identity, and 27×16 under the 9×8 grid gives
+    * equal-size 3×2 cells so sum comparisons need no cross-multiply) —
+    * the hash-match certifies the whole frame decode chain end to end. */
+  def dedupVideoPx(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      .where(col("doc_id") % 3 === 2)
+      .repartition(spark.sparkContext.defaultParallelism)
+    // persisted for the same reason as dedupImagePx: the hamming
+    // machinery consumes the relation five times and pruning cannot
+    // reach inside the typed flatMap
+    val media = d.as[(Long, String)].flatMap { case (id, text) =>
+      val cps = text.codePoints().toArray
+      val n = cps.length
+      val frames = (0 until 3).map { f =>
+        Array.tabulate(27 * 16)(p => if (n == 0) 0 else cps((p + 97 * f) % n) % 256)
+      }
+      Seq(
+        (id, Multimodal.VideoFrames.synthDibAvi(27, 16, frames, 40000)),
+        (id + 900000, Multimodal.VideoFrames.synthDibAvi(27, 16, frames, 40000, junk = true)))
+    }.toDF("media_id", "content").persist()
+    Multimodal.imageNearDupKeep(media, "media_id", "content", maxHamming = 3)
+      .orderBy("media_id")
+  }
+
   /** Perceptual dedup across ALL modalities: the same dHash chain as
     * [[dedupImage]] over the full media table — PNG tEXt, JPEG COM, WAV
     * data, and AVI movi payload walks all feed the one hash (copies
@@ -2160,6 +2232,8 @@ object PipelineQueries {
     "p_dsir_weights" -> (dsirWeights _),
     "p_dedup_image" -> (dedupImage _),
     "p_dedup_image_px" -> (dedupImagePx _),
+    "p_dedup_audio_px" -> (dedupAudioPx _),
+    "p_dedup_video_px" -> (dedupVideoPx _),
     "p_dedup_media" -> (dedupMedia _),
     "p_bm25_search" -> (bm25Search _),
     "p_token_quantiles" -> (tokenQuantiles _),
@@ -3136,8 +3210,99 @@ object PipelineQueries {
         |SELECT c.media_id FROM corpus c LEFT JOIN losers ON c.media_id = losers.id_b
         |WHERE losers.id_b IS NULL ORDER BY media_id""".stripMargin,
 
-    // the same replay over ALL modalities — PNG tEXt, JPEG COM, WAV
-    // data, and AVI movi payloads walk through the identical dHash
+    // sample-path replay: the oracle recomputes the dHash bits from the
+    // CODEPOINT rule the PCM samples were built from — exact because the
+    // cross-multiplied mean comparison is invariant under a positive
+    // affine sample map (sample = cp·257 − 32768: the 257 factor scales
+    // both sides, the −32768·L₁·L₂ terms cancel). Copies carry the SAME
+    // samples in a different container (stereo, junk LIST chunk), so
+    // every (base, base+800000) pairs at Hamming 0; the hash-match
+    // certifies fmt parse, LIST skip, sign-extension, mixdown, binning.
+    "p_dedup_audio_px" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+        |corpus AS (
+        |  SELECT doc_id AS media_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 800000, text FROM base),
+        |codes AS (
+        |  SELECT media_id,
+        |    list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cs,
+        |    length(text) AS L
+        |  FROM corpus),
+        |cells AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 72),
+        |      k -> coalesce(list_sum(cs[(k * L) // 72 + 1 : ((k + 1) * L) // 72]), 0)) AS s,
+        |    list_transform(range(0, 72),
+        |      k -> ((k + 1) * L) // 72 - (k * L) // 72) AS l
+        |  FROM codes),
+        |bits AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 64), j ->
+        |      CASE WHEN s[(j // 8) * 9 + (j % 8) + 1] * l[(j // 8) * 9 + (j % 8) + 2]
+        |              > s[(j // 8) * 9 + (j % 8) + 2] * l[(j // 8) * 9 + (j % 8) + 1]
+        |           THEN 1 ELSE 0 END) AS bb
+        |  FROM cells),
+        |losers AS (
+        |  SELECT DISTINCT b.media_id AS id_b
+        |  FROM bits a JOIN bits b ON a.media_id < b.media_id
+        |  WHERE list_sum(list_transform(range(1, 65), j -> abs(a.bb[j] - b.bb[j]))) <= 3)
+        |SELECT c.media_id FROM corpus c LEFT JOIN losers ON c.media_id = losers.id_b
+        |WHERE losers.id_b IS NULL ORDER BY media_id""".stripMargin,
+
+    // frame-path replay: the oracle recomputes the 2D dHash bits from
+    // the codepoint FRAME rule the DIB pixels were built from — exact
+    // because B = G = R makes the BT.601 luma the identity and the
+    // temporal mean divides every cell by the same frame count, so the
+    // per-pixel 3-frame SUMS compare exactly like the mean frame. Copies
+    // carry the SAME frames in a different container layout (JUNK chunk,
+    // idx1 index, buffer-size hint), so every (base, base+900000) pairs
+    // at Hamming 0; the hash-match certifies strf parse, movi walk,
+    // bottom-up unflip, BGR order, and row padding end to end.
+    "p_dedup_video_px" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+        |corpus AS (
+        |  SELECT doc_id AS media_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 900000, text FROM base),
+        |codes AS (
+        |  SELECT media_id,
+        |    list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cs,
+        |    length(text) AS n
+        |  FROM corpus),
+        |pxs AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 432), p ->
+        |      CASE WHEN n = 0 THEN 0 ELSE
+        |        cs[(p % n) + 1] % 256 + cs[((p + 97) % n) + 1] % 256
+        |          + cs[((p + 194) % n) + 1] % 256 END) AS px
+        |  FROM codes),
+        |cells AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 72), k ->
+        |      list_sum(flatten(list_transform(range((k // 9) * 2, (k // 9) * 2 + 2), y ->
+        |        list_transform(range((k % 9) * 3, (k % 9) * 3 + 3),
+        |          x -> px[y * 27 + x + 1]))))) AS s
+        |  FROM pxs),
+        |bits AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 64), j ->
+        |      CASE WHEN s[(j // 8) * 9 + (j % 8) + 1] > s[(j // 8) * 9 + (j % 8) + 2]
+        |           THEN 1 ELSE 0 END) AS bb
+        |  FROM cells),
+        |losers AS (
+        |  SELECT DISTINCT b.media_id AS id_b
+        |  FROM bits a JOIN bits b ON a.media_id < b.media_id
+        |  WHERE list_sum(list_transform(range(1, 65), j -> abs(a.bb[j] - b.bb[j]))) <= 3)
+        |SELECT c.media_id FROM corpus c LEFT JOIN losers ON c.media_id = losers.id_b
+        |WHERE losers.id_b IS NULL ORDER BY media_id""".stripMargin,
+
+    // the same replay over ALL modalities — PNG tEXt and JPEG COM
+    // payloads walk through the codepoint dHash, WAV rows decode REAL
+    // PCM samples (bit-identical to the codepoint replay by the affine
+    // argument above), AVI movi payloads walk through the codepoint dHash
     "p_dedup_media" -> perceptualDedupOracle("1 = 1"),
 
     "p_bm25_search" ->
@@ -4456,20 +4621,22 @@ object PipelineQueries {
 
     // image payloads are synthesized PNG (even ids, 57B overhead) / JPEG
     // (odd ids, 27B overhead) containers with the text embedded; audio
-    // payloads are synthesized 16-bit PCM WAV (44B header + word-align
-    // pad, rate/channels derived from the id, text bytes as the data
-    // chunk); video payloads are synthesized AVI (108B container + pad,
-    // 25 fps, greatest(1, n_chars/4) frames → parsed duration frames×40ms,
+    // payloads are REAL 16-bit PCM WAV (44B header + one codepoint-rule
+    // sample per character × 2 bytes × channels, rate/channels derived
+    // from the id — always word-aligned, no pad); video payloads are
+    // synthesized AVI (108B container + pad, 25 fps,
+    // greatest(1, n_chars/4) frames → parsed duration frames×40ms,
     // deliberately ≠ the duration_ms metadata). Decoded dims/rates/frame
     // counts/durations come from the engine PARSING those bytes, so a
     // parse bug (or a metadata echo) diverges from the formulas below.
     "p_multimodal" ->
       """SELECT doc_id AS media_id,
         |  CASE cast(doc_id % 3 as int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-        |  cast(octet_length(encode(text)) +
-        |    CASE WHEN doc_id % 3 = 0 THEN CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 27 END
-        |         WHEN doc_id % 3 = 1 THEN 44 + octet_length(encode(text)) % 2
-        |         ELSE 108 + octet_length(encode(text)) % 2 END as bigint) AS n_bytes,
+        |  cast(CASE WHEN doc_id % 3 = 1
+        |         THEN 44 + length(text) * 2 * (1 + doc_id % 2)
+        |         ELSE octet_length(encode(text)) +
+        |           CASE WHEN doc_id % 3 = 0 THEN CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 27 END
+        |                ELSE 108 + octet_length(encode(text)) % 2 END END as bigint) AS n_bytes,
         |  cast(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE doc_id % 640 + 1 END as int) AS decoded_width,
         |  cast(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE doc_id % 480 + 1 END as int) AS decoded_height,
         |  cast(CASE cast(doc_id % 3 as int)
@@ -4479,7 +4646,7 @@ object PipelineQueries {
         |  cast(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 4) * 4000 ELSE 0 END as int) AS sample_rate,
         |  cast(CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2 ELSE 0 END as int) AS channels,
         |  cast(CASE WHEN doc_id % 3 = 1
-        |         THEN (octet_length(encode(text)) * 1000)
+        |         THEN (length(text) * 2 * (1 + doc_id % 2) * 1000)
         |              // ((8000 + (doc_id % 4) * 4000) * (1 + doc_id % 2) * 2)
         |       WHEN doc_id % 3 = 2 THEN greatest(1, n_chars // 4) * 40
         |       ELSE 0 END as bigint) AS decoded_duration_ms

@@ -469,6 +469,103 @@ object Multimodal {
     }
   }
 
+  /** REAL sample-level WAV codec — the audio analog of [[ImagePixels]],
+    * retiring the payload-as-luma boundary for PCM audio: two WAVs
+    * carrying the SAME samples in different container layouts (mono vs
+    * channel-replicated stereo, extra LIST/INFO chunks before `data`)
+    * have different BYTES but decode to the same mono sample sequence,
+    * so perceptual audio dedup must hash samples, not container bytes —
+    * pinned by MultimodalSpec-style fixtures and the `p_dedup_audio_px`
+    * contract query.
+    *
+    * Decoder scope (documented contract): WAVE_FORMAT_PCM (format tag 1),
+    * 16-bit samples, ≥1 channel, and a `data` chunk that is a whole
+    * number of frames — a data length that is NOT a multiple of the
+    * block align is not valid PCM and returns None (the container-payload
+    * walk remains the declared boundary for such files). Channels fold to
+    * mono by exact per-frame mean (floor division — replayable; channel-
+    * replicated fixtures make it exact by construction). */
+  object AudioSamples {
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+    /** Decode a 16-bit PCM WAV to mono samples (per-frame channel mean,
+      * floor division). None when the bytes are outside the supported
+      * scope — never a wrong answer. */
+    def decodePcm16(b: Array[Byte]): Option[Array[Int]] = {
+      if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+          !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+      var fmtOk = false; var channels = 0
+      var dataOff = -1; var dataLen = -1
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val len = le32(b, i + 4)
+        if (len < 0 || i + 8 + len < i) return None
+        if (id == "fmt " && len >= 16 && i + 8 + 16 <= b.length) {
+          val audioFormat = le16(b, i + 8)
+          channels = le16(b, i + 10)
+          val bits = le16(b, i + 22)
+          fmtOk = audioFormat == 1 && bits == 16 && channels >= 1
+        } else if (id == "data" && dataOff < 0 && i + 8 + len <= b.length) {
+          dataOff = i + 8; dataLen = len
+        }
+        i += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (!fmtOk || dataOff < 0) return None
+      val blockAlign = channels * 2
+      if (dataLen % blockAlign != 0) return None
+      val nFrames = dataLen / blockAlign
+      val out = new Array[Int](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0L
+        var c = 0
+        while (c < channels) {
+          // sign-extend the little-endian 16-bit sample
+          acc += le16(b, dataOff + f * blockAlign + c * 2).toShort
+          c += 1
+        }
+        out(f) = Math.floorDiv(acc, channels).toInt
+        f += 1
+      }
+      Some(out)
+    }
+
+    /** Structurally valid PCM16 WAV carrying `samples` replicated across
+      * `channels` (so the decoder's mono mixdown is exact); `junk = true`
+      * inserts a LIST/INFO chunk between `fmt ` and `data` — byte-level
+      * layout changes that a correct chunk walk must be invariant to. */
+    def synthPcmWav(
+        rate: Int, channels: Int, samples: Array[Int], junk: Boolean = false): Array[Byte] = {
+      require(rate > 0 && channels >= 1, "rate and channels must be positive")
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      // LIST body = 'INFO' (4) + ICMT header (8) + 'gen0' body (4) = 16
+      val junkBytes = if (junk) 8 + 16 else 0
+      val dataLen = samples.length * 2 * channels
+      tag("RIFF"); w32(36 + junkBytes + dataLen); tag("WAVE")
+      tag("fmt "); w32(16)
+      w16(1) // PCM
+      w16(channels)
+      w32(rate)
+      w32(rate * channels * 2) // byte rate
+      w16(channels * 2) // block align
+      w16(16) // bits per sample
+      if (junk) { tag("LIST"); w32(16); tag("INFO"); tag("ICMT"); w32(4); tag("gen0") }
+      tag("data"); w32(dataLen)
+      samples.foreach { s =>
+        var c = 0
+        while (c < channels) { w16(s & 0xffff); c += 1 }
+      }
+      out.toByteArray
+    }
+  }
+
   /** Minimal real decoder/encoder for the canonical video container —
     * AVI/RIFF (public format, documented in the Microsoft multimedia file
     * format specs): 12-byte RIFF/`AVI ` header, then a `LIST hdrl` whose
@@ -573,6 +670,198 @@ object Multimodal {
         i += 8 + len + (len & 1)
       }
       None
+    }
+  }
+
+  /** REAL frame-level AVI codec — the video analog of [[ImagePixels]] /
+    * [[AudioSamples]], retiring the payload-as-luma boundary for
+    * uncompressed video: two AVIs carrying the SAME BGR24 DIB frames in
+    * different container layouts (a JUNK chunk between `hdrl` and
+    * `movi`, an `idx1` index appended, a different
+    * dwSuggestedBufferSize hint) have different BYTES but decode to the
+    * same pixel sequence, so perceptual video dedup must hash decoded
+    * frames, not container bytes — pinned by the PipelineSpec fixture
+    * and the `p_dedup_video_px` contract query.
+    *
+    * Decoder scope (documented contract): a `LIST strl` whose `strf` is
+    * a 40-byte BITMAPINFOHEADER with biCompression = BI_RGB (0) and
+    * biBitCount = 24, positive bottom-up biHeight, and every `00db`
+    * movi chunk exactly one frame (rowBytes·h with rows padded to 4
+    * bytes). Anything else returns None and the container-payload walk
+    * remains the declared boundary (the legacy header-only AVIs carry
+    * no `strl` at all, so they keep their old hash). */
+  object VideoFrames {
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    /** Same integer BT.601 floor-div luma as [[ImagePixels]] — exact,
+      * and the identity on gray (r = g = b) pixels. */
+    private def luma(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b) / 1000
+
+    /** Decode an uncompressed-DIB AVI to (width, height, per-pixel SUMS
+      * of frame luma in top-down row-major order, frame count). The
+      * temporal sum is what the perceptual hash needs: cell-mean
+      * comparisons divide every cell by the same frame count, so the
+      * sums compare exactly like the means. None when the bytes are
+      * outside the supported scope — never a wrong answer. */
+    def decodeDibLumaSums(b: Array[Byte]): Option[(Int, Int, Array[Int], Int)] = {
+      if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+          !(b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return None
+      var w = 0; var h = 0; var fmtOk = false
+      var moviOff = -1; var moviEnd = -1
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val len = le32(b, i + 4)
+        if (len < 0 || i + 8 + len < i) return None
+        if (id == "LIST" && i + 12 <= b.length) {
+          val listType = new String(b, i + 8, 4, "US-ASCII")
+          val end = math.min(b.length, i + 8 + len)
+          if (listType == "hdrl") {
+            // walk hdrl for the LIST strl carrying strh/strf
+            var j = i + 12
+            while (j + 8 <= end) {
+              val sid = new String(b, j, 4, "US-ASCII")
+              val slen = le32(b, j + 4)
+              if (slen < 0 || j + 8 + slen < j) return None
+              if (sid == "LIST" && j + 12 <= end &&
+                  new String(b, j + 8, 4, "US-ASCII") == "strl") {
+                var k = j + 12
+                val send = math.min(end, j + 8 + slen)
+                while (k + 8 <= send) {
+                  val tid = new String(b, k, 4, "US-ASCII")
+                  val tlen = le32(b, k + 4)
+                  if (tlen < 0 || k + 8 + tlen < k) return None
+                  if (tid == "strf" && tlen >= 40 && k + 8 + 40 <= b.length) {
+                    // BITMAPINFOHEADER: width, height, planes, bitcount,
+                    // compression — the uncompressed-RGB contract
+                    w = le32(b, k + 12)
+                    h = le32(b, k + 16)
+                    val bitCount = le16(b, k + 22)
+                    val compression = le32(b, k + 24)
+                    fmtOk = w > 0 && h > 0 && bitCount == 24 && compression == 0
+                  }
+                  k += 8 + tlen + (tlen & 1)
+                }
+              }
+              j += 8 + slen + (slen & 1)
+            }
+          } else if (listType == "movi" && moviOff < 0) {
+            moviOff = i + 12; moviEnd = end
+          }
+        }
+        i += 8 + len + (len & 1)
+      }
+      if (!fmtOk || moviOff < 0) return None
+      val rowBytes = (w * 3 + 3) & ~3
+      val frameBytes = rowBytes * h
+      val sums = new Array[Int](w * h)
+      var frames = 0
+      var j = moviOff
+      while (j + 8 <= moviEnd) {
+        val ct = new String(b, j, 4, "US-ASCII")
+        val cl = le32(b, j + 4)
+        if (cl < 0 || j + 8 + cl < j) return None
+        if (ct == "00db") {
+          if (cl != frameBytes || j + 8 + cl > moviEnd) return None
+          // DIB rows are bottom-up: buffer row r is image row h-1-r
+          var r = 0
+          while (r < h) {
+            val y = h - 1 - r
+            val rowOff = j + 8 + r * rowBytes
+            var x = 0
+            while (x < w) {
+              val o = rowOff + x * 3 // B, G, R
+              sums(y * w + x) +=
+                luma(b(o + 2) & 0xff, b(o + 1) & 0xff, b(o) & 0xff)
+              x += 1
+            }
+            r += 1
+          }
+          frames += 1
+        }
+        j += 8 + cl + (cl & 1)
+      }
+      if (frames == 0) None else Some((w, h, sums, frames))
+    }
+
+    /** Structurally valid uncompressed-DIB AVI carrying `frames` (each a
+      * top-down row-major gray field, values 0–255, written as
+      * B = G = R so the decoder's BT.601 luma is the identity);
+      * `junk = true` switches the container layout — a JUNK chunk
+      * between `hdrl` and `movi`, an `idx1` index appended after
+      * `movi`, and a different dwSuggestedBufferSize hint — byte-level
+      * changes that a correct chunk walk must be invariant to. */
+    def synthDibAvi(
+        w: Int, h: Int, frames: Seq[Array[Int]], usPerFrame: Int,
+        junk: Boolean = false): Array[Byte] = {
+      require(w > 0 && h > 0 && frames.nonEmpty, "need positive dims and ≥1 frame")
+      require(frames.forall(_.length == w * h), "each frame must be w*h pixels")
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      val rowBytes = (w * 3 + 3) & ~3
+      val frameBytes = rowBytes * h
+      val n = frames.length
+      val strlLen = 4 + (8 + 56) + (8 + 40)         // 'strl' + strh + strf
+      val hdrlLen = 4 + (8 + 56) + (8 + strlLen)    // 'hdrl' + avih + LIST strl
+      val junkLen = if (junk) 8 + 12 else 0
+      val moviLen = 4 + n * (8 + frameBytes)        // 'movi' + 00db chunks (frameBytes is 4-aligned)
+      val idx1Len = if (junk) 8 + n * 16 else 0
+      tag("RIFF"); w32(4 + (8 + hdrlLen) + junkLen + (8 + moviLen) + idx1Len); tag("AVI ")
+      tag("LIST"); w32(hdrlLen); tag("hdrl")
+      tag("avih"); w32(56)
+      w32(usPerFrame); w32(0); w32(0); w32(0)
+      w32(n)                                        // dwTotalFrames
+      w32(0); w32(1)                                // dwInitialFrames, dwStreams
+      w32(if (junk) frameBytes * 2 else frameBytes) // dwSuggestedBufferSize (layout-varied)
+      w32(w); w32(h)
+      w32(0); w32(0); w32(0); w32(0)
+      tag("LIST"); w32(strlLen); tag("strl")
+      tag("strh"); w32(56)
+      tag("vids"); tag("DIB ")                      // fccType, fccHandler
+      w32(0); w16(0); w16(0); w32(0)                // flags, priority, language, initialFrames
+      w32(usPerFrame); w32(1000000)                 // scale, rate → fps = rate/scale
+      w32(0); w32(n)                                // start, length
+      w32(frameBytes); w32(0); w32(0)               // suggestedBufferSize, quality, sampleSize
+      w16(0); w16(0); w16(w); w16(h)                // rcFrame
+      tag("strf"); w32(40)
+      w32(40); w32(w); w32(h)                       // biSize, biWidth, biHeight (bottom-up)
+      w16(1); w16(24)                               // biPlanes, biBitCount
+      w32(0); w32(frameBytes)                       // biCompression = BI_RGB, biSizeImage
+      w32(0); w32(0); w32(0); w32(0)                // pels/meter, clrUsed, clrImportant
+      if (junk) { tag("JUNK"); w32(12); tag("graftpad0000") }
+      tag("LIST"); w32(moviLen); tag("movi")
+      frames.foreach { f =>
+        tag("00db"); w32(frameBytes)
+        var r = 0
+        while (r < h) {
+          val y = h - 1 - r // bottom-up
+          var x = 0
+          while (x < w) {
+            val v = f(y * w + x) & 0xff
+            out.write(v); out.write(v); out.write(v) // B = G = R
+            x += 1
+          }
+          var p = w * 3
+          while (p < rowBytes) { out.write(0); p += 1 }
+          r += 1
+        }
+      }
+      if (junk) {
+        tag("idx1"); w32(n * 16)
+        var f = 0
+        var off = 4 // offsets are relative to the start of the movi list type
+        while (f < n) {
+          tag("00db"); w32(0x10)                    // AVIIF_KEYFRAME
+          w32(off); w32(frameBytes)
+          off += 8 + frameBytes
+          f += 1
+        }
+      }
+      out.toByteArray
     }
   }
 
@@ -700,13 +989,19 @@ object Multimodal {
   /** Demo media table derived deterministically from the documents table:
     * image rows carry REAL synthesized PNG (even ids) / JPEG (odd ids)
     * payloads with the text embedded as an ancillary chunk, audio rows
-    * carry REAL synthesized 16-bit PCM WAV (rate 8/12/16/20 kHz and 1-2
-    * channels derived from the id, text bytes as the data chunk), and
-    * video rows carry REAL synthesized AVI (25 fps, ~n_chars/4 frames,
-    * text bytes as the movi payload) — all three decode paths parse
-    * genuine container bytes. The AVI's parsed duration (frames × 40 ms)
-    * deliberately differs from the `duration_ms` metadata column, so a
-    * decoder that echoes metadata diverges from the oracle. */
+    * carry REAL 16-bit PCM WAV (rate 8/12/16/20 kHz and 1-2 channels
+    * derived from the id) whose SAMPLES come from the deterministic
+    * affine rule `min(codepoint, 255)·257 − 32768` — genuine full-range
+    * PCM the sample decoder ([[AudioSamples.decodePcm16]]) really
+    * decodes, and because the perceptual hash compares cross-multiplied
+    * bin MEANS, a positive affine map of the codepoint sequence yields
+    * bit-identical dHashes (the ±b·L₁·L₂ terms cancel), keeping the
+    * text-replay oracle exact — and video rows carry REAL synthesized
+    * AVI (25 fps, ~n_chars/4 frames, text bytes as the movi payload) —
+    * all three decode paths parse genuine container bytes. The AVI's
+    * parsed duration (frames × 40 ms) deliberately differs from the
+    * `duration_ms` metadata column, so a decoder that echoes metadata
+    * diverges from the oracle. */
   def mediaFromDocuments(documents: DataFrame): Dataset[MediaRecord] = {
     implicit val enc = Encoders.product[MediaRecord]
     implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong)
@@ -726,7 +1021,8 @@ object Multimodal {
           case "image" if id % 2 == 0 => ImageHeader.synthPng(w, h, textBytes)
           case "image"                => ImageHeader.synthJpeg(w, h, textBytes)
           case "audio" =>
-            AudioHeader.synthWav((8000 + (id % 4) * 4000).toInt, (1 + id % 2).toInt, textBytes)
+            AudioSamples.synthPcmWav((8000 + (id % 4) * 4000).toInt, (1 + id % 2).toInt,
+              text.codePoints().toArray.map(cp => math.min(cp, 255) * 257 - 32768))
           case _ =>
             VideoHeader.synthAvi(w, h, math.max(1L, nChars / 4L).toInt, 40000, textBytes)
         }
@@ -857,14 +1153,61 @@ object PayloadDHashExpr {
     hv
   }
 
+  /** 1-D 72-bin dHash over an integer sequence: floor bin boundaries
+    * `k·n/72`, bit j compares the MEAN of bin (j/8, j%8) against its
+    * right neighbor — cross-multiplied integer sums, so comparisons are
+    * exact AND invariant under any positive affine map of the values
+    * (`a·v + b` with a > 0: the a factor scales both sides, the b·L₁·L₂
+    * terms cancel) — which is what lets a PCM fixture built from an
+    * affine codepoint rule replay against a plain codepoint oracle. */
+  def hashSeq(vals: Array[Int]): Long = {
+    val n = vals.length
+    val sums = new Array[Long](72)
+    val lens = new Array[Long](72)
+    var k = 0
+    while (k < 72) {
+      val lo = (k.toLong * n / 72).toInt
+      val hi = ((k + 1).toLong * n / 72).toInt
+      var acc = 0L
+      var i = lo
+      while (i < hi) { acc += vals(i); i += 1 }
+      sums(k) = acc
+      lens(k) = (hi - lo).toLong
+      k += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 64) {
+      val i1 = (j / 8) * 9 + (j % 8)
+      val i2 = i1 + 1
+      if (sums(i1) * lens(i2) > sums(i2) * lens(i1)) h |= (1L << j)
+      j += 1
+    }
+    h
+  }
+
   /** Boxed so an unparseable container can signal null; called from
-    * codegen. PNG with real pixel data (IDAT) takes the PIXEL path —
-    * decode, de-filter, luma, 2D dHash; payload-as-luma remains the
-    * declared boundary for the other containers (and pixel-less
-    * synthesized PNGs, which carry their buffer in a tEXt chunk). */
+    * codegen. Decoded-content paths run first — PNG with real pixel data
+    * (IDAT): decode, de-filter, luma, 2D dHash; valid 16-bit PCM WAV:
+    * chunk walk, sample decode, mono mixdown, 1-D dHash over SAMPLES;
+    * uncompressed-DIB AVI: frame decode, temporal-sum luma, 2D dHash.
+    * Payload-as-luma remains the declared boundary for everything else
+    * (pixel-less synthesized PNGs carrying their buffer in tEXt, JPEG
+    * COM, non-PCM16 WAV data, non-DIB AVI movi payloads). */
   def hash(content: Array[Byte]): java.lang.Long = {
     Multimodal.ImagePixels.decodePngLuma(content) match {
       case Some((w, h, lum)) => return java.lang.Long.valueOf(hashPixels(w, h, lum))
+      case None =>
+    }
+    Multimodal.AudioSamples.decodePcm16(content) match {
+      case Some(samples) => return java.lang.Long.valueOf(hashSeq(samples))
+      case None =>
+    }
+    // uncompressed-DIB AVI: chunk walk, per-frame BGR decode, temporal-sum
+    // luma, 2D dHash — cell means divide by the same frame count, so
+    // hashing the SUMS compares exactly like hashing the mean frame
+    Multimodal.VideoFrames.decodeDibLumaSums(content) match {
+      case Some((w, h, sums, _)) => return java.lang.Long.valueOf(hashPixels(w, h, sums))
       case None =>
     }
     Multimodal.ImageHeader.extractPayload(content)
@@ -875,30 +1218,7 @@ object PayloadDHashExpr {
         val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
         // codepoint array (surrogate-safe — matches per-character
         // semantics of external engines)
-        val cps = s.codePoints().toArray
-        val n = cps.length
-        val sums = new Array[Long](72)
-        val lens = new Array[Long](72)
-        var k = 0
-        while (k < 72) {
-          val lo = (k.toLong * n / 72).toInt
-          val hi = ((k + 1).toLong * n / 72).toInt
-          var acc = 0L
-          var i = lo
-          while (i < hi) { acc += cps(i); i += 1 }
-          sums(k) = acc
-          lens(k) = (hi - lo).toLong
-          k += 1
-        }
-        var h = 0L
-        var j = 0
-        while (j < 64) {
-          val i1 = (j / 8) * 9 + (j % 8)
-          val i2 = i1 + 1
-          if (sums(i1) * lens(i2) > sums(i2) * lens(i1)) h |= (1L << j)
-          j += 1
-        }
-        h
+        hashSeq(s.codePoints().toArray)
     }
   }
 }

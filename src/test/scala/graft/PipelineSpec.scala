@@ -1075,12 +1075,13 @@ class PipelineSpec extends GraftSuite {
     val feats = Multimodal.extractFeatures(media, batchSize = 1).collect().sortBy(_.media_id)
     assert(feats.length == 4)
     assert(feats(0).feature.length == Multimodal.Decoder.FeatureDim)
-    // audio id 1 → WAV container: 19-byte odd payload + 44B header + pad
-    assert(feats(0).modality == "audio" && feats(0).n_bytes == 19L + 44 + 1)
+    // audio id 1 → real PCM16 WAV: one sample per character, stereo
+    // (channels = 1 + id%2 = 2) → 19 frames × 2ch × 2B + 44B header
+    assert(feats(0).modality == "audio" && feats(0).n_bytes == 19L * 2 * 2 + 44)
     // audio rate/channels/duration parsed from the WAV bytes
     assert(feats(0).sample_rate == 8000 + (1 % 4) * 4000)
     assert(feats(0).channels == (1 + 1 % 2).toInt)
-    assert(feats(0).decoded_duration_ms == 19L * 1000 / (12000L * 2 * 2))
+    assert(feats(0).decoded_duration_ms == (19L * 2 * 2) * 1000 / (12000L * 2 * 2))
     // image dims parsed from the actual PNG/JPEG bytes, not metadata
     val jpegImg = feats.find(_.media_id == 3L).get // odd image id → JPEG
     assert(jpegImg.modality == "image" && jpegImg.n_bytes == 20L + 27)
@@ -1392,6 +1393,71 @@ class PipelineSpec extends GraftSuite {
     // a different declared sample rate re-encode still hashes identically
     assert(PayloadDHashExpr.hash(Multimodal.AudioHeader.synthWav(8000, 1, bytes)) ==
       PayloadDHashExpr.hash(wav))
+  }
+
+  test("PCM sample path: byte-different encodes of the same samples hash identically") {
+    import graft.functions.{Multimodal, PayloadDHashExpr}
+    val samples = Array.tabulate(300)(i => ((i * 37) % 65536) - 32768) // full signed range
+    val mono = Multimodal.AudioSamples.synthPcmWav(16000, 1, samples)
+    val stereoJunk = Multimodal.AudioSamples.synthPcmWav(8000, 2, samples, junk = true)
+    assert(!mono.sameElements(stereoJunk)) // different bytes...
+    assert(Multimodal.AudioSamples.decodePcm16(mono).get.sameElements(samples))
+    assert(Multimodal.AudioSamples.decodePcm16(stereoJunk).get.sameElements(samples))
+    // ...same samples → identical perceptual hash; and it is the SAMPLE
+    // hash, not any byte/payload walk
+    assert(PayloadDHashExpr.hash(mono) == PayloadDHashExpr.hash(stereoJunk))
+    assert(PayloadDHashExpr.hash(mono) == PayloadDHashExpr.hashSeq(samples))
+    // a byte-identical payload understood as codepoints (the legacy walk)
+    // would differ: pin that the sample path actually ran by checking a
+    // negative sample sequence hashes by VALUE (sign-extension matters)
+    val neg = Array.fill(144)(-1000)
+    val pos = Array.fill(144)(1000)
+    assert(PayloadDHashExpr.hash(Multimodal.AudioSamples.synthPcmWav(8000, 1, neg)) ==
+      PayloadDHashExpr.hashSeq(neg))
+    assert(PayloadDHashExpr.hashSeq(neg) == PayloadDHashExpr.hashSeq(pos)) // flat is flat
+    // unequal channels: mixdown is the exact floor mean
+    val l = Array(100, -100); val r = Array(101, -101)
+    val bytesLR = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      tag("RIFF"); w32(36 + 8); tag("WAVE")
+      tag("fmt "); w32(16); w16(1); w16(2); w32(8000); w32(32000); w16(4); w16(16)
+      tag("data"); w32(8)
+      w16(l(0) & 0xffff); w16(r(0) & 0xffff); w16(l(1) & 0xffff); w16(r(1) & 0xffff)
+      out.toByteArray
+    }
+    // floor mean: (100+101)/2 = 100, (-100 + -101)/2 = floor(-100.5) = -101
+    assert(Multimodal.AudioSamples.decodePcm16(bytesLR).get.toSeq == Seq(100, -101))
+  }
+
+  test("DIB frame path: byte-different encodes of the same frames hash identically") {
+    import graft.functions.{Multimodal, PayloadDHashExpr}
+    val w = 27; val h = 16
+    val frames = (0 until 3).map(f => Array.tabulate(w * h)(p => (p * 7 + f * 31) % 256))
+    val base = Multimodal.VideoFrames.synthDibAvi(w, h, frames, 40000)
+    val relaid = Multimodal.VideoFrames.synthDibAvi(w, h, frames, 40000, junk = true)
+    assert(!base.sameElements(relaid)) // different bytes...
+    val (dw, dh, sums, n) = Multimodal.VideoFrames.decodeDibLumaSums(base).get
+    assert((dw, dh, n) == (w, h, 3))
+    // gray pixels: luma is the identity, so sums are the plain per-pixel
+    // frame sums — decode inverts encode exactly (incl. bottom-up unflip)
+    val expectSums = Array.tabulate(w * h)(p => frames.map(_(p)).sum)
+    assert(sums.sameElements(expectSums))
+    assert(Multimodal.VideoFrames.decodeDibLumaSums(relaid).get._3.sameElements(expectSums))
+    // ...same frames → identical perceptual hash, and it is the FRAME
+    // hash (2D over temporal sums), not any container/payload walk
+    assert(PayloadDHashExpr.hash(base) == PayloadDHashExpr.hash(relaid))
+    assert(PayloadDHashExpr.hash(base) == PayloadDHashExpr.hashPixels(w, h, expectSums))
+    // the legacy header-only AVI (no strl/strf) keeps the payload walk
+    val legacy = Multimodal.VideoHeader.synthAvi(4, 4, 2, 40000, "abcdef".getBytes("UTF-8"))
+    assert(Multimodal.VideoFrames.decodeDibLumaSums(legacy).isEmpty)
+    // a non-4-aligned width exercises DIB row padding: w=5 → rowBytes 16
+    val odd = (0 until 2).map(f => Array.tabulate(5 * 3)(p => (p * 11 + f) % 256))
+    val oddAvi = Multimodal.VideoFrames.synthDibAvi(5, 3, odd, 40000, junk = true)
+    val (_, _, oddSums, oddN) = Multimodal.VideoFrames.decodeDibLumaSums(oddAvi).get
+    assert(oddN == 2 && oddSums.sameElements(Array.tabulate(5 * 3)(p => odd.map(_(p)).sum)))
   }
 
   test("searchTopDocs: BM25-rational retrieval ranks the term-dense doc first") {

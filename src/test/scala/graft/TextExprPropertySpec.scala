@@ -137,8 +137,56 @@ object TextExprPropertySpec extends Properties("TextExprs") {
       import graft.functions.{Multimodal, PayloadDHashExpr}
       val viaPng = PayloadDHashExpr.hash(Multimodal.ImageHeader.synthPng(4, 4, bytes))
       val viaJpg = PayloadDHashExpr.hash(Multimodal.ImageHeader.synthJpeg(4, 4, bytes))
-      val viaWav = PayloadDHashExpr.hash(Multimodal.AudioHeader.synthWav(8000, 1, bytes))
+      // a WAV with an even-length data chunk IS valid mono PCM16 and takes
+      // the sample path (its own property below) — the payload-walk
+      // contract only binds the odd-length (invalid-PCM) case
+      val viaWav = bytes.length % 2 == 0 ||
+        PayloadDHashExpr.hash(Multimodal.AudioHeader.synthWav(8000, 1, bytes)) == expected
       val viaAvi = PayloadDHashExpr.hash(Multimodal.VideoHeader.synthAvi(4, 4, 2, 40000, bytes))
-      viaPng == expected && viaJpg == expected && viaWav == expected && viaAvi == expected
+      viaPng == expected && viaJpg == expected && viaWav && viaAvi == expected
+    }
+
+  private val samplesGen: Gen[List[Int]] =
+    Gen.listOf(Gen.chooseNum(-32768, 32767))
+
+  property("PCM WAV dHash == naive sample-grid dHash, container-layout-invariant") =
+    Prop.forAll(samplesGen, Gen.chooseNum(1, 4)) { (sampleList, channels) =>
+      import graft.functions.{Multimodal, PayloadDHashExpr}
+      val samples = sampleList.toArray
+      val expected = PayloadDHashExpr.hashSeq(samples)
+      val mono = Multimodal.AudioSamples.synthPcmWav(16000, 1, samples)
+      val multi = Multimodal.AudioSamples.synthPcmWav(8000, channels, samples, junk = true)
+      // decode must invert the encode exactly (mixdown of replicated
+      // channels is the identity), and the hash must be invariant to
+      // channel count, sample rate, and the junk LIST chunk
+      Multimodal.AudioSamples.decodePcm16(mono).get.sameElements(samples) &&
+        Multimodal.AudioSamples.decodePcm16(multi).get.sameElements(samples) &&
+        PayloadDHashExpr.hash(mono) == expected &&
+        PayloadDHashExpr.hash(multi) == expected
+    }
+
+  private val frameGen: Gen[(Int, Int, Int)] = for {
+    w <- Gen.chooseNum(1, 24)
+    h <- Gen.chooseNum(1, 12)
+    n <- Gen.chooseNum(1, 4)
+  } yield (w, h, n)
+
+  property("DIB AVI dHash == naive frame-sum dHash, container-layout-invariant") =
+    Prop.forAll(frameGen, Gen.chooseNum(0L, Long.MaxValue)) { case ((w, h, n), seed) =>
+      import graft.functions.{Multimodal, PayloadDHashExpr}
+      // deterministic pseudo-random gray frames from the seed
+      val frames = (0 until n).map(f =>
+        Array.tabulate(w * h)(p => (((seed + f * 131 + p * 31) % 256) + 256).toInt % 256))
+      val expectSums = Array.tabulate(w * h)(p => frames.map(_(p)).sum)
+      val expected = PayloadDHashExpr.hashPixels(w, h, expectSums)
+      val base = Multimodal.VideoFrames.synthDibAvi(w, h, frames, 40000)
+      val relaid = Multimodal.VideoFrames.synthDibAvi(w, h, frames, 40000, junk = true)
+      // decode must invert the encode exactly (gray luma is the identity,
+      // bottom-up rows unflipped, row padding skipped), and the hash must
+      // be invariant to the JUNK chunk, idx1 index, and buffer-size hint
+      Multimodal.VideoFrames.decodeDibLumaSums(base).get._3.sameElements(expectSums) &&
+        Multimodal.VideoFrames.decodeDibLumaSums(relaid).get._3.sameElements(expectSums) &&
+        PayloadDHashExpr.hash(base) == expected &&
+        PayloadDHashExpr.hash(relaid) == expected
     }
 }

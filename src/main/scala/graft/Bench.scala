@@ -74,7 +74,7 @@ object Bench {
       "p_embed_kmeans", "p_dsir_weights", "p_tfidf_terms", "p_dedup_media",
       "p_dedup_edit", "p_quality_classifier", "p_sample_epochs",
       "p_dedup_image_px", "p_sketch_quantiles", "p_ann_pq", "p_dedup_audio_px",
-      "p_dedup_video_px")
+      "p_dedup_video_px", "p_dedup_jpeg_px")
     val multiples = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTIPLES", "1,3,10")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
     val scaleRoot = "/tmp/graft-bench-scale-" + java.util.UUID.randomUUID().toString.take(8)

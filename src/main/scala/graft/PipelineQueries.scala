@@ -1450,6 +1450,58 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  /** ENTROPY-level perceptual JPEG dedup — the last container family:
+    * the corpus is the SAME 28 flat DC-only blocks (block b's value is
+    * the rule `cs[b mod n] mod 256` over each doc's codepoints,
+    * 54×32 = 7×4 blocks with real edge-block cropping 56→54)
+    * entropy-coded TWICE as real baseline JPEGs with different
+    * layouts — the base with the T.81 Annex K DC table, no restarts;
+    * the copy at id+950000 with a flat custom DC table, a different AC
+    * table, restart markers every 3 MCUs (DRI + RSTn, predictor
+    * resets), and
+    * a different COM. The files are byte-different (different Huffman
+    * CODES for the same values — a byte hash or the COM-payload walk
+    * cannot pair them), but segment parse → canonical table build →
+    * bit-serial entropy decode → DC prediction → dequant → IDCT sees
+    * identical pixels, so every (base, copy) pairs at Hamming 0. The
+    * oracle replays the dHash bits from the codepoint block rule —
+    * exact because a DC-only block IDCTs to the flat integer
+    * dc·q/8 = dc (q = 8), so pixel = dc + 128 with no FP ambiguity —
+    * certifying the whole entropy decode chain end to end. General AC
+    * decoding is pinned separately in unit tests against a naive IDCT
+    * reference. */
+  def dedupJpegPx(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      .where(col("doc_id") % 3 === 0)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val q8 = Array.fill(64)(8)
+    // persisted for the same reason as dedupImagePx: the hamming
+    // machinery consumes the relation five times and pruning cannot
+    // reach inside the typed flatMap
+    val media = d.as[(Long, String)].flatMap { case (id, text) =>
+      val cps = text.codePoints().toArray
+      val n = cps.length
+      // 54×32 → 7×4 flat blocks (edge-cropped 56→54): enough blocks that
+      // organic docs stay distinct under the 9×8 dHash grid; DC (zigzag
+      // index 0) quantized against q=8 so the decoded pixel is exactly
+      // blockValue; all AC zero
+      val blocks = (0 until 28).map { bIdx =>
+        val v = if (n == 0) 0 else cps(bIdx % n) % 256
+        val zz = new Array[Int](64); zz(0) = v - 128; zz
+      }
+      Seq(
+        (id, Multimodal.JpegGray.synthBaselineJpeg(54, 32, blocks, q8,
+          Multimodal.JpegGray.DcAnnexK, Multimodal.JpegGray.AcSmallA,
+          restartInterval = 0, comment = "layoutA".getBytes("US-ASCII"))),
+        (id + 950000, Multimodal.JpegGray.synthBaselineJpeg(54, 32, blocks, q8,
+          Multimodal.JpegGray.DcFlat, Multimodal.JpegGray.AcSmallB,
+          restartInterval = 3, comment = "layout-BB".getBytes("US-ASCII"))))
+    }.toDF("media_id", "content").persist()
+    Multimodal.imageNearDupKeep(media, "media_id", "content", maxHamming = 3)
+      .orderBy("media_id")
+  }
+
   /** Perceptual dedup across ALL modalities: the same dHash chain as
     * [[dedupImage]] over the full media table — PNG tEXt, JPEG COM, WAV
     * data, and AVI movi payload walks all feed the one hash (copies
@@ -2234,6 +2286,7 @@ object PipelineQueries {
     "p_dedup_image_px" -> (dedupImagePx _),
     "p_dedup_audio_px" -> (dedupAudioPx _),
     "p_dedup_video_px" -> (dedupVideoPx _),
+    "p_dedup_jpeg_px" -> (dedupJpegPx _),
     "p_dedup_media" -> (dedupMedia _),
     "p_bm25_search" -> (bm25Search _),
     "p_token_quantiles" -> (tokenQuantiles _),
@@ -3242,6 +3295,54 @@ object PipelineQueries {
         |    list_transform(range(0, 64), j ->
         |      CASE WHEN s[(j // 8) * 9 + (j % 8) + 1] * l[(j // 8) * 9 + (j % 8) + 2]
         |              > s[(j // 8) * 9 + (j % 8) + 2] * l[(j // 8) * 9 + (j % 8) + 1]
+        |           THEN 1 ELSE 0 END) AS bb
+        |  FROM cells),
+        |losers AS (
+        |  SELECT DISTINCT b.media_id AS id_b
+        |  FROM bits a JOIN bits b ON a.media_id < b.media_id
+        |  WHERE list_sum(list_transform(range(1, 65), j -> abs(a.bb[j] - b.bb[j]))) <= 3)
+        |SELECT c.media_id FROM corpus c LEFT JOIN losers ON c.media_id = losers.id_b
+        |WHERE losers.id_b IS NULL ORDER BY media_id""".stripMargin,
+
+    // entropy-path replay: the oracle recomputes the 2D dHash bits from
+    // the codepoint BLOCK rule the DC coefficients were built from —
+    // exact because a DC-only block IDCTs to the flat integer dc·q/8
+    // (q = 8), so pixel = dc + 128 replays with no FP ambiguity. Copies
+    // carry the SAME coefficients under a different Huffman coding
+    // (flat custom DC table, restart markers, different COM), so every
+    // (base, base+950000) pairs at Hamming 0; the hash-match certifies
+    // DQT/DHT/SOF0/DRI/SOS parse, canonical code build, bit-serial
+    // decode, DC prediction with restart resets, dequant, IDCT, and
+    // edge-block cropping end to end.
+    "p_dedup_jpeg_px" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |corpus AS (
+        |  SELECT doc_id AS media_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 950000, text FROM base),
+        |codes AS (
+        |  SELECT media_id,
+        |    list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cs,
+        |    length(text) AS n
+        |  FROM corpus),
+        |pxs AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 1728), p ->
+        |      CASE WHEN n = 0 THEN 0 ELSE
+        |        cs[((((p // 54) // 8) * 7 + ((p % 54) // 8)) % n) + 1] % 256 END) AS px
+        |  FROM codes),
+        |cells AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 72), k ->
+        |      list_sum(flatten(list_transform(range((k // 9) * 4, (k // 9) * 4 + 4), y ->
+        |        list_transform(range((k % 9) * 6, (k % 9) * 6 + 6),
+        |          x -> px[y * 54 + x + 1]))))) AS s
+        |  FROM pxs),
+        |bits AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 64), j ->
+        |      CASE WHEN s[(j // 8) * 9 + (j % 8) + 1] > s[(j // 8) * 9 + (j % 8) + 2]
         |           THEN 1 ELSE 0 END) AS bb
         |  FROM cells),
         |losers AS (

@@ -865,6 +865,381 @@ object Multimodal {
     }
   }
 
+  /** REAL baseline JPEG decoder (ITU-T T.81 / ISO 10918-1, the public
+    * JPEG standard) for grayscale images — the last container family to
+    * get a decoded-content path. This is a genuine entropy decoder, not
+    * a header walk: DQT/DHT/SOF0/DRI/SOS segment parse, canonical
+    * Huffman table construction from the DHT counts, bit-level entropy
+    * decode with 0xFF00 byte unstuffing, DC prediction with
+    * restart-marker resets, AC run/size + ZRL + EOB decoding, zigzag →
+    * natural reorder, dequantization, a full double-precision 2-D IDCT
+    * (the textbook definition), +128 level shift, clamp, and edge-block
+    * cropping for non-multiple-of-8 dims.
+    *
+    * Decoder scope (documented contract): baseline sequential SOF0,
+    * 8-bit precision, exactly one component (grayscale), 1×1 sampling.
+    * Progressive (SOF2), multi-component, and arithmetic-coded streams
+    * return None — never a wrong answer — and fall back to the
+    * COM-payload walk, so every legacy header-only JPEG keeps its old
+    * hash. The perceptual-dedup fixture keeps its oracle exact by
+    * encoding DC-only blocks against a flat q=8 table: the IDCT of a
+    * DC-only block is mathematically flat at `dc·q/8`, which is an
+    * exact integer (so double rounding is unambiguous) — pixel =
+    * dc + 128 replays in SQL while the engine runs the full general
+    * decode path. AC correctness is pinned separately in unit tests
+    * against a naive IDCT reference. */
+  object JpegGray {
+    /** Zigzag scan order: ZigzagOrder(i) = natural index of the i-th
+      * zigzag coefficient (T.81 figure 5). */
+    private val ZigzagOrder: Array[Int] = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+    /** A Huffman table spec as DHT carries it: counts(i) = number of
+      * codes of length i+1 (16 entries), symbols in code order. */
+    final case class HuffSpec(counts: Array[Int], symbols: Array[Int]) {
+      require(counts.length == 16 && counts.sum == symbols.length, "malformed huffman spec")
+      /** Canonical code assignment (T.81 annex C): symbol → (code, len). */
+      lazy val encodeTable: Map[Int, (Int, Int)] = {
+        val out = scala.collection.mutable.Map[Int, (Int, Int)]()
+        var code = 0; var k = 0
+        var len = 1
+        while (len <= 16) {
+          var c = 0
+          while (c < counts(len - 1)) {
+            out(symbols(k)) = (code, len); code += 1; k += 1; c += 1
+          }
+          code <<= 1; len += 1
+        }
+        out.toMap
+      }
+      /** (len, code) → symbol, for the bit-serial decoder. */
+      lazy val decodeTable: Map[(Int, Int), Int] =
+        encodeTable.map { case (sym, (code, len)) => (len, code) -> sym }
+    }
+
+    /** The T.81 Annex K.3.1 luminance DC table — the table every
+      * standard encoder ships, so decoding it is decoding real JPEGs. */
+    val DcAnnexK: HuffSpec = HuffSpec(
+      Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0), (0 to 11).toArray)
+    /** A flat custom-but-valid DC table (twelve 4-bit codes; the
+      * all-ones code stays unused per T.81 C.2) — same decoded values,
+      * different bytes: the layout axis of the dedup fixture. */
+    val DcFlat: HuffSpec = HuffSpec(
+      Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0), (0 to 11).toArray)
+    /** Compact AC tables covering EOB, ZRL, and the run/size symbols the
+      * tests exercise — valid DHT tables (Kraft < 1, no all-ones code). */
+    val AcSmallA: HuffSpec = HuffSpec(
+      Array(0, 1, 3, 3, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+      Array(0x00, 0x01, 0x11, 0x02, 0x21, 0x31, 0x12, 0xF0, 0x22, 0x03))
+    val AcSmallB: HuffSpec = HuffSpec(
+      Array(0, 0, 3, 2, 5, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+      Array(0x00, 0x01, 0x11, 0x02, 0x21, 0x31, 0x12, 0xF0, 0x22, 0x03))
+
+    /** Bit category of a coefficient value (T.81 F.1.2.1.1): the number
+      * of bits needed for |v|, 0 for 0. */
+    private def category(v: Int): Int = {
+      var t = 0; var a = math.abs(v)
+      while (a != 0) { t += 1; a >>= 1 }
+      t
+    }
+
+    /** Encode a baseline grayscale JPEG from ZIGZAG-ordered QUANTIZED
+      * coefficient blocks (raster block order, 64 ints each; index 0 is
+      * the DC). `qZigzag` is the quant table in zigzag order as DQT
+      * carries it. `restartInterval > 0` emits DRI + RSTn markers every
+      * that many MCUs (predictor resets, byte alignment). `comment`
+      * varies the byte layout without touching pixels. */
+    def synthBaselineJpeg(
+        w: Int, h: Int, blocks: Seq[Array[Int]], qZigzag: Array[Int],
+        dcTable: HuffSpec, acTable: HuffSpec, restartInterval: Int,
+        comment: Array[Byte]): Array[Byte] = {
+      require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, "jpeg dims are 16-bit")
+      require(qZigzag.length == 64 && qZigzag.forall(q => q >= 1 && q <= 255), "8-bit quant table")
+      val bw = (w + 7) / 8; val bh = (h + 7) / 8
+      require(blocks.length == bw * bh, s"need $bw*$bh blocks")
+      require(blocks.forall(_.length == 64), "blocks are 64 zigzag coefficients")
+      val out = new java.io.ByteArrayOutputStream()
+      def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+      def seg(marker: Int, body: Int*): Unit = {
+        b(0xff, marker, (body.length + 2) >>> 8, body.length + 2); body.foreach(v => out.write(v & 0xff))
+      }
+      b(0xff, 0xd8) // SOI
+      seg(0xe0, 'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0) // APP0 JFIF
+      seg(0xfe, comment.map(_.toInt): _*)                          // COM (layout axis)
+      seg(0xdb, 0x00 +: qZigzag.toSeq: _*)                         // DQT, Pq=0 Tq=0
+      seg(0xc0, 8, h >>> 8, h, w >>> 8, w, 1, 1, 0x11, 0)          // SOF0: 1 comp, 1x1, Tq 0
+      seg(0xc4, 0x00 +: (dcTable.counts ++ dcTable.symbols).toSeq: _*) // DHT DC 0
+      seg(0xc4, 0x10 +: (acTable.counts ++ acTable.symbols).toSeq: _*) // DHT AC 0
+      if (restartInterval > 0) seg(0xdd, restartInterval >>> 8, restartInterval)
+      seg(0xda, 1, 1, 0x00, 0, 63, 0)                              // SOS: comp 1, Td=0 Ta=0
+      // entropy-coded data: MSB-first bit writer with 0xFF00 stuffing
+      var acc = 0; var nbits = 0
+      def flushByte(): Unit = {
+        out.write(acc); if (acc == 0xff) out.write(0x00)
+        acc = 0; nbits = 0
+      }
+      def putBits(code: Int, len: Int): Unit = {
+        var i = len - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((code >>> i) & 1); nbits += 1
+          if (nbits == 8) flushByte()
+          i -= 1
+        }
+      }
+      def align(): Unit = if (nbits > 0) { putBits((1 << (8 - nbits)) - 1, 8 - nbits) }
+      def putCoef(table: HuffSpec, sym: Int, v: Int, t: Int): Unit = {
+        val (code, len) = table.encodeTable(sym)
+        putBits(code, len)
+        if (t > 0) putBits(if (v < 0) v + (1 << t) - 1 else v, t)
+      }
+      var pred = 0
+      var rst = 0
+      blocks.zipWithIndex.foreach { case (zz, mcu) =>
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          align(); b(0xff, 0xd0 + rst); rst = (rst + 1) % 8; pred = 0
+        }
+        val diff = zz(0) - pred; pred = zz(0)
+        val t = category(diff)
+        putCoef(dcTable, t, diff, t)
+        // AC: run/size with ZRL for 16-zero runs, EOB when the tail is zero
+        var k = 1
+        var lastNz = 63
+        while (lastNz >= 1 && zz(lastNz) == 0) lastNz -= 1
+        while (k <= lastNz) {
+          var run = 0
+          while (zz(k) == 0) { run += 1; k += 1 }
+          while (run >= 16) { putCoef(acTable, 0xF0, 0, 0); run -= 16 }
+          val s = category(zz(k))
+          putCoef(acTable, (run << 4) | s, zz(k), s)
+          k += 1
+        }
+        if (lastNz < 63) putCoef(acTable, 0x00, 0, 0) // EOB
+      }
+      align()
+      b(0xff, 0xd9) // EOI
+      out.toByteArray
+    }
+
+    /** Decode a baseline grayscale JPEG to (width, height, row-major
+      * luma). None when the bytes are outside the supported scope. */
+    def decodeJpegLuma(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+      var w = 0; var h = 0
+      var q: Array[Int] = null
+      var dcSpec: HuffSpec = null
+      var acSpec: HuffSpec = null
+      var dri = 0
+      var sos = -1
+      var i = 2
+      // ---- segment walk to SOS ----
+      while (sos < 0) {
+        if (i + 4 > b.length || (b(i) & 0xff) != 0xff) return None
+        val m = b(i + 1) & 0xff
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val body = i + 4
+        m match {
+          case 0xc0 => // SOF0 baseline — the supported frame type
+            if (len < 11 || (b(body) & 0xff) != 8) return None
+            h = ((b(body + 1) & 0xff) << 8) | (b(body + 2) & 0xff)
+            w = ((b(body + 3) & 0xff) << 8) | (b(body + 4) & 0xff)
+            val ncomp = b(body + 5) & 0xff
+            if (ncomp != 1 || (b(body + 7) & 0xff) != 0x11) return None // grayscale, 1x1
+          case mm if (mm >= 0xc1 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8) =>
+            return None // progressive/extended/arithmetic — out of scope
+          case 0xdb => // DQT (possibly several tables per segment)
+            var p = body
+            while (p < i + 2 + len) {
+              if ((b(p) & 0xff) >>> 4 != 0) return None // 16-bit tables out of scope
+              val tq = b(p) & 0x0f
+              if (p + 65 > i + 2 + len) return None
+              val tbl = Array.tabulate(64)(j => b(p + 1 + j) & 0xff)
+              if (tq == 0) q = tbl
+              p += 65
+            }
+          case 0xc4 => // DHT (possibly several tables per segment)
+            var p = body
+            while (p < i + 2 + len) {
+              val tc = (b(p) & 0xff) >>> 4; val th = b(p) & 0x0f
+              if (p + 17 > i + 2 + len) return None
+              val counts = Array.tabulate(16)(j => b(p + 1 + j) & 0xff)
+              val n = counts.sum
+              if (p + 17 + n > i + 2 + len) return None
+              val syms = Array.tabulate(n)(j => b(p + 17 + j) & 0xff)
+              val spec = HuffSpec(counts, syms)
+              if (th == 0) { if (tc == 0) dcSpec = spec else acSpec = spec }
+              p += 17 + n
+            }
+          case 0xdd => // DRI
+            if (len != 4) return None
+            dri = ((b(body) & 0xff) << 8) | (b(body + 1) & 0xff)
+          case 0xda => // SOS: one component, our tables
+            if (len < 8 || (b(body) & 0xff) != 1 || (b(body + 2) & 0xff) != 0x00) return None
+            sos = i + 2 + len
+          case _ => // APPn / COM / others: skip
+        }
+        i += 2 + len
+      }
+      if (w <= 0 || h <= 0 || q == null || dcSpec == null || acSpec == null) return None
+      val dcDec = dcSpec.decodeTable
+      val acDec = acSpec.decodeTable
+
+      // ---- entropy decode ----
+      var pos = sos
+      var acc = 0; var nbits = 0
+      var hitMarker = false
+      def nextBit(): Int = {
+        if (nbits == 0) {
+          if (pos >= b.length) { hitMarker = true; return -1 }
+          val v = b(pos) & 0xff
+          if (v == 0xff) {
+            if (pos + 1 < b.length && (b(pos + 1) & 0xff) == 0x00) { acc = 0xff; pos += 2 }
+            else { hitMarker = true; return -1 } // a real marker: stop here
+          } else { acc = v; pos += 1 }
+          nbits = 8
+        }
+        nbits -= 1
+        (acc >>> nbits) & 1
+      }
+      def decodeSym(tbl: Map[(Int, Int), Int]): Int = {
+        var code = 0; var len = 0
+        while (len < 16) {
+          val bit = nextBit()
+          if (bit < 0) return -1
+          code = (code << 1) | bit; len += 1
+          tbl.get((len, code)) match {
+            case Some(sym) => return sym
+            case None =>
+          }
+        }
+        -1
+      }
+      def receive(t: Int): Int = {
+        var v = 0; var k = 0
+        while (k < t) {
+          val bit = nextBit()
+          if (bit < 0) return Int.MinValue
+          v = (v << 1) | bit; k += 1
+        }
+        v
+      }
+      // T.81 F.2.2.1 EXTEND: low-category values are negative
+      def extend(v: Int, t: Int): Int =
+        if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+      val bw = (w + 7) / 8; val bh = (h + 7) / 8
+      val lum = new Array[Int](w * h)
+      val coef = new Array[Int](64)
+      var pred = 0
+      var rstExpect = 0
+      var mcu = 0
+      while (mcu < bw * bh) {
+        if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+          // byte-align and consume the RSTn marker; predictor resets
+          nbits = 0
+          if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff ||
+              (b(pos + 1) & 0xff) != 0xd0 + rstExpect) return None
+          pos += 2; rstExpect = (rstExpect + 1) % 8; pred = 0; hitMarker = false
+        }
+        java.util.Arrays.fill(coef, 0)
+        val t = decodeSym(dcDec)
+        if (t < 0 || t > 11) return None
+        val dv = receive(t)
+        if (dv == Int.MinValue) return None
+        pred += extend(dv, t)
+        coef(0) = pred * q(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val sym = decodeSym(acDec)
+          if (sym < 0) return None
+          if (sym == 0x00) eob = true
+          else if (sym == 0xF0) k += 16 // ZRL: sixteen zeros
+          else {
+            k += sym >>> 4
+            val s = sym & 0x0f
+            if (s == 0 || k > 63) return None
+            val av = receive(s)
+            if (av == Int.MinValue) return None
+            coef(k) = extend(av, s) * q(k)
+            k += 1
+          }
+        }
+        if (k > 64) return None
+        // dezigzag + IDCT + level shift + clamp, cropped into place
+        val f = new Array[Int](64)
+        var z = 0
+        while (z < 64) { f(ZigzagOrder(z)) = coef(z); z += 1 }
+        val px = idct8x8(f)
+        val bx = mcu % bw; val by = mcu / bw
+        var y = 0
+        while (y < 8) {
+          val iy = by * 8 + y
+          if (iy < h) {
+            var x = 0
+            while (x < 8) {
+              val ix = bx * 8 + x
+              if (ix < w) lum(iy * w + ix) = px(y * 8 + x)
+              x += 1
+            }
+          }
+          y += 1
+        }
+        mcu += 1
+      }
+      Some((w, h, lum))
+    }
+
+    private val CosTable: Array[Double] = {
+      val t = new Array[Double](64) // t(x*8+u) = cos((2x+1)·u·π/16)
+      var x = 0
+      while (x < 8) {
+        var u = 0
+        while (u < 8) { t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16.0); u += 1 }
+        x += 1
+      }
+      t
+    }
+    private val InvSqrt2 = 1.0 / math.sqrt(2.0)
+
+    /** The textbook 2-D inverse DCT (T.81 A.3.3) in double precision,
+      * followed by the +128 level shift and [0,255] clamp. A DC-only
+      * block is mathematically flat at dc/8 — exact in doubles — which
+      * is what keeps the dedup fixture's oracle integer-exact. (A
+      * production decoder would use a factored AAN transform; at the
+      * fixture scale the direct form is the clearer statement.) */
+    def idct8x8(f: Array[Int]): Array[Int] = {
+      val out = new Array[Int](64)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var v = 0
+          while (v < 8) {
+            val cv = if (v == 0) InvSqrt2 else 1.0
+            var u = 0
+            while (u < 8) {
+              val cu = if (u == 0) InvSqrt2 else 1.0
+              val fv = f(v * 8 + u)
+              if (fv != 0) s += cu * cv * fv * CosTable(x * 8 + u) * CosTable(y * 8 + v)
+              u += 1
+            }
+            v += 1
+          }
+          val p = Math.round(s / 4.0).toInt + 128
+          out(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
   /** Batched media decoder: container headers are parsed from the payload
     * bytes for all three modalities (PNG/JPEG, WAV, AVI); unparseable
     * payloads surface as -1 rather than echoing source metadata. The
@@ -1190,10 +1565,12 @@ object PayloadDHashExpr {
     * codegen. Decoded-content paths run first — PNG with real pixel data
     * (IDAT): decode, de-filter, luma, 2D dHash; valid 16-bit PCM WAV:
     * chunk walk, sample decode, mono mixdown, 1-D dHash over SAMPLES;
-    * uncompressed-DIB AVI: frame decode, temporal-sum luma, 2D dHash.
-    * Payload-as-luma remains the declared boundary for everything else
-    * (pixel-less synthesized PNGs carrying their buffer in tEXt, JPEG
-    * COM, non-PCM16 WAV data, non-DIB AVI movi payloads). */
+    * uncompressed-DIB AVI: frame decode, temporal-sum luma, 2D dHash;
+    * baseline grayscale JPEG: Huffman entropy decode, dequant, IDCT,
+    * 2D dHash. Payload-as-luma remains the declared boundary for
+    * everything else (pixel-less synthesized PNGs carrying their
+    * buffer in tEXt, header-only JPEG COM, non-PCM16 WAV data, non-DIB
+    * AVI movi payloads). */
   def hash(content: Array[Byte]): java.lang.Long = {
     Multimodal.ImagePixels.decodePngLuma(content) match {
       case Some((w, h, lum)) => return java.lang.Long.valueOf(hashPixels(w, h, lum))
@@ -1208,6 +1585,13 @@ object PayloadDHashExpr {
     // hashing the SUMS compares exactly like hashing the mean frame
     Multimodal.VideoFrames.decodeDibLumaSums(content) match {
       case Some((w, h, sums, _)) => return java.lang.Long.valueOf(hashPixels(w, h, sums))
+      case None =>
+    }
+    // baseline grayscale JPEG: segment walk, Huffman entropy decode,
+    // dequant, IDCT, crop — legacy header-only JPEGs (no SOS) return
+    // None here and keep their COM-payload hash
+    Multimodal.JpegGray.decodeJpegLuma(content) match {
+      case Some((w, h, lum)) => return java.lang.Long.valueOf(hashPixels(w, h, lum))
       case None =>
     }
     Multimodal.ImageHeader.extractPayload(content)

@@ -1460,6 +1460,74 @@ class PipelineSpec extends GraftSuite {
     assert(oddN == 2 && oddSums.sameElements(Array.tabulate(5 * 3)(p => odd.map(_(p)).sum)))
   }
 
+  test("JPEG entropy path: different Huffman codings of the same blocks hash identically") {
+    import graft.functions.{Multimodal, PayloadDHashExpr}
+    import Multimodal.JpegGray
+    val q8 = Array.fill(64)(8)
+    // 27×16 → 4×2 blocks with real edge cropping (32→27, no vertical crop)
+    val vals = Array(0, 255, 37, 128, 200, 9, 77, 130)
+    val blocks = vals.map { v => val zz = new Array[Int](64); zz(0) = v - 128; zz }.toSeq
+    val a = JpegGray.synthBaselineJpeg(27, 16, blocks, q8,
+      JpegGray.DcAnnexK, JpegGray.AcSmallA, 0, "layoutA".getBytes("US-ASCII"))
+    val bJ = JpegGray.synthBaselineJpeg(27, 16, blocks, q8,
+      JpegGray.DcFlat, JpegGray.AcSmallB, 2, "layout-BB".getBytes("US-ASCII"))
+    assert(!a.sameElements(bJ)) // different Huffman CODES for the same values
+    val (w, h, lum) = JpegGray.decodeJpegLuma(a).get
+    assert((w, h) == (27, 16))
+    // DC-only + q=8: every pixel of block b is exactly vals(b)
+    val expected = Array.tabulate(27 * 16)(p => vals(((p / 27) / 8) * 4 + (p % 27) / 8))
+    assert(lum.sameElements(expected))
+    assert(JpegGray.decodeJpegLuma(bJ).get._3.sameElements(expected)) // restart path too
+    assert(PayloadDHashExpr.hash(a) == PayloadDHashExpr.hash(bJ))
+    assert(PayloadDHashExpr.hash(a) == PayloadDHashExpr.hashPixels(27, 16, expected))
+    // the legacy header-only JPEG (no SOS) keeps the COM-payload walk
+    val legacy = Multimodal.ImageHeader.synthJpeg(4, 4, "abcdef".getBytes("UTF-8"))
+    assert(JpegGray.decodeJpegLuma(legacy).isEmpty)
+    assert(PayloadDHashExpr.hash(legacy) ==
+      PayloadDHashExpr.hashSeq("abcdef".codePoints().toArray))
+  }
+
+  test("JPEG AC decode: runs, signs, ZRL, and dequant invert the encoder exactly") {
+    import graft.functions.Multimodal.JpegGray
+    // quant table varies per coefficient so dequant is actually exercised
+    val q = Array.tabulate(64)(i => 1 + (i * 7) % 31)
+    // one 8×8 image, one block: DC plus AC at assorted zigzag positions —
+    // runs 0-3 directly, a 19-gap via ZRL + run 3, sizes 1-3 both signs
+    val zz = new Array[Int](64)
+    zz(0) = -60
+    zz(1) = 1; zz(2) = -2; zz(5) = 3; zz(7) = -1; zz(11) = -1
+    zz(31) = -1 // gap of 19 zeros from 11: ZRL (16) + run 3
+    zz(33) = 2; zz(63) = 0
+    val bytes = JpegGray.synthBaselineJpeg(8, 8, Seq(zz), q,
+      JpegGray.DcAnnexK, JpegGray.AcSmallA, 0, "ac".getBytes("US-ASCII"))
+    val (_, _, lum) = JpegGray.decodeJpegLuma(bytes).get
+    // reference: dequant + dezigzag by hand, then the same textbook IDCT —
+    // this pins the ENTROPY layer (Huffman, run/size, ZRL, sign extension,
+    // DC prediction, dequant, zigzag) as an exact round-trip
+    val zig = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val f = new Array[Int](64)
+    for (i <- 0 until 64) f(zig(i)) = zz(i) * q(i)
+    assert(lum.sameElements(JpegGray.idct8x8(f)))
+    // multi-block DC prediction across a 16×8 image (diff coding, both signs)
+    val b2 = Seq({ val z = new Array[Int](64); z(0) = 100; z },
+                 { val z = new Array[Int](64); z(0) = -100; z(1) = 5; z })
+    val two = JpegGray.synthBaselineJpeg(16, 8, b2, q,
+      JpegGray.DcFlat, JpegGray.AcSmallB, 0, "two".getBytes("US-ASCII"))
+    val (_, _, lum2) = JpegGray.decodeJpegLuma(two).get
+    val fA = new Array[Int](64); fA(0) = 100 * q(0)
+    val fB = new Array[Int](64)
+    for (i <- 0 until 64) fB(zig(i)) = b2(1)(i) * q(i)
+    val eA = JpegGray.idct8x8(fA); val eB = JpegGray.idct8x8(fB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      assert(lum2(y * 16 + x) == eA(y * 8 + x))
+      assert(lum2(y * 16 + 8 + x) == eB(y * 8 + x))
+    }
+  }
+
   test("searchTopDocs: BM25-rational retrieval ranks the term-dense doc first") {
     val df = Seq(
       (1L, "alpha alpha alpha beta"),

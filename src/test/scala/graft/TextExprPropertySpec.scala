@@ -189,4 +189,48 @@ object TextExprPropertySpec extends Properties("TextExprs") {
         PayloadDHashExpr.hash(base) == expected &&
         PayloadDHashExpr.hash(relaid) == expected
     }
+
+  property("baseline JPEG: DC-only blocks decode flat under BOTH Huffman layouts") =
+    Prop.forAll(Gen.listOfN(8, Gen.chooseNum(0, 255)), Gen.chooseNum(1, 4)) { (valList, dri) =>
+      import graft.functions.Multimodal.JpegGray
+      val vals = valList.toArray
+      val q8 = Array.fill(64)(8)
+      val blocks = vals.toSeq.map { v => val zz = new Array[Int](64); zz(0) = v - 128; zz }
+      val expected = Array.tabulate(27 * 16)(p => vals(((p / 27) / 8) * 4 + (p % 27) / 8))
+      val a = JpegGray.synthBaselineJpeg(27, 16, blocks, q8,
+        JpegGray.DcAnnexK, JpegGray.AcSmallA, 0, "A".getBytes("US-ASCII"))
+      val b = JpegGray.synthBaselineJpeg(27, 16, blocks, q8,
+        JpegGray.DcFlat, JpegGray.AcSmallB, dri, "B2".getBytes("US-ASCII"))
+      JpegGray.decodeJpegLuma(a).get._3.sameElements(expected) &&
+        JpegGray.decodeJpegLuma(b).get._3.sameElements(expected)
+    }
+
+  // the (run, size) pairs the compact AC tables carry:
+  // 0x01 0x11 0x21 0x31 / 0x02 0x12 0x22 / 0x03
+  private val acPosVal: Gen[List[(Int, Int)]] =
+    Gen.listOf(for {
+      rs <- Gen.oneOf((0, 1), (1, 1), (2, 1), (3, 1), (0, 2), (1, 2), (2, 2), (0, 3))
+      mag <- Gen.chooseNum(1 << (rs._2 - 1), (1 << rs._2) - 1)
+      neg <- Gen.oneOf(true, false)
+    } yield (rs._1, if (neg) -mag else mag))
+
+  property("baseline JPEG: AC entropy coding round-trips against the reference IDCT") =
+    Prop.forAll(Gen.chooseNum(-128, 127), acPosVal) { (dc, acs) =>
+      import graft.functions.Multimodal.JpegGray
+      val q = Array.tabulate(64)(i => 1 + (i * 5) % 29)
+      val zz = new Array[Int](64)
+      zz(0) = dc
+      var k = 1
+      acs.foreach { case (run, v) => k += run; if (k < 64) { zz(k) = v; k += 1 } }
+      val bytes = JpegGray.synthBaselineJpeg(8, 8, Seq(zz), q,
+        JpegGray.DcAnnexK, JpegGray.AcSmallA, 0, "ac".getBytes("US-ASCII"))
+      val zig = Array(
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+      val f = new Array[Int](64)
+      for (i <- 0 until 64) f(zig(i)) = zz(i) * q(i)
+      JpegGray.decodeJpegLuma(bytes).get._3.sameElements(JpegGray.idct8x8(f))
+    }
 }

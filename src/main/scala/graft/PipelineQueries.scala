@@ -1502,6 +1502,63 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  /** PIXEL-level image resize — upgrades `resizeImagesToFit` from the
+    * header-patch boundary to a REAL content transform for
+    * pixel-bearing PNGs: decode (any level/filter) → integer
+    * box-downsample (one decimation factor on both axes, floor-mean
+    * boxes with true-size division at the edges — pure integer
+    * arithmetic) → re-encode → decode AGAIN, emitting the final pixel
+    * field. The corpus encodes each doc's 27×16 generative pixel field
+    * at an id-varied zlib level AND scanline filter, resizes to fit
+    * 10×6 (k = 3 → 9×6 with a height-1 partial bottom row), and the
+    * oracle replays the box means from the codepoint rule — the
+    * hash-match certifies decode, the resample arithmetic, the
+    * re-encode, and the second decode in one pass. */
+  def mediaResizePx(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      .where(col("doc_id") % 3 === 0)
+      .repartition(spark.sparkContext.defaultParallelism)
+    d.as[(Long, String)].map { case (id, text) =>
+      val pix = Multimodal.ImagePixels.pixelsFromText(text, 27, 16)
+      val png = Multimodal.ImagePixels.encodePngGray(27, 16, pix,
+        level = (id % 9 + 1).toInt, filter = (id % 5).toInt)
+      val (ow, oh, resized) = Multimodal.ImagePixels.resizePngToFit(png, 10, 6).get
+      val (dw, dh, lum) = Multimodal.ImagePixels.decodePngLuma(resized).get
+      require(ow == dw && oh == dh, "re-encode must round-trip dims")
+      (id, dw, dh, lum.mkString(","))
+    }.toDF("media_id", "out_w", "out_h", "px")
+      .orderBy("media_id")
+  }
+
+  /** SAMPLE-level audio resample — the audio analog of
+    * [[mediaResizePx]]: decode real stereo PCM16 (channel-replicated,
+    * rate 16 kHz) → decimate by k = 4 (floor-mean windows,
+    * `Math.floorDiv` so negative sums floor exactly like external
+    * engines) → re-encode mono at 4 kHz → decode AGAIN, emitting the
+    * final samples. The oracle replays the affine codepoint rule
+    * (`min(cp,255)·257 − 32768`) LITERALLY and then the same floor-mean
+    * windows — floor division does not commute with the affine map, so
+    * a resampler that cheated by averaging codepoints first would
+    * diverge. The hash-match certifies stereo decode + mixdown,
+    * decimation arithmetic, re-encode, and the second decode. */
+  def audioResamplePx(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      .where(col("doc_id") % 3 === 1)
+      .repartition(spark.sparkContext.defaultParallelism)
+    d.as[(Long, String)].map { case (id, text) =>
+      val samples = text.codePoints().toArray.map(cp => math.min(cp, 255) * 257 - 32768)
+      val wav = Multimodal.AudioSamples.synthPcmWav(16000, 2, samples, junk = true)
+      val decoded = Multimodal.AudioSamples.decodePcm16(wav).get
+      val down = Multimodal.AudioSamples.decimate(decoded, 4)
+      val out = Multimodal.AudioSamples.decodePcm16(
+        Multimodal.AudioSamples.synthPcmWav(4000, 1, down)).get
+      (id, out.length, out.mkString(","))
+    }.toDF("media_id", "n_samples", "samples")
+      .orderBy("media_id")
+  }
+
   /** Perceptual dedup across ALL modalities: the same dHash chain as
     * [[dedupImage]] over the full media table — PNG tEXt, JPEG COM, WAV
     * data, and AVI movi payload walks all feed the one hash (copies
@@ -2287,6 +2344,8 @@ object PipelineQueries {
     "p_dedup_audio_px" -> (dedupAudioPx _),
     "p_dedup_video_px" -> (dedupVideoPx _),
     "p_dedup_jpeg_px" -> (dedupJpegPx _),
+    "p_media_resize_px" -> (mediaResizePx _),
+    "p_audio_resample_px" -> (audioResamplePx _),
     "p_dedup_media" -> (dedupMedia _),
     "p_bm25_search" -> (bm25Search _),
     "p_token_quantiles" -> (tokenQuantiles _),
@@ -3303,6 +3362,70 @@ object PipelineQueries {
         |  WHERE list_sum(list_transform(range(1, 65), j -> abs(a.bb[j] - b.bb[j]))) <= 3)
         |SELECT c.media_id FROM corpus c LEFT JOIN losers ON c.media_id = losers.id_b
         |WHERE losers.id_b IS NULL ORDER BY media_id""".stripMargin,
+
+    // resize replay: the oracle recomputes the 9×6 box means from the
+    // generative pixel rule — floor division by each box's TRUE size
+    // (the bottom row's boxes are 3×1), so the integer arithmetic
+    // matches the engine's resample exactly; the engine path decodes a
+    // per-id (level, filter)-varied PNG, downsamples, re-encodes, and
+    // decodes again, so the hash-match certifies all four stages
+    "p_media_resize_px" ->
+      """WITH base AS (
+        |  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0),
+        |codes AS (
+        |  SELECT media_id,
+        |    list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cs,
+        |    length(text) AS n
+        |  FROM base),
+        |pxs AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 432), p ->
+        |      CASE WHEN n = 0 THEN 0 ELSE cs[(p % n) + 1] % 256 END) AS px
+        |  FROM codes),
+        |rs AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 54), o ->
+        |      list_sum(flatten(list_transform(
+        |        range((o // 9) * 3, least(16, (o // 9) * 3 + 3)), y ->
+        |          list_transform(range((o % 9) * 3, (o % 9) * 3 + 3),
+        |            x -> px[y * 27 + x + 1]))))
+        |      // (3 * (least(16, (o // 9) * 3 + 3) - (o // 9) * 3))) AS r
+        |  FROM pxs)
+        |SELECT media_id, cast(9 as int) AS out_w, cast(6 as int) AS out_h,
+        |  coalesce(array_to_string(list_transform(r, v -> cast(v as varchar)), ','), '') AS px
+        |FROM rs ORDER BY media_id""".stripMargin,
+
+    // resample replay: the oracle derives the PCM samples from the
+    // affine codepoint rule LITERALLY, then applies the same floor-mean
+    // decimation windows. DuckDB's // TRUNCATES toward zero on negative
+    // numerators where Math.floorDiv floors, so the division is spelled
+    // as the exact integer floor (subtract the positive remainder
+    // first) — floor division does not commute with the affine map, so
+    // averaging codepoints first would diverge; the engine path runs
+    // stereo decode → mixdown → decimate → re-encode → decode
+    "p_audio_resample_px" ->
+      """WITH base AS (
+        |  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT media_id, length(text) AS n,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> least(ascii(text[i]), 255) * 257 - 32768) AS sm
+        |  FROM base),
+        |w AS (
+        |  SELECT media_id, n,
+        |    list_transform(range(0, (n + 3) // 4), i ->
+        |      list_sum(sm[i * 4 + 1 : least(n, i * 4 + 4)])) AS su,
+        |    list_transform(range(0, (n + 3) // 4), i ->
+        |      least(n, i * 4 + 4) - i * 4) AS ln
+        |  FROM s),
+        |d AS (
+        |  SELECT media_id, n,
+        |    list_transform(range(1, len(su) + 1), i ->
+        |      (su[i] - ((su[i] % ln[i] + ln[i]) % ln[i])) // ln[i]) AS dn
+        |  FROM w)
+        |SELECT media_id, cast((n + 3) // 4 as int) AS n_samples,
+        |  coalesce(array_to_string(list_transform(dn, v -> cast(v as varchar)), ','), '') AS samples
+        |FROM d ORDER BY media_id""".stripMargin,
 
     // entropy-path replay: the oracle recomputes the 2D dHash bits from
     // the codepoint BLOCK rule the DC coefficients were built from —

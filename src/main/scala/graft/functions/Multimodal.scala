@@ -387,6 +387,52 @@ object Multimodal {
       val n = cps.length
       Array.tabulate(w * h)(p => if (n == 0) 0 else cps(p % n) % 256)
     }
+
+    /** REAL pixel downsample: one integer decimation factor
+      * `k = max(ceil(w/maxW), ceil(h/maxH))` on both axes (aspect
+      * preserved, never upscales), each output pixel the floor MEAN of
+      * its k×k box (edge boxes partial — divided by their true size).
+      * Pure integer arithmetic, so the result is externally replayable
+      * cell-for-cell — the resize analog of the dHash's exact-mean
+      * discipline. Returns (outW, outH, pixels). */
+    def boxDownsample(
+        w: Int, h: Int, lum: Array[Int], maxW: Int, maxH: Int): (Int, Int, Array[Int]) = {
+      require(w > 0 && h > 0 && lum.length == w * h, "need a w*h pixel grid")
+      require(maxW > 0 && maxH > 0, "resize box must be positive")
+      val k = math.max(1, math.max((w + maxW - 1) / maxW, (h + maxH - 1) / maxH))
+      val ow = (w + k - 1) / k; val oh = (h + k - 1) / k
+      val out = new Array[Int](ow * oh)
+      var by = 0
+      while (by < oh) {
+        val y0 = by * k; val y1 = math.min(h, y0 + k)
+        var bx = 0
+        while (bx < ow) {
+          val x0 = bx * k; val x1 = math.min(w, x0 + k)
+          var acc = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { acc += lum(y * w + x); x += 1 }
+            y += 1
+          }
+          out(by * ow + bx) = (acc / ((y1 - y0).toLong * (x1 - x0))).toInt
+          bx += 1
+        }
+        by += 1
+      }
+      (ow, oh, out)
+    }
+
+    /** Pixel-level PNG resize-to-fit: decode → [[boxDownsample]] →
+      * re-encode grayscale (the luma field is the content contract —
+      * vision-preprocessing resize, not a color-preserving edit). None
+      * when the bytes aren't a pixel-bearing PNG — callers fall back to
+      * the header-patch path for that declared boundary. */
+    def resizePngToFit(bytes: Array[Byte], maxW: Int, maxH: Int): Option[(Int, Int, Array[Byte])] =
+      decodePngLuma(bytes).map { case (w, h, lum) =>
+        val (ow, oh, px) = boxDownsample(w, h, lum, maxW, maxH)
+        (ow, oh, encodePngGray(ow, oh, px, level = 6, filter = 0))
+      }
   }
 
   /** Minimal real encoder/decoder for the canonical PCM audio container —
@@ -532,6 +578,29 @@ object Multimodal {
         f += 1
       }
       Some(out)
+    }
+
+    /** REAL sample-rate downsample: decimation by integer factor `k`,
+      * each output sample the floor MEAN (Math.floorDiv — matches
+      * external floor-division semantics on negative sums) of its
+      * k-sample window, the tail window partial. The audio analog of
+      * [[ImagePixels.boxDownsample]] — pure integer arithmetic,
+      * externally replayable sample-for-sample. */
+    def decimate(samples: Array[Int], k: Int): Array[Int] = {
+      require(k >= 1, "decimation factor must be >= 1")
+      if (k == 1) return samples
+      val n = samples.length
+      val out = new Array[Int]((n + k - 1) / k)
+      var i = 0
+      while (i < out.length) {
+        val lo = i * k; val hi = math.min(n, lo + k)
+        var acc = 0L
+        var j = lo
+        while (j < hi) { acc += samples(j); j += 1 }
+        out(i) = Math.floorDiv(acc, (hi - lo).toLong).toInt
+        i += 1
+      }
+      out
     }
 
     /** Structurally valid PCM16 WAV carrying `samples` replicated across
@@ -1314,15 +1383,22 @@ object Multimodal {
     implicit val enc = Encoders.product[MediaRecord]
     media.mapPartitions(_.map { rec =>
       if (rec.modality != "image") rec
-      else ImageHeader.decode(rec.content) match {
-        case Some((w, h)) if w > 0 && h > 0 =>
-          val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
-          val tw = math.max(1, math.floor(w * scale).toInt)
-          val th = math.max(1, math.floor(h * scale).toInt)
-          ImageHeader.rewriteDims(rec.content, tw, th)
-            .map(c => rec.copy(content = c, width = tw, height = th))
-            .getOrElse(rec)
-        case _ => rec
+      else ImagePixels.resizePngToFit(rec.content, maxW, maxH) match {
+        // pixel-bearing PNG: REAL resize — decode, integer box
+        // downsample, re-encode (p_media_resize_px certifies the chain)
+        case Some((ow, oh, bytes)) =>
+          rec.copy(content = bytes, width = ow, height = oh)
+        // header-only containers keep the declared dim-patch boundary
+        case None => ImageHeader.decode(rec.content) match {
+          case Some((w, h)) if w > 0 && h > 0 =>
+            val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+            val tw = math.max(1, math.floor(w * scale).toInt)
+            val th = math.max(1, math.floor(h * scale).toInt)
+            ImageHeader.rewriteDims(rec.content, tw, th)
+              .map(c => rec.copy(content = c, width = tw, height = th))
+              .getOrElse(rec)
+          case _ => rec
+        }
       }
     })
   }

@@ -1487,6 +1487,41 @@ class PipelineSpec extends GraftSuite {
       PayloadDHashExpr.hashSeq("abcdef".codePoints().toArray))
   }
 
+  test("boxDownsample/resizePngToFit: exact floor means, partial edge boxes, no upscale") {
+    import graft.functions.Multimodal.ImagePixels
+    // 5×3 fit 2×2 → k = 3, out 2×1: boxes 3×3 and 2×3 (partial width)
+    val lum = Array(
+      1, 2, 3, 10, 20,
+      4, 5, 6, 30, 40,
+      7, 8, 9, 50, 60)
+    val (ow, oh, out) = ImagePixels.boxDownsample(5, 3, lum, 2, 2)
+    assert((ow, oh) == (2, 1))
+    assert(out(0) == (1 + 2 + 3 + 4 + 5 + 6 + 7 + 8 + 9) / 9)
+    assert(out(1) == (10 + 20 + 30 + 40 + 50 + 60) / 6)
+    // already fits → k = 1, identity
+    val (w1, h1, same) = ImagePixels.boxDownsample(5, 3, lum, 8, 8)
+    assert((w1, h1) == (5, 3) && same.sameElements(lum))
+    // full chain through real bytes: any (level, filter) encode resizes
+    // to the same pixels, and the re-encode decodes back exactly
+    val pix = ImagePixels.pixelsFromText("resize me through real zlib", 27, 16)
+    val expected = ImagePixels.boxDownsample(27, 16, pix, 10, 6)
+    for (level <- Seq(1, 9); filter <- 0 to 4) {
+      val png = ImagePixels.encodePngGray(27, 16, pix, level, filter)
+      val (ow2, oh2, bytes) = ImagePixels.resizePngToFit(png, 10, 6).get
+      val (dw, dh, lum2) = ImagePixels.decodePngLuma(bytes).get
+      assert((ow2, oh2) == (9, 6) && (dw, dh) == (9, 6))
+      assert(lum2.sameElements(expected._3))
+    }
+    // header-only PNG (tEXt payload, no IDAT): pixel path declines
+    val headerOnly = graft.functions.Multimodal.ImageHeader.synthPng(4, 4, "xy".getBytes("UTF-8"))
+    assert(ImagePixels.resizePngToFit(headerOnly, 2, 2).isEmpty)
+    // audio decimate: floor means on NEGATIVE sums (floorDiv, not trunc)
+    // and a partial tail window
+    import graft.functions.Multimodal.AudioSamples
+    assert(AudioSamples.decimate(Array(-7, 0, 0, 0, 5), 4).toSeq == Seq(-2, 5))
+    assert(AudioSamples.decimate(Array(1, 2, 3), 1).toSeq == Seq(1, 2, 3))
+  }
+
   test("JPEG AC decode: runs, signs, ZRL, and dequant invert the encoder exactly") {
     import graft.functions.Multimodal.JpegGray
     // quant table varies per coefficient so dequant is actually exercised

@@ -685,6 +685,29 @@ object PipelineQueries {
       .orderBy("qid", "rank")
   }
 
+  /** IVF-PQ composite index ([[Similarity.ivfPqTopKDet]], the FAISS
+    * IVFPQ shape): 16 coarse cells (spherical k-means), product
+    * quantization on the RESIDUALS against the assigned centroid
+    * (4 × 16-dim subspaces, 16-centroid Euclidean codebooks trained on
+    * the residual relation), queries probe their 4 best cells and score
+    * `q·centroid + Σ LUT[code]` — only probed cells' codes are ever
+    * read. The oracle replays the full composition: coarse rounds,
+    * residual subtraction, residual codebook rounds, cell+code storage,
+    * probe choice, LUTs, and the left-associated score sum — the
+    * suite's third fully hash-matched APPROXIMATE ANN family, scores
+    * included. Recall floor pinned in PipelineSpec. */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.ivfPqTopKDet(e, "vec_id", "embedding", q, "qid", "qv",
+        topK = 10, nCells = 16, coarseRounds = 2, nProbe = 4,
+        m = 4, subDim = 16, kCent = 16, pqRounds = 2, blockSize = 16)
+      .select(col("qid"), col("vec_id"), col("adc"),
+        col("rank").cast("bigint").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** PQ + exact rerank ([[Similarity.pqRerankTopK]]): the ADC scan keeps
     * 50 candidates per query reading only the 4 codes per vector, then
     * the float corpus is touched only for the candidate slice — exact
@@ -2314,6 +2337,7 @@ object PipelineQueries {
     "p_ann_ivf_exhaustive" -> (annIvfExhaustive _),
     "p_ann_ivf" -> (annIvf _),
     "p_ann_pq" -> (annPq _),
+    "p_ann_ivfpq" -> (annIvfPq _),
     "p_ann_pq_rerank" -> (annPqRerank _),
     "p_embed_quantize" -> (embedQuantize _),
     "p_ann_quantized" -> (annQuantized _),
@@ -2486,28 +2510,36 @@ object PipelineQueries {
     * renormalization — mirroring [[Similarity.pqFit]] op for op), the
     * final code assignment, per-query lookup tables against the final
     * codebook, the left-associated m-term ADC sum, and the ranking. */
-  private def pqWithSql(
-      m: Int, subDim: Int, k: Int, rounds: Int, blockSize: Int): String = {
+  /** The normalized-embeddings header shared by the vector oracles. */
+  private val evHeaderSql =
+    """nrm AS (
+      |  SELECT vec_id, sqrt(list_reduce(
+      |    list_transform(embedding, x -> cast(x AS double) * cast(x AS double)),
+      |    (a, b) -> a + b)) AS nm
+      |  FROM embeddings),
+      |ev AS MATERIALIZED (
+      |  SELECT e.vec_id,
+      |    CASE WHEN n.nm = 0 THEN list_transform(e.embedding, x -> cast(x AS double))
+      |         ELSE list_transform(e.embedding,
+      |           x -> cast(cast(cast(x AS double) / n.nm AS real) AS double)) END AS v
+      |  FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id)""".stripMargin
+
+  /** Per-subspace PQ codebook training CTEs over `srcRel` (a
+    * `(vec_id, v)` relation) — the SQL mirror of `pqFitPrepared`:
+    * lowest-id seeding, min-L2 assignment (ties to lowest cid), exact
+    * block-fold means, no renormalization. Emits `s$mi`/`p${mi}*`
+    * chains; the final assignment per subspace is `p${mi}a$rounds` and
+    * the final codebook is `p${mi}c${rounds - 1}`. */
+  private def pqSubspacesSql(
+      srcRel: String, m: Int, subDim: Int, k: Int, rounds: Int, blockSize: Int): String = {
     def dist2Sql(a: String, b: String) =
       s"list_reduce(list_transform(range(1, $subDim + 1), " +
         s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
-    val header =
-      s"""nrm AS (
-         |  SELECT vec_id, sqrt(list_reduce(
-         |    list_transform(embedding, x -> cast(x AS double) * cast(x AS double)),
-         |    (a, b) -> a + b)) AS nm
-         |  FROM embeddings),
-         |ev AS MATERIALIZED (
-         |  SELECT e.vec_id,
-         |    CASE WHEN n.nm = 0 THEN list_transform(e.embedding, x -> cast(x AS double))
-         |         ELSE list_transform(e.embedding,
-         |           x -> cast(cast(cast(x AS double) / n.nm AS real) AS double)) END AS v
-         |  FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id)""".stripMargin
-    val subspaces = (0 until m).map { mi =>
+    (0 until m).map { mi =>
       val off = mi * subDim
       val sub =
         s"""s$mi AS MATERIALIZED (
-           |  SELECT vec_id, v[${off + 1}:${off + subDim}] AS sv FROM ev),
+           |  SELECT vec_id, v[${off + 1}:${off + subDim}] AS sv FROM $srcRel),
            |p${mi}c0 AS (
            |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sv AS cv
            |  FROM (SELECT vec_id, sv FROM s$mi ORDER BY vec_id LIMIT $k) z)""".stripMargin
@@ -2540,10 +2572,11 @@ object PipelineQueries {
       }.mkString(",\n")
       sub + ",\n" + roundsSql
     }.mkString(",\n")
-    val codeCols = (0 until m).map(mi => s"a$mi.cid AS c$mi").mkString(", ")
-    val codeJoins = (1 until m)
-      .map(mi => s"JOIN p${mi}a$rounds a$mi ON a$mi.vec_id = a0.vec_id")
-      .mkString(" ")
+  }
+
+  /** The per-query lookup-table CTEs over the final PQ codebooks, and
+    * the lut-join clause + ADC sum for the scoring CTE. */
+  private def pqLutsSql(m: Int, subDim: Int, rounds: Int): (String, String, String) = {
     val luts = (0 until m).map { mi =>
       val off = mi * subDim
       s"""lut$mi AS MATERIALIZED (
@@ -2557,7 +2590,18 @@ object PipelineQueries {
       if (mi == 0) s"JOIN lut0 l0 ON l0.cid = c.c0"
       else s"JOIN lut$mi l$mi ON l$mi.qid = l0.qid AND l$mi.cid = c.c$mi"
     }.mkString(" ")
-    s"""WITH $header,
+    (luts, adcSum, lutJoins)
+  }
+
+  private def pqWithSql(
+      m: Int, subDim: Int, k: Int, rounds: Int, blockSize: Int): String = {
+    val subspaces = pqSubspacesSql("ev", m, subDim, k, rounds, blockSize)
+    val codeCols = (0 until m).map(mi => s"a$mi.cid AS c$mi").mkString(", ")
+    val codeJoins = (1 until m)
+      .map(mi => s"JOIN p${mi}a$rounds a$mi ON a$mi.vec_id = a0.vec_id")
+      .mkString(" ")
+    val (luts, adcSum, lutJoins) = pqLutsSql(m, subDim, rounds)
+    s"""WITH $evHeaderSql,
        |$subspaces,
        |codes AS MATERIALIZED (
        |  SELECT a0.vec_id, $codeCols FROM p0a$rounds a0 $codeJoins),
@@ -2566,6 +2610,53 @@ object PipelineQueries {
        |sc AS (
        |  SELECT l0.qid, c.vec_id, $adcSum AS adc
        |  FROM codes c $lutJoins)""".stripMargin
+  }
+
+  /** The IVF-PQ replay: coarse k-means rounds (`kmeansWithSql` — ev,
+    * c0…, a…), residuals against the final centroids, per-subspace
+    * codebooks trained ON THE RESIDUALS (`pqSubspacesSql("rv", …)`),
+    * cell+code storage, probe choice, residual LUTs, and the
+    * left-associated `cellDot + Σ LUT` score — every stage the Spark
+    * `ivfPqTopKDet` runs, from the same literals. */
+  private def ivfPqWithSql(
+      nCells: Int, coarseRounds: Int, nProbe: Int,
+      m: Int, subDim: Int, k: Int, rounds: Int, blockSize: Int): String = {
+    val kmeans = kmeansWithSql(nCells, coarseRounds, blockSize)
+    val cFinal = s"c${coarseRounds - 1}"
+    val aFinal = s"a$coarseRounds"
+    val subspaces = pqSubspacesSql("rv", m, subDim, k, rounds, blockSize)
+    val codeCols = (0 until m).map(mi => s"a$mi.cid AS c$mi").mkString(", ")
+    val codeJoins = (1 until m)
+      .map(mi => s"JOIN p${mi}a$rounds a$mi ON a$mi.vec_id = a0.vec_id")
+      .mkString(" ")
+    val (luts, adcSum, _) = pqLutsSql(m, subDim, rounds)
+    // unlike the flat-PQ scorer, qid here comes from the probe row, so
+    // every lut join binds to p.qid
+    val lutJoinsP = (0 until m)
+      .map(mi => s"JOIN lut$mi l$mi ON l$mi.qid = p.qid AND l$mi.cid = c.c$mi")
+      .mkString(" ")
+    s"""$kmeans,
+       |rv AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cid AS cell,
+       |    list_transform(range(1, len(a.v) + 1), i -> a.v[i] - c.cv[i]) AS v
+       |  FROM $aFinal a JOIN $cFinal c ON a.cid = c.cid),
+       |$subspaces,
+       |codes AS MATERIALIZED (
+       |  SELECT a0.vec_id, r.cell, $codeCols
+       |  FROM p0a$rounds a0 JOIN rv r ON r.vec_id = a0.vec_id $codeJoins),
+       |qn AS (SELECT vec_id AS qid, v AS qv FROM ev WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT qid, qv, cell, qd FROM (
+       |    SELECT q.qid, q.qv, c.cid AS cell, ${dotSql("q.qv", "c.cv")} AS qd,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${dotSql("q.qv", "c.cv")} DESC, c.cid) AS pr
+       |    FROM qn q CROSS JOIN $cFinal c) t
+       |  WHERE pr <= $nProbe),
+       |$luts,
+       |sc AS (
+       |  SELECT p.qid, c.vec_id, p.qd + $adcSum AS adc
+       |  FROM probes p JOIN codes c ON c.cell = p.cell $lutJoinsP
+       |)""".stripMargin
   }
 
   private def kmeansWithSql(k: Int, rounds: Int, blockSize: Int): String = {
@@ -2842,6 +2933,16 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
          |  FROM rr)
          |SELECT qid, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin),
+
+    "p_ann_ivfpq" ->
+      (s"""${ivfPqWithSql(nCells = 16, coarseRounds = 2, nProbe = 4,
+               m = 4, subDim = 16, k = 16, rounds = 2, blockSize = 16)},
+         |ranked AS (
+         |  SELECT qid, vec_id, adc,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank
+         |  FROM sc)
+         |SELECT qid, vec_id, adc, CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin),
 
     "p_ann_ivf" ->

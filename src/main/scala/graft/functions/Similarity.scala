@@ -640,10 +640,25 @@ object Similarity {
       k: Int,
       rounds: Int,
       blockSize: Int): (DataFrame, Seq[(Array[Int], Seq[Seq[Double]])]) = {
-    require(m > 0 && subDim > 0 && k > 0 && rounds > 0,
-      "m, subDim, k, rounds must be positive")
     val v = Dedup.maybeCache(df.select(col(idCol),
       transform(normalize(col(vecCol)), x => x.cast("double")).as("__v")))
+    (v, pqFitPrepared(v, idCol, m, subDim, k, rounds, blockSize))
+  }
+
+  /** [[pqFit]] on an already-prepared `(idCol, __v)` relation with NO
+    * normalization — the entry point IVF-PQ needs, because residual
+    * vectors must be quantized as-is (renormalizing a residual would
+    * destroy the `query·x ≈ query·cell + query·residual` decomposition). */
+  private[graft] def pqFitPrepared(
+      v: DataFrame,
+      idCol: String,
+      m: Int,
+      subDim: Int,
+      k: Int,
+      rounds: Int,
+      blockSize: Int): Seq[(Array[Int], Seq[Seq[Double]])] = {
+    require(m > 0 && subDim > 0 && k > 0 && rounds > 0,
+      "m, subDim, k, rounds must be positive")
     val books = (0 until m).map { mi =>
       val sub = v.select(col(idCol),
         slice(col("__v"), mi * subDim + 1, subDim).as("__s"))
@@ -664,7 +679,7 @@ object Similarity {
       }
       (cids, matrix)
     }
-    (v, books)
+    books
   }
 
   /** Product-quantized top-k by asymmetric distance computation (ADC) —
@@ -762,6 +777,101 @@ object Similarity {
       .select(col(qidCol), col(idCol), dot(col("__qv"), col("__cv")).as("cosine"))
     val w = Window.partitionBy(qidCol).orderBy(col("cosine").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** IVF-PQ — the composed production index (Jégou et al. 2011 §V /
+    * the FAISS IVFPQ shape): a spherical coarse quantizer ([[kmeansFit]])
+    * partitions the corpus into cells, product quantization compresses
+    * each vector's RESIDUAL against its cell centroid (shared codebooks
+    * trained on the residual relation — residuals concentrate near zero,
+    * which is exactly why PQ-on-residuals beats PQ-on-vectors at equal
+    * bits), and a query scans only its `nProbe` best cells, scoring
+    * `query·x ≈ query·centroid(cell) + Σ_m LUT_m[code_m]` — the cell
+    * term comes free from probe selection and the residual term is `m`
+    * array reads per row. At 100 TB this is THE memory-bound ANN
+    * layout: the corpus shards by cell (the shuffle key is the dense
+    * int cid), a probe touches `nProbe/nCells` of the data, and each
+    * touched row costs code bytes, not vector bytes.
+    *
+    * Deterministic end to end — coarse build (lowest-id seeding,
+    * ordered-fold Lloyd), residual subtraction (exact double
+    * arithmetic), per-subspace residual codebooks ([[pqFitPrepared]],
+    * no renormalization), probe choice, LUTs, the left-associated
+    * score sum, and id tie-breaks — so an external engine replays the
+    * ENTIRE index build and search from the same literals
+    * (`p_ann_ivfpq`'s full DuckDB hash-match, scores included).
+    * Output: (qidCol, idCol, adc, rank). */
+  def ivfPqTopKDet(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      topK: Int,
+      nCells: Int,
+      coarseRounds: Int,
+      nProbe: Int,
+      m: Int,
+      subDim: Int,
+      kCent: Int,
+      pqRounds: Int,
+      blockSize: Int = 1024): DataFrame = {
+    require(topK > 0 && nProbe > 0, "topK and nProbe must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // coarse quantizer + cell assignment
+    val (v, cids, matrix) = kmeansFit(corpus, idCol, vecCol, nCells, coarseRounds, blockSize)
+    val centDf = cids.toSeq.zip(matrix).toDF("__cell", "__cv")
+    // residuals against the assigned centroid — cached: consumed m times
+    // for codebook training plus once for code assignment
+    val resid = Dedup.maybeCache(
+      v.select(col(idCol), col("__v"), kmeansAssignCol(cids, matrix).cast("int").as("__cell"))
+        .join(broadcast(centDf), Seq("__cell"))
+        .select(col(idCol), col("__cell"),
+          zip_with(col("__v"), col("__cv"), (x, c) => x - c).as("__v")))
+    val books = pqFitPrepared(resid.select(col(idCol), col("__v")),
+      idCol, m, subDim, kCent, pqRounds, blockSize)
+    // per-row storage: cell + m residual codes (the compressed corpus)
+    val codes = resid.select(col(idCol) +: col("__cell") +: (0 until m).map(mi =>
+      argminL2Col(slice(col("__v"), mi * subDim + 1, subDim),
+        books(mi)._1, books(mi)._2).as(s"__c$mi")): _*)
+    val qn = queries.select(col(qidCol),
+      transform(normalize(col(qvecCol)), x => x.cast("double")).as("__qv"))
+    // probe choice: top nProbe cells by query·centroid; the dot rides
+    // along as the cell term of the score
+    val probeW = Window.partitionBy(qidCol).orderBy(col("__qd").desc, col("__cell"))
+    val probes = qn.crossJoin(broadcast(centDf))
+      .withColumn("__qd", dot(col("__qv"), col("__cv")))
+      .withColumn("__pr", row_number().over(probeW))
+      .where(col("__pr") <= nProbe)
+      .select(col(qidCol), col("__cell"), col("__qd"))
+    // per-query residual-codebook lookup tables (slot j+1 = q_sub·c_j)
+    def lutArr(mi: Int): Column = {
+      val (bcids, bmat) = books(mi)
+      val byCid = bcids.zip(bmat).toMap
+      val qSub = slice(col("__qv"), mi * subDim + 1, subDim)
+      array((0 to bcids.max).map { j =>
+        byCid.get(j) match {
+          case Some(c) =>
+            aggregate(zip_with(qSub, lit(c.toArray), (x, cc) => x * cc),
+              lit(0.0), (a, b) => a + b)
+          case None => lit(0.0)
+        }
+      }: _*).as(s"__l$mi")
+    }
+    val qlut = qn.select(col(qidCol) +: (0 until m).map(lutArr): _*)
+    // score = ((qd + l0) + l1) + … — left-associated, the oracle's + chain
+    val adc = ((col("__qd") +: (0 until m)
+      .map(mi => element_at(col(s"__l$mi"), col(s"__c$mi") + 1))): Seq[Column])
+      .reduce(_ + _)
+    val scored = probes.join(codes, Seq("__cell"))
+      .join(broadcast(qlut), Seq(qidCol))
+      .select(col(qidCol), col(idCol), adc.as("cosine"))
+    val pruned = localTopK(scored, qidCol, idCol, topK)
+    val w = Window.partitionBy(qidCol).orderBy(col("cosine").desc, col(idCol))
+    pruned.withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
+      .withColumnRenamed("cosine", "adc")
   }
 
   /** Two-stage retrieval: a quantized coarse scan keeps `candidates`

@@ -916,6 +916,24 @@ class PipelineSpec extends GraftSuite {
       q, "qid", "qv", k = 10, candidates = 50, m = 4, subDim = 16,
       kCent = 16, rounds = 2, blockSize = 16))
     assert(meanRecall(rr) >= 0.6, s"rerank recall ${meanRecall(rr)}")
+    // IVF-PQ: 4/16 cells probed caps attainable recall at the probe
+    // stage, and residual codebooks recover signal inside the probed
+    // cells. Measured 0.40 (sf0.001) / 0.36 (sf0.01) — matching or
+    // beating flat PQ at equal code bits, the residual advantage. The
+    // floor is a break-detector (a residual bug or a LUT/cell mixup
+    // lands near 10/N ≈ 0.01).
+    val ivfpq = topSets(Similarity.ivfPqTopKDet(e, "vec_id", "embedding",
+      q, "qid", "qv", topK = 10, nCells = 16, coarseRounds = 2, nProbe = 4,
+      m = 4, subDim = 16, kCent = 16, pqRounds = 2, blockSize = 16))
+    assert(meanRecall(ivfpq) >= 0.2, s"IVF-PQ recall ${meanRecall(ivfpq)}")
+    // exhaustive probing (nProbe = nCells) removes the probe constraint:
+    // recall must then be at least pure-ADC-grade (residual codebooks
+    // can't be WORSE than whole-vector codebooks at equal bits)
+    val allCells = topSets(Similarity.ivfPqTopKDet(e, "vec_id", "embedding",
+      q, "qid", "qv", topK = 10, nCells = 16, coarseRounds = 2, nProbe = 16,
+      m = 4, subDim = 16, kCent = 16, pqRounds = 2, blockSize = 16))
+    assert(meanRecall(allCells) >= meanRecall(adc),
+      s"IVF-PQ exhaustive ${meanRecall(allCells)} < ADC ${meanRecall(adc)}")
   }
 
   test("classifier eval: held-out decorated split scores above the accuracy floor") {

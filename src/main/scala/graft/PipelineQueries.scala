@@ -2659,7 +2659,7 @@ object PipelineQueries {
        |)""".stripMargin
   }
 
-  private def kmeansWithSql(k: Int, rounds: Int, blockSize: Int): String = {
+  private[graft] def kmeansWithSql(k: Int, rounds: Int, blockSize: Int): String = {
     val header =
       s"""nrm AS (
          |  SELECT vec_id, sqrt(list_reduce(

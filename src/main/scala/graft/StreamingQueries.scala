@@ -377,6 +377,33 @@ object StreamingQueries {
       .orderBy("view_id", "purchase_id")
   }
 
+  /** Streaming IVF ingest routing — the build/serve split every
+    * production vector index runs: the index is built BATCH on the
+    * static corpus ([[graft.functions.Similarity.kmeansFit]], the same
+    * deterministic build `p_ann_ivf`/`p_ann_ivfpq` replay), then
+    * ARRIVING vectors are routed to their cell by one codegen'd
+    * nearest-centroid projection — zero shuffle, zero state, so Append
+    * mode needs no watermark and the drained two-batch stream equals
+    * the batch assignment row-for-row. The oracle replays the k-means
+    * build and the final assignment (the `a2` relation) in DuckDB. At
+    * 100 TB this is the ingest path: route each arriving embedding,
+    * append to the cell's shard, and the serving index stays
+    * queryable without rebuilds. */
+  def annAssignStream(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    import graft.functions.Similarity
+    val e = Tables.read(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val (_, cids, matrix) = Similarity.kmeansFit(e, "vec_id", "embedding", 16, 2, 16)
+    val dir = stageTwoBatches(spark,
+      e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
+      "graft_stream_annassign")
+    val stream = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val routed = Similarity.assignCells(stream, "vec_id", "embedding", cids, matrix)
+    val name = "graft_stream_annassign_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    Streams.runToMemorySink(routed, name, OutputMode.Append())
+      .select("vec_id", "cell").orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_stream_stream_join" -> (streamStreamJoin _),
     "s_window_agg" -> (streamWindowAgg _),
@@ -390,6 +417,7 @@ object StreamingQueries {
     "s_dedup_media_stream" -> (dedupMediaStream _),
     "s_decontaminate_stream" -> (decontaminateStream _),
     "s_sketch_stream" -> (sketchStream _),
+    "s_ann_assign_stream" -> (annAssignStream _),
   )
 
   private val sessionizeOracle =
@@ -425,6 +453,12 @@ object StreamingQueries {
     // the IDENTICAL batch replay — streaming must converge to the batch
     // keep-set on the same corpus
     "s_dedup_media_stream" -> PipelineQueries.perceptualDedupOracle("1 = 1"),
+    // the batch k-means build + final assignment: the stream routes each
+    // arriving vector against the SAME driver-resident index, so the
+    // drained result must equal the batch a2 relation cell-for-cell
+    "s_ann_assign_stream" ->
+      (s"""${PipelineQueries.kmeansWithSql(k = 16, rounds = 2, blockSize = 16)}
+         |SELECT vec_id, cast(cid as int) AS cell FROM a2 ORDER BY vec_id""".stripMargin),
     "s_stream_stream_join" ->
       """WITH v AS (SELECT event_id AS view_id, user_id, ts AS vts FROM events WHERE event_type = 'view'),
         |p AS (SELECT event_id AS purchase_id, user_id, ts AS pts FROM events WHERE event_type = 'purchase')

@@ -515,6 +515,23 @@ object Similarity {
       NearestCentroidDoubleExpr(ColumnBridge.expression(col("__v")), matrix)) + 1)
   }
 
+  /** Stateless cell assignment against a driver-resident index — the
+    * SERVING half of the build/serve split every production vector
+    * index runs: [[kmeansFit]] builds the index batch, and arriving
+    * vectors are routed to their cell by ONE codegen'd
+    * `NearestCentroidDoubleExpr` projection per row — zero shuffle,
+    * zero state, streaming-safe by construction (the ingest path of an
+    * IVF index: route, then append to the cell's shard). */
+  def assignCells(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cids: Array[Int],
+      matrix: Seq[Seq[Double]]): DataFrame =
+    df.select(col(idCol),
+        transform(normalize(col(vecCol)), x => x.cast("double")).as("__v"))
+      .select(col(idCol), kmeansAssignCol(cids, matrix).cast("int").as("cell"))
+
   /** The deterministic k-means fit behind [[kmeansAssign]], exposed so
     * other index builds (deterministic IVF) can reuse the proven
     * bit-replayable machinery: returns the cached normalized-double

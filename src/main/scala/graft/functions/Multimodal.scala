@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Decoder allocation guards: these codecs parse UNTRUSTED bytes inside
+    * executors, so a malformed header declaring giga-pixel dims must cost
+    * None, not an OOM or a NegativeArraySizeException. 64 MB of decoded
+    * bytes / 16 M pixels covers every real fixture by orders of magnitude
+    * (an 8K frame is 33 MB decoded); anything larger is out of the
+    * documented scope and falls back to the payload walk. */
+  private[functions] val MaxDecodeBytes: Long = 1L << 26
+  private[functions] val MaxDecodePixels: Long = 1L << 24
+
   /** A media record: the multimodal table schema. `content` is the opaque
     * payload; `meta` carries source-asserted properties. */
   case class MediaRecord(
@@ -178,6 +187,7 @@ object Multimodal {
         var i = 8
         while (i + 8 <= b.length) {
           val len = be32(b, i)
+          if (len < 0) return None // corrupt length: no progress, no negative copy
           val tpe = new String(b, i + 4, 4, "US-ASCII")
           if (tpe == "tEXt" && i + 8 + len <= b.length)
             return Some(java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len))
@@ -191,6 +201,7 @@ object Multimodal {
           val marker = b(i + 1) & 0xff
           if (marker == 0xd9) return None // EOI
           val len = be16(b, i + 2)
+          if (len < 2) return None // segment lengths include their own 2 bytes
           if (marker == 0xfe && i + 2 + len <= b.length)
             return Some(java.util.Arrays.copyOfRange(b, i + 4, i + 2 + len))
           i += 2 + len
@@ -250,10 +261,14 @@ object Multimodal {
       }
       val compressed = idat.toByteArray
       if (compressed.isEmpty) return None
-      // inflate to exactly h filtered scanlines of (1 + w·channels) bytes
-      val stride = 1 + w * channels
-      val expect = h.toLong * stride
-      if (expect > Int.MaxValue) return None
+      // inflate to exactly h filtered scanlines of (1 + w·channels) bytes.
+      // Long arithmetic + the shared pixel cap: a 30-byte file declaring
+      // 2-gigapixel dims must cost None, not a multi-GB allocation (these
+      // decoders run on untrusted bytes inside executors)
+      val strideL = 1L + w.toLong * channels
+      val expect = h.toLong * strideL
+      if (expect > MaxDecodeBytes) return None
+      val stride = strideL.toInt
       val raw = new Array[Byte](expect.toInt)
       val inf = new java.util.zip.Inflater()
       try {
@@ -507,6 +522,7 @@ object Multimodal {
       while (i + 8 <= b.length) {
         val tpe = new String(b, i, 4, "US-ASCII")
         val len = le32(b, i + 4)
+        if (len < 0) return None // corrupt length: no progress, no negative copy
         if (tpe == "data" && i + 8 + len <= b.length)
           return Some(java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len))
         i += 8 + len + (len & 1) // chunks are word-aligned
@@ -723,6 +739,7 @@ object Multimodal {
       while (i + 8 <= b.length) {
         val tpe = new String(b, i, 4, "US-ASCII")
         val len = le32(b, i + 4)
+        if (len < 0) return None // corrupt length: the walk must progress
         if (tpe == "LIST" && i + 12 <= b.length &&
             new String(b, i + 8, 4, "US-ASCII") == "movi") {
           var j = i + 12
@@ -730,6 +747,7 @@ object Multimodal {
           while (j + 8 <= end) {
             val ct = new String(b, j, 4, "US-ASCII")
             val cl = le32(b, j + 4)
+            if (cl < 0) return None // corrupt length: no progress, no negative copy
             if (ct == "00db" && j + 8 + cl <= end)
               return Some(java.util.Arrays.copyOfRange(b, j + 8, j + 8 + cl))
             j += 8 + cl + (cl & 1)
@@ -823,6 +841,9 @@ object Multimodal {
         i += 8 + len + (len & 1)
       }
       if (!fmtOk || moviOff < 0) return None
+      // untrusted-dims guard (see MaxDecodePixels); the frame cap keeps
+      // the Int per-pixel SUMS exact (255 · 127 frames < 2^15)
+      if (w.toLong * h > MaxDecodePixels) return None
       val rowBytes = (w * 3 + 3) & ~3
       val frameBytes = rowBytes * h
       val sums = new Array[Int](w * h)
@@ -833,7 +854,7 @@ object Multimodal {
         val cl = le32(b, j + 4)
         if (cl < 0 || j + 8 + cl < j) return None
         if (ct == "00db") {
-          if (cl != frameBytes || j + 8 + cl > moviEnd) return None
+          if (cl != frameBytes || j + 8 + cl > moviEnd || frames >= 127) return None
           // DIB rows are bottom-up: buffer row r is image row h-1-r
           var r = 0
           while (r < h) {
@@ -1153,6 +1174,9 @@ object Multimodal {
         i += 2 + len
       }
       if (w <= 0 || h <= 0 || q == null || dcSpec == null || acSpec == null) return None
+      // untrusted-dims guard (see MaxDecodePixels): SOF0 dims are 16-bit
+      // each, so w·h can reach 4.3e9 — cap before the pixel allocation
+      if (w.toLong * h > MaxDecodePixels) return None
       val dcDec = dcSpec.decodeTable
       val acDec = acSpec.decodeTable
 

@@ -233,4 +233,77 @@ object TextExprPropertySpec extends Properties("TextExprs") {
       for (i <- 0 until 64) f(zig(i)) = zz(i) * q(i)
       JpegGray.decodeJpegLuma(bytes).get._3.sameElements(JpegGray.idct8x8(f))
     }
+
+  // ---- decoder totality: these codecs parse UNTRUSTED bytes inside
+  // executors, so ANY corruption must yield a hash or a clean fallback,
+  // never an exception, a giant allocation, or a hang ----
+
+  private def validContainers(seed: Int): Seq[Array[Byte]] = {
+    import graft.functions.Multimodal._
+    val px = Array.tabulate(27 * 16)(p => (p * 7 + seed) % 256)
+    val samples = Array.tabulate(100)(i => ((i * 131 + seed) % 65536) - 32768)
+    val frames = (0 until 2).map(f => Array.tabulate(9 * 6)(p => (p + f + seed) % 256))
+    val zz = { val z = new Array[Int](64); z(0) = seed % 128; z }
+    Seq(
+      ImagePixels.encodePngGray(27, 16, px, level = 6, filter = seed % 5),
+      AudioSamples.synthPcmWav(8000, 1 + seed % 2, samples, junk = seed % 2 == 0),
+      VideoFrames.synthDibAvi(9, 6, frames, 40000, junk = seed % 2 == 0),
+      JpegGray.synthBaselineJpeg(16, 8, Seq(zz, zz), Array.fill(64)(8),
+        JpegGray.DcAnnexK, JpegGray.AcSmallA, seed % 3, "f".getBytes("US-ASCII")),
+      ImageHeader.synthPng(4, 4, Array.tabulate(20)(i => (i + seed).toByte)),
+      VideoHeader.synthAvi(4, 4, 2, 40000, Array.tabulate(20)(i => (i + seed).toByte)))
+  }
+
+  property("decoder totality: corrupted containers never throw from the hash chain") =
+    Prop.forAll(Gen.chooseNum(0, 10000), Gen.chooseNum(0, 2), Gen.chooseNum(0, 1 << 20)) {
+      (seed, mode, r) =>
+        import graft.functions.PayloadDHashExpr
+        validContainers(seed).forall { bytes =>
+          val at = java.lang.Math.floorMod(r, math.max(1, bytes.length))
+          val mutated = mode match {
+            case 0 => bytes.take(at) // truncate
+            case 1 => // flip one byte
+              val c = bytes.clone(); c(at) = (c(at) ^ 0xff).toByte; c
+            case _ => // overwrite a byte with an arbitrary value
+              val c = bytes.clone(); c(at) = (r >> 8).toByte; c
+          }
+          PayloadDHashExpr.hash(mutated) // Long or null — must not throw
+          true
+        }
+    }
+
+  property("decoder totality: headers declaring giga-pixel dims decline, never allocate") =
+    Prop.forAll(Gen.chooseNum(1 << 13, 1 << 15)) { big =>
+      import graft.functions.Multimodal._
+      // JPEG SOF0 with big×big dims (up to 2^30 px) but a tiny body
+      val zz = new Array[Int](64)
+      val jpeg = JpegGray.synthBaselineJpeg(16, 8, Seq(zz, zz), Array.fill(64)(8),
+        JpegGray.DcAnnexK, JpegGray.AcSmallA, 0, "x".getBytes("US-ASCII"))
+      // patch the SOF0 dims in place (offsets: SOI(2) + APP0(18) + COM(5)
+      // vary — find 0xFFC0 and patch h/w at +5..+8)
+      val j = jpeg.clone()
+      val sof = j.indices.dropRight(8).find(i => (j(i) & 0xff) == 0xff && (j(i + 1) & 0xff) == 0xc0).get
+      j(sof + 5) = (big >> 8).toByte; j(sof + 6) = big.toByte
+      j(sof + 7) = (big >> 8).toByte; j(sof + 8) = big.toByte
+      val jpegDeclined = JpegGray.decodeJpegLuma(j).isEmpty
+      // DIB AVI whose strf declares big×big
+      val avi = VideoFrames.synthDibAvi(9, 6, Seq(Array.fill(54)(0)), 40000).clone()
+      def patch32(at: Int, v: Int): Unit = {
+        avi(at) = v.toByte; avi(at + 1) = (v >> 8).toByte
+        avi(at + 2) = (v >> 16).toByte; avi(at + 3) = (v >> 24).toByte
+      }
+      val strf = avi.indices.dropRight(48).find(i =>
+        avi(i) == 's' && avi(i + 1) == 't' && avi(i + 2) == 'r' && avi(i + 3) == 'f').get
+      patch32(strf + 12, big); patch32(strf + 16, big)
+      val aviDeclined = VideoFrames.decodeDibLumaSums(avi).isEmpty
+      // PNG whose IHDR declares big×big (CRC wrong is fine — dims gate first)
+      val png = ImagePixels.encodePngGray(4, 4, Array.fill(16)(0), 1, 0).clone()
+      def pbe32(at: Int, v: Int): Unit = {
+        png(at) = (v >> 24).toByte; png(at + 1) = (v >> 16).toByte
+        png(at + 2) = (v >> 8).toByte; png(at + 3) = v.toByte
+      }
+      pbe32(16, big); pbe32(20, big)
+      val pngDeclined = ImagePixels.decodePngLuma(png).isEmpty
+      jpegDeclined && aviDeclined && pngDeclined
+    }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Multimodal, Similarity, Sketch, TextAnalysis}
+import graft.functions.{Dedup, Multimodal, Sampling, Similarity, Sketch, TextAnalysis}
 
 /** Verification queries for the LLM-training-data pipeline operators
   * (dedup / similarity / text analysis / multimodal — builder-prompt north
@@ -1582,6 +1582,37 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  /** Z-ORDER clustered layout ([[Sampling.zorderBits]], the Delta/
+    * Iceberg OPTIMIZE ZORDER technique): interleave the bits of two
+    * dimensions (here `user_id` and `event_id`, each range-spread into
+    * the 16-bit z domain by an exact multiplicative hash — the
+    * deterministic stand-in for the range normalization real writers
+    * apply) and assign each row to a file by the TOP FOUR z bits — bits
+    * (x₁₅, y₁₅, x₁₄, y₁₄), so every file is confined to one 16384-wide
+    * quarter-by-quarter cell in BOTH dimensions simultaneously. The
+    * query emits exactly the artifact a lakehouse writer would persist
+    * as file min/max statistics — per-file row counts and x/y bounds —
+    * which IS the pruning proof: a selective predicate on either
+    * column eliminates 3/4 of the files from the scan (the bounds
+    * inequality is pinned in PipelineSpec). Pure integer shifts and
+    * masks, replayed bit-for-bit by the oracle. */
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.read(spark, sfDir, "events")
+    // real z-order writers range-normalize each column into the z domain
+    // first; the deterministic stand-in is a multiplicative 16-bit
+    // spread (odd constant, exact integer product — replayable)
+    val x = (col("user_id") * lit(40503L)).bitwiseAND(lit(65535L))
+    val y = (col("event_id") * lit(40503L)).bitwiseAND(lit(65535L))
+    ev.select(x.as("x"), y.as("y"),
+        Sampling.zorderBits(x, y, 16).as("z"))
+      .withColumn("file_id", shiftright(col("z"), 28))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .orderBy("file_id")
+  }
+
   /** Perceptual dedup across ALL modalities: the same dHash chain as
     * [[dedupImage]] over the full media table — PNG tEXt, JPEG COM, WAV
     * data, and AVI movi payload walks all feed the one hash (copies
@@ -2370,6 +2401,7 @@ object PipelineQueries {
     "p_dedup_jpeg_px" -> (dedupJpegPx _),
     "p_media_resize_px" -> (mediaResizePx _),
     "p_audio_resample_px" -> (audioResamplePx _),
+    "p_zorder_layout" -> (zorderLayout _),
     "p_dedup_media" -> (dedupMedia _),
     "p_bm25_search" -> (bm25Search _),
     "p_token_quantiles" -> (tokenQuantiles _),
@@ -3495,6 +3527,24 @@ object PipelineQueries {
         |SELECT media_id, cast(9 as int) AS out_w, cast(6 as int) AS out_h,
         |  coalesce(array_to_string(list_transform(r, v -> cast(v as varchar)), ','), '') AS px
         |FROM rs ORDER BY media_id""".stripMargin,
+
+    // z-order replay: the bit interleave is pure integer shifts/masks,
+    // identical in both engines; per-file min/max bounds over the
+    // top-4-z-bits assignment are the lakehouse writer's file
+    // statistics, recomputed exactly
+    "p_zorder_layout" ->
+      (s"""WITH e AS (
+         |  SELECT (user_id * 40503) & 65535 AS x,
+         |         (event_id * 40503) & 65535 AS y FROM events),
+         |zv AS (
+         |  SELECT x, y,
+         |    ${(0 until 16).map(i =>
+               s"((((x >> $i) & 1) << ${2 * i + 1}) | (((y >> $i) & 1) << ${2 * i}))")
+               .mkString(" | ")} AS z
+         |  FROM e)
+         |SELECT z >> 28 AS file_id, cast(count(*) as bigint) AS n,
+         |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+         |FROM zv GROUP BY file_id ORDER BY file_id""".stripMargin),
 
     // resample replay: the oracle derives the PCM samples from the
     // affine codepoint rule LITERALLY, then applies the same floor-mean

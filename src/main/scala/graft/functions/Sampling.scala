@@ -236,6 +236,23 @@ object Sampling {
     * byte-verified shard by shard without shipping the data. One
     * combinable aggregation; the collect_list is bounded by shard size
     * (shards are budget-packed, not corpus-sized). */
+  /** Morton / z-order interleave of two non-negative `bits`-bit columns:
+    * bit 2i+1 of the result is bit i of `x`, bit 2i is bit i of `y` —
+    * pure integer shifts and masks (codegen'd, replayable bit-for-bit
+    * by any engine with `>> << & |`). The write-side clustering trick
+    * behind multi-dimensional scan pruning (Delta/Iceberg OPTIMIZE
+    * ZORDER): sorting or bucketing by z bounds every file's range in
+    * BOTH dimensions at once, so min/max file stats prune selective
+    * predicates on EITHER column — the layout that makes a 100 TB fact
+    * table scannable by more than its partition key. */
+  def zorderBits(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be 1-31")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+  }
+
   def shardManifest(
       df: DataFrame,
       shardCols: Seq[String],

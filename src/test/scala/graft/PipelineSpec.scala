@@ -936,6 +936,24 @@ class PipelineSpec extends GraftSuite {
       s"IVF-PQ exhaustive ${meanRecall(allCells)} < ADC ${meanRecall(adc)}")
   }
 
+  test("z-order layout: every file bounded to a quarter-range in BOTH dimensions") {
+    val rows = PipelineQueries.queries("p_zorder_layout")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    rows.foreach { r =>
+      val (fid, xMin, xMax, yMin, yMax) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // top-4 z bits = (x15, y15, x14, y14): both dims confined to one
+      // 16384-wide cell — THE multi-dimensional pruning property (a
+      // plain sort by x would leave y unbounded at 65535)
+      assert(xMax - xMin <= 16383, s"file $fid x range ${xMax - xMin}")
+      assert(yMax - yMin <= 16383, s"file $fid y range ${yMax - yMin}")
+      // and the cell is the one the file id encodes
+      assert(xMin >> 14 == ((fid >> 3) & 1) * 2 + ((fid >> 1) & 1))
+      assert(yMin >> 14 == ((fid >> 2) & 1) * 2 + (fid & 1))
+    }
+  }
+
   test("classifier eval: held-out decorated split scores above the accuracy floor") {
     val row = PipelineQueries.queries("p_classifier_eval")(spark, "/root/testdata/sf0.001")
       .collect()(0)

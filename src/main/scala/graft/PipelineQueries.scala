@@ -1651,6 +1651,33 @@ object PipelineQueries {
       .orderBy("rank")
   }
 
+  /** Hybrid retrieval ([[TextAnalysis.rrfFuse]], reciprocal-rank
+    * fusion): the lexical leg is the certified BM25 ranking
+    * ([[bm25Search]]'s corpus-top-tokens query, top-20) and the vector
+    * leg is the certified exact-cosine ranking (query = vec 0's
+    * embedding, top-20) — the two retrieval modalities every curation /
+    * RAG stack runs, fused WITHOUT score calibration by summing
+    * `1/(60 + rank)` over the legs. Rank-only inputs make the fusion
+    * exactly replayable: each contribution is one IEEE division, each
+    * doc sums at most two of them. The oracle recomputes both legs
+    * (the existing BM25 and cosine replays as CTEs) and the fused
+    * ranking, scores included. */
+  def hybridSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val terms = TextAnalysis.topTokens(d, "text", 3).select("token")
+    val lex = TextAnalysis.searchTopDocs(d, "doc_id", "text", terms, k = 20)
+      .select(col("doc_id"), col("rank"))
+    val e = embs(spark, sfDir)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val vec = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "qid", "qv", k = 20)
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    TextAnalysis.rrfFuse(Seq(lex, vec), "doc_id", k0 = 60, topN = 15)
+      .select(col("doc_id"), col("rrf"), col("n_legs"),
+        col("rank").cast("bigint").as("rank"))
+      .orderBy("rank")
+  }
+
   /** Quality-gate pass rates rolled up per language — the per-source
     * curation dashboard view (integer counts + one division of exact
     * integers). */
@@ -2402,6 +2429,7 @@ object PipelineQueries {
     "p_media_resize_px" -> (mediaResizePx _),
     "p_audio_resample_px" -> (audioResamplePx _),
     "p_zorder_layout" -> (zorderLayout _),
+    "p_hybrid_search" -> (hybridSearch _),
     "p_dedup_media" -> (dedupMedia _),
     "p_bm25_search" -> (bm25Search _),
     "p_token_quantiles" -> (tokenQuantiles _),
@@ -3704,6 +3732,54 @@ object PipelineQueries {
         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
         |  FROM scored) r
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // hybrid fusion replay: both legs are the EXISTING certified
+    // rankings (the BM25 block and the cosine block verbatim), and the
+    // fusion is rank-only — each contribution one IEEE division, each
+    // doc at most two terms, so the doubles replay exactly
+    "p_hybrid_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+        |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |qt AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS n FROM toks WHERE length(token) > 0
+        |    GROUP BY token ORDER BY n DESC, token LIMIT 3) t),
+        |contrib AS (
+        |  SELECT t.doc_id, t.token,
+        |    cast(t.tf AS double) *
+        |      ((cast((SELECT count(*) FROM documents) AS double) - cast(d.df AS double) + 0.5) /
+        |        (cast(d.df AS double) + 0.5)) AS p
+        |  FROM tf t JOIN qt ON t.token = qt.token JOIN dfr d ON t.token = d.token),
+        |scored AS (
+        |  SELECT doc_id, list_reduce(list(p ORDER BY token), (a, b) -> a + b) AS score
+        |  FROM contrib GROUP BY doc_id),
+        |lex AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |    FROM scored) r
+        |  WHERE rank <= 20),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT e.vec_id, list_cosine_similarity(q.qv, e.embedding) AS cos
+        |      FROM embeddings e CROSS JOIN q),
+        |vec AS (
+        |  SELECT vec_id AS doc_id, rank FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+        |    FROM s) t
+        |  WHERE rank <= 20),
+        |u AS (
+        |  SELECT doc_id, cast(1.0 AS double) / (cast(60.0 AS double) + rank) AS c FROM lex
+        |  UNION ALL
+        |  SELECT doc_id, cast(1.0 AS double) / (cast(60.0 AS double) + rank) AS c FROM vec),
+        |f AS (SELECT doc_id, sum(c) AS rrf, cast(count(*) AS int) AS n_legs
+        |      FROM u GROUP BY doc_id)
+        |SELECT doc_id, rrf, n_legs, cast(rank AS bigint) AS rank FROM (
+        |  SELECT doc_id, rrf, n_legs,
+        |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM f) z
+        |WHERE rank <= 15 ORDER BY rank""".stripMargin,
 
     "p_token_quantiles" ->
       """WITH tc AS (

@@ -622,6 +622,33 @@ object TextAnalysis {
         row_number().over(Window.orderBy(col("score").desc, col(idCol))))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
+    * combine heterogeneous retrieval legs (lexical BM25, vector ANN)
+    * without score calibration: each leg contributes `1/(k0 + rank)`
+    * and docs are re-ranked by the SUM over legs (docs missing from a
+    * leg contribute nothing). Rank-only inputs make the fusion
+    * engine-portable by construction — each contribution is ONE
+    * correctly-rounded IEEE division and the per-doc sum has at most
+    * `legs.size` terms (commutative, so grouping order can't bite at
+    * 2 legs) — and the final top-`n` uses the TakeOrderedAndProject
+    * idiom (per-partition heaps; the ranking window only ever sees
+    * `n` rows). Legs are `(idCol, rank)` relations. */
+  def rrfFuse(
+      legs: Seq[org.apache.spark.sql.DataFrame],
+      idCol: String,
+      k0: Int = 60,
+      topN: Int = 15): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(legs.size == 2, "rrfFuse: exactly two legs (double-sum exactness)")
+    val contrib = legs.map(_.select(col(idCol),
+        (lit(1.0) / (lit(k0.toDouble) + col("rank").cast("double"))).as("__c")))
+      .reduce(_ unionByName _)
+    contrib.groupBy(col(idCol))
+      .agg(sum(col("__c")).as("rrf"), count(lit(1)).cast("int").as("n_legs"))
+      .orderBy(col("rrf").desc, col(idCol)).limit(topN)
+      .withColumn("rank", row_number().over(Window.orderBy(col("rrf").desc, col(idCol))))
+  }
+
   /** DSIR-style hashed n-gram features (Xie et al. 2023): word-`n`-grams
     * bucketed by their portable-md5 prefix (256 buckets), counted per
     * document — the sparse feature map importance-resampling pipelines

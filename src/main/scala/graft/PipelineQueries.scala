@@ -664,6 +664,24 @@ object PipelineQueries {
       .orderBy("qid", "rank")
   }
 
+  /** Filtered vector search — the vector-DB "metadata predicate" shape
+    * over the SAME deterministic IVF index as [[annIvf]]: one index
+    * serves every predicate (the filter applies to cell members after
+    * probing — post-filter — so nothing rebuilds per predicate and the
+    * scan still touches only the 4 probed cells). The stand-in
+    * predicate keeps 6/7 of the corpus by id; the oracle replays the
+    * identical index build, probe choice, member filter, and ranking. */
+  def annFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.ivfTopKDet(e, "vec_id", "embedding", q, "qid", "qv",
+        topK = 10, nCentroids = 16, rounds = 2, nProbe = 4, blockSize = 16,
+        memberFilter = Some(col("vec_id") % 7 =!= 0))
+      .select(col("qid"), col("vec_id"), col("rank").cast("bigint").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** Product-quantized ADC search ([[Similarity.pqTopKDet]], Jégou et
     * al. 2011): 4 subspaces × 16 dims, 16-centroid Euclidean codebooks
     * per subspace (deterministic Lloyd — min-L2 assignment, exact
@@ -2396,6 +2414,7 @@ object PipelineQueries {
     "p_ann_ivf" -> (annIvf _),
     "p_ann_pq" -> (annPq _),
     "p_ann_ivfpq" -> (annIvfPq _),
+    "p_ann_filtered" -> (annFiltered _),
     "p_ann_pq_rerank" -> (annPqRerank _),
     "p_embed_quantize" -> (embedQuantize _),
     "p_ann_quantized" -> (annQuantized _),
@@ -3004,6 +3023,26 @@ object PipelineQueries {
          |  FROM sc)
          |SELECT qid, vec_id, adc, CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin),
+
+    // the identical index build + probe replay as p_ann_ivf, with the
+    // member predicate applied post-probe — one index, any filter
+    "p_ann_filtered" ->
+      (s"""${kmeansWithSql(k = 16, rounds = 2, blockSize = 16)},
+        |probes AS (
+        |  SELECT qid, qv, cell FROM (
+        |    SELECT q.vec_id AS qid, q.v AS qv, c.cid AS cell,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${dotSql("q.v", "c.cv")} DESC, c.cid) AS pr
+        |    FROM (SELECT vec_id, v FROM ev WHERE vec_id < 5) q CROSS JOIN c1 c) t
+        |  WHERE pr <= 4),
+        |cand AS (
+        |  SELECT p.qid, a.vec_id,
+        |    row_number() OVER (PARTITION BY p.qid
+        |      ORDER BY ${dotSql("p.qv", "a.v")} DESC, a.vec_id) AS rank
+        |  FROM probes p JOIN a2 a ON p.cell = a.cid
+        |  WHERE a.vec_id % 7 <> 0)
+        |SELECT qid, vec_id, cast(rank AS bigint) AS rank FROM cand
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin),
 
     "p_ann_ivf" ->
       (s"""${kmeansWithSql(k = 16, rounds = 2, blockSize = 16)},

@@ -594,13 +594,21 @@ object Similarity {
       nCentroids: Int,
       rounds: Int,
       nProbe: Int,
-      blockSize: Int = 1024): DataFrame = {
+      blockSize: Int = 1024,
+      memberFilter: Option[Column] = None): DataFrame = {
     require(topK > 0 && nProbe > 0, "topK and nProbe must be positive")
     val spark = corpus.sparkSession
     import spark.implicits._
     val (v, cids, matrix) = kmeansFit(corpus, idCol, vecCol, nCentroids, rounds, blockSize)
-    val cells = v.select(col(idCol), col("__v"),
+    // FILTERED search (the vector-DB "metadata predicate" shape): ONE
+    // index serves every predicate — the filter applies to cell MEMBERS
+    // after probing (post-filter), so the index never rebuilds per
+    // predicate and the scan still touches only nProbe cells. The
+    // filter column is evaluated against the corpus row (join it in
+    // before calling when it lives in another relation).
+    val cells0 = v.select(col(idCol), col("__v"),
       kmeansAssignCol(cids, matrix).cast("int").as("__cell"))
+    val cells = memberFilter.fold(cells0)(cells0.where)
     val centDf = cids.toSeq.zip(matrix).toDF("__cell", "__cv")
     val qn = queries.select(col(qidCol),
       transform(normalize(col(qvecCol)), x => x.cast("double")).as("__qv"))

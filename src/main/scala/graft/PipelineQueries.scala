@@ -3525,8 +3525,11 @@ object PipelineQueries {
     // sample-path replay: the oracle recomputes the dHash bits from the
     // CODEPOINT rule the PCM samples were built from — exact because the
     // cross-multiplied mean comparison is invariant under a positive
-    // affine sample map (sample = cp·257 − 32768: the 257 factor scales
-    // both sides, the −32768·L₁·L₂ terms cancel). Copies carry the SAME
+    // affine sample map (sample = min(cp,255)·257 − 32768: the 257
+    // factor scales both sides, the −32768·L₁·L₂ terms cancel; the
+    // least(…,255) clamp mirrors the fixture's byte clamp so the
+    // equality holds even if the corpus ever gains non-Latin-1
+    // codepoints). Copies carry the SAME
     // samples in a different container (stereo, junk LIST chunk), so
     // every (base, base+800000) pairs at Hamming 0; the hash-match
     // certifies fmt parse, LIST skip, sign-extension, mixdown, binning.
@@ -3539,7 +3542,8 @@ object PipelineQueries {
         |  SELECT doc_id + 800000, text FROM base),
         |codes AS (
         |  SELECT media_id,
-        |    list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cs,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> least(ascii(text[i]), 255)) AS cs,
         |    length(text) AS L
         |  FROM corpus),
         |cells AS (

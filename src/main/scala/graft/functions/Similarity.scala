@@ -604,11 +604,23 @@ object Similarity {
     // index serves every predicate — the filter applies to cell MEMBERS
     // after probing (post-filter), so the index never rebuilds per
     // predicate and the scan still touches only nProbe cells. The
-    // filter column is evaluated against the corpus row (join it in
-    // before calling when it lives in another relation).
+    // filter may reference ANY corpus column: kmeansFit projects to
+    // (id, vector), so the remaining corpus columns are joined back in
+    // by id — only when a filter is present, and dropped again before
+    // probing (the filter never widens the scored relation). At scale
+    // this is a co-partitioned by-key self-join whose predicate side
+    // Catalyst prunes to exactly the filtered columns.
     val cells0 = v.select(col(idCol), col("__v"),
       kmeansAssignCol(cids, matrix).cast("int").as("__cell"))
-    val cells = memberFilter.fold(cells0)(cells0.where)
+    val cells = memberFilter.fold(cells0) { f =>
+      val extra = corpus.columns.filterNot(c =>
+        c.equalsIgnoreCase(idCol) || c.equalsIgnoreCase(vecCol))
+      val base =
+        if (extra.isEmpty) cells0
+        else cells0.join(
+          corpus.select(idCol, extra.toIndexedSeq: _*), Seq(idCol))
+      base.where(f).select(col(idCol), col("__v"), col("__cell"))
+    }
     val centDf = cids.toSeq.zip(matrix).toDF("__cell", "__cv")
     val qn = queries.select(col(qidCol),
       transform(normalize(col(qvecCol)), x => x.cast("double")).as("__qv"))

@@ -54,12 +54,19 @@ object Sketch {
     * the sketch never filled, else `(k-1)·2^60 / U_(k)`. The arithmetic
     * is one exact product (k-1 has ≤ 53 significant bits, 2^60 is a
     * power of two) and one correctly-rounded division, so DuckDB
-    * replays the double bit-for-bit. */
+    * replays the double bit-for-bit.
+    *
+    * Total on every input, ANSI mode included: a NULL sketch yields
+    * NULL (never the legacy size(NULL) = −1 masquerading as an
+    * estimate), an under-filled or empty sketch yields its exact size,
+    * and the k-th element is read with the non-throwing 0-indexed
+    * `get` so no branch can raise an out-of-bounds error. */
   def kmvEstimate(kmins: Column, k: Int): Column =
-    when(size(kmins) < k, size(kmins).cast("double"))
+    when(kmins.isNull, lit(null).cast("double"))
+      .when(size(kmins) < k, size(kmins).cast("double"))
       .otherwise(
         lit((k - 1).toDouble) * lit(TwoPow60) /
-          element_at(kmins, k).cast("double"))
+          get(kmins, lit(k - 1)).cast("double"))
 
   /** Union k-min set of two sketches with the same k: k smallest of the
     * merged sets — exactly the sketch of the concatenated inputs (the

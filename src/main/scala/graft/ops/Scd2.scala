@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
   *     version
   *   - key present, attributes identical        → untouched
   *   - history rows (is_current = false)        → untouched, always
+  *   - dirty rows (is_current NULL)             → kept verbatim as
+  *     history (never compared, closed, or dropped — row count is
+  *     conserved on dirty bookkeeping)
   *
   * 100 TB shape: one null-safe comparison join of the CURRENT slice
   * against the batch on the dimension key (both sides shuffled by key —
@@ -59,8 +62,13 @@ object Scd2 {
     val validToType = target.schema(target.schema.fieldIndex(ValidTo)).dataType
     val outCols = target.columns.toSeq
 
-    val hist = target.where(!col(IsCurrent))
-    val cur = target.where(col(IsCurrent))
+    // A NULL is_current is dirty bookkeeping, not a version statement:
+    // treat it as history (kept verbatim, never closed or compared) so
+    // the row count is conserved — the raw !col/col split would match a
+    // NULL in NEITHER branch and silently drop the row.
+    val isCur = coalesce(col(IsCurrent), lit(false))
+    val hist = target.where(!isCur)
+    val cur = target.where(isCur)
 
     // in-plan duplicate-source-key guard, riding the first key column of
     // the insert branch (the Merge raise_error discipline: survives
@@ -79,30 +87,44 @@ object Scd2 {
       .where(diff)
       .select(keyCols.map(k => col(s"t.$k").as(k)): _*)
 
-    val closed = cur.join(changedKeys, keyCols, "left_semi")
-      .withColumn(ValidTo, effectiveDate.cast(validToType))
-      .withColumn(IsCurrent, lit(false))
-    val keptCur = cur.join(changedKeys, keyCols, "left_anti")
-
-    val newKeys = srcP.join(cur.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val newVersions = srcP.join(changedKeys, keyCols, "left_semi")
-    val validFromType = target.schema(target.schema.fieldIndex(ValidFrom)).dataType
-    val inserts0 = newKeys.unionByName(newVersions)
-      .withColumn(ValidFrom, effectiveDate.cast(validFromType))
-      .withColumn(ValidTo, lit(null).cast(validToType))
-      .withColumn(IsCurrent, lit(true))
     // carries Merge's conflict marker so surfacingConflicts re-types the
     // task failure as the MergeConflictException callers already handle
     val guardMsg =
       s"merge(if_conflicts=scd2, keys=${keyCols.mkString(",")}): duplicate source keys"
-    val inserts = inserts0.select(outCols.zipWithIndex.map { case (c, i) =>
-      val base = col(c).cast(target.schema(target.schema.fieldIndex(c)).dataType)
-      if (i == 0)
-        when(col("__dup"), raise_error(lit(guardMsg))
-          .cast(target.schema(target.schema.fieldIndex(c)).dataType))
-          .otherwise(base).as(c)
-      else base.as(c)
-    }: _*)
+    // wrap the first output column in the in-plan duplicate raise (the
+    // Merge raise_error discipline: survives column pruning because the
+    // union needs that column); `flag` marks a duplicated source key
+    def guarded(df: DataFrame, flag: String): DataFrame =
+      df.select(outCols.zipWithIndex.map { case (c, i) =>
+        val base = col(c).cast(target.schema(target.schema.fieldIndex(c)).dataType)
+        if (i == 0)
+          when(col(flag), raise_error(lit(guardMsg))
+            .cast(target.schema(target.schema.fieldIndex(c)).dataType))
+            .otherwise(base).as(c)
+        else base.as(c)
+      }: _*)
+
+    val closed = cur.join(changedKeys, keyCols, "left_semi")
+      .withColumn(ValidTo, effectiveDate.cast(validToType))
+      .withColumn(IsCurrent, lit(false))
+    // Duplicate source rows whose attributes all match the current
+    // version traverse ONLY this branch (no diff → no new version, key
+    // present → no insert), so the kept-current rows carry the guard
+    // too — every duplicated source key now raises on some branch.
+    val keptCur = guarded(
+      cur.join(changedKeys, keyCols, "left_anti")
+        .join(dupKeys.withColumn("__dupk", lit(true)), keyCols, "left"),
+      "__dupk")
+
+    val newKeys = srcP.join(cur.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val newVersions = srcP.join(changedKeys, keyCols, "left_semi")
+    val validFromType = target.schema(target.schema.fieldIndex(ValidFrom)).dataType
+    val inserts = guarded(
+      newKeys.unionByName(newVersions)
+        .withColumn(ValidFrom, effectiveDate.cast(validFromType))
+        .withColumn(ValidTo, lit(null).cast(validToType))
+        .withColumn(IsCurrent, lit(true)),
+      "__dup")
 
     hist.unionByName(keptCur).unionByName(closed)
       .unionByName(inserts)

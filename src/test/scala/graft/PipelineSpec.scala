@@ -389,15 +389,20 @@ class PipelineSpec extends GraftSuite {
   test("fused perceptron scorer == relational scorer, including whitespace and unicode shapes") {
     import graft.functions.Classifier
     val d = Seq(
-      (1L, "The committee published its findings after a review."),
-      (2L, "click here  to\tunlock\nyour exclusive bonus now"),
-      (3L, ""), (4L, "   "), (5L, "Mixed CASE Tokens 世界 é"),
-      (6L, " leading and trailing  ")).toDF("doc_id", "text")
+      (1L, Some("The committee published its findings after a review.")),
+      (2L, Some("click here  to\tunlock\nyour exclusive bonus now")),
+      (3L, Some("")), (4L, Some("   ")), (5L, Some("Mixed CASE Tokens 世界 é")),
+      (6L, Some(" leading and trailing  ")),
+      (7L, None)).toDF("doc_id", "text")
     val rel = Classifier.scoreQuality(d, "doc_id", "text")
       .select("doc_id", "score", "keep").as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
     val fus = Classifier.scoreQualityFused(d, "doc_id", "text")
       .select("doc_id", "score", "keep").as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
     assert(rel == fus, s"rel $rel\nfus $fus")
+    // NULL text scores the bias on BOTH paths (the fused expression must
+    // not null-propagate where the relational explode-then-left-join
+    // yields score = bias)
+    assert(fus.find(_._1 == 7L).map(_._2).contains(Classifier.QualityModel._2))
     // and over a real corpus slice
     val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
     val r2 = Classifier.scoreQuality(docs, "doc_id", "text")
@@ -833,6 +838,30 @@ class PipelineSpec extends GraftSuite {
         q, "qid", "qv", topK = 10, nCentroids = 8, rounds = 2, nProbe = 3)
       .select("vec_id").as[Long].collect().toSet
     assert(det == again)
+  }
+
+  test("ivfTopKDet memberFilter may reference non-id corpus columns") {
+    val n = 120
+    val corpus = (0 until n).map { i =>
+      val c = i % 4
+      val basev = Array.fill(8)(0.0f)
+      basev(c * 2) = 1.0f
+      basev((c * 2 + 1) % 8) = 0.3f + (i % 10) * 0.01f
+      (i.toLong, basev.toSeq, if (i % 2 == 0) "en" else "de")
+    }.toDF("vec_id", "embedding", "lang")
+    val q = Seq((0L, { val a = Array.fill(8)(0.0f); a(0) = 1.0f; a(1) = 0.35f; a.toSeq }))
+      .toDF("qid", "qv")
+    // metadata predicate lives in a column kmeansFit projects away —
+    // must resolve (joined back in by id), and every hit must satisfy it
+    val hits = Similarity.ivfTopKDet(corpus, "vec_id", "embedding", q, "qid", "qv",
+        topK = 10, nCentroids = 4, rounds = 2, nProbe = 4,
+        memberFilter = Some(col("lang") === "en"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(hits.nonEmpty && hits.forall(_ % 2 == 0), s"non-en hit leaked: $hits")
+    // and the unfiltered schema/results are untouched by the new path
+    val unfiltered = Similarity.ivfTopKDet(corpus, "vec_id", "embedding", q, "qid", "qv",
+        topK = 10, nCentroids = 4, rounds = 2, nProbe = 4)
+    assert(unfiltered.columns.toSeq == Seq("qid", "vec_id", "cosine", "rank"))
   }
 
   test("buildIvfIndex/searchIvf: one index serves many query batches, equal to the one-shot form") {

@@ -48,6 +48,18 @@ class ScaleSpec extends GraftSuite {
     assert(q.count() == df.where(col("month") === "2024-02").count())
   }
 
+  test("overwritePartitions refuses an unpartitioned table") {
+    import graft.core.{IfExists, TableRef}
+    val df = (1 to 10).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+    g.writeTable(df, TableRef("flat_tbl"), IfExists.Replace)
+    val ex = intercept[IllegalArgumentException] {
+      g.overwritePartitions(df, TableRef("flat_tbl"))
+    }
+    assert(ex.getMessage.contains("no partition columns"))
+    // the table is untouched by the refused call
+    assert(spark.table("flat_tbl").count() == 10)
+  }
+
   test("SQL-registered graft functions work in spark.sql") {
     GraftFunctions.registerAll(spark)
     Seq((1L, "hello world spark", Seq(3.0f, 4.0f))).toDF("id", "t", "v")

@@ -81,4 +81,41 @@ class Scd2Spec extends GraftSuite {
       }
     }
   }
+
+  test("duplicate source keys raise even when every duplicate matches the current version") {
+    // both rows identical to id=2's current attributes: no changed key,
+    // no insert — the guard must still fire on the kept-current branch
+    val src = Seq((2L, "C", Option.empty[String]), (2L, "C", Option.empty[String]))
+      .toDF("id", "seg", "city")
+    intercept[MergeConflictException] {
+      Merge.surfacingConflicts {
+        Scd2.scd2Plan(target, src, Seq("id"), Seq("seg", "city"),
+          lit("2021-06-01")).collect()
+      }
+    }
+  }
+
+  test("a NULL is_current row is kept verbatim as history, never dropped") {
+    val dirty = Seq((5L, "Z", Option("bonn"), "2018-01-01",
+        Option.empty[String], Option.empty[Boolean]))
+      .toDF("id", "seg", "city", "valid_from", "valid_to", "is_current")
+      .select(col("id"), col("seg"), col("city"),
+        to_date(col("valid_from")).as("valid_from"),
+        to_date(col("valid_to")).as("valid_to"),
+        col("is_current").cast("boolean").as("is_current"))
+    val tgt = target.unionByName(dirty)
+    // source touches id=5 too: the dirty row must not be compared or
+    // closed, and the batch must still insert a fresh current version
+    val src = Seq((5L, "Z2", Some("bonn"))).toDF("id", "seg", "city")
+    val out = Scd2.scd2Plan(tgt, src, Seq("id"), Seq("seg", "city"),
+        lit("2021-06-01"))
+      .select(col("id"), col("seg"), col("city"),
+        col("valid_from").cast("string"), col("valid_to").cast("string"),
+        col("is_current"))
+      .as[(Long, String, Option[String], String, Option[String], Option[Boolean])]
+      .collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(out.size == tgt.count().toInt + 1) // nothing dropped, one insert
+    assert(out.contains((5L, "Z", Some("bonn"), "2018-01-01", None, None)))
+    assert(out.contains((5L, "Z2", Some("bonn"), "2021-06-01", None, Some(true))))
+  }
 }

@@ -33,6 +33,31 @@ class SketchSpec extends GraftSuite {
     assert(a == b)
   }
 
+  test("kmvEstimate is total: all-NULL group, NULL sketch, ANSI mode on") {
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      // an all-NULL group folds to an EMPTY sketch → exact estimate 0.0,
+      // no out-of-bounds element access under ANSI
+      val d = Seq[Option[String]](None, None, None).toDF("v")
+      val est = d.select(Sketch.kmvHash(col("v")).as("h"))
+        .groupBy().agg(Sketch.kmv(col("h"), 8).as("km"))
+        .select(Sketch.kmvEstimate(col("km"), 8).as("e"))
+        .as[Option[Double]].head()
+      assert(est.contains(0.0))
+      // a NULL sketch column yields NULL, never legacy size(NULL) = -1
+      val n = Seq(1).toDF("x")
+        .select(Sketch.kmvEstimate(lit(null).cast("array<bigint>"), 8).as("e"))
+        .as[Option[Double]].head()
+      assert(n.isEmpty)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+    // and with ANSI back off, the NULL sketch still yields NULL
+    val off = Seq(1).toDF("x")
+      .select(Sketch.kmvEstimate(lit(null).cast("array<bigint>"), 8).as("e"))
+      .as[Option[Double]].head()
+    assert(off.isEmpty)
+  }
+
   test("duplicated input leaves the sketch unchanged") {
     val d = (1 to 500).map(i => s"w$i").toDF("v")
     assert(sketch(d, 32) == sketch(d.union(d).union(d), 32))

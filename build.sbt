@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The full bench JIT-compiles thousands of whole-stage-codegen classes;
+  // if the JVM's code cache fills mid-suite the JIT shuts off and the
+  // queries with the largest generated methods fall back to the
+  // interpreter — measured on p_dedup_simhash_portable: 5.0 s warm with
+  // headroom vs 25.1 s with a constrained 48 MB cache (the round-8/9
+  // driver-bench anomaly signature, see SCALING.md). Reserving more is
+  // free (virtual, committed on demand) and removes the cliff.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -74,7 +74,12 @@ object Bench {
       "p_embed_kmeans", "p_dsir_weights", "p_tfidf_terms", "p_dedup_media",
       "p_dedup_edit", "p_quality_classifier", "p_sample_epochs",
       "p_dedup_image_px", "p_sketch_quantiles", "p_ann_pq", "p_dedup_audio_px",
-      "p_dedup_video_px", "p_dedup_jpeg_px")
+      "p_dedup_video_px", "p_dedup_jpeg_px",
+      // round-10 additions (round-9 verdict task 6): the composite ANN
+      // index and the certification twins carry the largest per-round
+      // costs on the board — their linearity is now machine-checked too
+      "p_ann_ivfpq", "p_dedup_minhash_portable", "p_dedup_simhash_portable",
+      "p_dedup_jpeg_color")
     val multiples = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTIPLES", "1,3,10")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
     val scaleRoot = "/tmp/graft-bench-scale-" + java.util.UUID.randomUUID().toString.take(8)

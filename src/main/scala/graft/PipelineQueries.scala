@@ -1420,20 +1420,28 @@ object PipelineQueries {
   }
 
   /** SAMPLE-level perceptual audio dedup — the audio analog of
-    * [[dedupImagePx]]: the corpus is the SAME 16-bit PCM samples (the
+    * [[dedupImagePx]]: the corpus is the SAME audio signal (the
     * deterministic affine rule `min(cp,255)·257 − 32768` over each doc's
-    * codepoints) encoded TWICE as real WAVs with different container
-    * layouts — the base mono at 16 kHz, the copy at id+800000 STEREO
-    * (channel-replicated) at 8 kHz with a LIST/INFO chunk inserted
-    * before `data`. The files are byte-different (different channel
-    * counts, different chunk walks — a byte hash cannot pair them), but
-    * chunk walk → PCM decode → mono mixdown → 1-D dHash sees identical
-    * samples, so every (base, copy) pairs at Hamming 0. The oracle
-    * replays the dHash bits from the CODEPOINT rule — exact because the
-    * cross-multiplied mean comparison is invariant under the positive
-    * affine sample map — so the hash-match certifies the whole sample
-    * decode chain (fmt parse, LIST-chunk skip, little-endian
-    * sign-extension, stereo mixdown, binning) end to end. */
+    * codepoints) encoded FOUR ways across the full PCM matrix — the
+    * base PCM16 mono at 16 kHz; a PCM16 STEREO copy at id+800000
+    * (channel-replicated, 8 kHz, a LIST/INFO chunk before `data`); an
+    * 8-BIT unsigned copy at id+820000 (the clamped codepoints
+    * themselves as bytes — [[Multimodal.AudioSamples.decodePcm]] maps
+    * them through `(u−128)·257`, a positive affine map of the same
+    * signal, and the cross-multiplied dHash means are offset-invariant,
+    * so the bits match EXACTLY); and an IEEE-FLOAT32 stereo copy at
+    * id+840000 (samples stored as `s/32768f` — exact in a 24-bit
+    * mantissa, so the float round-trip recovers the PCM16 samples
+    * bit-for-bit). The files are byte-different at every level (sample
+    * width, number encoding, channel count, chunk walk — a byte hash
+    * pairs none of them), but chunk walk → per-format sample decode →
+    * mono mixdown → 1-D dHash sees the same signal, so every (base,
+    * +800000, +820000, +840000) quadruple pairs at Hamming 0. The
+    * oracle replays the dHash bits from the CODEPOINT rule — exact
+    * because the comparison is invariant under every positive affine
+    * sample map above — certifying fmt parse (both format tags, three
+    * sample widths), LIST skip, sign-extension, float scaling, mixdown,
+    * and binning end to end. */
   def dedupAudioPx(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
@@ -1443,10 +1451,13 @@ object PipelineQueries {
     // machinery consumes the relation five times and pruning cannot
     // reach inside the typed flatMap
     val media = d.as[(Long, String)].flatMap { case (id, text) =>
-      val samples = text.codePoints().toArray.map(cp => math.min(cp, 255) * 257 - 32768)
+      val bytes = text.codePoints().toArray.map(cp => math.min(cp, 255))
+      val samples = bytes.map(_ * 257 - 32768)
       Seq(
         (id, Multimodal.AudioSamples.synthPcmWav(16000, 1, samples)),
-        (id + 800000, Multimodal.AudioSamples.synthPcmWav(8000, 2, samples, junk = true)))
+        (id + 800000, Multimodal.AudioSamples.synthPcmWav(8000, 2, samples, junk = true)),
+        (id + 820000, Multimodal.AudioSamples.synthPcm8Wav(16000, 1, bytes, junk = true)),
+        (id + 840000, Multimodal.AudioSamples.synthFloatWav(12000, 2, samples)))
     }.toDF("media_id", "content").persist()
     Multimodal.imageNearDupKeep(media, "media_id", "content", maxHamming = 3)
       .orderBy("media_id")
@@ -1543,6 +1554,66 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  /** COLOR-JPEG perceptual dedup — the multi-component extension of
+    * [[dedupJpegPx]], covering what real crawl images actually are
+    * (YCbCr baseline JPEGs): each doc's 54×32 luma field (7×4 flat
+    * DC-only blocks) plus a per-16×16-region chroma field (both from
+    * codepoint rules) is encoded THREE ways — grayscale carrying the
+    * COMPOSED BT.601 luma, color 4:2:0 (2×2 luma sampling, interleaved
+    * 4·Y+Cb+Cr MCUs), and color 4:2:2 (2×1 sampling, different
+    * Huffman-table assignment and restart markers). The three files
+    * are byte-different at every level (component count, MCU
+    * interleave, subsampling geometry, entropy coding), but MCU
+    * de-interleave → per-component dequant/IDCT → chroma replication
+    * upsample → exact integer YCbCr→RGB→luma sees identical pixels,
+    * so every (base, +930000, +960000) triple pairs at Hamming 0. The
+    * chroma is constant per 16×16 region, which both subsamplings
+    * replicate identically — that is what makes the 4:2:0 and 4:2:2
+    * twins pixel-equal BY CONSTRUCTION, not approximately. The oracle
+    * replays the full color arithmetic (floor-division color
+    * transform, clamps, BT.601 floor) from the codepoint rules. */
+  def dedupJpegColor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      .where(col("doc_id") % 3 === 2)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val q8 = Array.fill(64)(8)
+    import Multimodal.JpegGray._
+    val media = d.as[(Long, String)].flatMap { case (id, text) =>
+      val cps = text.codePoints().toArray
+      val n = cps.length
+      def yv(b: Int) = if (n == 0) 0 else cps(b % n) % 256
+      def cb(r: Int) = if (n == 0) 128 else cps((r + 11) % n) % 256
+      def cr(r: Int) = if (n == 0) 128 else cps((r + 23) % n) % 256
+      def reg(b: Int) = (b / 7 / 2) * 4 + (b % 7) / 2 // 16×16 region of block b
+      def dcBlock(v: Int) = { val zz = new Array[Int](64); zz(0) = v - 128; zz }
+      // gray twin carries the COMPOSED luma the color twins must decode to
+      val grayBlocks = (0 until 28).map(b =>
+        dcBlock(ycbcrLuma(yv(b), cb(reg(b)), cr(reg(b)))))
+      // padded 8×4 luma-block plane (visible 7 wide; edge column
+      // replicates — cropped out by the decoder either way)
+      val yBlocks = for (by <- 0 until 4; bx <- 0 until 8)
+        yield dcBlock(yv(by * 7 + math.min(bx, 6)))
+      // 4:2:0 chroma: one 8×8 block per 16×16 MCU = exactly one region
+      val cb420 = for (ry <- 0 until 2; rx <- 0 until 4) yield dcBlock(cb(ry * 4 + rx))
+      val cr420 = for (ry <- 0 until 2; rx <- 0 until 4) yield dcBlock(cr(ry * 4 + rx))
+      // 4:2:2 chroma: one block per 16×8 MCU — half a region, same value
+      val cb422 = for (by <- 0 until 4; rx <- 0 until 4) yield dcBlock(cb((by / 2) * 4 + rx))
+      val cr422 = for (by <- 0 until 4; rx <- 0 until 4) yield dcBlock(cr((by / 2) * 4 + rx))
+      Seq(
+        (id, synthBaselineJpeg(54, 32, grayBlocks, q8, DcAnnexK, AcSmallA,
+          restartInterval = 0, comment = "gray".getBytes("US-ASCII"))),
+        (id + 930000, synthBaselineJpegColor(54, 32, 2, 2, yBlocks, cb420, cr420,
+          q8, q8, DcAnnexK, AcSmallA, DcFlat, AcSmallB,
+          restartInterval = 0, comment = "c420".getBytes("US-ASCII"))),
+        (id + 960000, synthBaselineJpegColor(54, 32, 2, 1, yBlocks, cb422, cr422,
+          q8, q8, DcFlat, AcSmallB, DcAnnexK, AcSmallA,
+          restartInterval = 3, comment = "c422-layout".getBytes("US-ASCII"))))
+    }.toDF("media_id", "content").persist()
+    Multimodal.imageNearDupKeep(media, "media_id", "content", maxHamming = 3)
+      .orderBy("media_id")
+  }
+
   /** PIXEL-level image resize — upgrades `resizeImagesToFit` from the
     * header-patch boundary to a REAL content transform for
     * pixel-bearing PNGs: decode (any level/filter) → integer
@@ -1628,6 +1699,64 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n"),
         min(col("x")).as("x_min"), max(col("x")).as("x_max"),
         min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .orderBy("file_id")
+  }
+
+  /** Z-ORDER read-side pruning — the CONSUMPTION half of
+    * [[zorderLayout]], closing the loop: actually WRITE the z-clustered
+    * layout as a file-per-cell parquet dataset, rebuild the per-file
+    * min/max manifest by reading it back (the one full pass a lakehouse
+    * writer pays at commit time), derive the candidate file set for a
+    * TWO-dimensional predicate (`x ≥ 49152 AND y ≥ 32768` — top x
+    * quarter, top y half) from those stats alone, and scan ONLY the
+    * candidate files. Because every z-cell is confined to one quarter
+    * in BOTH dimensions, the stats eliminate 14 of the 16 files; the
+    * candidate ids are embedded as partition-filter literals, so Spark
+    * prunes the non-candidate directories at planning time (PlanSpec
+    * pins `PartitionFilters: [... file_id IN ...]` on the scan).
+    * Output per candidate file: its total rows (what the pruned scan
+    * reads) and its predicate matches — the oracle replays the stats
+    * filter and the counts from the same integer bit rules, so the
+    * hash-match certifies that stats-based pruning loses no rows.
+    *
+    * 100 TB shape: the manifest aggregation is per-file (O(#files)
+    * rows, driver-resident like any table manifest), candidate
+    * derivation is a stats scan — never a data scan — and the data
+    * pass touches only matching files. */
+  def zorderPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.read(spark, sfDir, "events")
+    val x = (col("user_id") * lit(40503L)).bitwiseAND(lit(65535L))
+    val y = (col("event_id") * lit(40503L)).bitwiseAND(lit(65535L))
+    val laid = ev.select(x.as("x"), y.as("y"),
+        Sampling.zorderBits(x, y, 16).as("z"))
+      .withColumn("file_id", shiftright(col("z"), 28).cast("int"))
+      .select("file_id", "x", "y")
+    val dir = "/tmp/graft-zorder-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    laid.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("file_id").parquet(dir)
+    val table = spark.read.parquet(dir)
+    // the manifest: per-file min/max stats — 16 rows, driver-resident
+    // by construction (one row per z-cell file)
+    val (xLo, yLo) = (49152L, 32768L)
+    val cand = table.groupBy("file_id")
+      .agg(max(col("x")).as("x_max"), max(col("y")).as("y_max"),
+        count(lit(1)).as("n_file_rows"))
+      .where(col("x_max") >= xLo && col("y_max") >= yLo)
+      .select("file_id", "n_file_rows").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // the PRUNED scan: candidate ids are literals in the partition
+    // filter, so non-candidate directories are never listed or read
+    val pruned = table
+      .where(col("file_id").isin(cand.map(_._1).toIndexedSeq: _*))
+      .where(col("x") >= xLo && col("y") >= yLo)
+      .groupBy("file_id").agg(count(lit(1)).as("n_match"))
+    cand.toSeq.toDF("file_id", "n_file_rows")
+      .join(pruned, Seq("file_id"), "left")
+      .select(col("file_id").cast("bigint").as("file_id"),
+        col("n_file_rows").cast("bigint").as("n_file_rows"),
+        coalesce(col("n_match"), lit(0L)).cast("bigint").as("n_match"))
       .orderBy("file_id")
   }
 
@@ -2445,9 +2574,11 @@ object PipelineQueries {
     "p_dedup_audio_px" -> (dedupAudioPx _),
     "p_dedup_video_px" -> (dedupVideoPx _),
     "p_dedup_jpeg_px" -> (dedupJpegPx _),
+    "p_dedup_jpeg_color" -> (dedupJpegColor _),
     "p_media_resize_px" -> (mediaResizePx _),
     "p_audio_resample_px" -> (audioResamplePx _),
     "p_zorder_layout" -> (zorderLayout _),
+    "p_zorder_prune" -> (zorderPrune _),
     "p_hybrid_search" -> (hybridSearch _),
     "p_dedup_media" -> (dedupMedia _),
     "p_bm25_search" -> (bm25Search _),
@@ -3523,23 +3654,26 @@ object PipelineQueries {
         |WHERE losers.id_b IS NULL ORDER BY media_id""".stripMargin,
 
     // sample-path replay: the oracle recomputes the dHash bits from the
-    // CODEPOINT rule the PCM samples were built from — exact because the
-    // cross-multiplied mean comparison is invariant under a positive
-    // affine sample map (sample = min(cp,255)·257 − 32768: the 257
-    // factor scales both sides, the −32768·L₁·L₂ terms cancel; the
-    // least(…,255) clamp mirrors the fixture's byte clamp so the
-    // equality holds even if the corpus ever gains non-Latin-1
-    // codepoints). Copies carry the SAME
-    // samples in a different container (stereo, junk LIST chunk), so
-    // every (base, base+800000) pairs at Hamming 0; the hash-match
-    // certifies fmt parse, LIST skip, sign-extension, mixdown, binning.
+    // CODEPOINT rule the samples were built from — exact because the
+    // cross-multiplied mean comparison is invariant under EVERY positive
+    // affine sample map, which covers all four encodings at once:
+    // PCM16 mono/stereo = min(cp,255)·257 − 32768, 8-bit unsigned =
+    // (min(cp,255) − 128)·257 (same slope, different offset — offsets
+    // cancel in the s_i·L_j comparison), float32 = the PCM16 samples
+    // bit-exactly (s/32768f round-trips through a 24-bit mantissa). The
+    // least(…,255) clamp mirrors the fixtures' byte clamp. Every (base,
+    // +800000, +820000, +840000) quadruple pairs at Hamming 0; the
+    // hash-match certifies fmt parse across both format tags and three
+    // sample widths, LIST skip, sign-extension, float scaling, mixdown,
+    // and binning.
     "p_dedup_audio_px" ->
       """WITH base AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
         |corpus AS (
         |  SELECT doc_id AS media_id, text FROM base
-        |  UNION ALL
-        |  SELECT doc_id + 800000, text FROM base),
+        |  UNION ALL SELECT doc_id + 800000, text FROM base
+        |  UNION ALL SELECT doc_id + 820000, text FROM base
+        |  UNION ALL SELECT doc_id + 840000, text FROM base),
         |codes AS (
         |  SELECT media_id,
         |    list_transform(range(1, length(text) + 1),
@@ -3617,6 +3751,34 @@ object PipelineQueries {
          |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
          |FROM zv GROUP BY file_id ORDER BY file_id""".stripMargin),
 
+    // read-side replay: the oracle recomputes file assignment from the
+    // same bit interleave, rebuilds the per-file max stats, applies the
+    // SAME stats-only candidate filter, and counts predicate matches
+    // inside candidates — matching the engine's stats-pruned scan
+    // proves pruning loses no qualifying rows
+    "p_zorder_prune" ->
+      (s"""WITH e AS (
+         |  SELECT (user_id * 40503) & 65535 AS x,
+         |         (event_id * 40503) & 65535 AS y FROM events),
+         |f AS MATERIALIZED (
+         |  SELECT x, y,
+         |    (${(0 until 16).map(i =>
+               s"((((x >> $i) & 1) << ${2 * i + 1}) | (((y >> $i) & 1) << ${2 * i}))")
+               .mkString(" | ")}) >> 28 AS file_id
+         |  FROM e),
+         |cand AS (
+         |  SELECT file_id, count(*) AS n_file_rows
+         |  FROM f GROUP BY file_id
+         |  HAVING max(x) >= 49152 AND max(y) >= 32768),
+         |m AS (
+         |  SELECT file_id, count(*) AS n_match
+         |  FROM f WHERE x >= 49152 AND y >= 32768 GROUP BY file_id)
+         |SELECT c.file_id AS file_id,
+         |  cast(c.n_file_rows AS bigint) AS n_file_rows,
+         |  cast(coalesce(m.n_match, 0) AS bigint) AS n_match
+         |FROM cand c LEFT JOIN m ON c.file_id = m.file_id
+         |ORDER BY file_id""".stripMargin),
+
     // resample replay: the oracle derives the PCM samples from the
     // affine codepoint rule LITERALLY, then applies the same floor-mean
     // decimation windows. DuckDB's // TRUNCATES toward zero on negative
@@ -3677,6 +3839,83 @@ object PipelineQueries {
         |      CASE WHEN n = 0 THEN 0 ELSE
         |        cs[((((p // 54) // 8) * 7 + ((p % 54) // 8)) % n) + 1] % 256 END) AS px
         |  FROM codes),
+        |cells AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 72), k ->
+        |      list_sum(flatten(list_transform(range((k // 9) * 4, (k // 9) * 4 + 4), y ->
+        |        list_transform(range((k % 9) * 6, (k % 9) * 6 + 6),
+        |          x -> px[y * 54 + x + 1]))))) AS s
+        |  FROM pxs),
+        |bits AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 64), j ->
+        |      CASE WHEN s[(j // 8) * 9 + (j % 8) + 1] > s[(j // 8) * 9 + (j % 8) + 2]
+        |           THEN 1 ELSE 0 END) AS bb
+        |  FROM cells),
+        |losers AS (
+        |  SELECT DISTINCT b.media_id AS id_b
+        |  FROM bits a JOIN bits b ON a.media_id < b.media_id
+        |  WHERE list_sum(list_transform(range(1, 65), j -> abs(a.bb[j] - b.bb[j]))) <= 3)
+        |SELECT c.media_id FROM corpus c LEFT JOIN losers ON c.media_id = losers.id_b
+        |WHERE losers.id_b IS NULL ORDER BY media_id""".stripMargin,
+
+    // color-path replay: the oracle recomputes the dHash bits from the
+    // codepoint LUMA and CHROMA rules, composing the final pixel through
+    // the SAME exact integer color arithmetic the decoder runs — the
+    // floor-division YCbCr→RGB transform (the (a − ((a%m+m)%m)) // m
+    // spell is exact floor for the possibly-negative chroma terms),
+    // per-channel clamps, and the BT.601 floor. Chroma is constant per
+    // 16×16 region, so the 4:2:0 and 4:2:2 twins replicate to identical
+    // pixels by construction; the triple (base, +930000, +960000) pairs
+    // at Hamming 0, certifying multi-component SOF/SOS parse, MCU
+    // de-interleave, per-component predictors and tables, chroma
+    // upsample, and the color transform end to end.
+    "p_dedup_jpeg_color" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+        |corpus AS (
+        |  SELECT doc_id AS media_id, text FROM base
+        |  UNION ALL SELECT doc_id + 930000, text FROM base
+        |  UNION ALL SELECT doc_id + 960000, text FROM base),
+        |codes AS (
+        |  SELECT media_id,
+        |    list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cs,
+        |    length(text) AS n
+        |  FROM corpus),
+        |vals AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 28), b ->
+        |      CASE WHEN n = 0 THEN 0 ELSE cs[(b % n) + 1] % 256 END) AS yv,
+        |    list_transform(range(0, 8), r ->
+        |      (CASE WHEN n = 0 THEN 128 ELSE cs[((r + 11) % n) + 1] % 256 END) - 128) AS cbd,
+        |    list_transform(range(0, 8), r ->
+        |      (CASE WHEN n = 0 THEN 128 ELSE cs[((r + 23) % n) + 1] % 256 END) - 128) AS crd
+        |  FROM codes),
+        |contrib AS (
+        |  SELECT media_id, yv,
+        |    list_transform(list_transform(range(0, 8), r -> 1402 * crd[r + 1]),
+        |      a -> (a - ((a % 1000 + 1000) % 1000)) // 1000) AS radd,
+        |    list_transform(list_transform(range(0, 8),
+        |        r -> 344136 * cbd[r + 1] + 714136 * crd[r + 1]),
+        |      a -> (a - ((a % 1000000 + 1000000) % 1000000)) // 1000000) AS gsub,
+        |    list_transform(list_transform(range(0, 8), r -> 1772 * cbd[r + 1]),
+        |      a -> (a - ((a % 1000 + 1000) % 1000)) // 1000) AS badd
+        |  FROM vals),
+        |lums AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 28), b ->
+        |      (299 * least(255, greatest(0,
+        |         yv[b + 1] + radd[((b // 7) // 2) * 4 + ((b % 7) // 2) + 1]))
+        |       + 587 * least(255, greatest(0,
+        |         yv[b + 1] - gsub[((b // 7) // 2) * 4 + ((b % 7) // 2) + 1]))
+        |       + 114 * least(255, greatest(0,
+        |         yv[b + 1] + badd[((b // 7) // 2) * 4 + ((b % 7) // 2) + 1]))) // 1000) AS lv
+        |  FROM contrib),
+        |pxs AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 1728), p ->
+        |      lv[(((p // 54) // 8) * 7 + ((p % 54) // 8)) + 1]) AS px
+        |  FROM lums),
         |cells AS (
         |  SELECT media_id,
         |    list_transform(range(0, 72), k ->

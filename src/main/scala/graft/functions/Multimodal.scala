@@ -540,26 +540,35 @@ object Multimodal {
     * pinned by MultimodalSpec-style fixtures and the `p_dedup_audio_px`
     * contract query.
     *
-    * Decoder scope (documented contract): WAVE_FORMAT_PCM (format tag 1),
-    * 16-bit samples, ≥1 channel, and a `data` chunk that is a whole
-    * number of frames — a data length that is NOT a multiple of the
-    * block align is not valid PCM and returns None (the container-payload
-    * walk remains the declared boundary for such files). Channels fold to
-    * mono by exact per-frame mean (floor division — replayable; channel-
-    * replicated fixtures make it exact by construction). */
+    * Decoder scope (documented contract): WAVE_FORMAT_PCM (format tag 1)
+    * at 16 or 8 bits, WAVE_FORMAT_IEEE_FLOAT (format tag 3) at 32 bits,
+    * ≥1 channel, and a `data` chunk that is a whole number of frames — a
+    * data length that is NOT a multiple of the block align is not valid
+    * PCM and returns None (the container-payload walk remains the
+    * declared boundary for such files). Channels fold to mono by exact
+    * per-frame mean (floor division — replayable; channel-replicated
+    * fixtures make it exact by construction). */
   object AudioSamples {
     private def le16(b: Array[Byte], i: Int): Int =
       (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
     private def le32(b: Array[Byte], i: Int): Int =
       (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
 
-    /** Decode a 16-bit PCM WAV to mono samples (per-frame channel mean,
-      * floor division). None when the bytes are outside the supported
-      * scope — never a wrong answer. */
-    def decodePcm16(b: Array[Byte]): Option[Array[Int]] = {
+    /** Decode a PCM WAV to mono 16-bit-range samples (per-frame channel
+      * mean, floor division). Sample formats: integer PCM at 16 bits
+      * (sign-extended little-endian) and 8 bits (unsigned, mapped to
+      * full scale as `(u − 128)·257` — a positive affine map, so the
+      * affine-invariant dHash pairs an 8-bit re-encode with its 16-bit
+      * original exactly), and IEEE float32 (WAVE_FORMAT_IEEE_FLOAT,
+      * scaled by `round(f·32768)` and clamped — a PCM16 sample stored
+      * as `s/32768f` round-trips bit-exactly: the numerator is ≤ 2¹⁵ so
+      * it is exact in a 24-bit mantissa and the power-of-two division
+      * and re-multiplication are lossless). None when the bytes are
+      * outside the supported scope — never a wrong answer. */
+    def decodePcm(b: Array[Byte]): Option[Array[Int]] = {
       if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
           !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
-      var fmtOk = false; var channels = 0
+      var fmt = 0; var bits = 0; var channels = 0
       var dataOff = -1; var dataLen = -1
       var i = 12
       while (i + 8 <= b.length) {
@@ -567,27 +576,36 @@ object Multimodal {
         val len = le32(b, i + 4)
         if (len < 0 || i + 8 + len < i) return None
         if (id == "fmt " && len >= 16 && i + 8 + 16 <= b.length) {
-          val audioFormat = le16(b, i + 8)
+          fmt = le16(b, i + 8)
           channels = le16(b, i + 10)
-          val bits = le16(b, i + 22)
-          fmtOk = audioFormat == 1 && bits == 16 && channels >= 1
+          bits = le16(b, i + 22)
         } else if (id == "data" && dataOff < 0 && i + 8 + len <= b.length) {
           dataOff = i + 8; dataLen = len
         }
         i += 8 + len + (len & 1) // chunks are word-aligned
       }
+      val fmtOk = channels >= 1 &&
+        ((fmt == 1 && (bits == 16 || bits == 8)) || (fmt == 3 && bits == 32))
       if (!fmtOk || dataOff < 0) return None
-      val blockAlign = channels * 2
+      val bytesPer = bits / 8
+      val blockAlign = channels * bytesPer
       if (dataLen % blockAlign != 0) return None
       val nFrames = dataLen / blockAlign
+      val mode = if (fmt == 3) 2 else if (bits == 8) 1 else 0
       val out = new Array[Int](nFrames)
       var f = 0
       while (f < nFrames) {
         var acc = 0L
         var c = 0
         while (c < channels) {
-          // sign-extend the little-endian 16-bit sample
-          acc += le16(b, dataOff + f * blockAlign + c * 2).toShort
+          val off = dataOff + f * blockAlign + c * bytesPer
+          acc += (mode match {
+            case 0 => le16(b, off).toShort.toInt // sign-extend LE 16-bit
+            case 1 => ((b(off) & 0xff) - 128) * 257 // unsigned byte → full scale
+            case _ => // IEEE float32: scale + clamp; NaN rounds to 0
+              val fv = java.lang.Float.intBitsToFloat(le32(b, off))
+              math.max(-32768, math.min(32767, math.round(fv * 32768f)))
+          }).toLong
           c += 1
         }
         out(f) = Math.floorDiv(acc, channels).toInt
@@ -595,6 +613,10 @@ object Multimodal {
       }
       Some(out)
     }
+
+    /** Pre-generalization name — 16-bit PCM callers read better at the
+      * call site through the scoped alias. */
+    @inline def decodePcm16(b: Array[Byte]): Option[Array[Int]] = decodePcm(b)
 
     /** REAL sample-rate downsample: decimation by integer factor `k`,
       * each output sample the floor MEAN (Math.floorDiv — matches
@@ -646,6 +668,64 @@ object Multimodal {
       samples.foreach { s =>
         var c = 0
         while (c < channels) { w16(s & 0xffff); c += 1 }
+      }
+      out.toByteArray
+    }
+
+    /** Structurally valid 8-bit PCM WAV (`samples8` unsigned 0–255,
+      * replicated across channels) — decodes through the `(u − 128)·257`
+      * full-scale map of [[decodePcm]]. */
+    def synthPcm8Wav(
+        rate: Int, channels: Int, samples8: Array[Int], junk: Boolean = false): Array[Byte] = {
+      require(rate > 0 && channels >= 1, "rate and channels must be positive")
+      require(samples8.forall(s => s >= 0 && s <= 255), "8-bit samples are 0-255")
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      val junkBytes = if (junk) 8 + 16 else 0
+      val dataLen = samples8.length * channels
+      tag("RIFF"); w32(36 + junkBytes + dataLen); tag("WAVE")
+      tag("fmt "); w32(16)
+      w16(1); w16(channels); w32(rate)
+      w32(rate * channels) // byte rate
+      w16(channels) // block align
+      w16(8) // bits per sample
+      if (junk) { tag("LIST"); w32(16); tag("INFO"); tag("ICMT"); w32(4); tag("gen0") }
+      tag("data"); w32(dataLen)
+      samples8.foreach { s =>
+        var c = 0
+        while (c < channels) { out.write(s & 0xff); c += 1 }
+      }
+      out.toByteArray
+    }
+
+    /** Structurally valid IEEE-float32 WAV (WAVE_FORMAT_IEEE_FLOAT,
+      * audio format 3; `samples` are 16-bit-range ints stored as
+      * `s/32768f`, replicated across channels) — the float round-trip
+      * of [[decodePcm]] recovers them bit-exactly. */
+    def synthFloatWav(
+        rate: Int, channels: Int, samples: Array[Int], junk: Boolean = false): Array[Byte] = {
+      require(rate > 0 && channels >= 1, "rate and channels must be positive")
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      val junkBytes = if (junk) 8 + 16 else 0
+      val dataLen = samples.length * 4 * channels
+      tag("RIFF"); w32(36 + junkBytes + dataLen); tag("WAVE")
+      tag("fmt "); w32(16)
+      w16(3) // IEEE float
+      w16(channels); w32(rate)
+      w32(rate * channels * 4) // byte rate
+      w16(channels * 4) // block align
+      w16(32) // bits per sample
+      if (junk) { tag("LIST"); w32(16); tag("INFO"); tag("ICMT"); w32(4); tag("gen0") }
+      tag("data"); w32(dataLen)
+      samples.foreach { s =>
+        val fb = java.lang.Float.floatToIntBits(s / 32768f)
+        var c = 0
+        while (c < channels) { w32(fb); c += 1 }
       }
       out.toByteArray
     }
@@ -1113,14 +1193,159 @@ object Multimodal {
       out.toByteArray
     }
 
-    /** Decode a baseline grayscale JPEG to (width, height, row-major
-      * luma). None when the bytes are outside the supported scope. */
+    /** Encode a baseline YCbCr JPEG from ZIGZAG-ordered QUANTIZED
+      * coefficient blocks. Luma samples at `hSamp`×`vSamp` (1–2 each:
+      * 1×1 = 4:4:4, 2×1 = 4:2:2, 2×2 = 4:2:0), chroma at 1×1, so one
+      * MCU carries hSamp·vSamp Y blocks + 1 Cb + 1 Cr. `yBlocks` is the
+      * MCU-PADDED luma plane in raster block order
+      * ((mcusX·hSamp)×(mcusY·vSamp) blocks); `cbBlocks`/`crBlocks` are
+      * the mcusX×mcusY chroma planes. Luma reads quant table 0 and
+      * Huffman ids 0; chroma reads quant table 1 and Huffman ids 1 —
+      * the layout every standard encoder emits, so decoding it is
+      * decoding real color JPEGs. */
+    def synthBaselineJpegColor(
+        w: Int, h: Int, hSamp: Int, vSamp: Int,
+        yBlocks: Seq[Array[Int]], cbBlocks: Seq[Array[Int]], crBlocks: Seq[Array[Int]],
+        qLumaZigzag: Array[Int], qChromaZigzag: Array[Int],
+        dcLuma: HuffSpec, acLuma: HuffSpec, dcChroma: HuffSpec, acChroma: HuffSpec,
+        restartInterval: Int, comment: Array[Byte]): Array[Byte] = {
+      require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, "jpeg dims are 16-bit")
+      require(hSamp >= 1 && hSamp <= 2 && vSamp >= 1 && vSamp <= 2, "luma sampling 1-2")
+      require(qLumaZigzag.length == 64 && qChromaZigzag.length == 64 &&
+        (qLumaZigzag ++ qChromaZigzag).forall(q => q >= 1 && q <= 255), "8-bit quant tables")
+      val mcusX = (w + 8 * hSamp - 1) / (8 * hSamp)
+      val mcusY = (h + 8 * vSamp - 1) / (8 * vSamp)
+      require(yBlocks.length == mcusX * hSamp * mcusY * vSamp,
+        s"need ${mcusX * hSamp}*${mcusY * vSamp} luma blocks")
+      require(cbBlocks.length == mcusX * mcusY && crBlocks.length == mcusX * mcusY,
+        s"need $mcusX*$mcusY chroma blocks per plane")
+      require((yBlocks ++ cbBlocks ++ crBlocks).forall(_.length == 64),
+        "blocks are 64 zigzag coefficients")
+      val out = new java.io.ByteArrayOutputStream()
+      def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+      def seg(marker: Int, body: Int*): Unit = {
+        b(0xff, marker, (body.length + 2) >>> 8, body.length + 2); body.foreach(v => out.write(v & 0xff))
+      }
+      b(0xff, 0xd8) // SOI
+      seg(0xe0, 'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0) // APP0 JFIF
+      seg(0xfe, comment.map(_.toInt): _*)                          // COM (layout axis)
+      seg(0xdb, 0x00 +: qLumaZigzag.toSeq: _*)                     // DQT Tq=0 (luma)
+      seg(0xdb, 0x01 +: qChromaZigzag.toSeq: _*)                   // DQT Tq=1 (chroma)
+      seg(0xc0, 8, h >>> 8, h, w >>> 8, w, 3,                      // SOF0: 3 comps
+        1, (hSamp << 4) | vSamp, 0,                                //  Y: sampling, Tq 0
+        2, 0x11, 1,                                                //  Cb: 1x1, Tq 1
+        3, 0x11, 1)                                                //  Cr: 1x1, Tq 1
+      seg(0xc4, 0x00 +: (dcLuma.counts ++ dcLuma.symbols).toSeq: _*)     // DHT DC 0
+      seg(0xc4, 0x10 +: (acLuma.counts ++ acLuma.symbols).toSeq: _*)     // DHT AC 0
+      seg(0xc4, 0x01 +: (dcChroma.counts ++ dcChroma.symbols).toSeq: _*) // DHT DC 1
+      seg(0xc4, 0x11 +: (acChroma.counts ++ acChroma.symbols).toSeq: _*) // DHT AC 1
+      if (restartInterval > 0) seg(0xdd, restartInterval >>> 8, restartInterval)
+      seg(0xda, 3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0) // SOS: Y→tables 0, chroma→1
+      // entropy-coded data: MSB-first bit writer with 0xFF00 stuffing
+      var acc = 0; var nbits = 0
+      def flushByte(): Unit = {
+        out.write(acc); if (acc == 0xff) out.write(0x00)
+        acc = 0; nbits = 0
+      }
+      def putBits(code: Int, len: Int): Unit = {
+        var i = len - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((code >>> i) & 1); nbits += 1
+          if (nbits == 8) flushByte()
+          i -= 1
+        }
+      }
+      def align(): Unit = if (nbits > 0) { putBits((1 << (8 - nbits)) - 1, 8 - nbits) }
+      def putCoef(table: HuffSpec, sym: Int, v: Int, t: Int): Unit = {
+        val (code, len) = table.encodeTable(sym)
+        putBits(code, len)
+        if (t > 0) putBits(if (v < 0) v + (1 << t) - 1 else v, t)
+      }
+      val preds = new Array[Int](3)
+      def putBlock(zz: Array[Int], c: Int, dc: HuffSpec, ac: HuffSpec): Unit = {
+        val diff = zz(0) - preds(c); preds(c) = zz(0)
+        val t = category(diff)
+        putCoef(dc, t, diff, t)
+        var k = 1
+        var lastNz = 63
+        while (lastNz >= 1 && zz(lastNz) == 0) lastNz -= 1
+        while (k <= lastNz) {
+          var run = 0
+          while (zz(k) == 0) { run += 1; k += 1 }
+          while (run >= 16) { putCoef(ac, 0xF0, 0, 0); run -= 16 }
+          val s = category(zz(k))
+          putCoef(ac, (run << 4) | s, zz(k), s)
+          k += 1
+        }
+        if (lastNz < 63) putCoef(ac, 0x00, 0, 0) // EOB
+      }
+      val bwY = mcusX * hSamp
+      var rst = 0
+      var mcu = 0
+      while (mcu < mcusX * mcusY) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          align(); b(0xff, 0xd0 + rst); rst = (rst + 1) % 8
+          java.util.Arrays.fill(preds, 0)
+        }
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var v = 0
+        while (v < vSamp) {
+          var hx = 0
+          while (hx < hSamp) {
+            putBlock(yBlocks((my * vSamp + v) * bwY + mx * hSamp + hx), 0, dcLuma, acLuma)
+            hx += 1
+          }
+          v += 1
+        }
+        putBlock(cbBlocks(my * mcusX + mx), 1, dcChroma, acChroma)
+        putBlock(crBlocks(my * mcusX + mx), 2, dcChroma, acChroma)
+        mcu += 1
+      }
+      align()
+      b(0xff, 0xd9) // EOI
+      out.toByteArray
+    }
+
+    private def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+    /** JFIF YCbCr → RGB → BT.601 luma, as ONE exact integer function:
+      * `R = clamp(Y + ⌊1402·(Cr−128)/1000⌋)`,
+      * `G = clamp(Y − ⌊(344136·(Cb−128) + 714136·(Cr−128))/10⁶⌋)`,
+      * `B = clamp(Y + ⌊1772·(Cb−128)/1000⌋)`, then
+      * `(299R + 587G + 114B)/1000`. Floor divisions (`Math.floorDiv`,
+      * not truncation) so every step replays exactly in an external
+      * engine — the p_dedup_jpeg_color oracle recomputes this
+      * arithmetic in SQL. Neutral chroma (128, 128) is the identity:
+      * the correction terms are exactly 0, so a color JPEG with flat
+      * neutral chroma decodes to its Y plane. */
+    def ycbcrLuma(yy: Int, cb: Int, cr: Int): Int = {
+      val cbd = cb - 128; val crd = cr - 128
+      val r = clamp8(yy + Math.floorDiv(1402 * crd, 1000))
+      val g = clamp8(yy - Math.floorDiv(344136 * cbd + 714136 * crd, 1000000))
+      val bb = clamp8(yy + Math.floorDiv(1772 * cbd, 1000))
+      (299 * r + 587 * g + 114 * bb) / 1000
+    }
+
+    /** Decode a baseline JPEG to (width, height, row-major luma).
+      * Scope: SOF0 (sequential DCT, Huffman, 8-bit), ONE or THREE
+      * components. Grayscale decodes the single plane; YCbCr decodes
+      * all three interleaved component planes (luma sampling factors
+      * 1–2 on each axis, chroma 1×1 — covering 4:4:4, 4:2:2, 4:4:0 and
+      * 4:2:0), upsamples chroma by sample replication, and composes
+      * luma via [[ycbcrLuma]]. Per-component quant/Huffman table
+      * selection follows SOF/SOS table ids; DRI restart markers reset
+      * every component's DC predictor. None when the bytes are outside
+      * this scope (progressive, arithmetic, 12-bit, exotic sampling). */
     def decodeJpegLuma(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
       if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
       var w = 0; var h = 0
-      var q: Array[Int] = null
-      var dcSpec: HuffSpec = null
-      var acSpec: HuffSpec = null
+      val qTabs = new Array[Array[Int]](4)
+      val dcTabs = new Array[HuffSpec](4)
+      val acTabs = new Array[HuffSpec](4)
+      var compIds: Array[Int] = null   // component id as SOF carries it
+      var compH: Array[Int] = null; var compV: Array[Int] = null
+      var compTq: Array[Int] = null
+      var compTd: Array[Int] = null; var compTa: Array[Int] = null
       var dri = 0
       var sos = -1
       var i = 2
@@ -1137,7 +1362,26 @@ object Multimodal {
             h = ((b(body + 1) & 0xff) << 8) | (b(body + 2) & 0xff)
             w = ((b(body + 3) & 0xff) << 8) | (b(body + 4) & 0xff)
             val ncomp = b(body + 5) & 0xff
-            if (ncomp != 1 || (b(body + 7) & 0xff) != 0x11) return None // grayscale, 1x1
+            if (ncomp != 1 && ncomp != 3) return None
+            if (len < 8 + 3 * ncomp) return None
+            compIds = new Array[Int](ncomp)
+            compH = new Array[Int](ncomp); compV = new Array[Int](ncomp)
+            compTq = new Array[Int](ncomp)
+            var c = 0
+            while (c < ncomp) {
+              compIds(c) = b(body + 6 + 3 * c) & 0xff
+              val hv = b(body + 7 + 3 * c) & 0xff
+              compH(c) = hv >>> 4; compV(c) = hv & 0x0f
+              compTq(c) = b(body + 8 + 3 * c) & 0xff
+              if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2 ||
+                  compTq(c) > 3) return None
+              c += 1
+            }
+            // grayscale must be 1×1; color chroma must be 1×1 (the
+            // standard subsamplings — luma carries the 2× factors)
+            if (ncomp == 1 && (compH(0) != 1 || compV(0) != 1)) return None
+            if (ncomp == 3 && (compH(1) != 1 || compV(1) != 1 ||
+                compH(2) != 1 || compV(2) != 1)) return None
           case mm if (mm >= 0xc1 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8) =>
             return None // progressive/extended/arithmetic — out of scope
           case 0xdb => // DQT (possibly several tables per segment)
@@ -1145,40 +1389,77 @@ object Multimodal {
             while (p < i + 2 + len) {
               if ((b(p) & 0xff) >>> 4 != 0) return None // 16-bit tables out of scope
               val tq = b(p) & 0x0f
-              if (p + 65 > i + 2 + len) return None
-              val tbl = Array.tabulate(64)(j => b(p + 1 + j) & 0xff)
-              if (tq == 0) q = tbl
+              if (tq > 3 || p + 65 > i + 2 + len) return None
+              qTabs(tq) = Array.tabulate(64)(j => b(p + 1 + j) & 0xff)
               p += 65
             }
           case 0xc4 => // DHT (possibly several tables per segment)
             var p = body
             while (p < i + 2 + len) {
               val tc = (b(p) & 0xff) >>> 4; val th = b(p) & 0x0f
-              if (p + 17 > i + 2 + len) return None
+              if (th > 3 || p + 17 > i + 2 + len) return None
               val counts = Array.tabulate(16)(j => b(p + 1 + j) & 0xff)
               val n = counts.sum
               if (p + 17 + n > i + 2 + len) return None
               val syms = Array.tabulate(n)(j => b(p + 17 + j) & 0xff)
               val spec = HuffSpec(counts, syms)
-              if (th == 0) { if (tc == 0) dcSpec = spec else acSpec = spec }
+              if (tc == 0) dcTabs(th) = spec
+              else if (tc == 1) acTabs(th) = spec
+              else return None
               p += 17 + n
             }
           case 0xdd => // DRI
             if (len != 4) return None
             dri = ((b(body) & 0xff) << 8) | (b(body + 1) & 0xff)
-          case 0xda => // SOS: one component, our tables
-            if (len < 8 || (b(body) & 0xff) != 1 || (b(body + 2) & 0xff) != 0x00) return None
+          case 0xda => // SOS: component count must match the frame
+            if (compIds == null) return None
+            val ns = b(body) & 0xff
+            if (ns != compIds.length || len < 6 + 2 * ns) return None
+            compTd = new Array[Int](compIds.length)
+            compTa = new Array[Int](compIds.length)
+            var s = 0
+            while (s < ns) {
+              val cid = b(body + 1 + 2 * s) & 0xff
+              val ci = compIds.indexOf(cid)
+              if (ci < 0) return None
+              val tt = b(body + 2 + 2 * s) & 0xff
+              compTd(ci) = tt >>> 4; compTa(ci) = tt & 0x0f
+              if (compTd(ci) > 3 || compTa(ci) > 3) return None
+              s += 1
+            }
             sos = i + 2 + len
           case _ => // APPn / COM / others: skip
         }
         i += 2 + len
       }
-      if (w <= 0 || h <= 0 || q == null || dcSpec == null || acSpec == null) return None
+      if (w <= 0 || h <= 0 || compIds == null || compTd == null) return None
+      val ncomp = compIds.length
+      // every referenced table must have arrived
+      var c0 = 0
+      while (c0 < ncomp) {
+        if (qTabs(compTq(c0)) == null || dcTabs(compTd(c0)) == null ||
+            acTabs(compTa(c0)) == null) return None
+        c0 += 1
+      }
       // untrusted-dims guard (see MaxDecodePixels): SOF0 dims are 16-bit
       // each, so w·h can reach 4.3e9 — cap before the pixel allocation
       if (w.toLong * h > MaxDecodePixels) return None
-      val dcDec = dcSpec.decodeTable
-      val acDec = acSpec.decodeTable
+      val maxH = compH.max; val maxV = compV.max
+      val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+      val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+      // MCU-padded per-component planes (pad ≤ 15 px per axis — bounded
+      // by the w·h cap above with a small constant slack)
+      val planeW = Array.tabulate(ncomp)(c => mcusX * compH(c) * 8)
+      val planeH = Array.tabulate(ncomp)(c => mcusY * compV(c) * 8)
+      var cc = 0
+      while (cc < ncomp) {
+        if (planeW(cc).toLong * planeH(cc) > MaxDecodePixels.toLong + (1L << 16))
+          return None
+        cc += 1
+      }
+      val planes = Array.tabulate(ncomp)(c => new Array[Int](planeW(c) * planeH(c)))
+      val dcDec = Array.tabulate(ncomp)(c => dcTabs(compTd(c)).decodeTable)
+      val acDec = Array.tabulate(ncomp)(c => acTabs(compTa(c)).decodeTable)
 
       // ---- entropy decode ----
       var pos = sos
@@ -1223,65 +1504,113 @@ object Multimodal {
       def extend(v: Int, t: Int): Int =
         if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
-      val bw = (w + 7) / 8; val bh = (h + 7) / 8
-      val lum = new Array[Int](w * h)
       val coef = new Array[Int](64)
-      var pred = 0
+      val pred = new Array[Int](ncomp)
       var rstExpect = 0
       var mcu = 0
-      while (mcu < bw * bh) {
-        if (dri > 0 && mcu > 0 && mcu % dri == 0) {
-          // byte-align and consume the RSTn marker; predictor resets
-          nbits = 0
-          if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff ||
-              (b(pos + 1) & 0xff) != 0xd0 + rstExpect) return None
-          pos += 2; rstExpect = (rstExpect + 1) % 8; pred = 0; hitMarker = false
-        }
+      // decode one 8×8 block of component `c` into its plane at block
+      // coordinates (bx, by); returns false on malformed entropy data
+      def decodeBlock(c: Int, bx: Int, by: Int): Boolean = {
+        val q = qTabs(compTq(c))
         java.util.Arrays.fill(coef, 0)
-        val t = decodeSym(dcDec)
-        if (t < 0 || t > 11) return None
+        val t = decodeSym(dcDec(c))
+        if (t < 0 || t > 11) return false
         val dv = receive(t)
-        if (dv == Int.MinValue) return None
-        pred += extend(dv, t)
-        coef(0) = pred * q(0)
+        if (dv == Int.MinValue) return false
+        pred(c) += extend(dv, t)
+        coef(0) = pred(c) * q(0)
         var k = 1
         var eob = false
         while (k < 64 && !eob) {
-          val sym = decodeSym(acDec)
-          if (sym < 0) return None
+          val sym = decodeSym(acDec(c))
+          if (sym < 0) return false
           if (sym == 0x00) eob = true
           else if (sym == 0xF0) k += 16 // ZRL: sixteen zeros
           else {
             k += sym >>> 4
             val s = sym & 0x0f
-            if (s == 0 || k > 63) return None
+            if (s == 0 || k > 63) return false
             val av = receive(s)
-            if (av == Int.MinValue) return None
+            if (av == Int.MinValue) return false
             coef(k) = extend(av, s) * q(k)
             k += 1
           }
         }
-        if (k > 64) return None
-        // dezigzag + IDCT + level shift + clamp, cropped into place
+        if (k > 64) return false
+        // dezigzag + IDCT + level shift + clamp into the padded plane
         val f = new Array[Int](64)
         var z = 0
         while (z < 64) { f(ZigzagOrder(z)) = coef(z); z += 1 }
         val px = idct8x8(f)
-        val bx = mcu % bw; val by = mcu / bw
+        val pw = planeW(c)
+        val plane = planes(c)
         var y = 0
         while (y < 8) {
-          val iy = by * 8 + y
-          if (iy < h) {
-            var x = 0
-            while (x < 8) {
-              val ix = bx * 8 + x
-              if (ix < w) lum(iy * w + ix) = px(y * 8 + x)
-              x += 1
-            }
+          var x = 0
+          while (x < 8) {
+            plane((by * 8 + y) * pw + bx * 8 + x) = px(y * 8 + x)
+            x += 1
           }
           y += 1
         }
+        true
+      }
+      while (mcu < mcusX * mcusY) {
+        if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+          // byte-align and consume the RSTn marker; predictors reset
+          nbits = 0
+          if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff ||
+              (b(pos + 1) & 0xff) != 0xd0 + rstExpect) return None
+          pos += 2; rstExpect = (rstExpect + 1) % 8
+          java.util.Arrays.fill(pred, 0); hitMarker = false
+        }
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        // T.81 interleave: per component in SOF order, Vc×Hc blocks in
+        // raster order within the MCU
+        var c = 0
+        while (c < ncomp) {
+          var v = 0
+          while (v < compV(c)) {
+            var hx = 0
+            while (hx < compH(c)) {
+              if (!decodeBlock(c, mx * compH(c) + hx, my * compV(c) + v)) return None
+              hx += 1
+            }
+            v += 1
+          }
+          c += 1
+        }
         mcu += 1
+      }
+      // ---- crop + chroma upsample (sample replication) + luma ----
+      val lum = new Array[Int](w * h)
+      if (ncomp == 1) {
+        val pw = planeW(0); val plane = planes(0)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { lum(y * w + x) = plane(y * pw + x); x += 1 }
+          y += 1
+        }
+      } else {
+        val py = planes(0); val pwy = planeW(0)
+        val pcb = planes(1); val pwcb = planeW(1)
+        val pcr = planes(2); val pwcr = planeW(2)
+        var y = 0
+        while (y < h) {
+          val yy0 = y * compV(0) / maxV
+          val ycb = y * compV(1) / maxV
+          val ycr = y * compV(2) / maxV
+          var x = 0
+          while (x < w) {
+            val yv = py(yy0 * pwy + x * compH(0) / maxH)
+            val cbv = pcb(ycb * pwcb + x * compH(1) / maxH)
+            val crv = pcr(ycr * pwcr + x * compH(2) / maxH)
+            lum(y * w + x) = ycbcrLuma(yv, cbv, crv)
+            x += 1
+          }
+          y += 1
+        }
       }
       Some((w, h, lum))
     }

@@ -983,6 +983,30 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("z-order pruned scan: partition filter on the scan, strict file subset, no row loss") {
+    val sfDir = "/root/testdata/sf0.001"
+    val df = PipelineQueries.queries("p_zorder_prune")(spark, sfDir)
+    // the candidate ids must reach the parquet scan as a PARTITION filter
+    // (planning-time directory pruning, not a post-scan predicate)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("PartitionFilters: \\[[^\\]]*file_id[^\\]]*IN ".r.findFirstIn(plan).isDefined,
+      "pruned scan must carry a file_id IN partition filter:\n" + plan)
+    val rows = df.collect()
+    // stats eliminated a strict majority of the 16 z-cell files
+    assert(rows.nonEmpty && rows.length <= 4, s"expected <=4 candidate files, got ${rows.length}")
+    // no row loss: the pruned per-file matches sum to the full-scan count
+    val ev = Tables.read(spark, sfDir, "events")
+    val x = (col("user_id") * org.apache.spark.sql.functions.lit(40503L))
+      .bitwiseAND(org.apache.spark.sql.functions.lit(65535L))
+    val y = (col("event_id") * org.apache.spark.sql.functions.lit(40503L))
+      .bitwiseAND(org.apache.spark.sql.functions.lit(65535L))
+    val full = ev.select(x.as("x"), y.as("y"))
+      .where(col("x") >= 49152L && col("y") >= 32768L).count()
+    assert(rows.map(_.getAs[Long]("n_match")).sum == full)
+    assert(full > 0, "the predicate must select something for the test to mean anything")
+  }
+
   test("classifier eval: held-out decorated split scores above the accuracy floor") {
     val row = PipelineQueries.queries("p_classifier_eval")(spark, "/root/testdata/sf0.001")
       .collect()(0)
@@ -1497,6 +1521,47 @@ class PipelineSpec extends GraftSuite {
     assert(Multimodal.AudioSamples.decodePcm16(bytesLR).get.toSeq == Seq(100, -101))
   }
 
+  test("PCM matrix: 8-bit and IEEE-float WAVs decode to the same signal as PCM16") {
+    import graft.functions.{Multimodal, PayloadDHashExpr}
+    import Multimodal.AudioSamples
+    // a PCM16-storable signal derived from byte values, as the fixtures use
+    val bytes = Array.tabulate(300)(i => (i * 31 + 7) % 256)
+    val s16 = bytes.map(_ * 257 - 32768)
+    val wav16 = AudioSamples.synthPcmWav(16000, 1, s16)
+    // float32 round-trips the EXACT samples (s/32768f is lossless ≤ 2^15)
+    val wavF = AudioSamples.synthFloatWav(12000, 2, s16)
+    assert(AudioSamples.decodePcm(wavF).get.sameElements(s16))
+    assert(PayloadDHashExpr.hash(wavF) == PayloadDHashExpr.hash(wav16))
+    // 8-bit decodes through (u-128)·257 — a positive affine map of the
+    // same signal, different offset: samples differ by the constant 128,
+    // the dHash bits do not (offset-invariant cross-multiplied means)
+    val wav8 = AudioSamples.synthPcm8Wav(16000, 1, bytes, junk = true)
+    val d8 = AudioSamples.decodePcm(wav8).get
+    assert(d8.sameElements(bytes.map(u => (u - 128) * 257)))
+    assert(d8.zip(s16).forall { case (a, b) => a - b == -128 })
+    assert(PayloadDHashExpr.hash(wav8) == PayloadDHashExpr.hash(wav16))
+    // float specials stay total: NaN rounds to 0, infinities clamp
+    val weird = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      tag("RIFF"); w32(36 + 12); tag("WAVE")
+      tag("fmt "); w32(16); w16(3); w16(1); w32(8000); w32(32000); w16(4); w16(32)
+      tag("data"); w32(12)
+      w32(java.lang.Float.floatToIntBits(Float.NaN))
+      w32(java.lang.Float.floatToIntBits(Float.PositiveInfinity))
+      w32(java.lang.Float.floatToIntBits(Float.NegativeInfinity))
+      out.toByteArray
+    }
+    assert(AudioSamples.decodePcm(weird).get.toSeq == Seq(0, 32767, -32768))
+    // 24-bit stays out of scope — declines, never guesses
+    val w24 = wav16.clone()
+    // bits-per-sample field of fmt: RIFF(12) + 'fmt '(8) + 14 = offset 34
+    w24(34) = 24
+    assert(AudioSamples.decodePcm(w24).isEmpty)
+  }
+
   test("DIB frame path: byte-different encodes of the same frames hash identically") {
     import graft.functions.{Multimodal, PayloadDHashExpr}
     val w = 27; val h = 16
@@ -1550,6 +1615,71 @@ class PipelineSpec extends GraftSuite {
     assert(JpegGray.decodeJpegLuma(legacy).isEmpty)
     assert(PayloadDHashExpr.hash(legacy) ==
       PayloadDHashExpr.hashSeq("abcdef".codePoints().toArray))
+  }
+
+  test("color JPEG: MCU interleave, 4:2:0/4:2:2/4:4:4 subsampling, exact color luma") {
+    import graft.functions.{Multimodal, PayloadDHashExpr}
+    import Multimodal.JpegGray
+    import JpegGray._
+    val q8 = Array.fill(64)(8)
+    def dc(v: Int) = { val zz = new Array[Int](64); zz(0) = v - 128; zz }
+    // 54×32 luma field (7×4 visible blocks) + per-16×16-region chroma
+    val yVals = Array.tabulate(28)(b => (b * 37 + 11) % 256)
+    val cbVals = Array.tabulate(8)(r => (r * 53 + 7) % 256)
+    val crVals = Array.tabulate(8)(r => (r * 71 + 190) % 256)
+    def reg(b: Int) = (b / 7 / 2) * 4 + (b % 7) / 2
+    val lumVals = Array.tabulate(28)(b => ycbcrLuma(yVals(b), cbVals(reg(b)), crVals(reg(b))))
+    val expected = Array.tabulate(54 * 32)(p => lumVals(((p / 54) / 8) * 7 + (p % 54) / 8))
+    val gray = synthBaselineJpeg(54, 32, lumVals.map(dc).toSeq, q8,
+      DcAnnexK, AcSmallA, 0, "g".getBytes("US-ASCII"))
+    // padded 8-wide luma plane shared by 4:2:0 and 4:2:2
+    val yB = for (by <- 0 until 4; bx <- 0 until 8) yield dc(yVals(by * 7 + math.min(bx, 6)))
+    val cb420 = for (ry <- 0 until 2; rx <- 0 until 4) yield dc(cbVals(ry * 4 + rx))
+    val cr420 = for (ry <- 0 until 2; rx <- 0 until 4) yield dc(crVals(ry * 4 + rx))
+    val c420 = synthBaselineJpegColor(54, 32, 2, 2, yB, cb420, cr420, q8, q8,
+      DcAnnexK, AcSmallA, DcFlat, AcSmallB, 0, "c420".getBytes("US-ASCII"))
+    val cb422 = for (by <- 0 until 4; rx <- 0 until 4) yield dc(cbVals((by / 2) * 4 + rx))
+    val cr422 = for (by <- 0 until 4; rx <- 0 until 4) yield dc(crVals((by / 2) * 4 + rx))
+    val c422 = synthBaselineJpegColor(54, 32, 2, 1, yB, cb422, cr422, q8, q8,
+      DcFlat, AcSmallB, DcAnnexK, AcSmallA, 3, "c422".getBytes("US-ASCII"))
+    // 4:4:4: one block per MCU per component, 7×4 MCUs, no padding
+    val y444 = (0 until 28).map(b => dc(yVals(b)))
+    val cb444 = for (by <- 0 until 4; bx <- 0 until 7) yield dc(cbVals((by / 2) * 4 + bx / 2))
+    val cr444 = for (by <- 0 until 4; bx <- 0 until 7) yield dc(crVals((by / 2) * 4 + bx / 2))
+    val c444 = synthBaselineJpegColor(54, 32, 1, 1, y444, cb444, cr444, q8, q8,
+      DcAnnexK, AcSmallB, DcFlat, AcSmallA, 0, "c444".getBytes("US-ASCII"))
+    // four byte-different encodings, one pixel field
+    val all = Seq(gray, c420, c422, c444)
+    for (Seq(x, yb) <- all.combinations(2)) assert(!x.sameElements(yb))
+    for (bytes <- all) {
+      val (w, h, lum) = decodeJpegLuma(bytes).get
+      assert((w, h) == (54, 32))
+      assert(lum.sameElements(expected))
+    }
+    assert(all.map(PayloadDHashExpr.hash).distinct.size == 1)
+    // neutral chroma is the exact identity: color of (Y, 128, 128)
+    // decodes to the Y plane itself
+    val neutral = synthBaselineJpegColor(54, 32, 2, 2, yB,
+      Seq.fill(8)(dc(128)), Seq.fill(8)(dc(128)), q8, q8,
+      DcAnnexK, AcSmallA, DcFlat, AcSmallB, 0, "n".getBytes("US-ASCII"))
+    val expY = Array.tabulate(54 * 32)(p => yVals(((p / 54) / 8) * 7 + (p % 54) / 8))
+    assert(decodeJpegLuma(neutral).get._3.sameElements(expY))
+    // a color frame missing its chroma Huffman tables declines cleanly
+    // (DHT id 1 never arrives when we corrupt the class nibble): covered
+    // by the generic fuzz harness; here pin the scope gate directly —
+    // 4-component frames are out of scope
+    val sof4 = c420.clone()
+    val sofIdx = {
+      var i = 2; var at = -1
+      while (at < 0) {
+        val m = sof4(i + 1) & 0xff
+        val len = ((sof4(i + 2) & 0xff) << 8) | (sof4(i + 3) & 0xff)
+        if (m == 0xc0) at = i else i += 2 + len
+      }
+      at
+    }
+    sof4(sofIdx + 9) = 4 // ncomp byte of SOF0
+    assert(decodeJpegLuma(sof4).isEmpty)
   }
 
   test("boxDownsample/resizePngToFit: exact floor means, partial edge boxes, no upscale") {

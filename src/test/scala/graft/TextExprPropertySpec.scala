@@ -234,6 +234,43 @@ object TextExprPropertySpec extends Properties("TextExprs") {
       JpegGray.decodeJpegLuma(bytes).get._3.sameElements(JpegGray.idct8x8(f))
     }
 
+  property("color JPEG: DC-only Y/Cb/Cr decode to the exact integer color luma, any subsampling") =
+    Prop.forAll(
+      Gen.listOfN(8, Gen.chooseNum(0, 255)), // Y per visible 8×8 block (4×2 grid, 27×16 px)
+      Gen.listOfN(2, Gen.chooseNum(0, 255)), // Cb per 16×16 region (2 across)
+      Gen.listOfN(2, Gen.chooseNum(0, 255)), // Cr per 16×16 region
+      Gen.oneOf((2, 2), (2, 1), (1, 2), (1, 1)),
+      Gen.chooseNum(0, 3)) { (yL, cbL, crL, samp, dri) =>
+      import graft.functions.Multimodal.JpegGray
+      val (hs, vs) = samp
+      val q8 = Array.fill(64)(8)
+      def dc(v: Int) = { val z = new Array[Int](64); z(0) = v - 128; z }
+      val yv = yL.toArray; val cb = cbL.toArray; val cr = crL.toArray
+      // 27×16 luma: 4×2 visible blocks; chroma region = x half (0..1)
+      val mcusX = (27 + 8 * hs - 1) / (8 * hs); val mcusY = (16 + 8 * vs - 1) / (8 * vs)
+      val bwY = mcusX * hs; val bhY = mcusY * vs
+      val yB = for (by <- 0 until bhY; bx <- 0 until bwY)
+        yield dc(yv(math.min(by, 1) * 4 + math.min(bx, 3)))
+      // one chroma block per MCU; its constant value is the region value
+      // of the MCU's left edge — constant per 16-wide x half by
+      // construction when hs=2; when hs=1 two MCUs share a region value
+      val cbB = for (my <- 0 until mcusY; mx <- 0 until mcusX)
+        yield dc(cb(math.min(mx * hs * 8 / 16, 1)))
+      val crB = for (my <- 0 until mcusY; mx <- 0 until mcusX)
+        yield dc(cr(math.min(mx * hs * 8 / 16, 1)))
+      val bytes = JpegGray.synthBaselineJpegColor(27, 16, hs, vs, yB, cbB, crB,
+        q8, q8, JpegGray.DcAnnexK, JpegGray.AcSmallA, JpegGray.DcFlat, JpegGray.AcSmallB,
+        dri, "prop".getBytes("US-ASCII"))
+      val (w, h, lum) = JpegGray.decodeJpegLuma(bytes).get
+      val expected = Array.tabulate(27 * 16) { p =>
+        val x = p % 27; val y = p / 27
+        val b = (y / 8) * 4 + (x / 8)
+        val r = math.min(x / 16, 1)
+        JpegGray.ycbcrLuma(yv(b), cb(r), cr(r))
+      }
+      (w, h) == (27, 16) && lum.sameElements(expected)
+    }
+
   // ---- decoder totality: these codecs parse UNTRUSTED bytes inside
   // executors, so ANY corruption must yield a hash or a clean fallback,
   // never an exception, a giant allocation, or a hang ----
@@ -247,9 +284,16 @@ object TextExprPropertySpec extends Properties("TextExprs") {
     Seq(
       ImagePixels.encodePngGray(27, 16, px, level = 6, filter = seed % 5),
       AudioSamples.synthPcmWav(8000, 1 + seed % 2, samples, junk = seed % 2 == 0),
+      AudioSamples.synthPcm8Wav(8000, 1 + seed % 2,
+        samples.map(s => (s + 32768) >> 8), junk = seed % 2 == 1),
+      AudioSamples.synthFloatWav(8000, 1 + seed % 2, samples),
       VideoFrames.synthDibAvi(9, 6, frames, 40000, junk = seed % 2 == 0),
       JpegGray.synthBaselineJpeg(16, 8, Seq(zz, zz), Array.fill(64)(8),
         JpegGray.DcAnnexK, JpegGray.AcSmallA, seed % 3, "f".getBytes("US-ASCII")),
+      JpegGray.synthBaselineJpegColor(16, 8, 2, 1, Seq(zz, zz), Seq(zz), Seq(zz),
+        Array.fill(64)(8), Array.fill(64)(8),
+        JpegGray.DcAnnexK, JpegGray.AcSmallA, JpegGray.DcFlat, JpegGray.AcSmallB,
+        seed % 3, "fc".getBytes("US-ASCII")),
       ImageHeader.synthPng(4, 4, Array.tabulate(20)(i => (i + seed).toByte)),
       VideoHeader.synthAvi(4, 4, 2, 40000, Array.tabulate(20)(i => (i + seed).toByte)))
   }

@@ -19,6 +19,80 @@ object PipelineQueries {
   private def embs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.read(spark, sfDir, "embeddings")
 
+  /** The shared color-JPEG pixel-replay oracle (see the
+    * `p_dedup_jpeg_color` comment at its use site): a 54×32 luma field
+    * of 7×4 flat blocks composed from codepoint LUMA and per-16×16-
+    * region CHROMA rules through the exact integer floor-division
+    * YCbCr→RGB→BT.601 arithmetic, then the 9×8 dHash grid and the
+    * Hamming-0 keep rule over `(base, base+off1, base+off2)` triples.
+    * Parameterized on the corpus slice and twin offsets so the color
+    * and progressive dedup queries replay the identical pixel rule. */
+  private def jpegColorLumaOracle(slice: Int, off1: Long, off2: Long): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = $slice),
+       |corpus AS (
+       |  SELECT doc_id AS media_id, text FROM base
+       |  UNION ALL SELECT doc_id + $off1, text FROM base
+       |  UNION ALL SELECT doc_id + $off2, text FROM base),
+       |codes AS (
+       |  SELECT media_id,
+       |    list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cs,
+       |    length(text) AS n
+       |  FROM corpus),
+       |vals AS (
+       |  SELECT media_id,
+       |    list_transform(range(0, 28), b ->
+       |      CASE WHEN n = 0 THEN 0 ELSE cs[(b % n) + 1] % 256 END) AS yv,
+       |    list_transform(range(0, 8), r ->
+       |      (CASE WHEN n = 0 THEN 128 ELSE cs[((r + 11) % n) + 1] % 256 END) - 128) AS cbd,
+       |    list_transform(range(0, 8), r ->
+       |      (CASE WHEN n = 0 THEN 128 ELSE cs[((r + 23) % n) + 1] % 256 END) - 128) AS crd
+       |  FROM codes),
+       |contrib AS (
+       |  SELECT media_id, yv,
+       |    list_transform(list_transform(range(0, 8), r -> 1402 * crd[r + 1]),
+       |      a -> (a - ((a % 1000 + 1000) % 1000)) // 1000) AS radd,
+       |    list_transform(list_transform(range(0, 8),
+       |        r -> 344136 * cbd[r + 1] + 714136 * crd[r + 1]),
+       |      a -> (a - ((a % 1000000 + 1000000) % 1000000)) // 1000000) AS gsub,
+       |    list_transform(list_transform(range(0, 8), r -> 1772 * cbd[r + 1]),
+       |      a -> (a - ((a % 1000 + 1000) % 1000)) // 1000) AS badd
+       |  FROM vals),
+       |lums AS (
+       |  SELECT media_id,
+       |    list_transform(range(0, 28), b ->
+       |      (299 * least(255, greatest(0,
+       |         yv[b + 1] + radd[((b // 7) // 2) * 4 + ((b % 7) // 2) + 1]))
+       |       + 587 * least(255, greatest(0,
+       |         yv[b + 1] - gsub[((b // 7) // 2) * 4 + ((b % 7) // 2) + 1]))
+       |       + 114 * least(255, greatest(0,
+       |         yv[b + 1] + badd[((b // 7) // 2) * 4 + ((b % 7) // 2) + 1]))) // 1000) AS lv
+       |  FROM contrib),
+       |pxs AS (
+       |  SELECT media_id,
+       |    list_transform(range(0, 1728), p ->
+       |      lv[(((p // 54) // 8) * 7 + ((p % 54) // 8)) + 1]) AS px
+       |  FROM lums),
+       |cells AS (
+       |  SELECT media_id,
+       |    list_transform(range(0, 72), k ->
+       |      list_sum(flatten(list_transform(range((k // 9) * 4, (k // 9) * 4 + 4), y ->
+       |        list_transform(range((k % 9) * 6, (k % 9) * 6 + 6),
+       |          x -> px[y * 54 + x + 1]))))) AS s
+       |  FROM pxs),
+       |bits AS (
+       |  SELECT media_id,
+       |    list_transform(range(0, 64), j ->
+       |      CASE WHEN s[(j // 8) * 9 + (j % 8) + 1] > s[(j // 8) * 9 + (j % 8) + 2]
+       |           THEN 1 ELSE 0 END) AS bb
+       |  FROM cells),
+       |losers AS (
+       |  SELECT DISTINCT b.media_id AS id_b
+       |  FROM bits a JOIN bits b ON a.media_id < b.media_id
+       |  WHERE list_sum(list_transform(range(1, 65), j -> abs(a.bb[j] - b.bb[j]))) <= 3)
+       |SELECT c.media_id FROM corpus c LEFT JOIN losers ON c.media_id = losers.id_b
+       |WHERE losers.id_b IS NULL ORDER BY media_id""".stripMargin
+
   /** documents ∪ shifted-id copies — a corpus with guaranteed exact dups.
     * Repartitioned to the session parallelism: the test corpus arrives in
     * 1-2 parquet splits, which would run every narrow stage (shingling,
@@ -1702,6 +1776,68 @@ object PipelineQueries {
       .orderBy("file_id")
   }
 
+  /** PROGRESSIVE-JPEG perceptual dedup — the final JPEG family member:
+    * real web images are overwhelmingly PROGRESSIVE color JPEGs (SOF2,
+    * multiple scans, successive approximation), and this query pairs
+    * the same pixel field across the three encodings a crawl actually
+    * contains: sequential grayscale baseline (carrying the COMPOSED
+    * BT.601 luma), progressive GRAYSCALE (a libjpeg-shaped script —
+    * DC first at Al=1, spectral AC bands, then DC and AC refinement
+    * scans restoring full precision), and progressive COLOR 4:2:0
+    * (interleaved three-component DC scan + per-component AC bands +
+    * interleaved DC refinement). The three files differ at the frame
+    * type, scan structure, and entropy layer; segment walk →
+    * multi-scan coefficient accumulation → dequant/IDCT → chroma
+    * upsample → exact integer color transform sees identical pixels,
+    * so every (base, +940000, +980000) triple pairs at Hamming 0. The
+    * oracle replays the same codepoint luma/chroma rules and color
+    * arithmetic as [[dedupJpegColor]] (different corpus slice) —
+    * general progressive AC coefficient coding is pinned by the
+    * 200-case ScalaCheck round-trip against the baseline decoder. */
+  def dedupJpegProgressive(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      .where(col("doc_id") % 3 === 1)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val q8 = Array.fill(64)(8)
+    import Multimodal.JpegGray._
+    val grayScript = Seq(
+      (Seq(0), 0, 0, 0, 1), (Seq(0), 1, 5, 0, 1), (Seq(0), 6, 63, 0, 1),
+      (Seq(0), 0, 0, 1, 0), (Seq(0), 1, 5, 1, 0), (Seq(0), 6, 63, 1, 0))
+    val colorScript = Seq(
+      (Seq(0, 1, 2), 0, 0, 0, 1),
+      (Seq(0), 1, 63, 0, 0), (Seq(1), 1, 63, 0, 0), (Seq(2), 1, 63, 0, 0),
+      (Seq(0, 1, 2), 0, 0, 1, 0))
+    val media = d.as[(Long, String)].flatMap { case (id, text) =>
+      val cps = text.codePoints().toArray
+      val n = cps.length
+      def yv(b: Int) = if (n == 0) 0 else cps(b % n) % 256
+      def cb(r: Int) = if (n == 0) 128 else cps((r + 11) % n) % 256
+      def cr(r: Int) = if (n == 0) 128 else cps((r + 23) % n) % 256
+      def reg(b: Int) = (b / 7 / 2) * 4 + (b % 7) / 2
+      def dcBlock(v: Int) = { val zz = new Array[Int](64); zz(0) = v - 128; zz }
+      val grayBlocks = (0 until 28).map(b =>
+        dcBlock(ycbcrLuma(yv(b), cb(reg(b)), cr(reg(b)))))
+      // at 1×1 sampling the 7×4 visible grid IS the MCU grid, so the
+      // baseline and progressive gray twins share the same block seq
+      val yBlocks = for (by <- 0 until 4; bx <- 0 until 8)
+        yield dcBlock(yv(by * 7 + math.min(bx, 6)))
+      val cb420 = for (ry <- 0 until 2; rx <- 0 until 4) yield dcBlock(cb(ry * 4 + rx))
+      val cr420 = for (ry <- 0 until 2; rx <- 0 until 4) yield dcBlock(cr(ry * 4 + rx))
+      Seq(
+        (id, synthBaselineJpeg(54, 32, grayBlocks, q8, DcAnnexK, AcSmallA,
+          restartInterval = 0, comment = "seq".getBytes("US-ASCII"))),
+        (id + 940000, synthProgressiveJpeg(54, 32, 1, 1, grayBlocks, Nil, Nil,
+          q8, q8, DcFlat, AcProgA, DcAnnexK, AcProgB, grayScript,
+          comment = "prog-gray".getBytes("US-ASCII"))),
+        (id + 980000, synthProgressiveJpeg(54, 32, 2, 2, yBlocks, cb420, cr420,
+          q8, q8, DcAnnexK, AcProgB, DcFlat, AcProgA, colorScript,
+          comment = "prog-420".getBytes("US-ASCII"))))
+    }.toDF("media_id", "content").persist()
+    Multimodal.imageNearDupKeep(media, "media_id", "content", maxHamming = 3)
+      .orderBy("media_id")
+  }
+
   /** Z-ORDER read-side pruning — the CONSUMPTION half of
     * [[zorderLayout]], closing the loop: actually WRITE the z-clustered
     * layout as a file-per-cell parquet dataset, rebuild the per-file
@@ -2575,6 +2711,7 @@ object PipelineQueries {
     "p_dedup_video_px" -> (dedupVideoPx _),
     "p_dedup_jpeg_px" -> (dedupJpegPx _),
     "p_dedup_jpeg_color" -> (dedupJpegColor _),
+    "p_dedup_jpeg_progressive" -> (dedupJpegProgressive _),
     "p_media_resize_px" -> (mediaResizePx _),
     "p_audio_resample_px" -> (audioResamplePx _),
     "p_zorder_layout" -> (zorderLayout _),
@@ -3870,71 +4007,16 @@ object PipelineQueries {
     // at Hamming 0, certifying multi-component SOF/SOS parse, MCU
     // de-interleave, per-component predictors and tables, chroma
     // upsample, and the color transform end to end.
-    "p_dedup_jpeg_color" ->
-      """WITH base AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
-        |corpus AS (
-        |  SELECT doc_id AS media_id, text FROM base
-        |  UNION ALL SELECT doc_id + 930000, text FROM base
-        |  UNION ALL SELECT doc_id + 960000, text FROM base),
-        |codes AS (
-        |  SELECT media_id,
-        |    list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cs,
-        |    length(text) AS n
-        |  FROM corpus),
-        |vals AS (
-        |  SELECT media_id,
-        |    list_transform(range(0, 28), b ->
-        |      CASE WHEN n = 0 THEN 0 ELSE cs[(b % n) + 1] % 256 END) AS yv,
-        |    list_transform(range(0, 8), r ->
-        |      (CASE WHEN n = 0 THEN 128 ELSE cs[((r + 11) % n) + 1] % 256 END) - 128) AS cbd,
-        |    list_transform(range(0, 8), r ->
-        |      (CASE WHEN n = 0 THEN 128 ELSE cs[((r + 23) % n) + 1] % 256 END) - 128) AS crd
-        |  FROM codes),
-        |contrib AS (
-        |  SELECT media_id, yv,
-        |    list_transform(list_transform(range(0, 8), r -> 1402 * crd[r + 1]),
-        |      a -> (a - ((a % 1000 + 1000) % 1000)) // 1000) AS radd,
-        |    list_transform(list_transform(range(0, 8),
-        |        r -> 344136 * cbd[r + 1] + 714136 * crd[r + 1]),
-        |      a -> (a - ((a % 1000000 + 1000000) % 1000000)) // 1000000) AS gsub,
-        |    list_transform(list_transform(range(0, 8), r -> 1772 * cbd[r + 1]),
-        |      a -> (a - ((a % 1000 + 1000) % 1000)) // 1000) AS badd
-        |  FROM vals),
-        |lums AS (
-        |  SELECT media_id,
-        |    list_transform(range(0, 28), b ->
-        |      (299 * least(255, greatest(0,
-        |         yv[b + 1] + radd[((b // 7) // 2) * 4 + ((b % 7) // 2) + 1]))
-        |       + 587 * least(255, greatest(0,
-        |         yv[b + 1] - gsub[((b // 7) // 2) * 4 + ((b % 7) // 2) + 1]))
-        |       + 114 * least(255, greatest(0,
-        |         yv[b + 1] + badd[((b // 7) // 2) * 4 + ((b % 7) // 2) + 1]))) // 1000) AS lv
-        |  FROM contrib),
-        |pxs AS (
-        |  SELECT media_id,
-        |    list_transform(range(0, 1728), p ->
-        |      lv[(((p // 54) // 8) * 7 + ((p % 54) // 8)) + 1]) AS px
-        |  FROM lums),
-        |cells AS (
-        |  SELECT media_id,
-        |    list_transform(range(0, 72), k ->
-        |      list_sum(flatten(list_transform(range((k // 9) * 4, (k // 9) * 4 + 4), y ->
-        |        list_transform(range((k % 9) * 6, (k % 9) * 6 + 6),
-        |          x -> px[y * 54 + x + 1]))))) AS s
-        |  FROM pxs),
-        |bits AS (
-        |  SELECT media_id,
-        |    list_transform(range(0, 64), j ->
-        |      CASE WHEN s[(j // 8) * 9 + (j % 8) + 1] > s[(j // 8) * 9 + (j % 8) + 2]
-        |           THEN 1 ELSE 0 END) AS bb
-        |  FROM cells),
-        |losers AS (
-        |  SELECT DISTINCT b.media_id AS id_b
-        |  FROM bits a JOIN bits b ON a.media_id < b.media_id
-        |  WHERE list_sum(list_transform(range(1, 65), j -> abs(a.bb[j] - b.bb[j]))) <= 3)
-        |SELECT c.media_id FROM corpus c LEFT JOIN losers ON c.media_id = losers.id_b
-        |WHERE losers.id_b IS NULL ORDER BY media_id""".stripMargin,
+    "p_dedup_jpeg_color" -> jpegColorLumaOracle(slice = 2, off1 = 930000, off2 = 960000),
+
+    // progressive replay: the PIXEL rule is identical to the color
+    // oracle (the progressive twins carry the same composed-luma /
+    // Y-Cb-Cr fields — only the scan structure and entropy layer
+    // differ, which the pixel replay is deliberately blind to); the
+    // hash-match therefore certifies that multi-scan successive-
+    // approximation decoding reaches the same pixels as the sequential
+    // path on a different corpus slice and offsets.
+    "p_dedup_jpeg_progressive" -> jpegColorLumaOracle(slice = 1, off1 = 940000, off2 = 980000),
 
     // frame-path replay: the oracle recomputes the 2D dHash bits from
     // the codepoint FRAME rule the DIB pixels were built from — exact

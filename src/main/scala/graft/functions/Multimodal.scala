@@ -1107,6 +1107,21 @@ object Multimodal {
     val AcSmallB: HuffSpec = HuffSpec(
       Array(0, 0, 3, 2, 5, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
       Array(0x00, 0x01, 0x11, 0x02, 0x21, 0x31, 0x12, 0xF0, 0x22, 0x03))
+    /** AC tables for PROGRESSIVE scans: the EOBn run-length symbols
+      * (r<<4, r = 0..14), ZRL, every (run<<4)|1 newly-significant
+      * symbol, and small-size symbols — all at 6 bits (38 codes ≤ 63,
+      * all-ones unused per T.81 C.2). `AcProgB` carries the same
+      * symbols in a different canonical order: same decoded values,
+      * different codes — the progressive layout axis. */
+    private val progAcSymbols: Array[Int] =
+      (0 to 14).map(_ << 4).toArray ++ Array(0xF0) ++
+        (0 to 15).map(r => (r << 4) | 1).toArray ++
+        (0 to 15).map(r => (r << 4) | 2).toArray ++
+        (0 to 15).map(r => (r << 4) | 3).toArray
+    val AcProgA: HuffSpec = HuffSpec(
+      Array(0, 0, 0, 0, 0, 52, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0), progAcSymbols)
+    val AcProgB: HuffSpec = HuffSpec(
+      Array(0, 0, 0, 0, 0, 52, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0), progAcSymbols.reverse)
 
     /** Bit category of a coefficient value (T.81 F.1.2.1.1): the number
       * of bits needed for |v|, 0 for 0. */
@@ -1326,17 +1341,42 @@ object Multimodal {
       (299 * r + 587 * g + 114 * bb) / 1000
     }
 
-    /** Decode a baseline JPEG to (width, height, row-major luma).
-      * Scope: SOF0 (sequential DCT, Huffman, 8-bit), ONE or THREE
-      * components. Grayscale decodes the single plane; YCbCr decodes
-      * all three interleaved component planes (luma sampling factors
-      * 1–2 on each axis, chroma 1×1 — covering 4:4:4, 4:2:2, 4:4:0 and
-      * 4:2:0), upsamples chroma by sample replication, and composes
-      * luma via [[ycbcrLuma]]. Per-component quant/Huffman table
-      * selection follows SOF/SOS table ids; DRI restart markers reset
-      * every component's DC predictor. None when the bytes are outside
-      * this scope (progressive, arithmetic, 12-bit, exotic sampling). */
+    /** Decode a JPEG to (width, height, row-major luma).
+      * Scope: sequential baseline (SOF0) AND progressive (SOF2)
+      * Huffman 8-bit frames, ONE or THREE components. Grayscale
+      * decodes the single plane; YCbCr decodes all component planes
+      * (luma sampling factors 1–2 on each axis, chroma 1×1 — covering
+      * 4:4:4, 4:2:2, 4:4:0 and 4:2:0), upsamples chroma by sample
+      * replication, and composes luma via [[ycbcrLuma]]. Progressive
+      * frames decode the full scan sequence — spectral selection AND
+      * successive approximation, DC and AC first/refinement passes,
+      * EOB-run coding, per-scan restart intervals. None when the bytes
+      * are outside this scope (arithmetic coding, 12-bit, hierarchical,
+      * exotic sampling). */
     def decodeJpegLuma(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      // dispatch on the frame type: one cheap segment walk to the SOF
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+      var i = 2
+      var sof = -1
+      while (sof < 0) {
+        if (i + 4 > b.length || (b(i) & 0xff) != 0xff) return None
+        val m = b(i + 1) & 0xff
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) sof = m
+        else if (m == 0xda || m == 0xd9) return None // scan/EOI before any SOF
+        else {
+          val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+          if (len < 2 || i + 2 + len > b.length) return None
+          i += 2 + len
+        }
+      }
+      sof match {
+        case 0xc0 => decodeBaselineLuma(b)
+        case 0xc2 => decodeProgressiveLuma(b)
+        case _ => None // extended/arithmetic/lossless/hierarchical
+      }
+    }
+
+    private def decodeBaselineLuma(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
       if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
       var w = 0; var h = 0
       val qTabs = new Array[Array[Int]](4)
@@ -1582,7 +1622,17 @@ object Multimodal {
         }
         mcu += 1
       }
-      // ---- crop + chroma upsample (sample replication) + luma ----
+      Some((w, h, composeLuma(w, h, ncomp, compH, compV, maxH, maxV, planes, planeW)))
+    }
+
+    /** Crop + chroma replication upsample + (for color) [[ycbcrLuma]]:
+      * the shared finish stage of the baseline and progressive decoders,
+      * turning MCU-padded per-component pixel planes into the final
+      * row-major luma. */
+    private def composeLuma(
+        w: Int, h: Int, ncomp: Int,
+        compH: Array[Int], compV: Array[Int], maxH: Int, maxV: Int,
+        planes: Array[Array[Int]], planeW: Array[Int]): Array[Int] = {
       val lum = new Array[Int](w * h)
       if (ncomp == 1) {
         val pw = planeW(0); val plane = planes(0)
@@ -1612,7 +1662,709 @@ object Multimodal {
           y += 1
         }
       }
-      Some((w, h, lum))
+      lum
+    }
+
+    /** Encode a PROGRESSIVE (SOF2) JPEG from the same zigzag-quantized
+      * blocks as the baseline encoders, under an explicit scan script —
+      * each entry (comps, Ss, Se, Ah, Al): comps by frame index (DC
+      * scans may interleave several; AC scans must name one), spectral
+      * band [Ss, Se], successive-approximation high/low. A script like
+      * `DC Al=1 → AC 1..5 Al=1 → AC 6..63 Al=1 → DC refine → AC refine`
+      * reproduces the shape real encoders emit. Grayscale when
+      * `cbBlocks` is empty (then yBlocks must be the 1×1-sampling
+      * grid); color follows [[synthBaselineJpegColor]]'s table/slot
+      * conventions. Restart intervals are not emitted (the DECODER
+      * supports them; the synthetic fixtures do not need them).
+      *
+      * The AC-refinement emitter is spec-literal (T.81 G.1.2.3): each
+      * ZRL carries exactly the correction bits of the
+      * nonzero-history coefficients its 16-zero span passes, each
+      * newly-significant symbol carries the bits up to its placement
+      * position, and EOB runs buffer the tail bits of every blocked
+      * block in order — mirroring the reference decoder walk
+      * bit-for-bit. */
+    def synthProgressiveJpeg(
+        w: Int, h: Int, hSamp: Int, vSamp: Int,
+        yBlocks: Seq[Array[Int]], cbBlocks: Seq[Array[Int]], crBlocks: Seq[Array[Int]],
+        qLumaZigzag: Array[Int], qChromaZigzag: Array[Int],
+        dcLuma: HuffSpec, acLuma: HuffSpec, dcChroma: HuffSpec, acChroma: HuffSpec,
+        scans: Seq[(Seq[Int], Int, Int, Int, Int)],
+        comment: Array[Byte]): Array[Byte] = {
+      require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, "jpeg dims are 16-bit")
+      val color = cbBlocks.nonEmpty
+      val ncomp = if (color) 3 else 1
+      val (hs, vs) = if (color) (hSamp, vSamp) else (1, 1)
+      require(hs >= 1 && hs <= 2 && vs >= 1 && vs <= 2, "luma sampling 1-2")
+      val mcusX = (w + 8 * hs - 1) / (8 * hs)
+      val mcusY = (h + 8 * vs - 1) / (8 * vs)
+      val compBw = Array(mcusX * hs, mcusX, mcusX)
+      val compBh = Array(mcusY * vs, mcusY, mcusY)
+      val compBlocks: Array[Seq[Array[Int]]] =
+        if (color) Array(yBlocks, cbBlocks, crBlocks) else Array(yBlocks)
+      var c = 0
+      while (c < ncomp) {
+        require(compBlocks(c).length == compBw(c) * compBh(c),
+          s"component $c needs ${compBw(c)}*${compBh(c)} blocks")
+        require(compBlocks(c).forall(_.length == 64), "blocks are 64 zigzag coefficients")
+        c += 1
+      }
+      scans.foreach { case (cs, ss, se, ah, al) =>
+        require(cs.nonEmpty && cs.forall(ci => ci >= 0 && ci < ncomp), "scan comps in frame")
+        require(
+          (ss == 0 && se == 0) || (cs.length == 1 && ss >= 1 && se >= ss && se <= 63),
+          "DC scans are Ss=Se=0; AC scans are single-component bands")
+        require(al >= 0 && (ah == 0 || ah == al + 1), "successive approximation steps by 1")
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      def b(vs0: Int*): Unit = vs0.foreach(v => out.write(v & 0xff))
+      def seg(marker: Int, body: Int*): Unit = {
+        b(0xff, marker, (body.length + 2) >>> 8, body.length + 2)
+        body.foreach(v => out.write(v & 0xff))
+      }
+      b(0xff, 0xd8)
+      seg(0xe0, 'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+      seg(0xfe, comment.map(_.toInt): _*)
+      seg(0xdb, 0x00 +: qLumaZigzag.toSeq: _*)
+      if (color) seg(0xdb, 0x01 +: qChromaZigzag.toSeq: _*)
+      if (color)
+        seg(0xc2, 8, h >>> 8, h, w >>> 8, w, 3,
+          1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1)
+      else
+        seg(0xc2, 8, h >>> 8, h, w >>> 8, w, 1, 1, 0x11, 0)
+      seg(0xc4, 0x00 +: (dcLuma.counts ++ dcLuma.symbols).toSeq: _*)
+      seg(0xc4, 0x10 +: (acLuma.counts ++ acLuma.symbols).toSeq: _*)
+      if (color) {
+        seg(0xc4, 0x01 +: (dcChroma.counts ++ dcChroma.symbols).toSeq: _*)
+        seg(0xc4, 0x11 +: (acChroma.counts ++ acChroma.symbols).toSeq: _*)
+      }
+
+      // ---- per-scan entropy emission ----
+      var acc0 = 0; var nbits0 = 0
+      def putBits(code: Int, len: Int): Unit = {
+        var i2 = len - 1
+        while (i2 >= 0) {
+          acc0 = (acc0 << 1) | ((code >>> i2) & 1); nbits0 += 1
+          if (nbits0 == 8) {
+            out.write(acc0); if (acc0 == 0xff) out.write(0x00)
+            acc0 = 0; nbits0 = 0
+          }
+          i2 -= 1
+        }
+      }
+      def align(): Unit = if (nbits0 > 0) putBits((1 << (8 - nbits0)) - 1, 8 - nbits0)
+      def putSym(tbl: HuffSpec, sym: Int): Unit = {
+        val (code, len) = tbl.encodeTable(sym); putBits(code, len)
+      }
+
+      scans.foreach { case (cs, ss, se, ah, al) =>
+        // SOS header
+        val sosBody = Seq(cs.length) ++ cs.flatMap { ci =>
+          val id = ci + 1
+          val td = if (ci == 0) 0 else 1
+          Seq(id, (td << 4) | td)
+        } ++ Seq(ss, se, (ah << 4) | al)
+        seg(0xda, sosBody: _*)
+        acc0 = 0; nbits0 = 0
+
+        def dcTab(ci: Int) = if (ci == 0) dcLuma else dcChroma
+        def acTab(ci: Int) = if (ci == 0) acLuma else acChroma
+
+        if (ss == 0 && ah == 0) {
+          // DC first: interleaved (or trivially single-comp) MCU walk
+          val pred = new Array[Int](ncomp)
+          def emitDc(ci: Int, blk: Array[Int]): Unit = {
+            val v = blk(0) >> al // arithmetic shift (T.81 DC point transform)
+            val diff = v - pred(ci); pred(ci) = v
+            val t = category(diff)
+            putSym(dcTab(ci), t)
+            if (t > 0) putBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+          }
+          if (cs.length > 1) {
+            var mcu = 0
+            while (mcu < mcusX * mcusY) {
+              val mx = mcu % mcusX; val my = mcu / mcusX
+              cs.foreach { ci =>
+                val (cH, cV) = if (ci == 0) (hs, vs) else (1, 1)
+                for (v <- 0 until cV; hx <- 0 until cH)
+                  emitDc(ci, compBlocks(ci)((my * cV + v) * compBw(ci) + mx * cH + hx))
+              }
+              mcu += 1
+            }
+          } else {
+            val ci = cs.head
+            val (cH, cV) = if (ci == 0) (hs, vs) else (1, 1)
+            val cw = (w * cH + hs - 1) / hs; val chh = (h * cV + vs - 1) / vs
+            val bw = (cw + 7) / 8; val bh = (chh + 7) / 8
+            for (by <- 0 until bh; bx <- 0 until bw)
+              emitDc(ci, compBlocks(ci)(by * compBw(ci) + bx))
+          }
+        } else if (ss == 0) {
+          // DC refinement: one bit per block, MCU order
+          def emitBit(blk: Array[Int]): Unit = putBits((blk(0) >> al) & 1, 1)
+          if (cs.length > 1) {
+            var mcu = 0
+            while (mcu < mcusX * mcusY) {
+              val mx = mcu % mcusX; val my = mcu / mcusX
+              cs.foreach { ci =>
+                val (cH, cV) = if (ci == 0) (hs, vs) else (1, 1)
+                for (v <- 0 until cV; hx <- 0 until cH)
+                  emitBit(compBlocks(ci)((my * cV + v) * compBw(ci) + mx * cH + hx))
+              }
+              mcu += 1
+            }
+          } else {
+            val ci = cs.head
+            val (cH, cV) = if (ci == 0) (hs, vs) else (1, 1)
+            val cw = (w * cH + hs - 1) / hs; val chh = (h * cV + vs - 1) / vs
+            val bw = (cw + 7) / 8; val bh = (chh + 7) / 8
+            for (by <- 0 until bh; bx <- 0 until bw)
+              emitBit(compBlocks(ci)(by * compBw(ci) + bx))
+          }
+        } else {
+          // AC scans: single component over its true data-unit grid
+          val ci = cs.head
+          val ac = acTab(ci)
+          val (cH, cV) = if (ci == 0) (hs, vs) else (1, 1)
+          val cw = (w * cH + hs - 1) / hs; val chh = (h * cV + vs - 1) / vs
+          val bw = (cw + 7) / 8; val bh = (chh + 7) / 8
+          var eobrun = 0
+          val tailBits = new scala.collection.mutable.ArrayBuffer[Int]()
+          def flushEob(): Unit = {
+            if (eobrun > 0) {
+              var r = 0
+              while ((eobrun >> (r + 1)) != 0) r += 1
+              putSym(ac, r << 4)
+              if (r > 0) putBits(eobrun - (1 << r), r)
+              eobrun = 0
+            }
+            tailBits.foreach(bit => putBits(bit, 1))
+            tailBits.clear()
+          }
+          for (by <- 0 until bh; bx <- 0 until bw) {
+            val blk = compBlocks(ci)(by * compBw(ci) + bx)
+            if (ah == 0) {
+              // AC first pass over the band: magnitudes at this Al
+              var r = 0
+              var k = ss
+              var any = false
+              while (k <= se) {
+                val v = blk(k)
+                val t = if (v >= 0) v >> al else -((-v) >> al)
+                if (t == 0) r += 1
+                else {
+                  if (!any || eobrun > 0) flushEob()
+                  any = true
+                  while (r >= 16) { putSym(ac, 0xF0); r -= 16 }
+                  val s2 = category(t)
+                  putSym(ac, (r << 4) | s2)
+                  putBits(if (t < 0) t + (1 << s2) - 1 else t, s2)
+                  r = 0
+                }
+                k += 1
+              }
+              if (r > 0 || !any) {
+                eobrun += 1
+                if (eobrun == 0x7fff) flushEob()
+              }
+            } else {
+              // AC refinement: spec-literal span-accurate emission
+              val p1bit = new Array[Int](64) // correction bit per position
+              val hist = new Array[Boolean](64) // nonzero history at this scan
+              val newSig = new Array[Boolean](64)
+              var k = ss
+              while (k <= se) {
+                val v = blk(k)
+                val mag = math.abs(v)
+                val t = mag >> al
+                hist(k) = (mag >> (al + 1)) != 0
+                newSig(k) = !hist(k) && t == 1
+                p1bit(k) = (mag >> al) & 1
+                k += 1
+              }
+              var cursor = ss
+              var any = false
+              var pos = ss
+              while (pos <= se) {
+                if (newSig(pos)) {
+                  if (!any || eobrun > 0) flushEob()
+                  any = true
+                  // zero-history run before this coefficient
+                  var r = 0
+                  var j = cursor
+                  while (j < pos) { if (!hist(j)) r += 1; j += 1 }
+                  while (r > 15) {
+                    putSym(ac, 0xF0)
+                    // bits for positions passed by this ZRL's 16-zero span
+                    var zeros = 0
+                    while (zeros < 16) {
+                      if (hist(cursor)) putBits(p1bit(cursor), 1)
+                      else zeros += 1
+                      cursor += 1
+                    }
+                    r -= 16
+                  }
+                  putSym(ac, (r << 4) | 1)
+                  putBits(if (blk(pos) >= 0) 1 else 0, 1)
+                  // bits for nonzero-history positions up to the placement
+                  while (cursor < pos) {
+                    if (hist(cursor)) putBits(p1bit(cursor), 1)
+                    cursor += 1
+                  }
+                  cursor = pos + 1
+                }
+                pos += 1
+              }
+              if (cursor <= se || !any) {
+                // trailing span joins the EOB run; its correction bits
+                // are buffered and flow after the EOBn symbol
+                eobrun += 1
+                var j = cursor
+                while (j <= se) {
+                  if (hist(j)) tailBits += p1bit(j)
+                  j += 1
+                }
+                if (eobrun == 0x7fff) flushEob()
+              }
+            }
+          }
+          flushEob()
+        }
+        align()
+      }
+      b(0xff, 0xd9)
+      out.toByteArray
+    }
+
+    /** Progressive (SOF2) decode — the format nearly every web image
+      * actually ships. Coefficients accumulate across SCANS into
+      * per-component zigzag-ordered stores: DC first scans deliver
+      * `pred << Al`, DC refinement appends one bit per block, AC first
+      * scans cover a spectral band `[Ss, Se]` with EOB-run coding, and
+      * AC refinement appends correction bits to already-significant
+      * coefficients while inserting newly-significant ±2^Al ones
+      * (T.81 G.2; the control flow mirrors the reference decoder
+      * structure every real file is written against). Interleaved
+      * scans (DC, all components) walk MCUs; AC scans are
+      * single-component over that component's true data-unit grid.
+      * After EOI: dequant, dezigzag, IDCT, and the same
+      * [[composeLuma]] finish as baseline. */
+    private def decodeProgressiveLuma(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+      var w = 0; var h = 0
+      val qTabs = new Array[Array[Int]](4)
+      val dcTabs = new Array[HuffSpec](4)
+      val acTabs = new Array[HuffSpec](4)
+      var compIds: Array[Int] = null
+      var compH: Array[Int] = null; var compV: Array[Int] = null
+      var compTq: Array[Int] = null
+      var dri = 0
+      var maxH = 1; var maxV = 1
+      var mcusX = 0; var mcusY = 0
+      var stores: Array[Array[Int]] = null // per comp: nBlocks*64, zigzag order
+      var storeBw: Array[Int] = null; var storeBh: Array[Int] = null
+      var sawEoi = false
+      var i = 2
+      // scan-component table ids, refilled by each SOS parse before its
+      // decodeScan call (indexed by frame component index)
+      val scanTd = new Array[Int](4)
+      val scanTa = new Array[Int](4)
+
+      // decode ONE scan's entropy data; returns the byte position of the
+      // next marker, or -1 on malformed data
+      def decodeScan(
+          scanComps: Array[Int], Ss: Int, Se: Int, Ah: Int, Al: Int,
+          start: Int): Int = {
+        var pos = start
+        var acc = 0; var nbits = 0
+        def nextBit(): Int = {
+          if (nbits == 0) {
+            if (pos >= b.length) return -1
+            val v = b(pos) & 0xff
+            if (v == 0xff) {
+              if (pos + 1 < b.length && (b(pos + 1) & 0xff) == 0x00) { acc = 0xff; pos += 2 }
+              else return -1 // real marker inside entropy data
+            } else { acc = v; pos += 1 }
+            nbits = 8
+          }
+          nbits -= 1
+          (acc >>> nbits) & 1
+        }
+        def decodeSym(tbl: Map[(Int, Int), Int]): Int = {
+          var code = 0; var len = 0
+          while (len < 16) {
+            val bit = nextBit()
+            if (bit < 0) return -1
+            code = (code << 1) | bit; len += 1
+            tbl.get((len, code)) match {
+              case Some(sym) => return sym
+              case None =>
+            }
+          }
+          -1
+        }
+        def receive(t: Int): Int = {
+          var v = 0; var k = 0
+          while (k < t) {
+            val bit = nextBit()
+            if (bit < 0) return Int.MinValue
+            v = (v << 1) | bit; k += 1
+          }
+          v
+        }
+        def extend(v: Int, t: Int): Int =
+          if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+        val pred = new Array[Int](scanComps.length)
+        var eobrun = 0
+
+        // ---- per-block decoders over the zigzag store ----
+        def dcFirst(store: Array[Int], base: Int, ci: Int, dc: Map[(Int, Int), Int]): Boolean = {
+          val t = decodeSym(dc)
+          if (t < 0 || t > 11) return false
+          val dv = receive(t)
+          if (dv == Int.MinValue) return false
+          pred(ci) += extend(dv, t)
+          store(base) = pred(ci) << Al
+          true
+        }
+        def dcRefine(store: Array[Int], base: Int): Boolean = {
+          val bit = nextBit()
+          if (bit < 0) return false
+          if (bit == 1) store(base) |= (1 << Al)
+          true
+        }
+        def acFirst(store: Array[Int], base: Int, ac: Map[(Int, Int), Int]): Boolean = {
+          if (eobrun > 0) { eobrun -= 1; return true }
+          var k = Ss
+          while (k <= Se) {
+            val sym = decodeSym(ac)
+            if (sym < 0) return false
+            val r = sym >>> 4; val s = sym & 0x0f
+            if (s == 0) {
+              if (r < 15) {
+                val ex = receive(r)
+                if (ex == Int.MinValue) return false
+                eobrun = (1 << r) - 1 + ex
+                return true
+              }
+              k += 16 // ZRL
+            } else {
+              k += r
+              if (k > Se) return false
+              val av = receive(s)
+              if (av == Int.MinValue) return false
+              store(base + k) = extend(av, s) << Al
+              k += 1
+            }
+          }
+          true
+        }
+        def acRefine(store: Array[Int], base: Int, ac: Map[(Int, Int), Int]): Boolean = {
+          val p1 = 1 << Al
+          var k = Ss
+          if (eobrun == 0) {
+            var ended = false
+            while (k <= Se && !ended) {
+              val sym = decodeSym(ac)
+              if (sym < 0) return false
+              var r = sym >>> 4; val s = sym & 0x0f
+              var newVal = 0
+              if (s == 0) {
+                if (r < 15) {
+                  val ex = receive(r)
+                  if (ex == Int.MinValue) return false
+                  eobrun = (1 << r) + ex // includes THIS block; decremented below
+                  ended = true
+                }
+                // r == 15: a run of 16 zero-history coefficients
+              } else {
+                if (s != 1) return false
+                val bit = nextBit()
+                if (bit < 0) return false
+                newVal = if (bit == 1) p1 else -p1
+              }
+              if (!ended) {
+                var placed = false
+                while (k <= Se && !placed) {
+                  val v = store(base + k)
+                  if (v != 0) {
+                    val bit = nextBit()
+                    if (bit < 0) return false
+                    if (bit == 1 && (v & p1) == 0)
+                      store(base + k) = if (v >= 0) v + p1 else v - p1
+                  } else {
+                    if (r == 0) {
+                      if (s != 0) store(base + k) = newVal
+                      placed = true
+                    } else r -= 1
+                  }
+                  k += 1
+                }
+                if (!placed && s != 0) return false // ran past Se without placing
+              }
+            }
+          }
+          if (eobrun > 0) {
+            // history-correction bits for the remainder of this block
+            while (k <= Se) {
+              val v = store(base + k)
+              if (v != 0) {
+                val bit = nextBit()
+                if (bit < 0) return false
+                if (bit == 1 && (v & p1) == 0)
+                  store(base + k) = if (v >= 0) v + p1 else v - p1
+              }
+              k += 1
+            }
+            eobrun -= 1
+          }
+          true
+        }
+
+        // table maps resolved once per scan
+        val dcMaps = new Array[Map[(Int, Int), Int]](scanComps.length)
+        val acMaps = new Array[Map[(Int, Int), Int]](scanComps.length)
+        var sc = 0
+        while (sc < scanComps.length) {
+          val ci = scanComps(sc)
+          if (Ss == 0) {
+            if (Ah == 0) {
+              if (dcTabs(scanTd(ci)) == null) return -1
+              dcMaps(sc) = dcTabs(scanTd(ci)).decodeTable
+            }
+          } else {
+            if (acTabs(scanTa(ci)) == null) return -1
+            acMaps(sc) = acTabs(scanTa(ci)).decodeTable
+          }
+          sc += 1
+        }
+
+        def decodeUnit(sc: Int, bx: Int, by: Int): Boolean = {
+          val ci = scanComps(sc)
+          val store = stores(ci)
+          val base = (by * storeBw(ci) + bx) * 64
+          if (Ss == 0) {
+            if (Ah == 0) dcFirst(store, base, sc, dcMaps(sc)) else dcRefine(store, base)
+          } else {
+            if (Ah == 0) acFirst(store, base, acMaps(sc)) else acRefine(store, base, acMaps(sc))
+          }
+        }
+
+        var rstExpect = 0
+        def restartAt(unit: Int): Boolean = {
+          if (dri > 0 && unit > 0 && unit % dri == 0) {
+            nbits = 0
+            if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff ||
+                (b(pos + 1) & 0xff) != 0xd0 + rstExpect) return false
+            pos += 2; rstExpect = (rstExpect + 1) % 8
+            java.util.Arrays.fill(pred, 0); eobrun = 0
+          }
+          true
+        }
+
+        if (scanComps.length > 1) {
+          // interleaved (DC scans): frame MCU walk
+          var mcu = 0
+          while (mcu < mcusX * mcusY) {
+            if (!restartAt(mcu)) return -1
+            val mx = mcu % mcusX; val my = mcu / mcusX
+            var sc = 0
+            while (sc < scanComps.length) {
+              val ci = scanComps(sc)
+              var v = 0
+              while (v < compV(ci)) {
+                var hx = 0
+                while (hx < compH(ci)) {
+                  if (!decodeUnit(sc, mx * compH(ci) + hx, my * compV(ci) + v)) return -1
+                  hx += 1
+                }
+                v += 1
+              }
+              sc += 1
+            }
+            mcu += 1
+          }
+        } else {
+          // non-interleaved: the component's TRUE data-unit grid
+          val ci = scanComps(0)
+          val cw = (w * compH(ci) + maxH - 1) / maxH
+          val ch = (h * compV(ci) + maxV - 1) / maxV
+          val bw = (cw + 7) / 8; val bh = (ch + 7) / 8
+          var unit = 0
+          while (unit < bw * bh) {
+            if (!restartAt(unit)) return -1
+            if (!decodeUnit(0, unit % bw, unit / bw)) return -1
+            unit += 1
+          }
+        }
+        // advance to the next marker, skipping stuffing and stray RSTn
+        var p = pos
+        var done = false
+        while (!done) {
+          if (p + 1 >= b.length) return -1
+          if ((b(p) & 0xff) == 0xff) {
+            val m = b(p + 1) & 0xff
+            if (m == 0x00) p += 2
+            else if (m >= 0xd0 && m <= 0xd7) p += 2
+            else done = true
+          } else p += 1
+        }
+        p
+      }
+
+      // ---- marker loop over the whole stream ----
+      while (!sawEoi) {
+        if (i + 2 > b.length || (b(i) & 0xff) != 0xff) return None
+        val m = b(i + 1) & 0xff
+        if (m == 0xd9) { sawEoi = true }
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
+        else {
+          if (i + 4 > b.length) return None
+          val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+          if (len < 2 || i + 2 + len > b.length) return None
+          val body = i + 4
+          m match {
+            case 0xc2 =>
+              if (stores != null) return None // one frame only
+              if (len < 11 || (b(body) & 0xff) != 8) return None
+              h = ((b(body + 1) & 0xff) << 8) | (b(body + 2) & 0xff)
+              w = ((b(body + 3) & 0xff) << 8) | (b(body + 4) & 0xff)
+              val ncomp = b(body + 5) & 0xff
+              if (ncomp != 1 && ncomp != 3) return None
+              if (len < 8 + 3 * ncomp) return None
+              compIds = new Array[Int](ncomp)
+              compH = new Array[Int](ncomp); compV = new Array[Int](ncomp)
+              compTq = new Array[Int](ncomp)
+              var c = 0
+              while (c < ncomp) {
+                compIds(c) = b(body + 6 + 3 * c) & 0xff
+                val hv = b(body + 7 + 3 * c) & 0xff
+                compH(c) = hv >>> 4; compV(c) = hv & 0x0f
+                compTq(c) = b(body + 8 + 3 * c) & 0xff
+                if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2 ||
+                    compTq(c) > 3) return None
+                c += 1
+              }
+              if (ncomp == 1 && (compH(0) != 1 || compV(0) != 1)) return None
+              if (ncomp == 3 && (compH(1) != 1 || compV(1) != 1 ||
+                  compH(2) != 1 || compV(2) != 1)) return None
+              if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) return None
+              maxH = compH.max; maxV = compV.max
+              mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+              mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+              storeBw = Array.tabulate(ncomp)(c => mcusX * compH(c))
+              storeBh = Array.tabulate(ncomp)(c => mcusY * compV(c))
+              var cc = 0
+              while (cc < ncomp) {
+                if (storeBw(cc).toLong * storeBh(cc) * 64 >
+                    MaxDecodePixels.toLong + (1L << 16)) return None
+                cc += 1
+              }
+              stores = Array.tabulate(ncomp)(c => new Array[Int](storeBw(c) * storeBh(c) * 64))
+            case mm if (mm >= 0xc0 && mm <= 0xcf && mm != 0xc2 && mm != 0xc4) =>
+              return None // mixed/other frame types
+            case 0xdb =>
+              var p = body
+              while (p < i + 2 + len) {
+                if ((b(p) & 0xff) >>> 4 != 0) return None
+                val tq = b(p) & 0x0f
+                if (tq > 3 || p + 65 > i + 2 + len) return None
+                qTabs(tq) = Array.tabulate(64)(j => b(p + 1 + j) & 0xff)
+                p += 65
+              }
+            case 0xc4 =>
+              var p = body
+              while (p < i + 2 + len) {
+                val tc = (b(p) & 0xff) >>> 4; val th = b(p) & 0x0f
+                if (th > 3 || p + 17 > i + 2 + len) return None
+                val counts = Array.tabulate(16)(j => b(p + 1 + j) & 0xff)
+                val n = counts.sum
+                if (p + 17 + n > i + 2 + len) return None
+                val spec = HuffSpec(counts, Array.tabulate(n)(j => b(p + 17 + j) & 0xff))
+                if (tc == 0) dcTabs(th) = spec
+                else if (tc == 1) acTabs(th) = spec
+                else return None
+                p += 17 + n
+              }
+            case 0xdd =>
+              if (len != 4) return None
+              dri = ((b(body) & 0xff) << 8) | (b(body + 1) & 0xff)
+            case 0xda =>
+              if (stores == null) return None
+              val ns = b(body) & 0xff
+              if (ns < 1 || ns > compIds.length || len < 6 + 2 * ns) return None
+              val scanComps = new Array[Int](ns)
+              var s = 0
+              while (s < ns) {
+                val cid = b(body + 1 + 2 * s) & 0xff
+                val ci = compIds.indexOf(cid)
+                if (ci < 0) return None
+                scanComps(s) = ci
+                val tt = b(body + 2 + 2 * s) & 0xff
+                scanTd(ci) = tt >>> 4; scanTa(ci) = tt & 0x0f
+                if (scanTd(ci) > 3 || scanTa(ci) > 3) return None
+                s += 1
+              }
+              val Ss = b(body + 1 + 2 * ns) & 0xff
+              val Se = b(body + 2 + 2 * ns) & 0xff
+              val ahAl = b(body + 3 + 2 * ns) & 0xff
+              val Ah = ahAl >>> 4; val Al = ahAl & 0x0f
+              // progressive scan constraints (T.81 G.1): DC scans are
+              // Ss=Se=0 (interleave allowed); AC scans are
+              // single-component spectral bands
+              if (Ss == 0) { if (Se != 0) return None }
+              else { if (ns != 1 || Se < Ss || Se > 63) return None }
+              if (Ah != 0 && Ah != Al + 1) return None // successive refinement steps by 1
+              if (Al > 13) return None
+              val next = decodeScan(scanComps, Ss, Se, Ah, Al, i + 2 + len)
+              if (next < 0) return None
+              i = next // decodeScan leaves i AT the next marker's 0xff
+            case _ => // APPn / COM: skip
+          }
+          if (m != 0xda) i += 2 + len
+        }
+      }
+      if (stores == null) return None
+      // every component must have its quant table
+      var c2 = 0
+      while (c2 < compIds.length) {
+        if (qTabs(compTq(c2)) == null) return None
+        c2 += 1
+      }
+      // ---- dequant + dezigzag + IDCT into per-component planes ----
+      val ncomp = compIds.length
+      val planeW = Array.tabulate(ncomp)(c => storeBw(c) * 8)
+      val planes = Array.tabulate(ncomp)(c => new Array[Int](planeW(c) * storeBh(c) * 8))
+      val f = new Array[Int](64)
+      var c3 = 0
+      while (c3 < ncomp) {
+        val q = qTabs(compTq(c3))
+        val store = stores(c3)
+        val bw = storeBw(c3); val bh = storeBh(c3)
+        val pw = planeW(c3)
+        var blk = 0
+        while (blk < bw * bh) {
+          val base = blk * 64
+          java.util.Arrays.fill(f, 0)
+          var z = 0
+          while (z < 64) { f(ZigzagOrder(z)) = store(base + z) * q(z); z += 1 }
+          val px = idct8x8(f)
+          val bx = blk % bw; val by = blk / bw
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              planes(c3)((by * 8 + y) * pw + bx * 8 + x) = px(y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          blk += 1
+        }
+        c3 += 1
+      }
+      Some((w, h, composeLuma(w, h, ncomp, compH, compV, maxH, maxV, planes, planeW)))
     }
 
     private val CosTable: Array[Double] = {

@@ -1682,6 +1682,89 @@ class PipelineSpec extends GraftSuite {
     assert(decodeJpegLuma(sof4).isEmpty)
   }
 
+  test("progressive JPEG: successive approximation + spectral selection == baseline pixels") {
+    import graft.functions.{Multimodal, PayloadDHashExpr}
+    import Multimodal.JpegGray
+    import JpegGray._
+    val q = Array.tabulate(64)(i => 1 + (i * 7) % 31)
+    // 27×16 → 4×2 blocks; DC everywhere, AC runs/sizes the small tables
+    // can code (runs accumulate from the allowed (run,size) pairs)
+    val rng = new scala.util.Random(20260815)
+    val allowed = Seq((0, 1), (1, 1), (2, 1), (3, 1), (0, 2), (1, 2), (2, 2), (0, 3))
+    val blocks = (0 until 8).map { i =>
+      val zz = new Array[Int](64)
+      zz(0) = rng.nextInt(256) - 128
+      var k = 1
+      while (k < 60) {
+        val (run, s) = allowed(rng.nextInt(allowed.size))
+        k += run
+        if (k < 60) {
+          val mag = (1 << (s - 1)) + rng.nextInt(1 << (s - 1))
+          zz(k) = if (rng.nextBoolean()) mag else -mag
+          k += 1
+        }
+        k += rng.nextInt(3) * 16 // occasional ZRL-sized gaps
+      }
+      zz
+    }
+    val base = synthBaselineJpeg(27, 16, blocks, q, DcAnnexK, AcSmallA, 0,
+      "base".getBytes("US-ASCII"))
+    val expected = decodeJpegLuma(base).get._3
+    // the libjpeg-shaped script: DC first at Al=1, AC bands at Al=1,
+    // then DC and AC refinement passes restoring full precision
+    val script = Seq(
+      (Seq(0), 0, 0, 0, 1), (Seq(0), 1, 5, 0, 1), (Seq(0), 6, 63, 0, 1),
+      (Seq(0), 0, 0, 1, 0), (Seq(0), 1, 5, 1, 0), (Seq(0), 6, 63, 1, 0))
+    val prog = synthProgressiveJpeg(27, 16, 1, 1, blocks, Nil, Nil, q, q,
+      DcAnnexK, AcProgA, DcFlat, AcProgB, script, "prog".getBytes("US-ASCII"))
+    assert(!prog.sameElements(base))
+    val (pw, ph, plum) = decodeJpegLuma(prog).get
+    assert((pw, ph) == (27, 16))
+    assert(plum.sameElements(expected),
+      plum.zip(expected).zipWithIndex.filter(t => t._1._1 != t._1._2).take(8).mkString(","))
+    assert(PayloadDHashExpr.hash(prog) == PayloadDHashExpr.hash(base))
+    // two-level successive approximation (Al=2 → 1 → 0) on the same blocks
+    val script2 = Seq(
+      (Seq(0), 0, 0, 0, 2), (Seq(0), 1, 63, 0, 2),
+      (Seq(0), 0, 0, 2, 1), (Seq(0), 1, 63, 2, 1),
+      (Seq(0), 0, 0, 1, 0), (Seq(0), 1, 63, 1, 0))
+    val prog2 = synthProgressiveJpeg(27, 16, 1, 1, blocks, Nil, Nil, q, q,
+      DcFlat, AcProgB, DcAnnexK, AcProgA, script2, "p2".getBytes("US-ASCII"))
+    assert(decodeJpegLuma(prog2).get._3.sameElements(expected))
+  }
+
+  test("progressive COLOR JPEG: interleaved DC scans + per-component AC bands == color pixels") {
+    import graft.functions.{Multimodal, PayloadDHashExpr}
+    import Multimodal.JpegGray
+    import JpegGray._
+    val q8 = Array.fill(64)(8)
+    def dc(v: Int) = { val zz = new Array[Int](64); zz(0) = v - 128; zz }
+    val yVals = Array.tabulate(28)(b => (b * 37 + 11) % 256)
+    val cbVals = Array.tabulate(8)(r => (r * 53 + 7) % 256)
+    val crVals = Array.tabulate(8)(r => (r * 71 + 190) % 256)
+    def reg(b: Int) = (b / 7 / 2) * 4 + (b % 7) / 2
+    val lumVals = Array.tabulate(28)(b => ycbcrLuma(yVals(b), cbVals(reg(b)), crVals(reg(b))))
+    val expected = Array.tabulate(54 * 32)(p => lumVals(((p / 54) / 8) * 7 + (p % 54) / 8))
+    val yB = for (by <- 0 until 4; bx <- 0 until 8) yield dc(yVals(by * 7 + math.min(bx, 6)))
+    val cbB = for (ry <- 0 until 2; rx <- 0 until 4) yield dc(cbVals(ry * 4 + rx))
+    val crB = for (ry <- 0 until 2; rx <- 0 until 4) yield dc(crVals(ry * 4 + rx))
+    val script = Seq(
+      (Seq(0, 1, 2), 0, 0, 0, 1),                                  // interleaved DC
+      (Seq(0), 1, 5, 0, 0), (Seq(2), 1, 63, 0, 0), (Seq(1), 1, 63, 0, 0),
+      (Seq(0), 6, 63, 0, 0),
+      (Seq(0, 1, 2), 0, 0, 1, 0))                                  // DC refine
+    val prog = synthProgressiveJpeg(54, 32, 2, 2, yB, cbB, crB, q8, q8,
+      DcAnnexK, AcProgA, DcFlat, AcProgB, script, "pc".getBytes("US-ASCII"))
+    val (w, h, lum) = decodeJpegLuma(prog).get
+    assert((w, h) == (54, 32))
+    assert(lum.sameElements(expected))
+    // byte-different from the BASELINE color encoding, hash-identical
+    val c420 = synthBaselineJpegColor(54, 32, 2, 2, yB, cbB, crB, q8, q8,
+      DcAnnexK, AcSmallA, DcFlat, AcSmallB, 0, "c420".getBytes("US-ASCII"))
+    assert(!prog.sameElements(c420))
+    assert(PayloadDHashExpr.hash(prog) == PayloadDHashExpr.hash(c420))
+  }
+
   test("boxDownsample/resizePngToFit: exact floor means, partial edge boxes, no upscale") {
     import graft.functions.Multimodal.ImagePixels
     // 5×3 fit 2×2 → k = 3, out 2×1: boxes 3×3 and 2×3 (partial width)

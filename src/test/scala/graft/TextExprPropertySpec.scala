@@ -271,6 +271,44 @@ object TextExprPropertySpec extends Properties("TextExprs") {
       (w, h) == (27, 16) && lum.sameElements(expected)
     }
 
+  property("progressive JPEG == baseline decode of the same blocks, any script depth") =
+    Prop.forAll(
+      Gen.listOfN(8, Gen.chooseNum(-128, 127)),
+      Gen.listOf(for {
+        rs <- Gen.oneOf((0, 1), (1, 1), (2, 1), (3, 1), (0, 2), (1, 2), (2, 2), (0, 3))
+        mag <- Gen.chooseNum(1 << (rs._2 - 1), (1 << rs._2) - 1)
+        neg <- Gen.oneOf(true, false)
+        zrl <- Gen.chooseNum(0, 1)
+      } yield (rs._1 + zrl * 16, if (neg) -mag else mag)),
+      Gen.chooseNum(0, 1)) { (dcs, acs, deep) =>
+      import graft.functions.Multimodal.JpegGray
+      import JpegGray._
+      val q = Array.tabulate(64)(i => 1 + (i * 5) % 29)
+      val blocks = dcs.zipWithIndex.map { case (dc, bi) =>
+        val zz = new Array[Int](64)
+        zz(0) = dc
+        var k = 1
+        acs.drop(bi % 3).foreach { case (run, v) =>
+          k += run; if (k < 64) { zz(k) = v; k += 1 }
+        }
+        zz
+      }
+      val base = synthBaselineJpeg(27, 16, blocks, q, DcAnnexK, AcSmallA, 0,
+        "b".getBytes("US-ASCII"))
+      val expected = decodeJpegLuma(base).get._3
+      val script =
+        if (deep == 0) Seq(
+          (Seq(0), 0, 0, 0, 1), (Seq(0), 1, 5, 0, 1), (Seq(0), 6, 63, 0, 1),
+          (Seq(0), 0, 0, 1, 0), (Seq(0), 1, 5, 1, 0), (Seq(0), 6, 63, 1, 0))
+        else Seq(
+          (Seq(0), 0, 0, 0, 2), (Seq(0), 1, 63, 0, 2),
+          (Seq(0), 0, 0, 2, 1), (Seq(0), 1, 63, 2, 1),
+          (Seq(0), 0, 0, 1, 0), (Seq(0), 1, 63, 1, 0))
+      val prog = synthProgressiveJpeg(27, 16, 1, 1, blocks, Nil, Nil, q, q,
+        DcAnnexK, AcProgA, DcFlat, AcProgB, script, "p".getBytes("US-ASCII"))
+      decodeJpegLuma(prog).get._3.sameElements(expected)
+    }
+
   // ---- decoder totality: these codecs parse UNTRUSTED bytes inside
   // executors, so ANY corruption must yield a hash or a clean fallback,
   // never an exception, a giant allocation, or a hang ----
@@ -294,6 +332,12 @@ object TextExprPropertySpec extends Properties("TextExprs") {
         Array.fill(64)(8), Array.fill(64)(8),
         JpegGray.DcAnnexK, JpegGray.AcSmallA, JpegGray.DcFlat, JpegGray.AcSmallB,
         seed % 3, "fc".getBytes("US-ASCII")),
+      JpegGray.synthProgressiveJpeg(16, 8, 1, 1, Seq(zz, zz), Nil, Nil,
+        Array.fill(64)(8), Array.fill(64)(8),
+        JpegGray.DcAnnexK, JpegGray.AcProgA, JpegGray.DcFlat, JpegGray.AcProgB,
+        Seq((Seq(0), 0, 0, 0, 1), (Seq(0), 1, 63, 0, 1),
+          (Seq(0), 0, 0, 1, 0), (Seq(0), 1, 63, 1, 0)),
+        "fp".getBytes("US-ASCII")),
       ImageHeader.synthPng(4, 4, Array.tabulate(20)(i => (i + seed).toByte)),
       VideoHeader.synthAvi(4, 4, 2, 40000, Array.tabulate(20)(i => (i + seed).toByte)))
   }

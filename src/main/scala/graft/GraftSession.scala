@@ -701,6 +701,11 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the 174-query Verify surface generates more whole-stage-codegen
+      // classes than the 100-entry default (and sits at the old
+      // 2000-entry edge) — evictions re-run janino mid-suite (see the
+      // Bench.scala comment)
+      .config("spark.sql.codegen.cache.maxEntries", "8000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

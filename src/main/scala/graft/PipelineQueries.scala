@@ -1506,16 +1506,18 @@ object PipelineQueries {
     * so the bits match EXACTLY); and an IEEE-FLOAT32 stereo copy at
     * id+840000 (samples stored as `s/32768f` — exact in a 24-bit
     * mantissa, so the float round-trip recovers the PCM16 samples
-    * bit-for-bit). The files are byte-different at every level (sample
-    * width, number encoding, channel count, chunk walk — a byte hash
-    * pairs none of them), but chunk walk → per-format sample decode →
-    * mono mixdown → 1-D dHash sees the same signal, so every (base,
-    * +800000, +820000, +840000) quadruple pairs at Hamming 0. The
-    * oracle replays the dHash bits from the CODEPOINT rule — exact
-    * because the comparison is invariant under every positive affine
-    * sample map above — certifying fmt parse (both format tags, three
-    * sample widths), LIST skip, sign-extension, float scaling, mixdown,
-    * and binning end to end. */
+    * bit-for-bit); and a 24-BIT s24le copy at id+860000 (samples stored
+    * as `s·256`, recovered exactly by the arithmetic-shift decode). The
+    * files are byte-different at every level (sample width, number
+    * encoding, channel count, chunk walk — a byte hash pairs none of
+    * them), but chunk walk → per-format sample decode → mono mixdown →
+    * 1-D dHash sees the same signal, so every (base, +800000, +820000,
+    * +840000, +860000) quintuple pairs at Hamming 0. The oracle replays
+    * the dHash bits from the CODEPOINT rule — exact because the
+    * comparison is invariant under every positive affine sample map
+    * above — certifying fmt parse (both format tags, all four sample
+    * widths), LIST skip, sign-extension, float scaling, mixdown, and
+    * binning end to end. */
   def dedupAudioPx(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
@@ -1531,7 +1533,8 @@ object PipelineQueries {
         (id, Multimodal.AudioSamples.synthPcmWav(16000, 1, samples)),
         (id + 800000, Multimodal.AudioSamples.synthPcmWav(8000, 2, samples, junk = true)),
         (id + 820000, Multimodal.AudioSamples.synthPcm8Wav(16000, 1, bytes, junk = true)),
-        (id + 840000, Multimodal.AudioSamples.synthFloatWav(12000, 2, samples)))
+        (id + 840000, Multimodal.AudioSamples.synthFloatWav(12000, 2, samples)),
+        (id + 860000, Multimodal.AudioSamples.synthPcm24Wav(20000, 2, samples, junk = true)))
     }.toDF("media_id", "content").persist()
     Multimodal.imageNearDupKeep(media, "media_id", "content", maxHamming = 3)
       .orderBy("media_id")
@@ -3793,16 +3796,17 @@ object PipelineQueries {
     // sample-path replay: the oracle recomputes the dHash bits from the
     // CODEPOINT rule the samples were built from — exact because the
     // cross-multiplied mean comparison is invariant under EVERY positive
-    // affine sample map, which covers all four encodings at once:
+    // affine sample map, which covers all five encodings at once:
     // PCM16 mono/stereo = min(cp,255)·257 − 32768, 8-bit unsigned =
     // (min(cp,255) − 128)·257 (same slope, different offset — offsets
-    // cancel in the s_i·L_j comparison), float32 = the PCM16 samples
-    // bit-exactly (s/32768f round-trips through a 24-bit mantissa). The
-    // least(…,255) clamp mirrors the fixtures' byte clamp. Every (base,
-    // +800000, +820000, +840000) quadruple pairs at Hamming 0; the
-    // hash-match certifies fmt parse across both format tags and three
-    // sample widths, LIST skip, sign-extension, float scaling, mixdown,
-    // and binning.
+    // cancel in the s_i·L_j comparison), float32 AND 24-bit = the PCM16
+    // samples bit-exactly (s/32768f round-trips through a 24-bit
+    // mantissa; s·256 >> 8 is the identity). The least(…,255) clamp
+    // mirrors the fixtures' byte clamp. Every (base, +800000, +820000,
+    // +840000, +860000) quintuple pairs at Hamming 0; the hash-match
+    // certifies fmt parse across both format tags and all four sample
+    // widths, LIST skip, sign-extension, float scaling, mixdown, and
+    // binning.
     "p_dedup_audio_px" ->
       """WITH base AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
@@ -3810,7 +3814,8 @@ object PipelineQueries {
         |  SELECT doc_id AS media_id, text FROM base
         |  UNION ALL SELECT doc_id + 800000, text FROM base
         |  UNION ALL SELECT doc_id + 820000, text FROM base
-        |  UNION ALL SELECT doc_id + 840000, text FROM base),
+        |  UNION ALL SELECT doc_id + 840000, text FROM base
+        |  UNION ALL SELECT doc_id + 860000, text FROM base),
         |codes AS (
         |  SELECT media_id,
         |    list_transform(range(1, length(text) + 1),

@@ -541,13 +541,13 @@ object Multimodal {
     * contract query.
     *
     * Decoder scope (documented contract): WAVE_FORMAT_PCM (format tag 1)
-    * at 16 or 8 bits, WAVE_FORMAT_IEEE_FLOAT (format tag 3) at 32 bits,
-    * ≥1 channel, and a `data` chunk that is a whole number of frames — a
-    * data length that is NOT a multiple of the block align is not valid
-    * PCM and returns None (the container-payload walk remains the
-    * declared boundary for such files). Channels fold to mono by exact
-    * per-frame mean (floor division — replayable; channel-replicated
-    * fixtures make it exact by construction). */
+    * at 16, 8, or 24 bits, WAVE_FORMAT_IEEE_FLOAT (format tag 3) at 32
+    * bits, ≥1 channel, and a `data` chunk that is a whole number of
+    * frames — a data length that is NOT a multiple of the block align is
+    * not valid PCM and returns None (the container-payload walk remains
+    * the declared boundary for such files). Channels fold to mono by
+    * exact per-frame mean (floor division — replayable;
+    * channel-replicated fixtures make it exact by construction). */
   object AudioSamples {
     private def le16(b: Array[Byte], i: Int): Int =
       (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
@@ -585,13 +585,14 @@ object Multimodal {
         i += 8 + len + (len & 1) // chunks are word-aligned
       }
       val fmtOk = channels >= 1 &&
-        ((fmt == 1 && (bits == 16 || bits == 8)) || (fmt == 3 && bits == 32))
+        ((fmt == 1 && (bits == 16 || bits == 8 || bits == 24)) ||
+          (fmt == 3 && bits == 32))
       if (!fmtOk || dataOff < 0) return None
       val bytesPer = bits / 8
       val blockAlign = channels * bytesPer
       if (dataLen % blockAlign != 0) return None
       val nFrames = dataLen / blockAlign
-      val mode = if (fmt == 3) 2 else if (bits == 8) 1 else 0
+      val mode = if (fmt == 3) 3 else if (bits == 8) 1 else if (bits == 24) 2 else 0
       val out = new Array[Int](nFrames)
       var f = 0
       while (f < nFrames) {
@@ -602,6 +603,10 @@ object Multimodal {
           acc += (mode match {
             case 0 => le16(b, off).toShort.toInt // sign-extend LE 16-bit
             case 1 => ((b(off) & 0xff) - 128) * 257 // unsigned byte → full scale
+            case 2 => // s24le: sign-extend, then floor to the 16-bit range
+              val v24 = ((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+                ((b(off + 2) & 0xff) << 16)) << 8 >> 8
+              v24 >> 8 // arithmetic shift = floor division by 256
             case _ => // IEEE float32: scale + clamp; NaN rounds to 0
               val fv = java.lang.Float.intBitsToFloat(le32(b, off))
               math.max(-32768, math.min(32767, math.round(fv * 32768f)))
@@ -697,6 +702,39 @@ object Multimodal {
         var c = 0
         while (c < channels) { out.write(s & 0xff); c += 1 }
       }
+      out.toByteArray
+    }
+
+    /** Structurally valid 24-bit PCM WAV (s24le; `samples` are 16-bit-
+      * range ints stored as `s·256`, replicated across channels) — the
+      * arithmetic-shift decode of [[decodePcm]] recovers them exactly. */
+    def synthPcm24Wav(
+        rate: Int, channels: Int, samples: Array[Int], junk: Boolean = false): Array[Byte] = {
+      require(rate > 0 && channels >= 1, "rate and channels must be positive")
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      val junkBytes = if (junk) 8 + 16 else 0
+      val dataLen = samples.length * 3 * channels
+      tag("RIFF"); w32(36 + junkBytes + dataLen); tag("WAVE")
+      tag("fmt "); w32(16)
+      w16(1); w16(channels); w32(rate)
+      w32(rate * channels * 3) // byte rate
+      w16(channels * 3) // block align
+      w16(24) // bits per sample
+      if (junk) { tag("LIST"); w32(16); tag("INFO"); tag("ICMT"); w32(4); tag("gen0") }
+      tag("data"); w32(dataLen)
+      samples.foreach { s =>
+        val v = s << 8
+        var c = 0
+        while (c < channels) {
+          out.write(v & 0xff); out.write((v >>> 8) & 0xff); out.write((v >>> 16) & 0xff)
+          c += 1
+        }
+      }
+      // chunk word alignment when the data length is odd
+      if (dataLen % 2 == 1) out.write(0)
       out.toByteArray
     }
 

@@ -1540,6 +1540,25 @@ class PipelineSpec extends GraftSuite {
     assert(d8.sameElements(bytes.map(u => (u - 128) * 257)))
     assert(d8.zip(s16).forall { case (a, b) => a - b == -128 })
     assert(PayloadDHashExpr.hash(wav8) == PayloadDHashExpr.hash(wav16))
+    // 24-bit (s·256) recovers the exact 16-bit samples, negatives included
+    val wav24 = AudioSamples.synthPcm24Wav(20000, 2, s16, junk = true)
+    assert(AudioSamples.decodePcm(wav24).get.sameElements(s16))
+    assert(PayloadDHashExpr.hash(wav24) == PayloadDHashExpr.hash(wav16))
+    // a 24-bit value that is NOT a multiple of 256 floors toward -inf
+    val odd24 = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w16o(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+      def w32o(v: Int): Unit = { w16o(v & 0xffff); w16o((v >>> 16) & 0xffff) }
+      def tago(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      tago("RIFF"); w32o(36 + 6); tago("WAVE")
+      tago("fmt "); w32o(16); w16o(1); w16o(1); w32o(8000); w32o(24000); w16o(3); w16o(24)
+      tago("data"); w32o(6)
+      Seq(-257, 513).foreach { v =>
+        out.write(v & 0xff); out.write((v >>> 8) & 0xff); out.write((v >>> 16) & 0xff)
+      }
+      out.toByteArray
+    }
+    assert(AudioSamples.decodePcm(odd24).get.toSeq == Seq(-2, 2)) // floor(-257/256), floor(513/256)
     // float specials stay total: NaN rounds to 0, infinities clamp
     val weird = {
       val out = new java.io.ByteArrayOutputStream()
@@ -1555,11 +1574,11 @@ class PipelineSpec extends GraftSuite {
       out.toByteArray
     }
     assert(AudioSamples.decodePcm(weird).get.toSeq == Seq(0, 32767, -32768))
-    // 24-bit stays out of scope — declines, never guesses
-    val w24 = wav16.clone()
+    // 12-bit stays out of scope — declines, never guesses
+    val w12 = wav16.clone()
     // bits-per-sample field of fmt: RIFF(12) + 'fmt '(8) + 14 = offset 34
-    w24(34) = 24
-    assert(AudioSamples.decodePcm(w24).isEmpty)
+    w12(34) = 12
+    assert(AudioSamples.decodePcm(w12).isEmpty)
   }
 
   test("DIB frame path: byte-different encodes of the same frames hash identically") {

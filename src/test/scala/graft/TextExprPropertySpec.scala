@@ -325,6 +325,7 @@ object TextExprPropertySpec extends Properties("TextExprs") {
       AudioSamples.synthPcm8Wav(8000, 1 + seed % 2,
         samples.map(s => (s + 32768) >> 8), junk = seed % 2 == 1),
       AudioSamples.synthFloatWav(8000, 1 + seed % 2, samples),
+      AudioSamples.synthPcm24Wav(8000, 1 + seed % 2, samples, junk = seed % 2 == 0),
       VideoFrames.synthDibAvi(9, 6, frames, 40000, junk = seed % 2 == 0),
       JpegGray.synthBaselineJpeg(16, 8, Seq(zz, zz), Array.fill(64)(8),
         JpegGray.DcAnnexK, JpegGray.AcSmallA, seed % 3, "f".getBytes("US-ASCII")),

@@ -1497,22 +1497,25 @@ object PipelineQueries {
     * [[dedupImagePx]]: the corpus is the SAME audio signal (the
     * deterministic affine rule `min(cp,255)·257 − 32768` over each doc's
     * codepoints) encoded FOUR ways across the full PCM matrix — the
-    * base PCM16 mono at 16 kHz; a PCM16 STEREO copy at id+800000
+    * base PCM16 mono at 16 kHz; a PCM16 STEREO copy at id+1000000
     * (channel-replicated, 8 kHz, a LIST/INFO chunk before `data`); an
-    * 8-BIT unsigned copy at id+820000 (the clamped codepoints
+    * 8-BIT unsigned copy at id+2000000 (the clamped codepoints
     * themselves as bytes — [[Multimodal.AudioSamples.decodePcm]] maps
     * them through `(u−128)·257`, a positive affine map of the same
     * signal, and the cross-multiplied dHash means are offset-invariant,
     * so the bits match EXACTLY); and an IEEE-FLOAT32 stereo copy at
-    * id+840000 (samples stored as `s/32768f` — exact in a 24-bit
+    * id+3000000 (samples stored as `s/32768f` — exact in a 24-bit
     * mantissa, so the float round-trip recovers the PCM16 samples
-    * bit-for-bit); and a 24-BIT s24le copy at id+860000 (samples stored
+    * bit-for-bit); and a 24-BIT s24le copy at id+4000000 (samples stored
     * as `s·256`, recovered exactly by the arithmetic-shift decode). The
     * files are byte-different at every level (sample width, number
     * encoding, channel count, chunk walk — a byte hash pairs none of
     * them), but chunk walk → per-format sample decode → mono mixdown →
-    * 1-D dHash sees the same signal, so every (base, +800000, +820000,
-    * +840000, +860000) quintuple pairs at Hamming 0. The oracle replays
+    * 1-D dHash sees the same signal, so every (base, +1000000, +2000000,
+    * +3000000, +4000000) quintuple pairs at Hamming 0 (offsets are
+    * 10⁶-spaced so no two twins of DIFFERENT docs can collide unless
+    * a slice spans a million ids — the id-space headroom contract;
+    * scale-curve replicas salt by i·10⁷, far above max_offset). The oracle replays
     * the dHash bits from the CODEPOINT rule — exact because the
     * comparison is invariant under every positive affine sample map
     * above — certifying fmt parse (both format tags, all four sample
@@ -1531,10 +1534,10 @@ object PipelineQueries {
       val samples = bytes.map(_ * 257 - 32768)
       Seq(
         (id, Multimodal.AudioSamples.synthPcmWav(16000, 1, samples)),
-        (id + 800000, Multimodal.AudioSamples.synthPcmWav(8000, 2, samples, junk = true)),
-        (id + 820000, Multimodal.AudioSamples.synthPcm8Wav(16000, 1, bytes, junk = true)),
-        (id + 840000, Multimodal.AudioSamples.synthFloatWav(12000, 2, samples)),
-        (id + 860000, Multimodal.AudioSamples.synthPcm24Wav(20000, 2, samples, junk = true)))
+        (id + 1000000, Multimodal.AudioSamples.synthPcmWav(8000, 2, samples, junk = true)),
+        (id + 2000000, Multimodal.AudioSamples.synthPcm8Wav(16000, 1, bytes, junk = true)),
+        (id + 3000000, Multimodal.AudioSamples.synthFloatWav(12000, 2, samples)),
+        (id + 4000000, Multimodal.AudioSamples.synthPcm24Wav(20000, 2, samples, junk = true)))
     }.toDF("media_id", "content").persist()
     Multimodal.imageNearDupKeep(media, "media_id", "content", maxHamming = 3)
       .orderBy("media_id")
@@ -1643,7 +1646,9 @@ object PipelineQueries {
     * interleave, subsampling geometry, entropy coding), but MCU
     * de-interleave → per-component dequant/IDCT → chroma replication
     * upsample → exact integer YCbCr→RGB→luma sees identical pixels,
-    * so every (base, +930000, +960000) triple pairs at Hamming 0. The
+    * so every (base, +1000000, +2000000) triple pairs at Hamming 0
+    * (10⁶-spaced offsets: twins of different docs cannot collide
+    * unless a slice spans a million ids). The
     * chroma is constant per 16×16 region, which both subsamplings
     * replicate identically — that is what makes the 4:2:0 and 4:2:2
     * twins pixel-equal BY CONSTRUCTION, not approximately. The oracle
@@ -1680,10 +1685,10 @@ object PipelineQueries {
       Seq(
         (id, synthBaselineJpeg(54, 32, grayBlocks, q8, DcAnnexK, AcSmallA,
           restartInterval = 0, comment = "gray".getBytes("US-ASCII"))),
-        (id + 930000, synthBaselineJpegColor(54, 32, 2, 2, yBlocks, cb420, cr420,
+        (id + 1000000, synthBaselineJpegColor(54, 32, 2, 2, yBlocks, cb420, cr420,
           q8, q8, DcAnnexK, AcSmallA, DcFlat, AcSmallB,
           restartInterval = 0, comment = "c420".getBytes("US-ASCII"))),
-        (id + 960000, synthBaselineJpegColor(54, 32, 2, 1, yBlocks, cb422, cr422,
+        (id + 2000000, synthBaselineJpegColor(54, 32, 2, 1, yBlocks, cb422, cr422,
           q8, q8, DcFlat, AcSmallB, DcAnnexK, AcSmallA,
           restartInterval = 3, comment = "c422-layout".getBytes("US-ASCII"))))
     }.toDF("media_id", "content").persist()
@@ -1792,7 +1797,7 @@ object PipelineQueries {
     * type, scan structure, and entropy layer; segment walk →
     * multi-scan coefficient accumulation → dequant/IDCT → chroma
     * upsample → exact integer color transform sees identical pixels,
-    * so every (base, +940000, +980000) triple pairs at Hamming 0. The
+    * so every (base, +1000000, +2000000) triple pairs at Hamming 0. The
     * oracle replays the same codepoint luma/chroma rules and color
     * arithmetic as [[dedupJpegColor]] (different corpus slice) —
     * general progressive AC coefficient coding is pinned by the
@@ -1830,10 +1835,10 @@ object PipelineQueries {
       Seq(
         (id, synthBaselineJpeg(54, 32, grayBlocks, q8, DcAnnexK, AcSmallA,
           restartInterval = 0, comment = "seq".getBytes("US-ASCII"))),
-        (id + 940000, synthProgressiveJpeg(54, 32, 1, 1, grayBlocks, Nil, Nil,
+        (id + 1000000, synthProgressiveJpeg(54, 32, 1, 1, grayBlocks, Nil, Nil,
           q8, q8, DcFlat, AcProgA, DcAnnexK, AcProgB, grayScript,
           comment = "prog-gray".getBytes("US-ASCII"))),
-        (id + 980000, synthProgressiveJpeg(54, 32, 2, 2, yBlocks, cb420, cr420,
+        (id + 2000000, synthProgressiveJpeg(54, 32, 2, 2, yBlocks, cb420, cr420,
           q8, q8, DcAnnexK, AcProgB, DcFlat, AcProgA, colorScript,
           comment = "prog-420".getBytes("US-ASCII"))))
     }.toDF("media_id", "content").persist()
@@ -1871,8 +1876,10 @@ object PipelineQueries {
         Sampling.zorderBits(x, y, 16).as("z"))
       .withColumn("file_id", shiftright(col("z"), 28).cast("int"))
       .select("file_id", "x", "y")
-    val dir = "/tmp/graft-zorder-" +
-      java.util.UUID.randomUUID().toString.take(8)
+    // session-scoped path + Overwrite: repeated runs (bench min-of-2,
+    // verify, specs) reuse ONE dataset per Spark app instead of leaking
+    // a fresh UUID dir into /tmp on every invocation
+    val dir = "/tmp/graft-zorder-" + spark.sparkContext.applicationId
     laid.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("file_id").parquet(dir)
     val table = spark.read.parquet(dir)
@@ -3802,8 +3809,8 @@ object PipelineQueries {
     // cancel in the s_i·L_j comparison), float32 AND 24-bit = the PCM16
     // samples bit-exactly (s/32768f round-trips through a 24-bit
     // mantissa; s·256 >> 8 is the identity). The least(…,255) clamp
-    // mirrors the fixtures' byte clamp. Every (base, +800000, +820000,
-    // +840000, +860000) quintuple pairs at Hamming 0; the hash-match
+    // mirrors the fixtures' byte clamp. Every (base, +1000000, +2000000,
+    // +3000000, +4000000) quintuple pairs at Hamming 0; the hash-match
     // certifies fmt parse across both format tags and all four sample
     // widths, LIST skip, sign-extension, float scaling, mixdown, and
     // binning.
@@ -3812,10 +3819,10 @@ object PipelineQueries {
         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
         |corpus AS (
         |  SELECT doc_id AS media_id, text FROM base
-        |  UNION ALL SELECT doc_id + 800000, text FROM base
-        |  UNION ALL SELECT doc_id + 820000, text FROM base
-        |  UNION ALL SELECT doc_id + 840000, text FROM base
-        |  UNION ALL SELECT doc_id + 860000, text FROM base),
+        |  UNION ALL SELECT doc_id + 1000000, text FROM base
+        |  UNION ALL SELECT doc_id + 2000000, text FROM base
+        |  UNION ALL SELECT doc_id + 3000000, text FROM base
+        |  UNION ALL SELECT doc_id + 4000000, text FROM base),
         |codes AS (
         |  SELECT media_id,
         |    list_transform(range(1, length(text) + 1),
@@ -4008,11 +4015,11 @@ object PipelineQueries {
     // spell is exact floor for the possibly-negative chroma terms),
     // per-channel clamps, and the BT.601 floor. Chroma is constant per
     // 16×16 region, so the 4:2:0 and 4:2:2 twins replicate to identical
-    // pixels by construction; the triple (base, +930000, +960000) pairs
+    // pixels by construction; the triple (base, +1000000, +2000000) pairs
     // at Hamming 0, certifying multi-component SOF/SOS parse, MCU
     // de-interleave, per-component predictors and tables, chroma
     // upsample, and the color transform end to end.
-    "p_dedup_jpeg_color" -> jpegColorLumaOracle(slice = 2, off1 = 930000, off2 = 960000),
+    "p_dedup_jpeg_color" -> jpegColorLumaOracle(slice = 2, off1 = 1000000, off2 = 2000000),
 
     // progressive replay: the PIXEL rule is identical to the color
     // oracle (the progressive twins carry the same composed-luma /
@@ -4021,7 +4028,7 @@ object PipelineQueries {
     // hash-match therefore certifies that multi-scan successive-
     // approximation decoding reaches the same pixels as the sequential
     // path on a different corpus slice and offsets.
-    "p_dedup_jpeg_progressive" -> jpegColorLumaOracle(slice = 1, off1 = 940000, off2 = 980000),
+    "p_dedup_jpeg_progressive" -> jpegColorLumaOracle(slice = 1, off1 = 1000000, off2 = 2000000),
 
     // frame-path replay: the oracle recomputes the 2D dHash bits from
     // the codepoint FRAME rule the DIB pixels were built from — exact

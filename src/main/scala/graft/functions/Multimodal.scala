@@ -554,17 +554,22 @@ object Multimodal {
     private def le32(b: Array[Byte], i: Int): Int =
       (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
 
-    /** Decode a PCM WAV to mono 16-bit-range samples (per-frame channel
-      * mean, floor division). Sample formats: integer PCM at 16 bits
-      * (sign-extended little-endian) and 8 bits (unsigned, mapped to
-      * full scale as `(u − 128)·257` — a positive affine map, so the
+    /** Decode a PCM WAV to mono ~16-bit-range samples (per-frame
+      * channel mean, floor division). Sample formats: integer PCM at
+      * 16 bits (sign-extended little-endian), 8 bits (unsigned, mapped
+      * to full scale as `(u − 128)·257` — a positive affine map, so the
       * affine-invariant dHash pairs an 8-bit re-encode with its 16-bit
-      * original exactly), and IEEE float32 (WAVE_FORMAT_IEEE_FLOAT,
-      * scaled by `round(f·32768)` and clamped — a PCM16 sample stored
-      * as `s/32768f` round-trips bit-exactly: the numerator is ≤ 2¹⁵ so
-      * it is exact in a 24-bit mantissa and the power-of-two division
-      * and re-multiplication are lossless). None when the bytes are
-      * outside the supported scope — never a wrong answer. */
+      * original exactly; note this map's range is [−32896, 32639],
+      * one 257-step WIDER than int16 on the negative side — callers
+      * re-encoding decoded samples as 16-bit must clamp), 24 bits
+      * (s24le, arithmetic-shift floor by 256 — a sample stored as
+      * `s·256` recovers exactly), and IEEE float32
+      * (WAVE_FORMAT_IEEE_FLOAT, scaled by `round(f·32768)` and
+      * clamped — a PCM16 sample stored as `s/32768f` round-trips
+      * bit-exactly: the numerator is ≤ 2¹⁵ so it is exact in a 24-bit
+      * mantissa and the power-of-two division and re-multiplication
+      * are lossless). None when the bytes are outside the supported
+      * scope — never a wrong answer. */
     def decodePcm(b: Array[Byte]): Option[Array[Int]] = {
       if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
           !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
@@ -1146,9 +1151,10 @@ object Multimodal {
       Array(0, 0, 3, 2, 5, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
       Array(0x00, 0x01, 0x11, 0x02, 0x21, 0x31, 0x12, 0xF0, 0x22, 0x03))
     /** AC tables for PROGRESSIVE scans: the EOBn run-length symbols
-      * (r<<4, r = 0..14), ZRL, every (run<<4)|1 newly-significant
-      * symbol, and small-size symbols — all at 6 bits (38 codes ≤ 63,
-      * all-ones unused per T.81 C.2). `AcProgB` carries the same
+      * (r<<4, r = 0..14), ZRL, and every (run<<4)|size symbol for
+      * sizes 1–3 — 64 symbols as 52 six-bit + 12 seven-bit canonical
+      * codes (Kraft 52/64 + 12/128 < 1; the all-ones code at each
+      * length stays unused per T.81 C.2). `AcProgB` carries the same
       * symbols in a different canonical order: same decoded values,
       * different codes — the progressive layout axis. */
     private val progAcSymbols: Array[Int] =
@@ -2782,14 +2788,16 @@ object PayloadDHashExpr {
 
   /** Boxed so an unparseable container can signal null; called from
     * codegen. Decoded-content paths run first — PNG with real pixel data
-    * (IDAT): decode, de-filter, luma, 2D dHash; valid 16-bit PCM WAV:
-    * chunk walk, sample decode, mono mixdown, 1-D dHash over SAMPLES;
-    * uncompressed-DIB AVI: frame decode, temporal-sum luma, 2D dHash;
-    * baseline grayscale JPEG: Huffman entropy decode, dequant, IDCT,
-    * 2D dHash. Payload-as-luma remains the declared boundary for
-    * everything else (pixel-less synthesized PNGs carrying their
-    * buffer in tEXt, header-only JPEG COM, non-PCM16 WAV data, non-DIB
-    * AVI movi payloads). */
+    * (IDAT): decode, de-filter, luma, 2D dHash; valid PCM WAV (16-, 8-,
+    * or 24-bit integer, or IEEE-float32): chunk walk, sample decode,
+    * mono mixdown, 1-D dHash over SAMPLES; uncompressed-DIB AVI: frame
+    * decode, temporal-sum luma, 2D dHash; baseline (SOF0) or
+    * progressive (SOF2) JPEG, grayscale or YCbCr: entropy decode across
+    * all scans, dequant, IDCT, chroma upsample + color luma, 2D dHash.
+    * Payload-as-luma remains the declared boundary for everything else
+    * (pixel-less synthesized PNGs carrying their buffer in tEXt,
+    * header-only JPEG COM, exotic-width WAV data, non-DIB AVI movi
+    * payloads). */
   def hash(content: Array[Byte]): java.lang.Long = {
     Multimodal.ImagePixels.decodePngLuma(content) match {
       case Some((w, h, lum)) => return java.lang.Long.valueOf(hashPixels(w, h, lum))
@@ -2806,9 +2814,10 @@ object PayloadDHashExpr {
       case Some((w, h, sums, _)) => return java.lang.Long.valueOf(hashPixels(w, h, sums))
       case None =>
     }
-    // baseline grayscale JPEG: segment walk, Huffman entropy decode,
-    // dequant, IDCT, crop — legacy header-only JPEGs (no SOS) return
-    // None here and keep their COM-payload hash
+    // baseline or progressive JPEG (gray or YCbCr): segment walk,
+    // entropy decode, dequant, IDCT, upsample/color — legacy
+    // header-only JPEGs (no SOS) return None here and keep their
+    // COM-payload hash
     Multimodal.JpegGray.decodeJpegLuma(content) match {
       case Some((w, h, lum)) => return java.lang.Long.valueOf(hashPixels(w, h, lum))
       case None =>

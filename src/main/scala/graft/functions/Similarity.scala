@@ -604,12 +604,15 @@ object Similarity {
     // index serves every predicate — the filter applies to cell MEMBERS
     // after probing (post-filter), so the index never rebuilds per
     // predicate and the scan still touches only nProbe cells. The
-    // filter may reference ANY corpus column: kmeansFit projects to
-    // (id, vector), so the remaining corpus columns are joined back in
-    // by id — only when a filter is present, and dropped again before
-    // probing (the filter never widens the scored relation). At scale
-    // this is a co-partitioned by-key self-join whose predicate side
-    // Catalyst prunes to exactly the filtered columns.
+    // filter may reference any corpus column EXCEPT the vector column
+    // itself (the scored vector rides as the internal normalized __v;
+    // metadata predicates on the raw vector are not a supported shape):
+    // kmeansFit projects to (id, vector), so the remaining corpus
+    // columns are joined back in by id — only when a filter is present,
+    // and dropped again before probing (the filter never widens the
+    // scored relation). At scale this is a co-partitioned by-key
+    // self-join whose predicate side Catalyst prunes to exactly the
+    // filtered columns.
     val cells0 = v.select(col(idCol), col("__v"),
       kmeansAssignCol(cids, matrix).cast("int").as("__cell"))
     val cells = memberFilter.fold(cells0) { f =>

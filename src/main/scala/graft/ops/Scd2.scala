@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * Contract: the target carries `keyCols ++ compareCols` plus the three
   * bookkeeping columns ([[ValidFrom]], [[ValidTo]], [[IsCurrent]]); the
   * source carries `keyCols ++ compareCols` with at most one row per key
-  * (duplicate source keys raise in-plan, the
-  * [[Merge.surfacingConflicts]] discipline). One batch application:
+  * and NON-NULL keys (duplicate or NULL source keys raise in-plan, the
+  * [[Merge.surfacingConflicts]] discipline — a NULL key would slip
+  * through every null-unsafe branch join and silently insert duplicate
+  * current rows). One batch application:
   *
   *   - key absent from the current state        → insert (from, null, true)
   *   - key present, any compareCol differs
@@ -72,11 +74,23 @@ object Scd2 {
 
     // in-plan duplicate-source-key guard, riding the first key column of
     // the insert branch (the Merge raise_error discipline: survives
-    // column pruning because the union needs that column)
-    val dupKeys = source.groupBy(keyCols.map(col): _*)
+    // column pruning because the union needs that column). NULL source
+    // keys are dirty input, not a key value: they would slip through
+    // every null-unsafe guard/branch join below (silently inserting
+    // duplicate "current" rows), so they raise in-plan first.
+    val nullKeyMsg =
+      s"merge(if_conflicts=scd2, keys=${keyCols.mkString(",")}): NULL source key"
+    val srcChecked = source.select(attrs.zipWithIndex.map { case (c, i) =>
+      if (i == 0)
+        when(keyCols.map(col(_).isNull).reduce(_ || _),
+          raise_error(lit(nullKeyMsg)).cast(source.schema(source.schema.fieldIndex(c)).dataType))
+          .otherwise(col(c)).as(c)
+      else col(c).as(c)
+    }: _*)
+    val dupKeys = srcChecked.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
       .select(keyCols.map(col): _*)
-    val srcP = source.select(attrs.map(col): _*)
+    val srcP = srcChecked
       .join(dupKeys.withColumn("__dup", lit(true)), keyCols, "left")
 
     // keys whose incoming attributes differ (null-safely) from the

@@ -95,6 +95,22 @@ class Scd2Spec extends GraftSuite {
     }
   }
 
+  test("NULL source keys raise in-plan instead of inserting null-key current rows") {
+    // a NULL key slips through every null-unsafe branch join (never
+    // matching cur, never matching dupKeys) — without the guard, two
+    // such rows would silently become two is_current rows
+    val src = Seq(("X", Option.empty[String]), ("Y", Option.empty[String]))
+      .toDF("seg", "city")
+      .select(org.apache.spark.sql.functions.lit(null).cast("bigint").as("id"),
+        col("seg"), col("city"))
+    intercept[MergeConflictException] {
+      Merge.surfacingConflicts {
+        Scd2.scd2Plan(target, src, Seq("id"), Seq("seg", "city"),
+          lit("2021-06-01")).collect()
+      }
+    }
+  }
+
   test("a NULL is_current row is kept verbatim as history, never dropped") {
     val dirty = Seq((5L, "Z", Option("bonn"), "2018-01-01",
         Option.empty[String], Option.empty[Boolean]))

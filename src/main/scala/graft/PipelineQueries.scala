@@ -1867,6 +1867,35 @@ object PipelineQueries {
     * rows, driver-resident like any table manifest), candidate
     * derivation is a stats scan — never a data scan — and the data
     * pass touches only matching files. */
+  /** App-scoped z-order staging dir under java.io.tmpdir, registered for
+    * recursive deletion when the JVM exits. One hook serves every app id
+    * seen in the process (specs open several sessions per JVM). */
+  private val zorderStageDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private val zorderCleanupHooked = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def zorderStageDir(spark: SparkSession): String = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-zorder-" + spark.sparkContext.applicationId)
+    zorderStageDirs.add(dir)
+    if (zorderCleanupHooked.compareAndSet(false, true)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        zorderStageDirs.forEach { p =>
+          try {
+            import java.nio.file.{Files, Path}
+            if (Files.exists(p)) {
+              val walk = Files.walk(p)
+              try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+                .forEach(f => Files.deleteIfExists(f))
+              finally walk.close()
+            }
+          } catch { case _: java.io.IOException => } // best-effort cleanup
+        }
+      }, "graft-zorder-cleanup"))
+    }
+    dir.toString
+  }
+
   def zorderPrune(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.read(spark, sfDir, "events")
@@ -1878,8 +1907,11 @@ object PipelineQueries {
       .select("file_id", "x", "y")
     // session-scoped path + Overwrite: repeated runs (bench min-of-2,
     // verify, specs) reuse ONE dataset per Spark app instead of leaking
-    // a fresh UUID dir into /tmp on every invocation
-    val dir = "/tmp/graft-zorder-" + spark.sparkContext.applicationId
+    // a fresh UUID dir into /tmp on every invocation; the dir itself is
+    // registered for recursive deletion at JVM exit so distinct
+    // applications (bench, verify, spec runs) don't each leave a
+    // ~16-file parquet tree behind
+    val dir = zorderStageDir(spark)
     laid.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("file_id").parquet(dir)
     val table = spark.read.parquet(dir)

@@ -658,6 +658,11 @@ object Multimodal {
     def synthPcmWav(
         rate: Int, channels: Int, samples: Array[Int], junk: Boolean = false): Array[Byte] = {
       require(rate > 0 && channels >= 1, "rate and channels must be positive")
+      // `s & 0xffff` below would silently WRAP out-of-range ints (e.g. the
+      // -32896 floor of decodePcm's 8-bit map would re-encode as +32640) —
+      // fail fast instead so a decode→re-encode chain can never wrap peaks
+      require(samples.forall(s => s >= Short.MinValue && s <= Short.MaxValue),
+        "PCM16 samples must be in [-32768, 32767] — clamp before re-encoding")
       val out = new java.io.ByteArrayOutputStream()
       def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
       def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
@@ -716,6 +721,10 @@ object Multimodal {
     def synthPcm24Wav(
         rate: Int, channels: Int, samples: Array[Int], junk: Boolean = false): Array[Byte] = {
       require(rate > 0 && channels >= 1, "rate and channels must be positive")
+      // `s << 8` truncated to 3 bytes wraps outside int16 range — same
+      // fail-fast contract as synthPcmWav
+      require(samples.forall(s => s >= Short.MinValue && s <= Short.MaxValue),
+        "PCM24 samples must be in [-32768, 32767] — clamp before re-encoding")
       val out = new java.io.ByteArrayOutputStream()
       def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
       def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
@@ -1403,11 +1412,14 @@ object Multimodal {
       var i = 2
       var sof = -1
       while (sof < 0) {
-        if (i + 4 > b.length || (b(i) & 0xff) != 0xff) return None
+        if (i + 2 > b.length || (b(i) & 0xff) != 0xff) return None
         val m = b(i + 1) & 0xff
-        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) sof = m
+        if (m == 0xff) i += 1 // 0xFF fill byte before a marker (T.81 B.1.1.2)
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // TEM/RSTn: standalone
+        else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) sof = m
         else if (m == 0xda || m == 0xd9) return None // scan/EOI before any SOF
         else {
+          if (i + 4 > b.length) return None
           val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
           if (len < 2 || i + 2 + len > b.length) return None
           i += 2 + len
@@ -1437,84 +1449,97 @@ object Multimodal {
       while (sos < 0) {
         if (i + 4 > b.length || (b(i) & 0xff) != 0xff) return None
         val m = b(i + 1) & 0xff
-        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
-        if (len < 2 || i + 2 + len > b.length) return None
-        val body = i + 4
-        m match {
-          case 0xc0 => // SOF0 baseline — the supported frame type
-            if (len < 11 || (b(body) & 0xff) != 8) return None
-            h = ((b(body + 1) & 0xff) << 8) | (b(body + 2) & 0xff)
-            w = ((b(body + 3) & 0xff) << 8) | (b(body + 4) & 0xff)
-            val ncomp = b(body + 5) & 0xff
-            if (ncomp != 1 && ncomp != 3) return None
-            if (len < 8 + 3 * ncomp) return None
-            compIds = new Array[Int](ncomp)
-            compH = new Array[Int](ncomp); compV = new Array[Int](ncomp)
-            compTq = new Array[Int](ncomp)
-            var c = 0
-            while (c < ncomp) {
-              compIds(c) = b(body + 6 + 3 * c) & 0xff
-              val hv = b(body + 7 + 3 * c) & 0xff
-              compH(c) = hv >>> 4; compV(c) = hv & 0x0f
-              compTq(c) = b(body + 8 + 3 * c) & 0xff
-              if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2 ||
-                  compTq(c) > 3) return None
-              c += 1
-            }
-            // grayscale must be 1×1; color chroma must be 1×1 (the
-            // standard subsamplings — luma carries the 2× factors)
-            if (ncomp == 1 && (compH(0) != 1 || compV(0) != 1)) return None
-            if (ncomp == 3 && (compH(1) != 1 || compV(1) != 1 ||
-                compH(2) != 1 || compV(2) != 1)) return None
-          case mm if (mm >= 0xc1 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8) =>
-            return None // progressive/extended/arithmetic — out of scope
-          case 0xdb => // DQT (possibly several tables per segment)
-            var p = body
-            while (p < i + 2 + len) {
-              if ((b(p) & 0xff) >>> 4 != 0) return None // 16-bit tables out of scope
-              val tq = b(p) & 0x0f
-              if (tq > 3 || p + 65 > i + 2 + len) return None
-              qTabs(tq) = Array.tabulate(64)(j => b(p + 1 + j) & 0xff)
-              p += 65
-            }
-          case 0xc4 => // DHT (possibly several tables per segment)
-            var p = body
-            while (p < i + 2 + len) {
-              val tc = (b(p) & 0xff) >>> 4; val th = b(p) & 0x0f
-              if (th > 3 || p + 17 > i + 2 + len) return None
-              val counts = Array.tabulate(16)(j => b(p + 1 + j) & 0xff)
-              val n = counts.sum
-              if (p + 17 + n > i + 2 + len) return None
-              val syms = Array.tabulate(n)(j => b(p + 17 + j) & 0xff)
-              val spec = HuffSpec(counts, syms)
-              if (tc == 0) dcTabs(th) = spec
-              else if (tc == 1) acTabs(th) = spec
-              else return None
-              p += 17 + n
-            }
-          case 0xdd => // DRI
-            if (len != 4) return None
-            dri = ((b(body) & 0xff) << 8) | (b(body + 1) & 0xff)
-          case 0xda => // SOS: component count must match the frame
-            if (compIds == null) return None
-            val ns = b(body) & 0xff
-            if (ns != compIds.length || len < 6 + 2 * ns) return None
-            compTd = new Array[Int](compIds.length)
-            compTa = new Array[Int](compIds.length)
-            var s = 0
-            while (s < ns) {
-              val cid = b(body + 1 + 2 * s) & 0xff
-              val ci = compIds.indexOf(cid)
-              if (ci < 0) return None
-              val tt = b(body + 2 + 2 * s) & 0xff
-              compTd(ci) = tt >>> 4; compTa(ci) = tt & 0x0f
-              if (compTd(ci) > 3 || compTa(ci) > 3) return None
-              s += 1
-            }
-            sos = i + 2 + len
-          case _ => // APPn / COM / others: skip
+        // fill bytes and standalone markers (TEM/RSTn) carry no length:
+        // consume and re-read rather than misparsing payload as a length
+        if (m == 0xff) { i += 1 }
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
+        else {
+          val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+          if (len < 2 || i + 2 + len > b.length) return None
+          val body = i + 4
+          m match {
+            case 0xc0 => // SOF0 baseline — the supported frame type
+              if (len < 11 || (b(body) & 0xff) != 8) return None
+              h = ((b(body + 1) & 0xff) << 8) | (b(body + 2) & 0xff)
+              w = ((b(body + 3) & 0xff) << 8) | (b(body + 4) & 0xff)
+              val ncomp = b(body + 5) & 0xff
+              if (ncomp != 1 && ncomp != 3) return None
+              if (len < 8 + 3 * ncomp) return None
+              compIds = new Array[Int](ncomp)
+              compH = new Array[Int](ncomp); compV = new Array[Int](ncomp)
+              compTq = new Array[Int](ncomp)
+              var c = 0
+              while (c < ncomp) {
+                compIds(c) = b(body + 6 + 3 * c) & 0xff
+                val hv = b(body + 7 + 3 * c) & 0xff
+                compH(c) = hv >>> 4; compV(c) = hv & 0x0f
+                compTq(c) = b(body + 8 + 3 * c) & 0xff
+                if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2 ||
+                    compTq(c) > 3) return None
+                c += 1
+              }
+              // grayscale must be 1×1; color chroma must be 1×1 (the
+              // standard subsamplings — luma carries the 2× factors)
+              if (ncomp == 1 && (compH(0) != 1 || compV(0) != 1)) return None
+              if (ncomp == 3 && (compH(1) != 1 || compV(1) != 1 ||
+                  compH(2) != 1 || compV(2) != 1)) return None
+            case mm if (mm >= 0xc1 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8) =>
+              return None // progressive/extended/arithmetic — out of scope
+            case 0xdb => // DQT (possibly several tables per segment)
+              var p = body
+              while (p < i + 2 + len) {
+                if ((b(p) & 0xff) >>> 4 != 0) return None // 16-bit tables out of scope
+                val tq = b(p) & 0x0f
+                if (tq > 3 || p + 65 > i + 2 + len) return None
+                qTabs(tq) = Array.tabulate(64)(j => b(p + 1 + j) & 0xff)
+                p += 65
+              }
+            case 0xc4 => // DHT (possibly several tables per segment)
+              var p = body
+              while (p < i + 2 + len) {
+                val tc = (b(p) & 0xff) >>> 4; val th = b(p) & 0x0f
+                if (th > 3 || p + 17 > i + 2 + len) return None
+                val counts = Array.tabulate(16)(j => b(p + 1 + j) & 0xff)
+                val n = counts.sum
+                if (p + 17 + n > i + 2 + len) return None
+                val syms = Array.tabulate(n)(j => b(p + 17 + j) & 0xff)
+                val spec = HuffSpec(counts, syms)
+                if (tc == 0) dcTabs(th) = spec
+                else if (tc == 1) acTabs(th) = spec
+                else return None
+                p += 17 + n
+              }
+            case 0xdd => // DRI
+              if (len != 4) return None
+              dri = ((b(body) & 0xff) << 8) | (b(body + 1) & 0xff)
+            case 0xda => // SOS: component count must match the frame
+              if (compIds == null) return None
+              val ns = b(body) & 0xff
+              if (ns != compIds.length || len < 6 + 2 * ns) return None
+              compTd = new Array[Int](compIds.length)
+              compTa = new Array[Int](compIds.length)
+              var s = 0
+              while (s < ns) {
+                val cid = b(body + 1 + 2 * s) & 0xff
+                val ci = compIds.indexOf(cid)
+                if (ci < 0) return None
+                val tt = b(body + 2 + 2 * s) & 0xff
+                compTd(ci) = tt >>> 4; compTa(ci) = tt & 0x0f
+                if (compTd(ci) > 3 || compTa(ci) > 3) return None
+                s += 1
+              }
+              // a baseline scan carries the full spectral band with no
+              // successive approximation: Ss=0, Se=63, Ah=0, Al=0 (T.81
+              // B.2.3) — anything else is spec-invalid for SOF0, and
+              // decoding it anyway would yield wrong luma, not None
+              if ((b(body + 1 + 2 * ns) & 0xff) != 0 ||
+                  (b(body + 2 + 2 * ns) & 0xff) != 63 ||
+                  (b(body + 3 + 2 * ns) & 0xff) != 0) return None
+              sos = i + 2 + len
+            case _ => // APPn / COM / others: skip
+          }
+          i += 2 + len
         }
-        i += 2 + len
       }
       if (w <= 0 || h <= 0 || compIds == null || compTd == null) return None
       val ncomp = compIds.length
@@ -2262,6 +2287,7 @@ object Multimodal {
         if (i + 2 > b.length || (b(i) & 0xff) != 0xff) return None
         val m = b(i + 1) & 0xff
         if (m == 0xd9) { sawEoi = true }
+        else if (m == 0xff) { i += 1 } // 0xFF fill byte before a marker
         else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
         else {
           if (i + 4 > b.length) return None

@@ -597,6 +597,19 @@ object Similarity {
       blockSize: Int = 1024,
       memberFilter: Option[Column] = None): DataFrame = {
     require(topK > 0 && nProbe > 0, "topK and nProbe must be positive")
+    // the internal scored relation rides the reserved names __v/__cell; a
+    // corpus column with either name would collide in the filtered path's
+    // join-back (duplicate-name AnalysisException downstream) — fail fast
+    // before the fit with a clear message instead. idCol must also be
+    // UNIQUE per corpus row: the join-back is by id, so a duplicated id
+    // would fan out scored members (documented contract, same as every
+    // index build here).
+    if (memberFilter.isDefined) {
+      val reserved = corpus.columns.filter(c => c == "__v" || c == "__cell")
+      require(reserved.isEmpty,
+        s"corpus columns ${reserved.mkString(", ")} collide with internal " +
+          "names reserved by the filtered IVF path — rename them")
+    }
     val spark = corpus.sparkSession
     import spark.implicits._
     val (v, cids, matrix) = kmeansFit(corpus, idCol, vecCol, nCentroids, rounds, blockSize)

@@ -864,6 +864,19 @@ class PipelineSpec extends GraftSuite {
     assert(unfiltered.columns.toSeq == Seq("qid", "vec_id", "cosine", "rank"))
   }
 
+  test("ivfTopKDet filtered path fails fast on reserved internal column names") {
+    val corpus = (0 until 8).map { i =>
+      (i.toLong, Seq.tabulate(4)(d => if (d == i % 4) 1.0f else 0.0f), i)
+    }.toDF("vec_id", "embedding", "__cell")
+    val q = Seq((0L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("qid", "qv")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKDet(corpus, "vec_id", "embedding", q, "qid", "qv",
+        topK = 3, nCentroids = 2, rounds = 1, nProbe = 2,
+        memberFilter = Some(col("__cell") > 0))
+    }
+    assert(ex.getMessage.contains("__cell"))
+  }
+
   test("buildIvfIndex/searchIvf: one index serves many query batches, equal to the one-shot form") {
     import graft.functions.Similarity
     val sfDir = "/root/testdata/sf0.001"
@@ -1634,6 +1647,58 @@ class PipelineSpec extends GraftSuite {
     assert(JpegGray.decodeJpegLuma(legacy).isEmpty)
     assert(PayloadDHashExpr.hash(legacy) ==
       PayloadDHashExpr.hashSeq("abcdef".codePoints().toArray))
+  }
+
+  test("JPEG marker hygiene: TEM/fill bytes skipped; non-baseline SOS progression rejected") {
+    import graft.functions.Multimodal.JpegGray
+    import JpegGray._
+    val q8 = Array.fill(64)(8)
+    val vals = Array(10, 250, 60, 140, 33, 99, 180, 5)
+    val blocks = vals.map { v => val zz = new Array[Int](64); zz(0) = v - 128; zz }.toSeq
+    val base = synthBaselineJpeg(27, 16, blocks, q8,
+      DcAnnexK, AcSmallA, 0, "p".getBytes("US-ASCII"))
+    val expected = decodeJpegLuma(base).get._3
+    // TEM (FF 01) and a bare 0xFF fill byte after SOI are legal standalone
+    // noise — a correct segment walk skips them instead of misparsing the
+    // following bytes as a segment length (which rejected valid files)
+    val withTem = base.take(2) ++ Array[Byte](0xff.toByte, 0x01) ++ base.drop(2)
+    val withFill = base.take(2) ++ Array[Byte](0xff.toByte) ++ base.drop(2)
+    assert(decodeJpegLuma(withTem).get._3.sameElements(expected))
+    assert(decodeJpegLuma(withFill).get._3.sameElements(expected))
+    // locate SOS: a baseline scan must carry Ss=0, Se=63, Ah=Al=0 — a
+    // spec-invalid progression byte must decode to None, never wrong luma
+    val sosAt = {
+      var i = 2; var at = -1
+      while (at < 0) {
+        val m = base(i + 1) & 0xff
+        val len = ((base(i + 2) & 0xff) << 8) | (base(i + 3) & 0xff)
+        if (m == 0xda) at = i else i += 2 + len
+      }
+      at
+    }
+    val ns = base(sosAt + 4) & 0xff
+    def patchSos(off: Int, v: Int): Array[Byte] = {
+      val b = base.clone(); b(sosAt + 4 + off) = v.toByte; b
+    }
+    assert(decodeJpegLuma(patchSos(1 + 2 * ns, 1)).isEmpty)  // Ss = 1
+    assert(decodeJpegLuma(patchSos(2 + 2 * ns, 62)).isEmpty) // Se = 62
+    assert(decodeJpegLuma(patchSos(3 + 2 * ns, 0x01)).isEmpty) // Al = 1
+    assert(decodeJpegLuma(patchSos(3 + 2 * ns, 0x10)).isEmpty) // Ah = 1
+  }
+
+  test("PCM synth fails fast on samples outside int16 instead of wrapping") {
+    import graft.functions.Multimodal.AudioSamples
+    // the -32896 floor of decodePcm's 8-bit map is one 257-step below
+    // int16 — re-encoding it must throw, not wrap to +32640
+    val out = AudioSamples.decodePcm(
+      AudioSamples.synthPcm8Wav(8000, 1, Array(0, 128, 255))).get
+    assert(out.min == -32896)
+    intercept[IllegalArgumentException] {
+      AudioSamples.synthPcmWav(8000, 1, out)
+    }
+    intercept[IllegalArgumentException] {
+      AudioSamples.synthPcm24Wav(8000, 1, Array(32768))
+    }
   }
 
   test("color JPEG: MCU interleave, 4:2:0/4:2:2/4:4:4 subsampling, exact color luma") {

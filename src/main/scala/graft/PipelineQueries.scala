@@ -1413,6 +1413,62 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** Per-source distinct-bigram cardinality via HyperLogLog
+    * ([[Sketch.hll]], p = 8 → 256 byte registers/group, ~6.5% rsd):
+    * the fixed-size sibling of the KMV path — where `p_sketch_vocab`
+    * carries k = 64 longs per group, HLL carries 256 BYTES at half the
+    * error, merge is elementwise max (order-free, idempotent — shard
+    * unions never lose precision), and the estimator is portable by
+    * construction: the harmonic term is an exact order-free integer
+    * (Σ 2^(53−M_j)), the raw estimate is one double division of two
+    * exact values, and the small-range correction m·ln(m/V) is a
+    * literal table lookup — DuckDB replays the registers from the same
+    * md5 prefixes and the estimate arithmetic bit-for-bit. */
+  def sketchHll(spark: SparkSession, sfDir: String): DataFrame =
+    sketchHllAgg(bigramItems(spark, sfDir)).orderBy("source")
+
+  /** (source, gm) items → the per-source HLL report. Shared with the
+    * streaming variant ([[StreamingQueries]]) so batch and stream are
+    * the same aggregation by definition. */
+  private[graft] def sketchHllAgg(items: DataFrame): DataFrame = {
+    val p = 8
+    items
+      .select(col("source"), Sketch.kmvHash(col("gm")).as("h"))
+      .groupBy("source").agg(Sketch.hll(col("h"), p).as("r"))
+      .select(col("source"),
+        (lit(1 << p) - Sketch.hllZeroRegs(col("r"))).cast("bigint")
+          .as("n_regs_set"),
+        Sketch.hllSumInvScaled(col("r"), p).as("sum_inv_scaled"),
+        Sketch.hllEstimate(col("r"), p).as("est_distinct"))
+  }
+
+  /** Point-frequency estimates from a Count-Min sketch
+    * ([[Sketch.cmsTable]], d = 4 × w = 512): the bounded-state answer to
+    * "how often does this key occur" — the frequency sibling of the
+    * KMV/HLL cardinality sketches. The counter table is ≤ d·w rows no
+    * matter the corpus (one groupBy COUNT, map-side combined; shard
+    * merge is elementwise add), lookups broadcast the query keys against
+    * it, and est ≥ true is a STRUCTURAL guarantee (collisions only
+    * over-count) that the oracle certifies row by row via the exact
+    * counts. Heavy-hitter SELECTION here is the exact top-20 (itself a
+    * bounded partial aggregate; at corpus scale the Misra–Gries path
+    * `p_topk_tokens_mg` does selection and CMS prices any later key).
+    * Everything — md5 row hashes, bucket mod, counters, min — is integer
+    * arithmetic DuckDB replays cell-exactly. */
+  def sketchCms(spark: SparkSession, sfDir: String): DataFrame = {
+    val (depth, width) = (4, 512)
+    val items = bigramItems(spark, sfDir).select(col("gm"))
+    val table = Sketch.cmsTable(items, "gm", depth, width)
+    val top = items.groupBy("gm").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("gm")).limit(20)
+    Sketch.cmsLookup(table, top, "gm", depth, width)
+      .join(top, Seq("gm"))
+      .select(col("gm"), col("true_cnt").cast("bigint").as("true_cnt"),
+        col("cms_est").cast("bigint").as("cms_est"),
+        (col("cms_est") - col("true_cnt")).cast("bigint").as("overcount"))
+      .orderBy("gm")
+  }
+
   /** Per-cluster composition report over the proven k-means assignment:
     * sizes, distinct true labels, and the majority label (ties to the
     * lowest label) — the clustering-quality dashboard view, oracled
@@ -2701,6 +2757,8 @@ object PipelineQueries {
     "p_sketch_vocab" -> (sketchVocab _),
     "p_sketch_overlap" -> (sketchOverlap _),
     "p_sketch_quantiles" -> (sketchQuantiles _),
+    "p_sketch_hll" -> (sketchHll _),
+    "p_sketch_cms" -> (sketchCms _),
     "p_dedup_cc" -> (dedupCcKeep _),
     "p_dedup_cc_labels" -> (dedupCcLabels _),
     "p_dedup_cc_longest" -> (dedupCcLongest _),
@@ -3760,6 +3818,71 @@ object PipelineQueries {
         |  cast(vals[CAST(1 + (75 * (m - 1)) // 100 AS INT)] AS bigint) AS p75,
         |  cast(vals[CAST(1 + (90 * (m - 1)) // 100 AS INT)] AS bigint) AS p90
         |FROM km ORDER BY lang""".stripMargin,
+
+    // the HLL registers replayed relationally: the same 60-bit md5 prefix,
+    // top-8-bit bucket, leading-zero rho via unpadded bin() length, the
+    // exact integer harmonic sum with empty buckets folded in as 2^53
+    // terms, and the SAME literal numerator / correction table the Spark
+    // plan embeds (Double.toString round-trips, so the doubles are
+    // bit-identical on both sides)
+    "p_sketch_hll" -> {
+      val p = 8
+      val m = 1 << p
+      val numer = Sketch.hllAlpha(p) * m.toDouble * m.toDouble * Math.pow(2.0, 61 - p)
+      val corrList = Sketch.hllCorrectionTable(p).mkString("[", ", ", "]")
+      s"""WITH $sketchGramsSql,
+        |h AS (SELECT DISTINCT source, substr(md5(gm), 1, 15) AS hx FROM sgrams),
+        |hi AS (SELECT source,
+        |  list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(strpos('0123456789abcdef', substr(hx, i, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS hv
+        |  FROM h),
+        |br AS (SELECT source, hv // 4503599627370496 AS bucket,
+        |  hv % 4503599627370496 AS rem FROM hi),
+        |rr AS (SELECT source, bucket,
+        |  max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END) AS m_j
+        |  FROM br GROUP BY source, bucket),
+        |st AS (SELECT source, count(*) AS n_set,
+        |  sum(CAST(1 AS BIGINT) << (53 - m_j)) AS sum_set
+        |  FROM rr GROUP BY source),
+        |fin AS (SELECT source, n_set,
+        |  sum_set + ($m - n_set) * 9007199254740992 AS sum_inv_scaled FROM st),
+        |est AS (SELECT source, n_set, sum_inv_scaled,
+        |  $numer / CAST(sum_inv_scaled AS DOUBLE) AS raw FROM fin)
+        |SELECT source, CAST(n_set AS BIGINT) AS n_regs_set, sum_inv_scaled,
+        |  CASE WHEN raw <= ${2.5 * m} AND ($m - n_set) > 0
+        |    THEN ($corrList)[CAST($m - n_set AS INT)] ELSE raw END AS est_distinct
+        |FROM est ORDER BY source""".stripMargin
+    },
+
+    // the Count-Min counters replayed relationally: the same "row:item"
+    // md5 bucket hash, the same d×w counter aggregation over ALL gram
+    // occurrences, exact top-20 selection with the same tie rule, and
+    // min-of-d-counters point estimates — pure integer arithmetic
+    "p_sketch_cms" -> {
+      def hx(e: String) =
+        s"""list_reduce(list_transform(range(1, 16), i ->
+           |    CAST(strpos('0123456789abcdef', substr(substr(md5($e), 1, 15), i, 1)) - 1 AS BIGINT)),
+           |    (a, b) -> a * 16 + b)""".stripMargin
+      s"""WITH $sketchGramsSql,
+        |rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |hb AS (SELECT rws.r,
+        |  ${hx("CAST(rws.r AS VARCHAR) || ':' || sgrams.gm")} % 512 AS bucket
+        |  FROM sgrams CROSS JOIN rws),
+        |cm AS (SELECT r, bucket, count(*) AS c FROM hb GROUP BY r, bucket),
+        |top AS (SELECT gm, count(*) AS true_cnt FROM sgrams
+        |  GROUP BY gm ORDER BY count(*) DESC, gm LIMIT 20),
+        |pr AS (SELECT top.gm, top.true_cnt, rws.r,
+        |  ${hx("CAST(rws.r AS VARCHAR) || ':' || top.gm")} % 512 AS bucket
+        |  FROM top CROSS JOIN rws),
+        |est AS (SELECT pr.gm, pr.true_cnt, min(coalesce(cm.c, 0)) AS cms_est
+        |  FROM pr LEFT JOIN cm ON cm.r = pr.r AND cm.bucket = pr.bucket
+        |  GROUP BY pr.gm, pr.true_cnt)
+        |SELECT gm, CAST(true_cnt AS BIGINT) AS true_cnt,
+        |  CAST(cms_est AS BIGINT) AS cms_est,
+        |  CAST(cms_est - true_cnt AS BIGINT) AS overcount
+        |FROM est ORDER BY gm""".stripMargin
+    },
 
     "p_dsir_features" ->
       (s"""WITH $dsirFeatsSql

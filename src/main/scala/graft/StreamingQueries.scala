@@ -276,6 +276,31 @@ object StreamingQueries {
       .orderBy("source")
   }
 
+  /** Streaming HyperLogLog: the per-source HLL distinct-bigram registers
+    * ([[graft.functions.Sketch.hll]]) as a stateful streaming
+    * aggregation — per-source state is EXACTLY 256 register bytes in the
+    * state store no matter how much crawl flows through, and elementwise
+    * max is order/batch-split-invariant, so draining the two-batch
+    * stream in Complete mode yields EXACTLY the batch sketch: the oracle
+    * IS the batch `p_sketch_hll` replay, and the gram/aggregation code is
+    * shared with the batch query by construction
+    * ([[PipelineQueries.sketchHllAgg]]). */
+  def hllStream(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    val corpus = Tables.read(spark, sfDir, "documents")
+      .select("doc_id", "source", "text")
+    val dir = stageTwoBatches(spark,
+      corpus.where(col("doc_id") % 2 === 0), corpus.where(col("doc_id") % 2 === 1),
+      "graft_stream_hll")
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val items = stream.select(col("source"),
+      explode(PipelineQueries.bigramsOf(col("text"))).as("gm"))
+    val out = PipelineQueries.sketchHllAgg(items)
+    val name = "graft_stream_hll_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    Streams.runToMemorySink(out, name, OutputMode.Complete())
+      .orderBy("source")
+  }
+
   /** Streaming exact dedup: the documents corpus (∪ shifted-id copies, so
     * real duplicates span micro-batches) flows through a streaming
     * groupBy(content fingerprint) keeping the minimum doc_id — stateful
@@ -417,6 +442,7 @@ object StreamingQueries {
     "s_dedup_media_stream" -> (dedupMediaStream _),
     "s_decontaminate_stream" -> (decontaminateStream _),
     "s_sketch_stream" -> (sketchStream _),
+    "s_hll_stream" -> (hllStream _),
     "s_ann_assign_stream" -> (annAssignStream _),
   )
 
@@ -491,6 +517,7 @@ object StreamingQueries {
     // invariant, so the drained stream must equal the batch sketch
     // cell-for-cell (max_kmin and the estimator double included)
     "s_sketch_stream" -> PipelineQueries.oracleSql("p_sketch_vocab"),
+    "s_hll_stream" -> PipelineQueries.oracleSql("p_sketch_hll"),
 
     "s_dedup_stream" ->
       """WITH corpus AS (

@@ -125,6 +125,164 @@ object Sketch {
       element_at(sortedVals,
         (lit(1) + floor(lit(pct) * (size(sortedVals) - 1) / lit(100.0))).cast("int")))
   }
+
+  // ---------------------------------------------------------------------
+  // HyperLogLog — the fixed-size register sibling of KMV. Where a KMV
+  // sketch carries k longs per group, HLL carries m = 2^p BYTE registers
+  // (p = 8 → 256 bytes/group at ~6.5% relative error, vs k = 64 longs for
+  // ~12.7%), merge is elementwise max (order-free, map-side combinable),
+  // and union across shards never loses precision — the register array IS
+  // the union state. The estimator is made PORTABLE by construction:
+  //  * per-item (bucket, rho) derive from the same 60-bit md5 prefix as
+  //    [[kmvHash]] — bucket = top p bits, rho = run of leading zeros in
+  //    the remaining W = 60−p bits, plus one;
+  //  * the harmonic term Σ 2^(−M_j) is carried as the EXACT integer
+  //    Σ 2^(W+1−M_j) (M_j ≤ W+1, so each term ≥ 1; the total is at most
+  //    m·2^(W+1) = 2^61 < 2^63) — an order-free integer sum any engine
+  //    reproduces bit-for-bit;
+  //  * the raw estimate is then ONE double division of two exact values
+  //    (the numerator α·m²·2^(W+1) is a Scala-computed literal embedded
+  //    in both plans), and the small-range correction m·ln(m/V) comes
+  //    from a LITERAL lookup table over the m possible values of V — no
+  //    transcendental is evaluated at query time on either engine, so
+  //    the corrected estimate hash-matches exactly.
+  // Large-range correction is a 32-bit-hash artifact (collisions near
+  // 2^32) and does not apply to a 60-bit hash domain at any realistic
+  // cardinality; documented out of scope.
+  // ---------------------------------------------------------------------
+
+  /** HLL register array (length 2^p, values 0..61−p) over pre-hashed
+    * longs (see [[kmvHash]]). */
+  def hll(hashed: Column, p: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      HllAgg(ColumnBridge.expression(hashed), p).toAggregateExpression())
+  }
+
+  /** Exact integer harmonic state: Σ_j 2^(W+1 − M_j) over all m
+    * registers (empty registers contribute 2^(W+1)). Fits a long for
+    * every p ≥ 4; replays as the identical integer sum anywhere. */
+  def hllSumInvScaled(regs: Column, p: Int): Column = {
+    val s = 61 - p // W + 1
+    val pow2 = typedLit(Array.tabulate(s + 1)(i => 1L << i))
+    aggregate(regs, lit(0L),
+      (acc, r) => acc + element_at(pow2, lit(s + 1) - r))
+  }
+
+  /** Number of still-zero registers — the V of the small-range
+    * correction; also a useful fill diagnostic. */
+  def hllZeroRegs(regs: Column): Column =
+    size(filter(regs, r => r === 0))
+
+  /** Union of two register arrays with the same p: elementwise max —
+    * exactly the sketch of the concatenated inputs (max is idempotent,
+    * so overlap between the inputs is free). */
+  def hllUnion(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => greatest(x, y))
+
+  /** α_m of the standard HLL estimator (Flajolet et al. 2007). */
+  def hllAlpha(p: Int): Double = (1 << p) match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case m => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** The literal m·ln(m/V) correction table, index V = 1..m. Both the
+    * Spark plan and the generated oracle SQL embed these exact doubles
+    * (Double.toString round-trips), so the branch is transcendental-free
+    * at query time. */
+  def hllCorrectionTable(p: Int): Array[Double] = {
+    val m = 1 << p
+    Array.tabulate(m)(i => m * math.log(m.toDouble / (i + 1)))
+  }
+
+  /** Cardinality estimate from a register array: raw harmonic estimate
+    * with the small-range linear-counting correction. Every arithmetic
+    * step is a literal, an exact integer, or one correctly-rounded
+    * double op, so an external replay hash-matches. */
+  def hllEstimate(regs: Column, p: Int): Column = {
+    val m = 1 << p
+    val numer = hllAlpha(p) * m.toDouble * m.toDouble * Math.pow(2.0, 61 - p)
+    val corr = typedLit(hllCorrectionTable(p))
+    val raw = lit(numer) / hllSumInvScaled(regs, p).cast("double")
+    val v = hllZeroRegs(regs)
+    when(raw <= lit(2.5 * m) && v > 0, element_at(corr, v)).otherwise(raw)
+  }
+
+  // ---------------------------------------------------------------------
+  // Count-Min sketch — bounded-state FREQUENCY estimation, completing the
+  // sketch family: KMV/HLL answer "how many distinct", CMS answers "how
+  // often does THIS key occur" without carrying the full key → count map.
+  // The sketch is a d×w counter table (depth d independent hash rows,
+  // width w buckets); an item increments one counter per row, a point
+  // query reads its d counters and takes the min. Guarantees (Cormode &
+  // Muthukrishnan 2005): est ≥ true always (counters only over-count via
+  // collisions), and est ≤ true + εN with probability 1−δ for ε = e/w,
+  // δ = e^−d, N the total item count.
+  //
+  // The representation here is deliberately RELATIONAL — the counter
+  // table is a (group, row, bucket, cnt) DataFrame, not an opaque buffer:
+  // the build is one groupBy COUNT whose shuffle carries at most d·w rows
+  // per group after map-side combine (corpus-size-independent), shard
+  // merge is elementwise ADD (a union + re-aggregate — counts are
+  // order-free sums), and point lookups are a broadcast join of the query
+  // keys against d·w rows. Row hashes derive from the same md5 machinery
+  // as [[kmvHash]] with the row index prefixed, so every counter and
+  // every estimate replays exactly in any engine.
+  // ---------------------------------------------------------------------
+
+  /** Bucket of `item` in CMS row `row` (0-based): the 60-bit md5 prefix
+    * of "row:item" mod `width`. The fixed-position prefix keeps rows
+    * independent; within a row distinct items map through distinct
+    * strings. */
+  def cmsBucket(item: Column, row: Column, width: Int): Column = {
+    require(width > 0, s"cms width must be positive, got $width")
+    pmod(kmvHash(concat(row.cast("string"), lit(":"), item)),
+      lit(width.toLong))
+  }
+
+  /** The d×w counter table of `items(itemCol)` per `groupCols` group:
+    * (groupCols..., cms_row, cms_bucket, cnt). Occurrences count — items
+    * are NOT deduplicated. Absent (row, bucket) pairs are zero counters
+    * (kept implicit: the table is sparse, lookups coalesce to 0). */
+  def cmsTable(
+      items: org.apache.spark.sql.DataFrame,
+      itemCol: String,
+      depth: Int,
+      width: Int,
+      groupCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    require(depth >= 1 && depth <= 16, s"cms depth must be in [1,16], got $depth")
+    val rows = explode(typedLit(Array.tabulate(depth)(identity))).as("cms_row")
+    val keyed = items.select(
+      (groupCols.map(col) :+ rows :+ col(itemCol).as("__item")): _*)
+    keyed
+      .select((groupCols.map(col) :+ col("cms_row") :+
+        cmsBucket(col("__item"), col("cms_row"), width).as("cms_bucket")): _*)
+      .groupBy((groupCols :+ "cms_row" :+ "cms_bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for `keys(keyCol)` against a [[cmsTable]]:
+    * min over the key's d counters, absent counters read as 0. Output:
+    * (groupCols..., keyCol, cms_est). The keys side is expected to be
+    * small (a broadcast join against the d·w-bounded table). */
+  def cmsLookup(
+      table: org.apache.spark.sql.DataFrame,
+      keys: org.apache.spark.sql.DataFrame,
+      keyCol: String,
+      depth: Int,
+      width: Int,
+      groupCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val rows = explode(typedLit(Array.tabulate(depth)(identity))).as("cms_row")
+    val probes = keys
+      .select((groupCols.map(col) :+ col(keyCol) :+ rows): _*)
+      .withColumn("cms_bucket", cmsBucket(col(keyCol), col("cms_row"), width))
+    probes
+      .join(table, groupCols ++ Seq("cms_row", "cms_bucket"), "left")
+      .groupBy((groupCols :+ keyCol).map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
 }
 
 /** Typed partial aggregate holding a group's k smallest distinct long
@@ -213,4 +371,79 @@ case class KmvAgg(
       newChildren: IndexedSeq[org.apache.spark.sql.catalyst.expressions.Expression]) =
     copy(child = newChildren.head)
   override def prettyName: String = "kmv"
+}
+
+/** Typed partial aggregate holding a group's HLL registers (buffer = one
+  * byte per register, m = 2^p of them): `update` raises the item's
+  * bucket register to max(register, rho), `merge` is elementwise max.
+  * State is EXACTLY m bytes per group regardless of input size, combines
+  * map-side, and max is commutative/associative/idempotent, so results
+  * are partition- and duplicate-invariant. Input must be the 60-bit
+  * [[Sketch.kmvHash]] long (enforced below) so the registers replay from
+  * md5 prefixes in any engine. */
+case class HllAgg(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Byte]] {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+  require(p >= 4 && p <= 16, s"hll needs p in [4,16], got $p")
+  private val m = 1 << p
+  private val w = 60 - p // bits left after the bucket prefix
+
+  override def children: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hll expects bigint (use Sketch.kmvHash), got ${other.simpleString}")
+    }
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val bucket = (h >>> w).toInt & (m - 1)
+      val rem = h & ((1L << w) - 1)
+      // rho = leading-zero run of the W-bit remainder + 1
+      //     = W + 1 − bitlen(rem), with bitlen(0) = 0
+      val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(rem)
+      val rho = (w + 1 - bitlen).toByte
+      if (rho > buffer(bucket)) buffer(bucket) = rho
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (other(i) > buffer(i)) buffer(i) = other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Byte]): Any =
+    new GenericArrayData(Array.tabulate(m)(i => buffer(i).toInt))
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+    copy(child = newChildren.head)
+  override def prettyName: String = "hll"
 }

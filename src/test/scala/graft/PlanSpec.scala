@@ -177,6 +177,26 @@ class PlanSpec extends GraftSuite {
       "asof must not fall back to a nested-loop join\n" + p)
   }
 
+  test("hll sketch: one keyed exchange, partial object aggregation, no window/join") {
+    val p = plan("p_sketch_hll")
+    // the register aggregate must combine map-side (ObjectHashAggregate
+    // partial+final) with a single exchange on the group key — the whole
+    // point of carrying 256 bytes instead of the vocabulary
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("cms sketch: bounded counter table, probe side broadcast against it") {
+    val p = plan("p_sketch_cms")
+    // counter build is a plain partial-aggregated count; the 20-key × 4-row
+    // probe relation must broadcast — never shuffle the counter table to a
+    // sort-merge join against 80 rows
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("semantic dedup: cell equi-join, no nested-loop fallback") {
     val p = plan("p_dedup_semantic")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

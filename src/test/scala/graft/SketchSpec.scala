@@ -132,4 +132,137 @@ class SketchSpec extends GraftSuite {
     // deterministic given md5; ~1/sqrt(126) ≈ 9% rsd, allow 4 sigma
     assert(math.abs(est - n) < 0.36 * n, s"est=$est")
   }
+
+  // ---------------- HyperLogLog ----------------
+
+  private def hllRegs(df: org.apache.spark.sql.DataFrame, p: Int): Seq[Int] =
+    df.select(Sketch.kmvHash(col("v")).as("h"))
+      .groupBy().agg(Sketch.hll(col("h"), p).as("r"))
+      .select("r").as[Seq[Int]].head()
+
+  private def hllEst(df: org.apache.spark.sql.DataFrame, p: Int): Double =
+    df.select(Sketch.kmvHash(col("v")).as("h"))
+      .groupBy().agg(Sketch.hll(col("h"), p).as("r"))
+      .select(Sketch.hllEstimate(col("r"), p)).as[Double].head()
+
+  test("hll registers match an independent bucket/rho computation over md5") {
+    val d = (1 to 300).map(i => s"item$i").toDF("v")
+    val p = 8
+    val regs = hllRegs(d, p)
+    assert(regs.size == 256 && regs.forall(r => r >= 0 && r <= 53))
+    // independent replay: same 60-bit md5 prefix, top-8-bit bucket,
+    // leading-zero run of the remaining 52 bits + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = new Array[Int](256)
+    (1 to 300).foreach { i =>
+      val hex = md.digest(s"item$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val bucket = (h >>> 52).toInt
+      val rem = h & ((1L << 52) - 1)
+      val rho = 52 + 1 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+      if (rho > expect(bucket)) expect(bucket) = rho
+    }
+    assert(regs == expect.toSeq)
+  }
+
+  test("hll sketch is partition- and duplicate-invariant") {
+    val d = (1 to 5000).map(i => s"w$i").toDF("v")
+    val a = hllRegs(d.repartition(1), 8)
+    val b = hllRegs(d.repartition(17), 8)
+    assert(a == b)
+    assert(hllRegs(d.union(d).union(d), 8) == a)
+  }
+
+  test("hll merge law: hll(A ++ B) == hllUnion(hll(A), hll(B))") {
+    val a = (1 to 800).map(i => s"a$i").toDF("v")
+    val b = (500 to 1300).map(i => s"b$i").toDF("v")
+    val full = hllRegs(a.union(b), 8)
+    val merged = a.select(Sketch.kmvHash(col("v")).as("h"))
+      .groupBy().agg(Sketch.hll(col("h"), 8).as("ra"))
+      .crossJoin(b.select(Sketch.kmvHash(col("v")).as("h"))
+        .groupBy().agg(Sketch.hll(col("h"), 8).as("rb")))
+      .select(Sketch.hllUnion(col("ra"), col("rb")).as("ru"))
+      .as[Seq[Int]].head()
+    assert(full == merged)
+  }
+
+  test("hll small-range correction: tiny cardinalities estimate near-exactly") {
+    // 40 distinct at m=256 → linear-counting branch; deterministic given
+    // md5, and linear counting at this load factor is exact to ~±4
+    val d = (1 to 40).map(i => s"tok$i").toDF("v")
+    val est = hllEst(d, 8)
+    assert(math.abs(est - 40.0) < 5.0, s"est=$est")
+    // empty group: all registers zero → V = m → correction ln(m/m) = 0
+    val empty = Seq.empty[String].toDF("v")
+    assert(hllEst(empty, 8) == 0.0)
+  }
+
+  test("hll estimator lands near the true cardinality at p=8") {
+    val n = 50000
+    val d = (1 to n).map(i => s"word$i").toDF("v")
+    val est = hllEst(d, 8)
+    // rsd = 1.04/sqrt(256) ≈ 6.5%; allow 4 sigma
+    assert(math.abs(est - n) < 0.26 * n, s"est=$est")
+  }
+
+  test("hll null inputs are ignored, all-NULL group estimates 0") {
+    val d = Seq[Option[String]](None, None, Some("x")).toDF("v")
+    assert(math.abs(hllEst(d, 8) - 1.0) < 0.5)
+    val allNull = Seq[Option[String]](None, None).toDF("v")
+    assert(hllEst(allNull, 8) == 0.0)
+  }
+
+  // ---------------- Count-Min ----------------
+
+  test("cms estimates dominate true counts and are near-exact at low load") {
+    // 30 distinct keys, frequency i — far below w=512, so collisions are
+    // rare; the structural guarantee est >= true must hold for EVERY key
+    val d = (1 to 30).flatMap(i => Seq.fill(i)(s"key$i")).toDF("v")
+    val table = Sketch.cmsTable(d, "v", depth = 4, width = 512)
+    val keys = (1 to 30).map(i => s"key$i").toDF("v")
+    val est = Sketch.cmsLookup(table, keys, "v", depth = 4, width = 512)
+      .as[(String, Long)].collect().toMap
+    (1 to 30).foreach { i =>
+      val e = est(s"key$i")
+      assert(e >= i, s"cms under-counted key$i: $e < $i")
+      assert(e <= i + 30, s"cms over-counted key$i far beyond load: $e")
+    }
+  }
+
+  test("cms table is partition-invariant and absent keys read 0") {
+    val d = (1 to 2000).map(i => s"w${i % 97}").toDF("v")
+    def tbl(df: org.apache.spark.sql.DataFrame) =
+      Sketch.cmsTable(df, "v", depth = 4, width = 256)
+        .orderBy("cms_row", "cms_bucket")
+        .as[(Int, Long, Long)].collect().toSeq
+    assert(tbl(d.repartition(1)) == tbl(d.repartition(17)))
+    // a key never inserted: if all d buckets are untouched the min is 0
+    val ghost = Seq("never-inserted-key-xyzzy").toDF("v")
+    val est = Sketch.cmsLookup(
+      Sketch.cmsTable(Seq("a").toDF("v"), "v", 4, 256), ghost, "v", 4, 256)
+      .as[(String, Long)].head()._2
+    assert(est == 0L)
+  }
+
+  test("cms shard merge law: counters of A++B equal elementwise sum of shard counters") {
+    val a = (1 to 500).map(i => s"a${i % 37}").toDF("v")
+    val b = (1 to 700).map(i => s"b${i % 53}").toDF("v")
+    val full = Sketch.cmsTable(a.union(b), "v", 4, 128)
+    val merged = Sketch.cmsTable(a, "v", 4, 128)
+      .unionByName(Sketch.cmsTable(b, "v", 4, 128))
+      .groupBy("cms_row", "cms_bucket").agg(sum("cnt").as("cnt"))
+    val f = full.as[(Int, Long, Long)].collect().toSet
+    val m = merged.as[(Int, Long, Long)].collect().toSet
+    assert(f == m)
+  }
+
+  test("cms grouped build keeps groups independent") {
+    val d = Seq(("g1", "x"), ("g1", "x"), ("g2", "x")).toDF("g", "v")
+    val table = Sketch.cmsTable(d, "v", 4, 64, groupCols = Seq("g"))
+    val keys = Seq(("g1", "x"), ("g2", "x")).toDF("g", "v")
+    val est = Sketch.cmsLookup(table, keys, "v", 4, 64, groupCols = Seq("g"))
+      .as[(String, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(est("g1") == 2L && est("g2") == 1L)
+  }
 }

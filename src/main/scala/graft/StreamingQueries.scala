@@ -167,6 +167,39 @@ object StreamingQueries {
     dir
   }
 
+  /** Streaming backward as-of join ([[Streams.asofBackwardStream]]): the
+    * purchase history streams in first (batch 0, plus the even-id half of
+    * the view/click probes), the remaining probes arrive in batch 1 and
+    * enrich against per-user state built a batch earlier — point-in-time
+    * enrichment with genuinely cross-batch state. Because every purchase
+    * precedes every probe that could need it, draining the stream equals
+    * the batch as-of join exactly: the oracle IS `p_asof_join`'s DuckDB
+    * ASOF replay. */
+  def asofStream(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    import spark.implicits._
+    val events = Tables.read(spark, sfDir, "events")
+    val rights = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("key"), col("ts"), lit(0).as("side"),
+        lit(-1L).as("left_id"), col("value").as("payload"))
+    val lefts = events.where(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("key"), col("ts"), lit(1).as("side"),
+        col("event_id").as("left_id"), lit(0.0).as("payload"))
+    val dir = stageTwoBatches(spark,
+      rights.unionByName(lefts.where(col("left_id") % 2 === 0)),
+      lefts.where(col("left_id") % 2 === 1),
+      "graft_stream_asof")
+    val schema = rights.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .as[Streams.AsOfIn]
+    val out = Streams.asofBackwardStream(stream).toDF()
+    val name = "graft_stream_asof_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    Streams.runToMemorySink(out, name, OutputMode.Append())
+      .select(col("left_id").as("event_id"), col("key").as("user_id"),
+        col("matched").as("purchase_value"))
+      .orderBy("event_id")
+  }
+
   /** Streaming exact decontamination: a document stream filtered against
     * a STATIC reference set (every 7th doc's text) with a stream-static
     * left-anti join — the production shape for "drop benchmark text from
@@ -443,6 +476,7 @@ object StreamingQueries {
     "s_decontaminate_stream" -> (decontaminateStream _),
     "s_sketch_stream" -> (sketchStream _),
     "s_hll_stream" -> (hllStream _),
+    "s_asof_stream" -> (asofStream _),
     "s_ann_assign_stream" -> (annAssignStream _),
   )
 
@@ -518,6 +552,7 @@ object StreamingQueries {
     // cell-for-cell (max_kmin and the estimator double included)
     "s_sketch_stream" -> PipelineQueries.oracleSql("p_sketch_vocab"),
     "s_hll_stream" -> PipelineQueries.oracleSql("p_sketch_hll"),
+    "s_asof_stream" -> PipelineQueries.oracleSql("p_asof_join"),
 
     "s_dedup_stream" ->
       """WITH corpus AS (

@@ -245,4 +245,72 @@ object Streams {
     val schema = spark.read.parquet(dir).schema
     spark.readStream.schema(schema).parquet(dir)
   }
+
+  // -----------------------------------------------------------------
+  // streaming as-of enrichment
+  // -----------------------------------------------------------------
+
+  /** Tagged input row for [[asofBackwardStream]]: `side` 0 = right
+    * (reference/dimension row carrying `payload` at time `ts`), 1 = left
+    * (probe row identified by `left_id`, enriched at time `ts`). */
+  case class AsOfIn(key: Long, ts: Timestamp, side: Int, left_id: Long,
+      payload: Double)
+
+  case class AsOfOut(left_id: Long, key: Long, matched: Option[Double])
+
+  /** Per-key right-side history: timestamps (epoch µs) sorted ascending,
+    * values aligned. */
+  case class AsOfHistory(rts: Array[Long], vals: Array[Double])
+
+  /** Streaming backward as-of join — the incremental counterpart of
+    * [[graft.ops.AsOfJoin.backward]]: per-key state holds the right-side
+    * history seen SO FAR (the streaming point-in-time-enrichment
+    * semantic: a probe joins against whatever reference data has
+    * arrived), each left row binary-searches the most recent right ts ≤
+    * its own and emits (left_id, key, matched payload) — None when no
+    * prior right exists, matching the batch LEFT as-of. Within a
+    * micro-batch, rights apply before lefts (so same-batch reference
+    * rows are visible, mirroring the batch operator's ≤-inclusive tie
+    * rule) and lefts emit in ascending left_id for determinism; among
+    * equal right timestamps the larger payload wins (documented tie
+    * rule — the batch operator requires unique (key, rts) for a
+    * well-defined answer anyway).
+    *
+    * Scale shape: state is the per-key right history — bounded by the
+    * reference relation's per-key cardinality, NOT the probe volume (a
+    * production deployment would prune it with an event-time TTL; kept
+    * corpus-lifetime here like the dedup states). No shuffle beyond the
+    * one keyed exchange every stateful operator pays. */
+  def asofBackwardStream(rows: Dataset[AsOfIn]): Dataset[AsOfOut] = {
+    implicit val outEnc = Encoders.product[AsOfOut]
+    implicit val stateEnc = Encoders.product[AsOfHistory]
+    implicit val keyEnc = Encoders.scalaLong
+
+    def tsToUs(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+    def update(key: Long, it: Iterator[AsOfIn],
+        state: GroupState[AsOfHistory]): Iterator[AsOfOut] = {
+      val batch = it.toSeq
+      val (rights, lefts) = batch.partition(_.side == 0)
+      val st = state.getOption.getOrElse(AsOfHistory(Array.empty, Array.empty))
+      val merged = (st.rts.zip(st.vals) ++
+        rights.map(r => (tsToUs(r.ts), r.payload))).sortBy(p => (p._1, p._2))
+      val rts = merged.map(_._1).toArray
+      val vals = merged.map(_._2).toArray
+      if (rights.nonEmpty) state.update(AsOfHistory(rts, vals))
+      lefts.sortBy(_.left_id).map { l =>
+        val t = tsToUs(l.ts)
+        // first index with rts > t; the match is the element before it
+        var lo = 0; var hi = rts.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (rts(mid) <= t) lo = mid + 1 else hi = mid
+        }
+        AsOfOut(l.left_id, key, if (lo == 0) None else Some(vals(lo - 1)))
+      }.iterator
+    }
+
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
 }

@@ -143,6 +143,45 @@ class StreamingSpec extends GraftSuite {
       "cross-batch near pair must be found")
   }
 
+  test("streaming as-of join == batch as-of, right history crossing batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // rights (side 0): user 1 has history at minutes 5 and 20; user 2 none
+    val rights = Seq(
+      Streams.AsOfIn(1L, ts(5), 0, -1L, 10.0),
+      Streams.AsOfIn(1L, ts(20), 0, -1L, 20.0))
+    // lefts (side 1): probes straddle the history; left 103/104 arrive in
+    // a LATER batch and must still see state built in batch 1
+    val leftsB1 = Seq(
+      Streams.AsOfIn(1L, ts(4), 1, 101L, 0.0),  // before any right -> None
+      Streams.AsOfIn(1L, ts(5), 1, 102L, 0.0))  // tie: <= inclusive -> 10.0
+    val leftsB2 = Seq(
+      Streams.AsOfIn(1L, ts(12), 1, 103L, 0.0), // between -> 10.0
+      Streams.AsOfIn(1L, ts(30), 1, 104L, 0.0), // after both -> 20.0
+      Streams.AsOfIn(2L, ts(30), 1, 105L, 0.0)) // keyless user -> None
+    val mem = MemoryStream[Streams.AsOfIn]
+    val q = Streams.asofBackwardStream(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("asof_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rights ++ leftsB1: _*); q.processAllAvailable()
+      mem.addData(leftsB2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("asof_test")
+      .select("left_id", "matched").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(streamed == Map(
+      101L -> None, 102L -> Some(10.0), 103L -> Some(10.0),
+      104L -> Some(20.0), 105L -> None))
+    // and the batch operator agrees on the same relation
+    val l = (leftsB1 ++ leftsB2).map(a => (a.key, a.ts, a.left_id))
+      .toDF("key", "ts", "left_id")
+    val r = rights.map(a => (a.key, a.ts, a.payload)).toDF("key", "rts", "pay")
+    val batch = graft.ops.AsOfJoin.backward(l, r, Seq("key"), "ts", "rts")
+      .select("left_id", "pay").as[(Long, Option[Double])].collect().toMap
+    assert(batch == streamed.map { case (k, v) => k -> v })
+  }
+
   test("narrow text operators compose unchanged over a document stream") {
     // stripHtml / tokenCount / chunkByTokens are stateless projections, so
     // the same library calls run on a readStream frame with no adaptation

@@ -1549,6 +1549,45 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  /** PNG-surface completion twins — the same pixel field encoded
+    * SEQUENTIAL GRAYSCALE (the [[dedupImagePx]] base form), as a
+    * PALETTE image through a PERMUTED 256-entry PLTE (entry (v·7+13)
+    * mod 256 holds gray v — a bijection, so only a decode that really
+    * routes indices through the palette recovers the field), and
+    * ADAM7-INTERLACED (the seven-pass scanline layout with per-pass
+    * filtering — a byte layout nothing short of a real de-interlace
+    * sees through). Three byte-different files per doc, one pixel
+    * field; every triple pairs at Hamming 0 and keep-min retains the
+    * base id. The oracle replays the generative pixel rule (never the
+    * containers), so the hash-match certifies PLTE parsing, the
+    * palette lookup, pass geometry, per-pass de-filtering, and the
+    * de-interlace mapping end to end. */
+  def dedupPngPx(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      .where(col("doc_id") % 3 === 0)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val palette = {
+      val p = new Array[Int](256 * 3)
+      (0 until 256).foreach { v =>
+        val j = (v * 7 + 13) % 256
+        p(3 * j) = v; p(3 * j + 1) = v; p(3 * j + 2) = v
+      }
+      p
+    }
+    val media = d.as[(Long, String)].flatMap { case (id, text) =>
+      val pix = Multimodal.ImagePixels.pixelsFromText(text, 27, 16)
+      Seq(
+        (id, Multimodal.ImagePixels.encodePngGray(27, 16, pix, level = 1, filter = 0)),
+        (id + 800000, Multimodal.ImagePixels.encodePngPalette(27, 16, palette,
+          pix.map(v => (v * 7 + 13) % 256), level = 9, filter = (id % 4 + 1).toInt)),
+        (id + 1600000, Multimodal.ImagePixels.encodePngGrayAdam7(27, 16, pix,
+          level = 6, filter = ((id + 2) % 5).toInt)))
+    }.toDF("media_id", "content").persist()
+    Multimodal.imageNearDupKeep(media, "media_id", "content", maxHamming = 3)
+      .orderBy("media_id")
+  }
+
   /** SAMPLE-level perceptual audio dedup — the audio analog of
     * [[dedupImagePx]]: the corpus is the SAME audio signal (the
     * deterministic affine rule `min(cp,255)·257 − 32768` over each doc's
@@ -2807,6 +2846,7 @@ object PipelineQueries {
     "p_dsir_weights" -> (dsirWeights _),
     "p_dedup_image" -> (dedupImage _),
     "p_dedup_image_px" -> (dedupImagePx _),
+    "p_dedup_png_px" -> (dedupPngPx _),
     "p_dedup_audio_px" -> (dedupAudioPx _),
     "p_dedup_video_px" -> (dedupVideoPx _),
     "p_dedup_jpeg_px" -> (dedupJpegPx _),
@@ -3925,6 +3965,49 @@ object PipelineQueries {
         |  SELECT doc_id AS media_id, text FROM base
         |  UNION ALL
         |  SELECT doc_id + 700000, text FROM base),
+        |codes AS (
+        |  SELECT media_id,
+        |    list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cs,
+        |    length(text) AS n
+        |  FROM corpus),
+        |pxs AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 432), p ->
+        |      CASE WHEN n = 0 THEN 0 ELSE cs[(p % n) + 1] % 256 END) AS px
+        |  FROM codes),
+        |cells AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 72), k ->
+        |      list_sum(flatten(list_transform(range((k // 9) * 2, (k // 9) * 2 + 2), y ->
+        |        list_transform(range((k % 9) * 3, (k % 9) * 3 + 3),
+        |          x -> px[y * 27 + x + 1]))))) AS s
+        |  FROM pxs),
+        |bits AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 64), j ->
+        |      CASE WHEN s[(j // 8) * 9 + (j % 8) + 1] > s[(j // 8) * 9 + (j % 8) + 2]
+        |           THEN 1 ELSE 0 END) AS bb
+        |  FROM cells),
+        |losers AS (
+        |  SELECT DISTINCT b.media_id AS id_b
+        |  FROM bits a JOIN bits b ON a.media_id < b.media_id
+        |  WHERE list_sum(list_transform(range(1, 65), j -> abs(a.bb[j] - b.bb[j]))) <= 3)
+        |SELECT c.media_id FROM corpus c LEFT JOIN losers ON c.media_id = losers.id_b
+        |WHERE losers.id_b IS NULL ORDER BY media_id""".stripMargin,
+
+    // the PNG-surface triple (gray / permuted-palette / Adam7) replayed
+    // from the same generative pixel rule: the palette permutation and
+    // the interlace are CONTAINER facts the pixel rule never sees, so a
+    // hash-match proves the decoder inverted both
+    "p_dedup_png_px" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |corpus AS (
+        |  SELECT doc_id AS media_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 800000, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1600000, text FROM base),
         |codes AS (
         |  SELECT media_id,
         |    list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cs,

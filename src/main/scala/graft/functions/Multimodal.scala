@@ -223,8 +223,9 @@ object Multimodal {
     * decoder is not bounded code; README named-limitations).
     *
     * Decoder scope (documented contract): 8-bit depth, color types 0
-    * (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced,
-    * multi-IDAT. Anything else → None (never a wrong answer). */
+    * (gray), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha), 6 (RGBA),
+    * non-interlaced AND Adam7-interlaced, multi-IDAT. Anything else →
+    * None (never a wrong answer). */
   object ImagePixels {
     private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     private def be32(b: Array[Byte], i: Int): Int =
@@ -234,6 +235,12 @@ object Multimodal {
       * engine-replayable): gray passes through, RGB(A) folds. */
     private def luma(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b) / 1000
 
+    /** Adam7 interlace pass geometry: (xStart, yStart, xStep, yStep) per
+      * pass, in stream order (PNG spec §8.2). */
+    private val Adam7 = Array(
+      (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
     /** Decode a PNG to (width, height, per-pixel luma ints in row-major
       * order). None when the bytes are not a PNG in the supported scope. */
     def decodePngLuma(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
@@ -242,13 +249,15 @@ object Multimodal {
       val w = be32(b, 16); val h = be32(b, 20)
       val bitDepth = b(24) & 0xff; val colorType = b(25) & 0xff
       val interlace = b(28) & 0xff
-      if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+      if (w <= 0 || h <= 0 || bitDepth != 8 || interlace > 1) return None
       val channels = colorType match {
-        case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
         case _ => return None
       }
       // gather IDAT chunk data (chunks may split the zlib stream anywhere)
+      // and the PLTE palette (must precede IDAT for color type 3)
       val idat = new java.io.ByteArrayOutputStream()
+      var plte: Array[Byte] = null
       var i = 8
       var sawEnd = false
       while (i + 8 <= b.length && !sawEnd) {
@@ -256,19 +265,37 @@ object Multimodal {
         if (len < 0 || i + 12 + len > b.length) return None
         val tpe = new String(b, i + 4, 4, "US-ASCII")
         if (tpe == "IDAT") idat.write(b, i + 8, len)
+        else if (tpe == "PLTE") {
+          if (plte != null || idat.size() > 0) return None // one PLTE, before IDAT
+          plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+        }
         else if (tpe == "IEND") sawEnd = true
         i += 12 + len
       }
+      if (colorType == 3 &&
+          (plte == null || plte.length == 0 || plte.length % 3 != 0 ||
+            plte.length > 768)) return None
+      val nPal = if (plte == null) 0 else plte.length / 3
       val compressed = idat.toByteArray
       if (compressed.isEmpty) return None
-      // inflate to exactly h filtered scanlines of (1 + w·channels) bytes.
+      // pass geometry: non-interlaced is one full-size pass; Adam7 is the
+      // seven sub-images, each with its own filtered scanline block
+      val passes: Array[(Int, Int, Int, Int)] =
+        if (interlace == 0) Array((0, 0, 1, 1)) else Adam7
+      def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+        val (xs, ys, dx, dy) = p
+        (if (w > xs) (w - xs + dx - 1) / dx else 0,
+          if (h > ys) (h - ys + dy - 1) / dy else 0)
+      }
+      // inflate to exactly the concatenated per-pass scanline blocks.
       // Long arithmetic + the shared pixel cap: a 30-byte file declaring
       // 2-gigapixel dims must cost None, not a multi-GB allocation (these
       // decoders run on untrusted bytes inside executors)
-      val strideL = 1L + w.toLong * channels
-      val expect = h.toLong * strideL
-      if (expect > MaxDecodeBytes) return None
-      val stride = strideL.toInt
+      val expect = passes.map { p =>
+        val (pw, ph) = passDims(p)
+        if (pw == 0 || ph == 0) 0L else ph.toLong * (1L + pw.toLong * channels)
+      }.sum
+      if (expect == 0 || expect > MaxDecodeBytes) return None
       val raw = new Array[Byte](expect.toInt)
       val inf = new java.util.zip.Inflater()
       try {
@@ -282,54 +309,64 @@ object Multimodal {
         if (off != raw.length) return None
       } catch { case _: java.util.zip.DataFormatException => return None }
       finally inf.end()
-      // de-filter in place per scanline (PNG spec §6.2-6.6)
-      val bpp = channels
-      var y = 0
-      while (y < h) {
-        val rowOff = y * stride
-        val ft = raw(rowOff) & 0xff
-        var x = 1
-        while (x < stride) {
-          val cur = raw(rowOff + x) & 0xff
-          val left = if (x > bpp) raw(rowOff + x - bpp) & 0xff else 0
-          val up = if (y > 0) raw(rowOff - stride + x) & 0xff else 0
-          val ul = if (y > 0 && x > bpp) raw(rowOff - stride + x - bpp) & 0xff else 0
-          val rec = ft match {
-            case 0 => cur
-            case 1 => cur + left
-            case 2 => cur + up
-            case 3 => cur + (left + up) / 2
-            case 4 =>
-              val p = left + up - ul
-              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
-              val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
-              cur + pred
-            case _ => return None
-          }
-          raw(rowOff + x) = (rec & 0xff).toByte
-          x += 1
-        }
-        y += 1
-      }
-      // luma per pixel
       val out = new Array[Int](w * h)
-      var p = 0
-      y = 0
-      while (y < h) {
-        var x = 0
-        val rowOff = y * stride + 1
-        while (x < w) {
-          val o = rowOff + x * channels
-          out(p) = channels match {
-            case 1 => raw(o) & 0xff
-            case 2 => raw(o) & 0xff // gray + alpha: luma is the gray sample
-            case _ => luma(raw(o) & 0xff, raw(o + 1) & 0xff, raw(o + 2) & 0xff)
+      // per pass: de-filter the block in place (PNG spec §6.2-6.6 —
+      // filters reset at each pass boundary), then write lumas into the
+      // full-size grid at the pass's (start, step) coordinates
+      val bpp = channels
+      var passOff = 0
+      var ok = true
+      passes.foreach { case (xs, ys, dx, dy) =>
+        val (pw, ph) = passDims((xs, ys, dx, dy))
+        if (ok && pw > 0 && ph > 0) {
+          val stride = 1 + pw * channels
+          var y = 0
+          while (y < ph && ok) {
+            val rowOff = passOff + y * stride
+            val ft = raw(rowOff) & 0xff
+            var x = 1
+            while (x < stride) {
+              val cur = raw(rowOff + x) & 0xff
+              val left = if (x > bpp) raw(rowOff + x - bpp) & 0xff else 0
+              val up = if (y > 0) raw(rowOff - stride + x) & 0xff else 0
+              val ul = if (y > 0 && x > bpp) raw(rowOff - stride + x - bpp) & 0xff else 0
+              val rec = ft match {
+                case 0 => cur
+                case 1 => cur + left
+                case 2 => cur + up
+                case 3 => cur + (left + up) / 2
+                case 4 =>
+                  val p = left + up - ul
+                  val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+                  val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+                  cur + pred
+                case _ => ok = false; 0
+              }
+              raw(rowOff + x) = (rec & 0xff).toByte
+              x += 1
+            }
+            // luma straight into the de-interlaced grid
+            var px = 0
+            while (px < pw && ok) {
+              val o = rowOff + 1 + px * channels
+              val l = colorType match {
+                case 0 | 4 => raw(o) & 0xff // gray(+alpha): luma is the gray sample
+                case 3 =>
+                  val idx = raw(o) & 0xff
+                  if (idx >= nPal) { ok = false; 0 } // out-of-range palette ref
+                  else luma(plte(3 * idx) & 0xff, plte(3 * idx + 1) & 0xff,
+                    plte(3 * idx + 2) & 0xff)
+                case _ => luma(raw(o) & 0xff, raw(o + 1) & 0xff, raw(o + 2) & 0xff)
+              }
+              out((ys + y * dy) * w + (xs + px * dx)) = l
+              px += 1
+            }
+            y += 1
           }
-          p += 1; x += 1
+          passOff += ph * stride
         }
-        y += 1
       }
-      Some((w, h, out))
+      if (!ok) None else Some((w, h, out))
     }
 
     /** Encode 8-bit grayscale pixels as a real PNG: zlib-deflated IDAT at
@@ -388,6 +425,109 @@ object Multimodal {
       chunk("IHDR", java.nio.ByteBuffer.allocate(13)
         .putInt(w).putInt(h).put(8.toByte).put(0.toByte) // 8-bit grayscale
         .put(0.toByte).put(0.toByte).put(0.toByte).array())
+      chunk("IDAT", zOut.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    /** Encode 8-bit PALETTE pixels as a real PNG (color type 3): `idx`
+      * are palette indices, `palette` is the flat RGB triple array PLTE
+      * carries. Same scanline filtering as the gray encoder (1
+      * byte/pixel); a permuted palette gives a byte-DIFFERENT file whose
+      * decode must route through the PLTE lookup to recover the same
+      * luma field. */
+    def encodePngPalette(w: Int, h: Int, palette: Array[Int], idx: Array[Int],
+        level: Int, filter: Int): Array[Byte] = {
+      require(idx.length == w * h, s"need $w*$h indices, got ${idx.length}")
+      require(palette.length % 3 == 0 && palette.nonEmpty && palette.length <= 768,
+        "palette must be 1-256 flat RGB triples")
+      require(idx.forall(i => i >= 0 && i * 3 < palette.length),
+        "every index must reference a palette entry")
+      val plte = palette.map(v => (v & 0xff).toByte)
+      pngEncode(w, h, idx, level, filter, colorType = 3, plte = plte,
+        interlaced = false)
+    }
+
+    /** Encode 8-bit grayscale pixels as an ADAM7-INTERLACED PNG: the
+      * seven-pass scanline layout with per-pass filtering — byte-
+      * different from every sequential encode of the same pixels, so a
+      * pairing hash certifies the de-interlace path. */
+    def encodePngGrayAdam7(w: Int, h: Int, gray: Array[Int], level: Int,
+        filter: Int): Array[Byte] = {
+      require(gray.length == w * h, s"need $w*$h pixels, got ${gray.length}")
+      pngEncode(w, h, gray, level, filter, colorType = 0, plte = null,
+        interlaced = true)
+    }
+
+    /** Shared 1-byte-per-pixel PNG writer behind the gray/palette/Adam7
+      * encoders: builds the (possibly per-pass) filtered scanlines,
+      * deflates once, writes IHDR [PLTE] IDAT IEND. */
+    private def pngEncode(w: Int, h: Int, px: Array[Int], level: Int,
+        filter: Int, colorType: Int, plte: Array[Byte],
+        interlaced: Boolean): Array[Byte] = {
+      require(filter >= 0 && filter <= 4, "filter must be 0-4")
+      val passes: Array[(Int, Int, Int, Int)] =
+        if (interlaced) Adam7 else Array((0, 0, 1, 1))
+      val rawOut = new java.io.ByteArrayOutputStream()
+      passes.foreach { case (xs, ys, dx, dy) =>
+        val pw = if (w > xs) (w - xs + dx - 1) / dx else 0
+        val ph = if (h > ys) (h - ys + dy - 1) / dy else 0
+        if (pw > 0 && ph > 0) {
+          // materialize the pass sub-image, then filter it like any image
+          val sub = Array.tabulate(pw * ph)(p =>
+            px((ys + (p / pw) * dy) * w + (xs + (p % pw) * dx)) & 0xff)
+          var y = 0
+          while (y < ph) {
+            rawOut.write(filter)
+            var x = 0
+            while (x < pw) {
+              val cur = sub(y * pw + x)
+              val left = if (x > 0) sub(y * pw + x - 1) else 0
+              val up = if (y > 0) sub((y - 1) * pw + x) else 0
+              val ul = if (y > 0 && x > 0) sub((y - 1) * pw + x - 1) else 0
+              val f = filter match {
+                case 0 => cur
+                case 1 => cur - left
+                case 2 => cur - up
+                case 3 => cur - (left + up) / 2
+                case 4 =>
+                  val p = left + up - ul
+                  val pa = math.abs(p - left); val pb = math.abs(p - up)
+                  val pc = math.abs(p - ul)
+                  val pred = if (pa <= pb && pa <= pc) left
+                    else if (pb <= pc) up else ul
+                  cur - pred
+              }
+              rawOut.write(f & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+        }
+      }
+      val raw = rawOut.toByteArray
+      val deflater = new java.util.zip.Deflater(level)
+      deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val zOut = new java.io.ByteArrayOutputStream()
+      while (!deflater.finished()) zOut.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(PngSig)
+      def chunk(tpe: String, data: Array[Byte]): Unit = {
+        def w32(v: Int): Unit =
+          out.write(Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+        w32(data.length)
+        val tb = tpe.getBytes("US-ASCII")
+        out.write(tb); out.write(data)
+        val crc = new java.util.zip.CRC32
+        crc.update(tb); crc.update(data)
+        w32(crc.getValue.toInt)
+      }
+      chunk("IHDR", java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put((if (interlaced) 1 else 0).toByte).array())
+      if (plte != null) chunk("PLTE", plte)
       chunk("IDAT", zOut.toByteArray)
       chunk("IEND", Array.emptyByteArray)
       out.toByteArray

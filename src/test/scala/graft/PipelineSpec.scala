@@ -1126,6 +1126,58 @@ class PipelineSpec extends GraftSuite {
     assert(lum2(3) == 9) // (299+587+114)*9/1000 = 9
   }
 
+  test("palette PNG: PLTE lookup recovers the luma field through a permuted palette") {
+    import graft.functions.{Multimodal, PayloadDHashExpr}
+    import Multimodal.ImagePixels
+    val (w, h) = (27, 16)
+    val pix = ImagePixels.pixelsFromText(base, w, h)
+    val gray = ImagePixels.encodePngGray(w, h, pix, level = 6, filter = 2)
+    // palette entry j holds gray value v where j = (v*7+13) % 256 — a
+    // bijection, so the decode only matches if it really reads PLTE
+    def perm(v: Int) = (v * 7 + 13) % 256
+    val palette = new Array[Int](256 * 3)
+    (0 until 256).foreach { v =>
+      val j = perm(v)
+      palette(3 * j) = v; palette(3 * j + 1) = v; palette(3 * j + 2) = v
+    }
+    val pal = ImagePixels.encodePngPalette(w, h, palette, pix.map(perm),
+      level = 9, filter = 4)
+    assert(!gray.sameElements(pal))
+    val Some((pw2, ph2, plum)) = ImagePixels.decodePngLuma(pal)
+    assert((pw2, ph2) == (w, h) && plum.sameElements(pix))
+    assert(PayloadDHashExpr.hash(gray) == PayloadDHashExpr.hash(pal))
+    // color type 3 without a PLTE chunk must decline, not invent pixels:
+    // corrupt the PLTE type tag (decoder skips unknown chunks, CRC unread)
+    val noPlte = pal.clone()
+    val plteAt = {
+      var i = 8; var at = -1
+      while (at < 0) {
+        val len = ((noPlte(i) & 0xff) << 24) | ((noPlte(i + 1) & 0xff) << 16) |
+          ((noPlte(i + 2) & 0xff) << 8) | (noPlte(i + 3) & 0xff)
+        if (new String(noPlte, i + 4, 4, "US-ASCII") == "PLTE") at = i
+        else i += 12 + len
+      }
+      at
+    }
+    noPlte(plteAt + 4) = 'x'.toByte
+    assert(ImagePixels.decodePngLuma(noPlte).isEmpty)
+  }
+
+  test("Adam7 PNG: interlaced encode decodes to the sequential pixels, odd sizes included") {
+    import graft.functions.{Multimodal, PayloadDHashExpr}
+    import Multimodal.ImagePixels
+    for ((w, h) <- Seq((27, 16), (5, 3), (1, 1), (8, 8), (9, 1))) {
+      val pix = ImagePixels.pixelsFromText(base + w + h, w, h)
+      val seq0 = ImagePixels.encodePngGray(w, h, pix, level = 6, filter = 1)
+      val adam = ImagePixels.encodePngGrayAdam7(w, h, pix, level = 1, filter = 3)
+      assert(!seq0.sameElements(adam))
+      val Some((dw, dh, lum)) = ImagePixels.decodePngLuma(adam)
+      assert((dw, dh) == (w, h), s"dims for $w x $h")
+      assert(lum.sameElements(pix), s"pixels for $w x $h")
+      assert(PayloadDHashExpr.hash(seq0) == PayloadDHashExpr.hash(adam))
+    }
+  }
+
   test("audio header synth/decode roundtrip: WAV fmt/data chunks") {
     import Multimodal.AudioHeader
     val payload = "pcm sample bytes!".getBytes("UTF-8") // 17 bytes, odd

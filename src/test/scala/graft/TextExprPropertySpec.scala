@@ -309,6 +309,25 @@ object TextExprPropertySpec extends Properties("TextExprs") {
       decodeJpegLuma(prog).get._3.sameElements(expected)
     }
 
+  property("palette/Adam7 PNG round-trip: any dims, any filter, permuted PLTE") =
+    Prop.forAll(Gen.chooseNum(1, 40), Gen.chooseNum(1, 24),
+      Gen.chooseNum(0, 4), Gen.chooseNum(0, 255)) { (w, h, f, seed) =>
+      import graft.functions.Multimodal.ImagePixels
+      val px = Array.tabulate(w * h)(p => (p * 31 + seed) % 256)
+      val adam = ImagePixels.encodePngGrayAdam7(w, h, px, level = 6, filter = f)
+      def perm(v: Int) = (v * 11 + seed) % 256 // gcd(11,256)=1 — bijective
+      val palette = new Array[Int](256 * 3)
+      (0 until 256).foreach { v =>
+        val j = perm(v)
+        palette(3 * j) = v; palette(3 * j + 1) = v; palette(3 * j + 2) = v
+      }
+      val pal = ImagePixels.encodePngPalette(w, h, palette, px.map(perm),
+        level = 1, filter = (f + 1) % 5)
+      val a = ImagePixels.decodePngLuma(adam)
+      val p = ImagePixels.decodePngLuma(pal)
+      a.exists(_._3.sameElements(px)) && p.exists(_._3.sameElements(px))
+    }
+
   // ---- decoder totality: these codecs parse UNTRUSTED bytes inside
   // executors, so ANY corruption must yield a hash or a clean fallback,
   // never an exception, a giant allocation, or a hang ----
@@ -319,8 +338,12 @@ object TextExprPropertySpec extends Properties("TextExprs") {
     val samples = Array.tabulate(100)(i => ((i * 131 + seed) % 65536) - 32768)
     val frames = (0 until 2).map(f => Array.tabulate(9 * 6)(p => (p + f + seed) % 256))
     val zz = { val z = new Array[Int](64); z(0) = seed % 128; z }
+    val idPalette = Array.tabulate(256 * 3)(i => i / 3) // entry v = (v,v,v)
     Seq(
       ImagePixels.encodePngGray(27, 16, px, level = 6, filter = seed % 5),
+      ImagePixels.encodePngPalette(27, 16, idPalette, px, level = 6,
+        filter = (seed + 1) % 5),
+      ImagePixels.encodePngGrayAdam7(27, 16, px, level = 6, filter = (seed + 2) % 5),
       AudioSamples.synthPcmWav(8000, 1 + seed % 2, samples, junk = seed % 2 == 0),
       AudioSamples.synthPcm8Wav(8000, 1 + seed % 2,
         samples.map(s => (s + 32768) >> 8), junk = seed % 2 == 1),

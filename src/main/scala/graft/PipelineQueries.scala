@@ -1469,6 +1469,33 @@ object PipelineQueries {
       .orderBy("gm")
   }
 
+  /** Equi-join cardinality estimation from CMS counter tables
+    * ([[Sketch.cmsInnerProduct]]): the size of views/clicks ⋈ purchases
+    * on user_id — the skew-sensitive quantity a planner needs BEFORE
+    * choosing broadcast vs shuffle vs salting — estimated from two d×w
+    * sketches (corpus-size-independent state), never from the join
+    * itself. est ≥ true is structural; the contract row carries the
+    * exact size alongside so the oracle certifies both the estimator
+    * arithmetic and the guarantee on real skewed keys. */
+  def joinCardinality(spark: SparkSession, sfDir: String): DataFrame = {
+    val (depth, width) = (4, 512)
+    val ev = Tables.read(spark, sfDir, "events")
+    val probes = ev.where(col("event_type").isin("view", "click"))
+      .select(col("user_id").cast("string").as("k"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").cast("string").as("k"))
+    val est = Sketch.cmsInnerProduct(
+      Sketch.cmsTable(probes, "k", depth, width),
+      Sketch.cmsTable(purch, "k", depth, width), depth)
+    val exact = probes.groupBy("k").agg(count(lit(1)).as("na"))
+      .join(purch.groupBy("k").agg(count(lit(1)).as("nb")), Seq("k"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("true_join_size"))
+    exact.crossJoin(est).select(
+      col("true_join_size").cast("bigint").as("true_join_size"),
+      col("join_est"),
+      (col("join_est") - col("true_join_size")).cast("bigint").as("overcount"))
+  }
+
   /** Per-cluster composition report over the proven k-means assignment:
     * sizes, distinct true labels, and the majority label (ties to the
     * lowest label) — the clustering-quality dashboard view, oracled
@@ -2798,6 +2825,7 @@ object PipelineQueries {
     "p_sketch_quantiles" -> (sketchQuantiles _),
     "p_sketch_hll" -> (sketchHll _),
     "p_sketch_cms" -> (sketchCms _),
+    "p_join_cardinality" -> (joinCardinality _),
     "p_dedup_cc" -> (dedupCcKeep _),
     "p_dedup_cc_labels" -> (dedupCcLabels _),
     "p_dedup_cc_longest" -> (dedupCcLongest _),
@@ -3922,6 +3950,38 @@ object PipelineQueries {
         |  CAST(cms_est AS BIGINT) AS cms_est,
         |  CAST(cms_est - true_cnt AS BIGINT) AS overcount
         |FROM est ORDER BY gm""".stripMargin
+    },
+
+    // both CMS counter tables + the min-of-row dot products + the exact
+    // join size replayed relationally — pure integer arithmetic
+    "p_join_cardinality" -> {
+      def hx(e: String) =
+        s"""list_reduce(list_transform(range(1, 16), i ->
+           |    CAST(strpos('0123456789abcdef', substr(substr(md5($e), 1, 15), i, 1)) - 1 AS BIGINT)),
+           |    (a, b) -> a * 16 + b)""".stripMargin
+      s"""WITH l AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+        |  WHERE event_type IN ('view', 'click')),
+        |r AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+        |  WHERE event_type = 'purchase'),
+        |rws AS (SELECT unnest([0, 1, 2, 3]) AS rw),
+        |ca AS (SELECT rws.rw,
+        |  ${hx("CAST(rws.rw AS VARCHAR) || ':' || l.k")} % 512 AS bucket,
+        |  count(*) AS c FROM l CROSS JOIN rws GROUP BY 1, 2),
+        |cb AS (SELECT rws.rw,
+        |  ${hx("CAST(rws.rw AS VARCHAR) || ':' || r.k")} % 512 AS bucket,
+        |  count(*) AS c FROM r CROSS JOIN rws GROUP BY 1, 2),
+        |dots AS (SELECT ca.rw, sum(ca.c * cb.c) AS dot
+        |  FROM ca JOIN cb ON ca.rw = cb.rw AND ca.bucket = cb.bucket
+        |  GROUP BY ca.rw),
+        |est AS (SELECT CASE WHEN count(*) < 4 THEN 0 ELSE min(dot) END AS join_est
+        |  FROM dots),
+        |tru AS (SELECT coalesce(sum(a.na * b.nb), 0) AS true_join_size FROM
+        |  (SELECT k, count(*) AS na FROM l GROUP BY k) a
+        |  JOIN (SELECT k, count(*) AS nb FROM r GROUP BY k) b USING (k))
+        |SELECT CAST(true_join_size AS BIGINT) AS true_join_size,
+        |  CAST(join_est AS BIGINT) AS join_est,
+        |  CAST(join_est - true_join_size AS BIGINT) AS overcount
+        |FROM tru CROSS JOIN est""".stripMargin
     },
 
     "p_dsir_features" ->

@@ -263,6 +263,32 @@ object Sketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Equi-join CARDINALITY estimate from two [[cmsTable]]s built with the
+    * same (depth, width): |A ⋈ B| on the sketched key equals
+    * Σ_k f_A(k)·f_B(k), and the per-row counter dot product
+    * Σ_bucket a·b estimates it from above (collisions only add terms),
+    * so min over the d rows is the standard AMS/CMS inner-product
+    * estimator — est ≥ true always, est ≤ true + (e/w)·N_A·N_B with
+    * probability 1−e^−d. The planning story at 100 TB: the two d×w
+    * tables price a join BEFORE running it (broadcast vs shuffle vs
+    * skew-salt) from corpus-size-independent state. A hash row with NO
+    * overlapping buckets proves zero common keys, so the estimate is a
+    * true 0, not a min over absent rows. Output: one row,
+    * (join_est: bigint). */
+  def cmsInnerProduct(
+      a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame,
+      depth: Int): org.apache.spark.sql.DataFrame = {
+    val dots = a.join(b.withColumnRenamed("cnt", "cnt_b"),
+        Seq("cms_row", "cms_bucket"))
+      .groupBy("cms_row")
+      .agg(sum(col("cnt") * col("cnt_b")).as("dot"))
+      .agg(min(col("dot")).as("min_dot"), count(lit(1)).as("n_rows"))
+    dots.select(
+      when(col("n_rows") < depth, lit(0L))
+        .otherwise(col("min_dot")).cast("bigint").as("join_est"))
+  }
+
   /** Point-frequency estimates for `keys(keyCol)` against a [[cmsTable]]:
     * min over the key's d counters, absent counters read as 0. Output:
     * (groupCols..., keyCol, cms_est). The keys side is expected to be

@@ -257,6 +257,27 @@ class SketchSpec extends GraftSuite {
     assert(f == m)
   }
 
+  test("cms inner product dominates the exact join size; zero-overlap rows prove 0") {
+    // A: keys a..j with frequency i; B: overlapping keys f..j with freq 2i
+    val a = (1 to 10).flatMap(i => Seq.fill(i)(s"k$i")).toDF("v")
+    val b = (6 to 10).flatMap(i => Seq.fill(2 * i)(s"k$i")).toDF("v")
+    val exact = (6 to 10).map(i => i * 2 * i).sum.toLong
+    val est = Sketch.cmsInnerProduct(
+      Sketch.cmsTable(a, "v", 4, 512), Sketch.cmsTable(b, "v", 4, 512), 4)
+      .as[Long].head()
+    assert(est >= exact, s"inner product under-counted: $est < $exact")
+    assert(est <= exact + 200, s"inner product far beyond load: $est")
+    // disjoint key sets: at w=512 and 3 keys/side a shared bucket is
+    // possible per row but all 4 rows colliding is ~impossible for this
+    // fixed md5 instance — the min must prove the join empty
+    val c = Seq("x1", "x2", "x3").toDF("v")
+    val d = Seq("y1", "y2", "y3").toDF("v")
+    val zero = Sketch.cmsInnerProduct(
+      Sketch.cmsTable(c, "v", 4, 512), Sketch.cmsTable(d, "v", 4, 512), 4)
+      .as[Long].head()
+    assert(zero == 0L, s"disjoint sides must estimate 0, got $zero")
+  }
+
   test("cms grouped build keeps groups independent") {
     val d = Seq(("g1", "x"), ("g1", "x"), ("g2", "x")).toDF("g", "v")
     val table = Sketch.cmsTable(d, "v", 4, 64, groupCols = Seq("g"))

@@ -88,5 +88,40 @@ object GraftFunctions {
         PerceptronScoreExpr(exprs.head, arr, b)
       },
       "built-in")
+
+    // sketch AGGREGATES, so bounded-state distinct counting composes in
+    // pure SQL:
+    //   SELECT source,
+    //     graft_hll_estimate(graft_hll(graft_kmv_hash(gm), 8), 8)
+    //   FROM grams GROUP BY source
+    // The size parameter must be an integer literal (it shapes the
+    // aggregation buffer, so it cannot be data-dependent).
+    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    register1("graft_kmv_hash", Sketch.kmvHash)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv",
+      exprs => KmvAgg(exprs.head, intLit(exprs(1), "kmv k")).toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv_estimate",
+      exprs => ColumnBridge.expressionEager(
+        Sketch.kmvEstimate(ColumnBridge.column(exprs.head),
+          intLit(exprs(1), "kmv k"))),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll",
+      exprs => HllAgg(exprs.head, intLit(exprs(1), "hll p")).toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll_estimate",
+      exprs => ColumnBridge.expressionEager(
+        Sketch.hllEstimate(ColumnBridge.column(exprs.head),
+          intLit(exprs(1), "hll p"))),
+      "built-in")
   }
 }

@@ -278,6 +278,31 @@ class SketchSpec extends GraftSuite {
     assert(zero == 0L, s"disjoint sides must estimate 0, got $zero")
   }
 
+  test("SQL surface: graft_kmv/graft_hll aggregates equal the Scala API") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val d = (1 to 3000).map(i => (s"g${i % 3}", s"w${i % 997}")).toDF("g", "v")
+    d.createOrReplaceTempView("sketch_sql_in")
+    val viaSql = spark.sql(
+      """SELECT g,
+        |  graft_kmv_estimate(graft_kmv(graft_kmv_hash(v), 64), 64) AS kmv_est,
+        |  graft_hll_estimate(graft_hll(graft_kmv_hash(v), 8), 8) AS hll_est
+        |FROM sketch_sql_in GROUP BY g ORDER BY g""".stripMargin)
+      .as[(String, Double, Double)].collect().toSeq
+    val viaApi = d.select(col("g"), Sketch.kmvHash(col("v")).as("h"))
+      .groupBy("g").agg(Sketch.kmv(col("h"), 64).as("km"),
+        Sketch.hll(col("h"), 8).as("r"))
+      .select(col("g"), Sketch.kmvEstimate(col("km"), 64),
+        Sketch.hllEstimate(col("r"), 8))
+      .orderBy("g").as[(String, Double, Double)].collect().toSeq
+    assert(viaSql == viaApi)
+    // the size parameter shapes the buffer — non-literal must fail fast
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_hll(graft_kmv_hash(v), length(v)) FROM sketch_sql_in")
+        .collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("literal"))
+  }
+
   test("cms grouped build keeps groups independent") {
     val d = Seq(("g1", "x"), ("g1", "x"), ("g2", "x")).toDF("g", "v")
     val table = Sketch.cmsTable(d, "v", 4, 64, groupCols = Seq("g"))

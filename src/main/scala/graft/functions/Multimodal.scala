@@ -219,8 +219,9 @@ object Multimodal {
     * different BYTES but decode to the same pixels, so perceptual dedup
     * must hash pixels, not payload bytes — pinned by MultimodalSpec's
     * different-encoder fixture and the `p_dedup_image_px` contract query.
-    * JPEG/WAV/AVI pixel kernels remain the declared stub boundary (a DCT
-    * decoder is not bounded code; README named-limitations).
+    * (JPEG/WAV/AVI pixel kernels followed in round 9 — [[JpegGray]],
+    * [[AudioSamples]], [[VideoFrames]] — so no payload-walk stub remains
+    * on any decode path with a synthesizable fixture.)
     *
     * Decoder scope (documented contract): 8-bit depth, color types 0
     * (gray), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha), 6 (RGBA),

@@ -2725,6 +2725,26 @@ object PipelineQueries {
       .orderBy("pid")
   }
 
+  /** Interval-overlap join: purchase 2-hour windows × view 1-hour windows
+    * per user, counted per purchase — the interval×interval member of the
+    * range-join family ([[graft.ops.RangeJoin.intervalOverlap]]: both
+    * sides binned, equi-join on (user, bin), exactly-once via the
+    * first-shared-bin rule — no dedup shuffle). Oracle = DuckDB's native
+    * inequality join on the overlap predicate. */
+  def intervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.read(spark, sfDir, "events")
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vs"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("ve"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("ts").as("ps"), (col("ts") + expr("INTERVAL 2 HOUR")).as("pe"))
+    graft.ops.RangeJoin.intervalOverlap(purchases, views,
+      "ps", "pe", "vs", "ve", Seq("user_id"), binWidthSeconds = 3600)
+      .groupBy("pid").agg(count(lit(1)).as("n_overlaps"))
+      .orderBy("pid")
+  }
+
   def multimodal(spark: SparkSession, sfDir: String): DataFrame = {
     val media = Multimodal.mediaFromDocuments(docs(spark, sfDir))
     Multimodal.extractFeatures(media).toDF()
@@ -2932,6 +2952,7 @@ object PipelineQueries {
     "p_asof_join" -> (asofJoin _),
     "p_asof_forward" -> (asofForward _),
     "p_range_join" -> (rangeJoin _),
+    "p_interval_join" -> (intervalJoin _),
     "p_multimodal" -> (multimodal _),
     "p_media_resize" -> (mediaResize _),
     "p_frame_sample" -> (frameSample _),
@@ -4965,6 +4986,15 @@ object PipelineQueries {
         |      FROM events WHERE event_type = 'purchase')
         |SELECT p.pid, cast(count(*) as bigint) AS n_views
         |FROM p JOIN v ON v.user_id = p.user_id AND v.ts >= p.s AND v.ts <= p.e
+        |GROUP BY p.pid
+        |ORDER BY p.pid""".stripMargin,
+    "p_interval_join" ->
+      """WITH v AS (SELECT user_id, ts AS vs, ts + INTERVAL 1 HOUR AS ve
+        |      FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS pid, user_id, ts AS ps, ts + INTERVAL 2 HOUR AS pe
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.pid, cast(count(*) as bigint) AS n_overlaps
+        |FROM p JOIN v ON v.user_id = p.user_id AND p.ps <= v.ve AND v.vs <= p.pe
         |GROUP BY p.pid
         |ORDER BY p.pid""".stripMargin,
     "p_asof_join" ->

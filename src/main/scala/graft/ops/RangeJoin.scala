@@ -52,4 +52,58 @@ object RangeJoin {
       .where(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join: all (left, right) pairs with equal `keys`
+    * whose closed intervals intersect — `lStart ≤ rEnd AND rStart ≤ lEnd`
+    * (the third canonical operator of the family; a plain inequality
+    * join falls back to nested-loop exactly like the point form).
+    *
+    * Scalable shape: BOTH sides explode into their covering fixed-width
+    * bins and meet in an ordinary equi-join on (keys..., bin). A pair
+    * overlapping k shared bins would match k times; instead of a
+    * dedup shuffle, the join keeps only the FIRST shared bin —
+    * `bin = max(lStartBin, rStartBin)` — which every intersecting pair
+    * shares exactly once (both bin ranges are contiguous, so their
+    * intersection starts there). Exactly-once matching with zero
+    * post-join deduplication.
+    *
+    * The four timestamp column names must be distinct (both sides ride
+    * one joined row); key columns are shared via the join. Same
+    * fail-fast bin guard as [[pointInInterval]]. */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      keys: Seq[String],
+      binWidthSeconds: Long,
+      maxBinsPerInterval: Long = 10000L): DataFrame = {
+    require(binWidthSeconds > 0, "binWidthSeconds must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
+    require(Seq(leftStart, leftEnd, rightStart, rightEnd).distinct.size == 4,
+      "interval column names must be distinct across the two sides")
+    val w = binWidthSeconds * 1000000L // micros
+    def bins(s: String, e: String): Column = {
+      val sBin = (unix_micros(col(s)) / w).cast("long")
+      val eBin = (unix_micros(col(e)) / w).cast("long")
+      explode(sequence(sBin,
+        when(eBin - sBin < maxBinsPerInterval, eBin)
+          .otherwise(raise_error(concat(
+            lit(s"interval join: interval spans more than $maxBinsPerInterval bins of "),
+            lit(s"$binWidthSeconds s (interval "), col(s).cast("string"),
+            lit(" .. "), col(e).cast("string"),
+            lit("); increase binWidthSeconds or maxBinsPerInterval")))
+            .cast("long"))))
+    }
+    val l = left.withColumn("__bin", bins(leftStart, leftEnd))
+    val r = right.withColumn("__bin", bins(rightStart, rightEnd))
+    l.join(r, keys :+ "__bin")
+      .where(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      .where(col("__bin") === greatest(
+        (unix_micros(col(leftStart)) / w).cast("long"),
+        (unix_micros(col(rightStart)) / w).cast("long")))
+      .drop("__bin")
+  }
 }

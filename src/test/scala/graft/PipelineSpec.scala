@@ -689,6 +689,25 @@ class PipelineSpec extends GraftSuite {
       ("p5", "i0_30"), ("p30", "i0_30"), ("p30", "i25_300"), ("p200", "i25_300")))
   }
 
+  test("interval overlap join: exactly-once pairs across bin boundaries, closed-end ties") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+    // left intervals per key 1: [0,90] spans 2+ hourly bins; [200,210]
+    val l = Seq((1L, 10L, ts(0), ts(90)), (1L, 11L, ts(200), ts(210)),
+      (2L, 12L, ts(0), ts(30))).toDF("k", "lid", "ls", "le")
+    // rights: [60,120] overlaps lid 10 in TWO shared bins (must pair ONCE);
+    // [90,95] touches lid 10 exactly at the closed end; [211,220] just
+    // misses lid 11; key 2's [10,20] overlaps lid 12
+    val r = Seq((1L, 20L, ts(60), ts(120)), (1L, 21L, ts(90), ts(95)),
+      (1L, 22L, ts(211), ts(220)), (2L, 23L, ts(10), ts(20)))
+      .toDF("k", "rid", "rs", "re")
+    val out = graft.ops.RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re",
+        Seq("k"), binWidthSeconds = 3600)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    // exactly-once: no duplicates even for the multi-shared-bin pair
+    assert(out.size == out.distinct.size, s"duplicated pairs: $out")
+    assert(out.toSet == Set((10L, 20L), (10L, 21L), (12L, 23L)), out.toString)
+  }
+
   test("range join fails fast on an interval spanning too many bins") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)

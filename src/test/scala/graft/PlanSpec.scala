@@ -210,6 +210,13 @@ class PlanSpec extends GraftSuite {
       "range join must bin into an equi-join\n" + p)
   }
 
+  test("interval overlap join: equi-join on bins, no nested-loop fallback") {
+    val p = plan("p_interval_join")
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "interval join must bin into an equi-join\n" + p)
+  }
+
   test("merge update/exception: validation rides the plan — zero jobs at build time") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     import spark.implicits._

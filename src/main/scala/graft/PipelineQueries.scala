@@ -3306,7 +3306,7 @@ object PipelineQueries {
   /** Word-bigram item stream for the sketch queries — the same gram
     * construction as [[dsirFeatsSql]]'s `dgrams`, keyed by source; ends
     * in a CTE `sgrams` of (source, gm). */
-  private val sketchGramsSql =
+  private[graft] val sketchGramsSql =
     """stoks AS (
       |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
       |sgrams AS (

@@ -167,6 +167,33 @@ object StreamingQueries {
     dir
   }
 
+  /** Streaming Count-Min: the d×w counter table
+    * ([[graft.functions.Sketch.cmsTable]]) as a stateful streaming
+    * aggregation — the incremental form of frequency sketching: state is
+    * at most d·w counters no matter how much crawl flows through, and
+    * counts are order-free sums, so draining the two-batch stream in
+    * Complete mode yields EXACTLY the batch counter table (the oracle
+    * replays the same row:item md5 buckets and counts). Point lookups
+    * then run against the drained table exactly as in the batch path. */
+  def cmsStream(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    val corpus = Tables.read(spark, sfDir, "documents")
+      .select("doc_id", "source", "text")
+    val dir = stageTwoBatches(spark,
+      corpus.where(col("doc_id") % 2 === 0), corpus.where(col("doc_id") % 2 === 1),
+      "graft_stream_cms")
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val items = stream.select(
+      explode(PipelineQueries.bigramsOf(col("text"))).as("gm"))
+    val out = graft.functions.Sketch.cmsTable(items, "gm", depth = 4, width = 512)
+    val name = "graft_stream_cms_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    Streams.runToMemorySink(out, name, OutputMode.Complete())
+      .select(col("cms_row").cast("int").as("cms_row"),
+        col("cms_bucket").cast("bigint").as("cms_bucket"),
+        col("cnt").cast("bigint").as("cnt"))
+      .orderBy("cms_row", "cms_bucket")
+  }
+
   /** Streaming backward as-of join ([[Streams.asofBackwardStream]]): the
     * purchase history streams in first (batch 0, plus the even-id half of
     * the view/click probes), the remaining probes arrive in batch 1 and
@@ -477,6 +504,7 @@ object StreamingQueries {
     "s_sketch_stream" -> (sketchStream _),
     "s_hll_stream" -> (hllStream _),
     "s_asof_stream" -> (asofStream _),
+    "s_cms_stream" -> (cmsStream _),
     "s_ann_assign_stream" -> (annAssignStream _),
   )
 
@@ -553,6 +581,24 @@ object StreamingQueries {
     "s_sketch_stream" -> PipelineQueries.oracleSql("p_sketch_vocab"),
     "s_hll_stream" -> PipelineQueries.oracleSql("p_sketch_hll"),
     "s_asof_stream" -> PipelineQueries.oracleSql("p_asof_join"),
+    // the drained streaming counter table == the batch CMS counters: the
+    // oracle replays the row:item md5 buckets and counts over ALL gram
+    // occurrences (multiplicity kept), exactly the p_sketch_cms `cm` CTE
+    "s_cms_stream" -> {
+      def hx(e: String) =
+        s"""list_reduce(list_transform(range(1, 16), i ->
+           |    CAST(strpos('0123456789abcdef', substr(substr(md5($e), 1, 15), i, 1)) - 1 AS BIGINT)),
+           |    (a, b) -> a * 16 + b)""".stripMargin
+      s"""WITH ${PipelineQueries.sketchGramsSql},
+        |rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |hb AS (SELECT rws.r,
+        |  ${hx("CAST(rws.r AS VARCHAR) || ':' || sgrams.gm")} % 512 AS bucket
+        |  FROM sgrams CROSS JOIN rws),
+        |cm AS (SELECT r, bucket, count(*) AS c FROM hb GROUP BY r, bucket)
+        |SELECT CAST(r AS INT) AS cms_row, CAST(bucket AS BIGINT) AS cms_bucket,
+        |  CAST(c AS BIGINT) AS cnt
+        |FROM cm ORDER BY cms_row, cms_bucket""".stripMargin
+    },
 
     "s_dedup_stream" ->
       """WITH corpus AS (

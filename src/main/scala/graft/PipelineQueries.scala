@@ -3306,6 +3306,14 @@ object PipelineQueries {
   /** Word-bigram item stream for the sketch queries — the same gram
     * construction as [[dsirFeatsSql]]'s `dgrams`, keyed by source; ends
     * in a CTE `sgrams` of (source, gm). */
+  /** 60-bit md5-prefix fold of an arbitrary SQL expression — the
+    * parameterized form of [[hex15ToIntSql]], shared by the CMS oracles
+    * (PipelineQueries and StreamingQueries). */
+  private[graft] def hex15FoldSql(e: String): String =
+    s"""list_reduce(list_transform(range(1, 16), i ->
+       |    CAST(strpos('0123456789abcdef', substr(substr(md5($e), 1, 15), i, 1)) - 1 AS BIGINT)),
+       |    (a, b) -> a * 16 + b)""".stripMargin
+
   private[graft] val sketchGramsSql =
     """stoks AS (
       |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
@@ -3949,20 +3957,16 @@ object PipelineQueries {
     // occurrences, exact top-20 selection with the same tie rule, and
     // min-of-d-counters point estimates — pure integer arithmetic
     "p_sketch_cms" -> {
-      def hx(e: String) =
-        s"""list_reduce(list_transform(range(1, 16), i ->
-           |    CAST(strpos('0123456789abcdef', substr(substr(md5($e), 1, 15), i, 1)) - 1 AS BIGINT)),
-           |    (a, b) -> a * 16 + b)""".stripMargin
       s"""WITH $sketchGramsSql,
         |rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
         |hb AS (SELECT rws.r,
-        |  ${hx("CAST(rws.r AS VARCHAR) || ':' || sgrams.gm")} % 512 AS bucket
+        |  ${hex15FoldSql("CAST(rws.r AS VARCHAR) || ':' || sgrams.gm")} % 512 AS bucket
         |  FROM sgrams CROSS JOIN rws),
         |cm AS (SELECT r, bucket, count(*) AS c FROM hb GROUP BY r, bucket),
         |top AS (SELECT gm, count(*) AS true_cnt FROM sgrams
         |  GROUP BY gm ORDER BY count(*) DESC, gm LIMIT 20),
         |pr AS (SELECT top.gm, top.true_cnt, rws.r,
-        |  ${hx("CAST(rws.r AS VARCHAR) || ':' || top.gm")} % 512 AS bucket
+        |  ${hex15FoldSql("CAST(rws.r AS VARCHAR) || ':' || top.gm")} % 512 AS bucket
         |  FROM top CROSS JOIN rws),
         |est AS (SELECT pr.gm, pr.true_cnt, min(coalesce(cm.c, 0)) AS cms_est
         |  FROM pr LEFT JOIN cm ON cm.r = pr.r AND cm.bucket = pr.bucket
@@ -3976,20 +3980,16 @@ object PipelineQueries {
     // both CMS counter tables + the min-of-row dot products + the exact
     // join size replayed relationally — pure integer arithmetic
     "p_join_cardinality" -> {
-      def hx(e: String) =
-        s"""list_reduce(list_transform(range(1, 16), i ->
-           |    CAST(strpos('0123456789abcdef', substr(substr(md5($e), 1, 15), i, 1)) - 1 AS BIGINT)),
-           |    (a, b) -> a * 16 + b)""".stripMargin
       s"""WITH l AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
         |  WHERE event_type IN ('view', 'click')),
         |r AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
         |  WHERE event_type = 'purchase'),
         |rws AS (SELECT unnest([0, 1, 2, 3]) AS rw),
         |ca AS (SELECT rws.rw,
-        |  ${hx("CAST(rws.rw AS VARCHAR) || ':' || l.k")} % 512 AS bucket,
+        |  ${hex15FoldSql("CAST(rws.rw AS VARCHAR) || ':' || l.k")} % 512 AS bucket,
         |  count(*) AS c FROM l CROSS JOIN rws GROUP BY 1, 2),
         |cb AS (SELECT rws.rw,
-        |  ${hx("CAST(rws.rw AS VARCHAR) || ':' || r.k")} % 512 AS bucket,
+        |  ${hex15FoldSql("CAST(rws.rw AS VARCHAR) || ':' || r.k")} % 512 AS bucket,
         |  count(*) AS c FROM r CROSS JOIN rws GROUP BY 1, 2),
         |dots AS (SELECT ca.rw, sum(ca.c * cb.c) AS dot
         |  FROM ca JOIN cb ON ca.rw = cb.rw AND ca.bucket = cb.bucket

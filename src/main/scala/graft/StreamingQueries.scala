@@ -585,14 +585,10 @@ object StreamingQueries {
     // oracle replays the row:item md5 buckets and counts over ALL gram
     // occurrences (multiplicity kept), exactly the p_sketch_cms `cm` CTE
     "s_cms_stream" -> {
-      def hx(e: String) =
-        s"""list_reduce(list_transform(range(1, 16), i ->
-           |    CAST(strpos('0123456789abcdef', substr(substr(md5($e), 1, 15), i, 1)) - 1 AS BIGINT)),
-           |    (a, b) -> a * 16 + b)""".stripMargin
       s"""WITH ${PipelineQueries.sketchGramsSql},
         |rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
         |hb AS (SELECT rws.r,
-        |  ${hx("CAST(rws.r AS VARCHAR) || ':' || sgrams.gm")} % 512 AS bucket
+        |  ${PipelineQueries.hex15FoldSql("CAST(rws.r AS VARCHAR) || ':' || sgrams.gm")} % 512 AS bucket
         |  FROM sgrams CROSS JOIN rws),
         |cm AS (SELECT r, bucket, count(*) AS c FROM hb GROUP BY r, bucket)
         |SELECT CAST(r AS INT) AS cms_row, CAST(bucket AS BIGINT) AS cms_bucket,

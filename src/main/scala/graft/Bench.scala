@@ -86,9 +86,10 @@ object Bench {
       // costs on the board — their linearity is now machine-checked too
       "p_ann_ivfpq", "p_dedup_minhash_portable", "p_dedup_simhash_portable",
       "p_dedup_jpeg_color", "p_dedup_jpeg_progressive",
-      // round-11: the HLL register sketch joins the curve — expected
-      // near-flat fixed-state aggregation like the KMV rows
-      "p_sketch_hll")
+      // round-11: the HLL register sketch and the CMS counter build join
+      // the curve — expected near-flat fixed-state aggregation like the
+      // KMV rows
+      "p_sketch_hll", "p_sketch_cms")
     val multiples = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTIPLES", "1,3,10")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
     val scaleRoot = "/tmp/graft-bench-scale-" + java.util.UUID.randomUUID().toString.take(8)

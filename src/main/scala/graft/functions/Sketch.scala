@@ -460,7 +460,9 @@ case class HllAgg(
   override def eval(buffer: Array[Byte]): Any =
     new GenericArrayData(Array.tabulate(m)(i => buffer(i).toInt))
 
-  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  // defensive copies both ways: the framework may hold serialized bytes
+  // while update keeps mutating the live buffer (and vice versa)
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer.clone()
 
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
 

@@ -667,6 +667,23 @@ object PipelineQueries {
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
 
+  /** Semantic decontamination ([[Similarity.semanticDecontaminate]]):
+    * every 7th embedding doubles as the eval set, so those corpus rows
+    * are exact leaks (cosine ≈ 1 against themselves) and must drop;
+    * everything else in this corpus sits far below the 0.9 line. The
+    * oracle replays max-cosine-vs-eval + threshold; the wide fp margin
+    * (leaks ≈ 1.0, naturals ≪ 0.9) makes the float-vs-double cosine
+    * parity robust, same discipline as the ANN ranking oracles. */
+  def decontaminateSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val ev = e.where(col("vec_id") % 7 === 0)
+      .select(col("embedding").as("ev"))
+    Similarity.semanticDecontaminate(e, "vec_id", "embedding", ev, "ev",
+        threshold = 0.9)
+      .select(col("vec_id"))
+      .orderBy("vec_id")
+  }
+
   def annBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir)
     val q = e.where(col("vec_id") < 5)
@@ -2862,6 +2879,7 @@ object PipelineQueries {
     "p_dedup_semantic" -> (dedupSemantic _),
     "p_dedup_semantic_exhaustive" -> (dedupSemanticExhaustive _),
     "p_ann_bruteforce" -> (annBruteForce _),
+    "p_decontaminate_semantic" -> (decontaminateSemantic _),
     "p_ann_ivf_exhaustive" -> (annIvfExhaustive _),
     "p_ann_ivf" -> (annIvf _),
     "p_ann_pq" -> (annPq _),
@@ -5118,6 +5136,17 @@ object PipelineQueries {
         |  JOIN fq ON c.qid = fq.qid) t
         |WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    // max cosine vs the broadcast eval set + threshold: the leak rows
+    // (the eval vectors themselves) read ≈ 1.0 and drop on both engines;
+    // natural cosines in this corpus sit far below 0.9, so the
+    // float-vs-double cosine difference cannot flip a decision
+    "p_decontaminate_semantic" ->
+      """WITH ev AS (SELECT embedding AS evv FROM embeddings WHERE vec_id % 7 = 0),
+        |sc AS (SELECT e.vec_id,
+        |         max(list_cosine_similarity(e.embedding, ev.evv)) AS mx
+        |       FROM embeddings e CROSS JOIN ev GROUP BY e.vec_id)
+        |SELECT vec_id FROM sc WHERE mx < 0.9 ORDER BY vec_id""".stripMargin,
 
     "p_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -338,6 +338,38 @@ object Similarity {
     * count + broadcast anti-join guard as the LSH buckets, never a
     * count-window sort over the corpus. Misses are exactly the pairs
     * SemDeDup's own design misses: near-dups straddling a cell boundary. */
+  /** SEMANTIC decontamination — the embedding member of the
+    * decontamination family (exact / Bloom / 13-gram cover lexical
+    * leaks; this catches paraphrases and re-encodings): keep only
+    * corpus rows whose max cosine against the EVAL set stays below
+    * `threshold`.
+    *
+    * Scale shape: eval sets are small by nature, so the eval side
+    * broadcasts and the corpus is scanned ONCE — cosine-vs-every-eval
+    * is a narrow fused projection per corpus row, the per-id max
+    * combines map-side (the exchange carries one (id, max) pair per
+    * corpus row), and survivors come back via a co-partitioned id
+    * join. The corpus never shuffles its vectors. An EMPTY eval set
+    * keeps everything (scores coalesce to −2, below any threshold) —
+    * the operator is total. */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      evalSet: DataFrame,
+      evalVecCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > -1.0 && threshold <= 1.0,
+      s"cosine threshold must be in (-1, 1], got $threshold")
+    val c = corpus.select(col(idCol), normalize(col(vecCol)).as("__cv"))
+    val ev = evalSet.select(normalize(col(evalVecCol)).as("__ev"))
+    val scored = c.crossJoin(broadcast(ev))
+      .groupBy(idCol).agg(max(dot(col("__cv"), col("__ev"))).as("max_eval_cos"))
+    corpus.join(scored, Seq(idCol), "left")
+      .where(coalesce(col("max_eval_cos"), lit(-2.0)) < threshold)
+      .drop("max_eval_cos")
+  }
+
   def semanticDedupPairs(
       corpus: DataFrame,
       idCol: String,

@@ -883,6 +883,24 @@ class PipelineSpec extends GraftSuite {
     assert(unfiltered.columns.toSeq == Seq("qid", "vec_id", "cosine", "rank"))
   }
 
+  test("semanticDecontaminate drops eval-similar rows; empty eval keeps everything") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.1f, 0.0f, 0.0f)), // near eval vector 1 -> dropped
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val ev = Seq(Tuple1(Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("ev")
+    val survivors = Similarity.semanticDecontaminate(
+        corpus, "vec_id", "embedding", ev, "ev", threshold = 0.9)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(3L, 4L))
+    // empty eval set: nothing can leak, so everything survives
+    val all = Similarity.semanticDecontaminate(
+        corpus, "vec_id", "embedding", ev.limit(0), "ev", threshold = 0.9)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(all == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("ivfTopKDet filtered path fails fast on reserved internal column names") {
     val corpus = (0 until 8).map { i =>
       (i.toLong, Seq.tabulate(4)(d => if (d == i % 4) 1.0f else 0.0f), i)

@@ -684,6 +684,21 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** WebDataset-style tar shard report ([[graft.io.TarShards]]): the
+    * corpus assembles into 16 deterministic ustar archives (portable
+    * md5 shard ids, per-shard id-ordered `<id>.txt` members, fixed
+    * header fields), and the report carries the length of the REAL
+    * bytes each archive produced. The oracle replays the shard buckets
+    * and the ustar arithmetic — Σ(512 + 512·⌈bytes/512⌉) + 1024 — so a
+    * hash-match certifies the writer's block layout without the oracle
+    * ever seeing a tar byte. */
+  def tarShardsQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.io.TarShards.tarShardReport(
+        docs(spark, sfDir).select("doc_id", "text"), "doc_id", "text", nShards = 16)
+      .select(col("shard_id").cast("bigint").as("shard_id"),
+        col("n_docs"), col("payload_bytes"), col("tar_bytes"))
+      .orderBy("shard_id")
+
   def annBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir)
     val q = e.where(col("vec_id") < 5)
@@ -2880,6 +2895,7 @@ object PipelineQueries {
     "p_dedup_semantic_exhaustive" -> (dedupSemanticExhaustive _),
     "p_ann_bruteforce" -> (annBruteForce _),
     "p_decontaminate_semantic" -> (decontaminateSemantic _),
+    "p_tar_shards" -> (tarShardsQ _),
     "p_ann_ivf_exhaustive" -> (annIvfExhaustive _),
     "p_ann_ivf" -> (annIvf _),
     "p_ann_pq" -> (annPq _),
@@ -5136,6 +5152,21 @@ object PipelineQueries {
         |  JOIN fq ON c.qid = fq.qid) t
         |WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    // the shard buckets + the ustar block arithmetic replayed: one
+    // 512-byte header per member, content zero-padded to 512, two zero
+    // trailer blocks — the engine reports the REAL archive lengths, the
+    // oracle derives them from the spec
+    "p_tar_shards" ->
+      (s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
+        |  ${hex15FoldSql("CAST(doc_id AS VARCHAR)")} % 16 AS shard_id
+        |  FROM documents)
+        |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS payload_bytes,
+        |  CAST(sum(512 + 512 * ((strlen(text) + 511) // 512)) + 1024 AS BIGINT)
+        |    AS tar_bytes
+        |FROM d GROUP BY shard_id ORDER BY shard_id""".stripMargin),
 
     // max cosine vs the broadcast eval set + threshold: the leak rows
     // (the eval vectors themselves) read ≈ 1.0 and drop on both engines;

@@ -883,6 +883,55 @@ class PipelineSpec extends GraftSuite {
     assert(unfiltered.columns.toSeq == Seq("qid", "vec_id", "cosine", "rank"))
   }
 
+  test("tar shards: real ustar archives round-trip through an independent parser") {
+    import graft.io.TarShards
+    val d = Seq((1L, "alpha"), (2L, "b" * 513), (17L, ""), (42L, "héllo wörld"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar_test").toString
+    val report = TarShards.writeTarShards(d, "doc_id", "text", nShards = 2, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // independent mini-untar: walk 512-byte headers, verify checksums,
+    // extract (name, content) — nothing shared with the writer
+    def untar(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+      var i = 0
+      while (i + 512 <= bytes.length && bytes(i) != 0) {
+        val name = new String(bytes, i, 100, "US-ASCII").takeWhile(_ != 0)
+        val size = java.lang.Long.parseLong(
+          new String(bytes, i + 124, 11, "US-ASCII").trim, 8).toInt
+        val stated = java.lang.Long.parseLong(
+          new String(bytes, i + 148, 6, "US-ASCII"), 8)
+        var sum = 0L
+        (0 until 512).foreach { j =>
+          sum += (if (j >= 148 && j < 156) ' '.toInt else bytes(i + j) & 0xff)
+        }
+        assert(sum == stated, s"checksum mismatch for $name")
+        assert(new String(bytes, i + 257, 5, "US-ASCII") == "ustar")
+        out += ((name, java.util.Arrays.copyOfRange(bytes, i + 512, i + 512 + size)))
+        i += 512 + ((size + 511) / 512) * 512
+      }
+      out.toSeq
+    }
+    val expected = Map(1L -> "alpha", 2L -> "b" * 513, 17L -> "", 42L -> "héllo wörld")
+    var seen = Map.empty[Long, String]
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tar")).foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val shard = f.getName.stripPrefix("shard-").stripSuffix(".tar").toLong
+      assert(bytes.length == report(shard)._3, s"report length mismatch for $f")
+      val members = untar(bytes)
+      // members are id-ordered within the shard
+      assert(members.map(_._1) == members.map(_._1).sortBy(n => n.stripSuffix(".txt").toLong))
+      members.foreach { case (n, c) =>
+        seen += n.stripSuffix(".txt").toLong -> new String(c, "UTF-8")
+      }
+    }
+    assert(seen == expected)
+    // the spec formula the oracle uses equals the real archive length
+    report.foreach { case (_, (n, payload, tarLen)) =>
+      assert(tarLen >= n * 512 + 1024 && (tarLen - 1024) % 512 == 0)
+    }
+  }
+
   test("semanticDecontaminate drops eval-similar rows; empty eval keeps everything") {
     val corpus = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),

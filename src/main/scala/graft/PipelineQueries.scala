@@ -2022,33 +2022,13 @@ object PipelineQueries {
     * derivation is a stats scan — never a data scan — and the data
     * pass touches only matching files. */
   /** App-scoped z-order staging dir under java.io.tmpdir, registered for
-    * recursive deletion when the JVM exits. One hook serves every app id
-    * seen in the process (specs open several sessions per JVM). */
-  private val zorderStageDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
-  private val zorderCleanupHooked = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private def zorderStageDir(spark: SparkSession): String = {
-    val dir = java.nio.file.Paths.get(
+    * recursive deletion when the JVM exits ([[graft.io.TempDirs]] — one
+    * hook serves every app id seen in the process; specs open several
+    * sessions per JVM). */
+  private def zorderStageDir(spark: SparkSession): String =
+    graft.io.TempDirs.registerForCleanup(java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft-zorder-" + spark.sparkContext.applicationId)
-    zorderStageDirs.add(dir)
-    if (zorderCleanupHooked.compareAndSet(false, true)) {
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        zorderStageDirs.forEach { p =>
-          try {
-            import java.nio.file.{Files, Path}
-            if (Files.exists(p)) {
-              val walk = Files.walk(p)
-              try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-                .forEach(f => Files.deleteIfExists(f))
-              finally walk.close()
-            }
-          } catch { case _: java.io.IOException => } // best-effort cleanup
-        }
-      }, "graft-zorder-cleanup"))
-    }
-    dir.toString
-  }
+      "graft-zorder-" + spark.sparkContext.applicationId)).toString
 
   def zorderPrune(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -3334,12 +3314,6 @@ object PipelineQueries {
       |FROM corpus c LEFT JOIN losers ON c.doc_id = losers.id_b
       |WHERE losers.id_b IS NULL ORDER BY media_id""".stripMargin
 
-  /** The same hashed-bigram feature construction as
-    * [[graft.functions.TextAnalysis.hashedNgramFeatures]] (n=2), ending
-    * in a CTE `feats` of (doc_id, bucket, cnt). */
-  /** Word-bigram item stream for the sketch queries — the same gram
-    * construction as [[dsirFeatsSql]]'s `dgrams`, keyed by source; ends
-    * in a CTE `sgrams` of (source, gm). */
   /** 60-bit md5-prefix fold of an arbitrary SQL expression — the
     * parameterized form of [[hex15ToIntSql]], shared by the CMS oracles
     * (PipelineQueries and StreamingQueries). */
@@ -3348,6 +3322,9 @@ object PipelineQueries {
        |    CAST(strpos('0123456789abcdef', substr(substr(md5($e), 1, 15), i, 1)) - 1 AS BIGINT)),
        |    (a, b) -> a * 16 + b)""".stripMargin
 
+  /** Word-bigram item stream for the sketch queries — the same gram
+    * construction as [[dsirFeatsSql]]'s `dgrams`, keyed by source; ends
+    * in a CTE `sgrams` of (source, gm). */
   private[graft] val sketchGramsSql =
     """stoks AS (
       |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
@@ -3363,6 +3340,9 @@ object PipelineQueries {
       |    CAST(strpos('0123456789abcdef', substr(kth, i, 1)) - 1 AS BIGINT)),
       |    (a, b) -> a * 16 + b)""".stripMargin
 
+  /** The same hashed-bigram feature construction as
+    * [[graft.functions.TextAnalysis.hashedNgramFeatures]] (n=2), ending
+    * in a CTE `feats` of (doc_id, bucket, cnt). */
   private val dsirFeatsSql =
     """dtoks AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

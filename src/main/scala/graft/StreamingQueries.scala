@@ -22,7 +22,7 @@ object StreamingQueries {
 
   private def stagedSource(spark: SparkSession, sfDir: String, caller: String): String = {
     val base = stagedDirs.getOrElseUpdate(sfDir, stageEventDirImpl(spark, sfDir))
-    val out = java.nio.file.Files.createTempDirectory(s"graft_stream_$caller").toString
+    val out = graft.io.TempDirs.createTracked(s"graft_stream_$caller").toString
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
     org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(base),
       fs, new org.apache.hadoop.fs.Path(out), false, true,
@@ -37,7 +37,7 @@ object StreamingQueries {
   }
 
   private def stageEventDirImpl(spark: SparkSession, sfDir: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val dir = graft.io.TempDirs.createTracked("graft_stream_src").toString
     // one read feeds the percentile plus both halves' writes
     val events = Tables.read(spark, sfDir, "events").cache()
     // Split by event time, not id: micro-batches must arrive in rough time
@@ -57,7 +57,7 @@ object StreamingQueries {
       .coalesce(2).write.mode("overwrite").parquet(s"$dir/f1")
     events.unpersist(false)
     // flatten into one dir of files
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+    val out = graft.io.TempDirs.createTracked("graft_stream_in").toString
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
     var i = 0
     Seq("f0", "f1").foreach { sub =>
@@ -152,7 +152,7 @@ object StreamingQueries {
     * cross-batch-state harness shared by the streaming dedup queries. */
   private def stageTwoBatches(spark: SparkSession,
       first: DataFrame, second: DataFrame, prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    val dir = graft.io.TempDirs.createTracked(prefix).toString
     first.coalesce(1).write.mode("overwrite").parquet(s"$dir/b0")
     second.coalesce(1).write.mode("overwrite").parquet(s"$dir/b1")
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)

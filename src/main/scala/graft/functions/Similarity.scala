@@ -345,13 +345,15 @@ object Similarity {
     * `threshold`.
     *
     * Scale shape: eval sets are small by nature, so the eval side
-    * broadcasts and the corpus is scanned ONCE — cosine-vs-every-eval
-    * is a narrow fused projection per corpus row, the per-id max
-    * combines map-side (the exchange carries one (id, max) pair per
-    * corpus row), and survivors come back via a co-partitioned id
-    * join. The corpus never shuffles its vectors. An EMPTY eval set
-    * keeps everything (scores coalesce to −2, below any threshold) —
-    * the operator is total. */
+    * broadcasts; the corpus VECTORS are read once on the scoring branch
+    * (cosine-vs-every-eval is a narrow projection per corpus row, and
+    * the per-id max combines map-side so the exchange carries one
+    * (id, max) pair per corpus row), then survivors rejoin the corpus
+    * relation by id — a second scan of the corpus, but one Catalyst
+    * prunes to the passthrough columns (cache the input if even that
+    * read matters). The corpus never shuffles its vectors. An EMPTY
+    * eval set keeps everything (scores coalesce to −2, below any
+    * threshold) — the operator is total. */
   def semanticDecontaminate(
       corpus: DataFrame,
       idCol: String,

@@ -279,6 +279,15 @@ object Sketch {
       a: org.apache.spark.sql.DataFrame,
       b: org.apache.spark.sql.DataFrame,
       depth: Int): org.apache.spark.sql.DataFrame = {
+    // grouped counter tables (extra groupCols) would silently pair
+    // buckets ACROSS groups here and inflate the estimate — fail fast:
+    // this estimator is defined over exactly one (row, bucket, cnt)
+    // table per side (filter a grouped table to one group first)
+    Seq(a, b).foreach { df =>
+      require(df.columns.sorted.toSeq == Seq("cms_bucket", "cms_row", "cnt"),
+        "cmsInnerProduct expects ungrouped counter tables with exactly " +
+          s"(cms_row, cms_bucket, cnt); got (${df.columns.mkString(", ")})")
+    }
     val dots = a.join(b.withColumnRenamed("cnt", "cnt_b"),
         Seq("cms_row", "cms_bucket"))
       .groupBy("cms_row")

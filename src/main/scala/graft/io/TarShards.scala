@@ -87,35 +87,50 @@ object TarShards {
       idCol: String,
       textCol: String,
       nShards: Int): DataFrame = {
-    val shards = assemble(docs, idCol, textCol, nShards)
     val spark = docs.sparkSession
     import spark.implicits._
-    shards.map { case (shard, entries) =>
-      val tar = tarBytes(entries)
-      (shard, entries.size.toLong,
-        entries.iterator.map(_._2.length.toLong).sum, tar.length.toLong)
-    }.toDF("shard_id", "n_docs", "payload_bytes", "tar_bytes")
+    assemble(docs, idCol, textCol, nShards)
+      .map { case (shard, entries) => reportRow(shard, entries, None) }
+      .toDF("shard_id", "n_docs", "payload_bytes", "tar_bytes")
   }
 
-  /** Write real `shard-NNNNN.tar` files under `dir`; returns the same
-    * report as [[tarShardReport]]. */
+  /** Write real `shard-NNNNN.tar` files under `dir` — EAGERLY (the write
+    * is an action, not a deferred plan: discarding the returned report
+    * still writes every shard, and re-consuming the report cannot
+    * re-write). Each archive lands via write-temp + atomic rename, so a
+    * retried or speculative task can never leave a torn file. Returns
+    * the same report as [[tarShardReport]], materialized. */
   def writeTarShards(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       nShards: Int,
       dir: String): DataFrame = {
-    val shards = assemble(docs, idCol, textCol, nShards)
     val spark = docs.sparkSession
     import spark.implicits._
-    shards.map { case (shard, entries) =>
-      val tar = tarBytes(entries)
+    val rows = assemble(docs, idCol, textCol, nShards)
+      .map { case (shard, entries) => reportRow(shard, entries, Some(dir)) }
+      .collect()
+    rows.toSeq.toDF("shard_id", "n_docs", "payload_bytes", "tar_bytes")
+  }
+
+  private def reportRow(
+      shard: Long,
+      entries: Seq[(String, Array[Byte])],
+      writeDir: Option[String]): (Long, Long, Long, Long) = {
+    val tar = tarBytes(entries)
+    writeDir.foreach { dir =>
       val p = java.nio.file.Paths.get(dir, f"shard-$shard%05d.tar")
       java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, tar)
-      (shard, entries.size.toLong,
-        entries.iterator.map(_._2.length.toLong).sum, tar.length.toLong)
-    }.toDF("shard_id", "n_docs", "payload_bytes", "tar_bytes")
+      val tmp = p.resolveSibling(
+        p.getFileName.toString + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      java.nio.file.Files.write(tmp, tar)
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    (shard, entries.size.toLong,
+      entries.iterator.map(_._2.length.toLong).sum, tar.length.toLong)
   }
 
   private def assemble(

@@ -36,6 +36,7 @@ object RangeJoin {
       maxBinsPerInterval: Long = 10000L): DataFrame = {
     require(binWidthSeconds > 0, "binWidthSeconds must be positive")
     require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
+    requireNoBinColumn(points); requireNoBinColumn(intervals)
     val w = binWidthSeconds * 1000000L // micros
     val p = points.withColumn("__bin", (unix_micros(col(pointTs)) / w).cast("long"))
     val startBin = (unix_micros(col(startCol)) / w).cast("long")
@@ -84,6 +85,7 @@ object RangeJoin {
     require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
     require(Seq(leftStart, leftEnd, rightStart, rightEnd).distinct.size == 4,
       "interval column names must be distinct across the two sides")
+    requireNoBinColumn(left); requireNoBinColumn(right)
     val w = binWidthSeconds * 1000000L // micros
     def bins(s: String, e: String): Column = {
       val sBin = (unix_micros(col(s)) / w).cast("long")
@@ -106,4 +108,11 @@ object RangeJoin {
         (unix_micros(col(rightStart)) / w).cast("long")))
       .drop("__bin")
   }
+
+  /** withColumn("__bin", …) would silently REPLACE (and the final drop
+    * destroy) a caller column of that name — fail fast instead. */
+  private def requireNoBinColumn(df: DataFrame): Unit =
+    require(!df.columns.contains("__bin"),
+      "input carries a column named __bin, reserved by the range-join " +
+        "binning — rename it")
 }

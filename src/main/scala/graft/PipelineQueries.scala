@@ -1528,6 +1528,35 @@ object PipelineQueries {
       (col("join_est") - col("true_join_size")).cast("bigint").as("overcount"))
   }
 
+  /** HLL shard-rollup: the corpus-wide distinct estimate derived ONLY
+    * from the per-source register arrays (posexplode → per-index max →
+    * re-assemble), never re-reading the items — the exact operation a
+    * 1000-shard corpus pays to get a global cardinality from shard
+    * state. The row also carries the direct single-aggregation estimate
+    * and a rollup==direct flag: elementwise max is associative and
+    * idempotent, so the two must be IDENTICAL (the merge law at
+    * contract level, not just in SketchSpec). The oracle replays the
+    * direct path; the flag pins the rollup path to it. */
+  def sketchHllRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = 8
+    val items = bigramItems(spark, sfDir)
+      .select(col("source"), Sketch.kmvHash(col("gm")).as("h"))
+    val perSource = items.groupBy("source").agg(Sketch.hll(col("h"), p).as("r"))
+    // shard rollup: per-register max across the source sketches
+    val rolled = perSource
+      .select(posexplode(col("r")).as(Seq("idx", "reg")))
+      .groupBy("idx").agg(max(col("reg")).as("reg"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("idx"), col("reg")))),
+        x => x.getField("reg")).as("r"))
+    val direct = items.groupBy().agg(Sketch.hll(col("h"), p).as("rd"))
+    rolled.crossJoin(direct).select(
+      (lit(1 << p) - Sketch.hllZeroRegs(col("r"))).cast("bigint").as("n_regs_set"),
+      Sketch.hllSumInvScaled(col("r"), p).as("sum_inv_scaled"),
+      Sketch.hllEstimate(col("r"), p).as("est_distinct"),
+      (col("r") === col("rd")).as("rollup_equals_direct"))
+  }
+
   /** Per-cluster composition report over the proven k-means assignment:
     * sizes, distinct true labels, and the majority label (ties to the
     * lowest label) — the clustering-quality dashboard view, oracled
@@ -2856,6 +2885,7 @@ object PipelineQueries {
     "p_sketch_overlap" -> (sketchOverlap _),
     "p_sketch_quantiles" -> (sketchQuantiles _),
     "p_sketch_hll" -> (sketchHll _),
+    "p_sketch_hll_rollup" -> (sketchHllRollup _),
     "p_sketch_cms" -> (sketchCms _),
     "p_join_cardinality" -> (joinCardinality _),
     "p_dedup_cc" -> (dedupCcKeep _),
@@ -5132,6 +5162,40 @@ object PipelineQueries {
         |  JOIN fq ON c.qid = fq.qid) t
         |WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    // the GLOBAL register construction replayed (one group, same md5
+    // bucket/rho rules and literals as p_sketch_hll); the flag column is
+    // the engine-side assertion that the shard-rollup path produced the
+    // identical registers
+    "p_sketch_hll_rollup" -> {
+      val p = 8
+      val m = 1 << p
+      val numer = Sketch.hllAlpha(p) * m.toDouble * m.toDouble * Math.pow(2.0, 61 - p)
+      val corrList = Sketch.hllCorrectionTable(p).mkString("[", ", ", "]")
+      s"""WITH $sketchGramsSql,
+        |h AS (SELECT DISTINCT substr(md5(gm), 1, 15) AS hx FROM sgrams),
+        |hi AS (SELECT
+        |  list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(strpos('0123456789abcdef', substr(hx, i, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS hv
+        |  FROM h),
+        |br AS (SELECT hv // 4503599627370496 AS bucket,
+        |  hv % 4503599627370496 AS rem FROM hi),
+        |rr AS (SELECT bucket,
+        |  max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END) AS m_j
+        |  FROM br GROUP BY bucket),
+        |st AS (SELECT count(*) AS n_set,
+        |  sum(CAST(1 AS BIGINT) << (53 - m_j)) AS sum_set FROM rr),
+        |fin AS (SELECT n_set,
+        |  sum_set + ($m - n_set) * 9007199254740992 AS sum_inv_scaled FROM st),
+        |est AS (SELECT n_set, sum_inv_scaled,
+        |  $numer / CAST(sum_inv_scaled AS DOUBLE) AS raw FROM fin)
+        |SELECT CAST(n_set AS BIGINT) AS n_regs_set, sum_inv_scaled,
+        |  CASE WHEN raw <= ${2.5 * m} AND ($m - n_set) > 0
+        |    THEN ($corrList)[CAST($m - n_set AS INT)] ELSE raw END AS est_distinct,
+        |  TRUE AS rollup_equals_direct
+        |FROM est""".stripMargin
+    },
 
     // the shard buckets + the ustar block arithmetic replayed: one
     // 512-byte header per member, content zero-padded to 512, two zero

@@ -1528,6 +1528,28 @@ object PipelineQueries {
       (col("join_est") - col("true_join_size")).cast("bigint").as("overcount"))
   }
 
+  /** Cross-document boilerplate removal
+    * ([[TextAnalysis.stripBoilerplate]]): every doc of a source gets a
+    * nav line and a copyright line (100% of the source → stripped
+    * everywhere) and every EVEN doc a promo line (~50% < the 0.9 line →
+    * kept) — the CCNet-style scrub, certified by replaying the
+    * normalized-line frequencies, the threshold, and the order-
+    * preserving reassembly in DuckDB (engine counts by fingerprint64,
+    * oracle by the normalized text — identical up to ~2⁻⁶⁴ collisions,
+    * the sourceOverlap argument). */
+  def boilerplateStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select("doc_id", "source", "text")
+    val deco = d.withColumn("text", concat(
+      col("text"),
+      lit("\n"), col("source"), lit(" nav home about contact"),
+      lit("\ncopyright 2024 "), col("source"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("\npromo of "), col("source"))).otherwise(lit(""))))
+    TextAnalysis.stripBoilerplate(deco, "doc_id", "source", "text",
+        minDocFrac = 0.9)
+      .orderBy("doc_id")
+  }
+
   /** HLL shard-rollup: the corpus-wide distinct estimate derived ONLY
     * from the per-source register arrays (posexplode → per-index max →
     * re-assemble), never re-reading the items — the exact operation a
@@ -2886,6 +2908,7 @@ object PipelineQueries {
     "p_sketch_quantiles" -> (sketchQuantiles _),
     "p_sketch_hll" -> (sketchHll _),
     "p_sketch_hll_rollup" -> (sketchHllRollup _),
+    "p_boilerplate_strip" -> (boilerplateStrip _),
     "p_sketch_cms" -> (sketchCms _),
     "p_join_cardinality" -> (joinCardinality _),
     "p_dedup_cc" -> (dedupCcKeep _),
@@ -5162,6 +5185,40 @@ object PipelineQueries {
         |  JOIN fq ON c.qid = fq.qid) t
         |WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    // the same decoration, normalized-line frequencies, 0.9 threshold,
+    // anti-join, and pos-ordered reassembly — the oracle groups by the
+    // normalized line TEXT where the engine groups by its 64-bit
+    // fingerprint (identical counts up to ~2^-64 collisions)
+    "p_boilerplate_strip" ->
+      """WITH deco AS (
+        |  SELECT doc_id, source,
+        |    text || chr(10) || source || ' nav home about contact'
+        |         || chr(10) || 'copyright 2024 ' || source
+        |         || CASE WHEN doc_id % 2 = 0
+        |              THEN chr(10) || 'promo of ' || source ELSE '' END AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, source,
+        |  unnest(list_transform(range(1, len(ls) + 1),
+        |    i -> {'pos': i, 'line': ls[i]})) AS e
+        |  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM deco)),
+        |le AS (SELECT doc_id, source, e['pos'] AS pos, e['line'] AS line,
+        |  regexp_replace(lower(trim(e['line'])), '\s+', ' ', 'g') AS norm FROM l),
+        |nd AS (SELECT source, count(DISTINCT doc_id) AS n FROM deco GROUP BY source),
+        |bl AS (SELECT f.source, f.norm FROM
+        |  (SELECT source, norm, count(DISTINCT doc_id) AS c
+        |   FROM le GROUP BY source, norm) f
+        |  JOIN nd ON nd.source = f.source
+        |  WHERE f.c >= greatest(2, nd.n * 0.9)),
+        |kept AS (SELECT le.doc_id, le.pos, le.line FROM le
+        |  LEFT JOIN bl ON bl.source = le.source AND bl.norm = le.norm
+        |  WHERE bl.norm IS NULL),
+        |re AS (SELECT doc_id,
+        |  array_to_string(list(line ORDER BY pos), chr(10)) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, d.source, coalesce(re.text, '') AS text
+        |FROM deco d LEFT JOIN re ON re.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the GLOBAL register construction replayed (one group, same md5
     // bucket/rho rules and literals as p_sketch_hll); the flag column is

@@ -196,6 +196,56 @@ object TextAnalysis {
       filter(lines, (l, i) => array_position(lines, l) === i.cast("long") + 1L), "\n")
   }
 
+  /** CROSS-document boilerplate removal (the CCNet-style web scrub —
+    * [[dedupLinesInDoc]] handles repeats WITHIN a doc; this removes the
+    * nav bars / cookie banners / footers repeated ACROSS a source's
+    * documents): a line whose whitespace-normalized lowercase form
+    * appears in at least `minDocFrac` of a source's documents is
+    * boilerplate FOR THAT SOURCE and is stripped from every one of its
+    * documents, surviving lines keeping their order. Documents whose
+    * every line is boilerplate come back with empty text — never
+    * dropped.
+    *
+    * Scale shape: frequency counting shuffles (source, line-hash64)
+    * longs — line TEXT never shuffles for the count (the
+    * [[fingerprint64]] discipline; identical counts up to ~2⁻⁶⁴
+    * collisions); per-source doc totals are #sources rows broadcast
+    * back; the boilerplate set is a per-source join key relation;
+    * reassembly groups by doc, per-task state = one document. Output:
+    * (docIdCol, sourceCol, textCol) with textCol stripped. */
+  def stripBoilerplate(
+      df: org.apache.spark.sql.DataFrame,
+      docIdCol: String,
+      sourceCol: String,
+      textCol: String,
+      minDocFrac: Double): org.apache.spark.sql.DataFrame = {
+    require(minDocFrac > 0.0 && minDocFrac <= 1.0,
+      s"minDocFrac must be in (0, 1], got $minDocFrac")
+    val lines = df.select(col(docIdCol), col(sourceCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__lh", fingerprint64(col("__line")))
+    val docTotals = df.groupBy(sourceCol)
+      .agg(countDistinct(col(docIdCol)).as("__nd"))
+    val boiler = lines.select(col(sourceCol), col("__lh"), col(docIdCol))
+      .distinct()
+      .groupBy(sourceCol, "__lh").agg(count(lit(1)).as("__ndl"))
+      .join(broadcast(docTotals), Seq(sourceCol))
+      // boilerplate must REPEAT across documents: without the floor of 2,
+      // a single-doc source reads 1/1 = 100% for every one of its lines
+      // and the whole document vanishes
+      .where(col("__ndl") >= greatest(lit(2), col("__nd") * minDocFrac))
+      .select(col(sourceCol), col("__lh"))
+    val kept = lines.join(boiler, Seq(sourceCol, "__lh"), "left_anti")
+      .groupBy(docIdCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line")), "\n").as("__kept"))
+    df.select(col(docIdCol), col(sourceCol))
+      .join(kept, Seq(docIdCol), "left")
+      .select(col(docIdCol), col(sourceCol),
+        coalesce(col("__kept"), lit("")).as(textCol))
+  }
+
   /** Corpus vocabulary stats: top-k tokens by frequency, ties broken
     * lexicographically. Explode → count is fully map-side combinable
     * (partial aggregation), and the final top-k is a TakeOrdered — no

@@ -883,6 +883,34 @@ class PipelineSpec extends GraftSuite {
     assert(unfiltered.columns.toSeq == Seq("qid", "vec_id", "cosine", "rank"))
   }
 
+  test("stripBoilerplate: per-source frequent lines removed, order kept, all-boiler docs empty") {
+    val d = Seq(
+      (1L, "a", "unique one\nNAV BAR\nbody text 1"),
+      (2L, "a", "nav bar\nunique two"),   // case/space variant still counts
+      (3L, "a", "nav  bar"),              // doc that is ALL boilerplate
+      (4L, "b", "nav bar\nother site")    // 'nav bar' is NOT frequent in b
+    ).toDF("doc_id", "source", "text")
+    val out = graft.functions.TextAnalysis
+      .stripBoilerplate(d, "doc_id", "source", "text", minDocFrac = 0.9)
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a", "unique one\nbody text 1"), // middle line stripped, order kept
+      (2L, "a", "unique two"),
+      (3L, "a", ""),                        // surviving row, empty text
+      // single-doc source: every line is 1/1 "frequent", but boilerplate
+      // must repeat across >= 2 docs — nothing stripped
+      (4L, "b", "nav bar\nother site")))
+    // a line in 2 of 3 source-a docs stays below a frac-1.0 threshold
+    val d2 = d.unionByName(
+      Seq((5L, "a", "fresh text only")).toDF("doc_id", "source", "text"))
+      .where(col("doc_id") =!= 3)
+    val loose = graft.functions.TextAnalysis
+      .stripBoilerplate(d2, "doc_id", "source", "text", minDocFrac = 1.0)
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(loose.filter(_._1 <= 2).map(_._3) ==
+      Seq("unique one\nNAV BAR\nbody text 1", "nav bar\nunique two"))
+  }
+
   test("tar shards: real ustar archives round-trip through an independent parser") {
     import graft.io.TarShards
     val d = Seq((1L, "alpha"), (2L, "b" * 513), (17L, ""), (42L, "héllo wörld"))

@@ -89,7 +89,12 @@ object Bench {
       // round-11: the HLL register sketch and the CMS counter build join
       // the curve — expected near-flat fixed-state aggregation like the
       // KMV rows
-      "p_sketch_hll", "p_sketch_cms")
+      "p_sketch_hll", "p_sketch_cms",
+      // round-12: the CC family now reads a staged pair artifact, so the
+      // FRESH mine is tracked separately (p_dedup_cc on the curve now
+      // measures stage-once + propagate; p_cc_pair_mining carries the
+      // mining-linearity signal the CC rows used to)
+      "p_cc_pair_mining")
     val multiples = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTIPLES", "1,3,10")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
     val scaleRoot = "/tmp/graft-bench-scale-" + java.util.UUID.randomUUID().toString.take(8)

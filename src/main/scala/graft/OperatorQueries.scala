@@ -551,6 +551,86 @@ object OperatorQueries {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  /** Skew-salted join ([[graft.ops.Scale.saltedJoin]]) promoted to the
+    * contract board: a deliberately skewed fact side (~70% of events map
+    * to ONE hot key, the classic power-law fact table) joined to a
+    * 96-row dimension through the salt-and-replicate path — the hot key
+    * splits across `saltFactor` reducers instead of landing on one. The
+    * oracle is the PLAIN unsalted join, so the hash-match certifies that
+    * salting is semantics-preserving (exact same join cardinality,
+    * grouping, and sums). 100 TB shape: this is the tool for the key
+    * distribution AQE's skew-join can't fix — a single key too hot for
+    * any one reducer even after split, with a dimension too big to
+    * broadcast but cheap to replicate 8×. */
+  def saltedJoinOp(spark: SparkSession, sfDir: String): DataFrame = {
+    gs(spark, sfDir)
+    val ev = spark.table("events").select(col("event_id"),
+      when(col("event_id") % 10 < 7, lit(1L))
+        .otherwise(col("event_id") % 96 + 1).as("k"))
+    val dim = spark.table("part").where(col("p_partkey") <= 96)
+      .select(col("p_partkey").as("k"), col("p_brand"))
+    graft.ops.Scale.saltedJoin(ev, dim, Seq("k"), saltFactor = 8)
+      .groupBy("k")
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        sum(col("event_id")).cast("bigint").as("sum_eid"),
+        min(col("p_brand")).as("brand"))
+      .orderBy("k")
+  }
+
+  /** Small-file compaction — the lakehouse maintenance op: a fragmented
+    * dataset (the documents table shattered into 48 tiny files, the
+    * classic streaming-ingest debris) is rewritten into 4 right-sized
+    * files by an explicit deterministic bucket rule (`doc_id % 4`; a
+    * production run would key on `xxhash64(id)` — the fixture keys on
+    * the id itself so the oracle replays the assignment). One file per
+    * bucket is guaranteed by repartitioning ON the bucket column before
+    * the partitioned write, and the manifest is rebuilt by READING THE
+    * COMPACTED FILES BACK — the hash-match certifies the real on-disk
+    * layout, and in-query `require`s pin the file counts (≥ 32 before,
+    * exactly 4 after). 100 TB shape: compaction is one
+    * shuffle-by-bucket + sequential writes; read amplification drops
+    * from #small-files opens to #buckets. */
+  def compactSmallFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    gs(spark, sfDir)
+    val root = graft.io.TempDirs.registerForCleanup(java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-compact-" + spark.sparkContext.applicationId + "-" +
+        Integer.toHexString(sfDir.hashCode))).toString
+    val src = spark.table("documents").select("doc_id", "text")
+    src.repartition(48).write.mode("overwrite").parquet(s"$root/fragmented")
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) 1
+        else 0
+      walk(new java.io.File(p))
+    }
+    val nFrag = parquetFiles(s"$root/fragmented")
+    require(nFrag >= 32, s"fixture must fragment (got $nFrag files)")
+    spark.read.parquet(s"$root/fragmented")
+      .withColumn("file_id", (col("doc_id") % 4).cast("int"))
+      .repartition(col("file_id"))
+      .write.mode("overwrite").partitionBy("file_id").parquet(s"$root/compacted")
+    val nOut = parquetFiles(s"$root/compacted")
+    require(nOut == 4, s"compaction must yield one file per bucket (got $nOut)")
+    spark.read.parquet(s"$root/compacted")
+      .groupBy(col("file_id").cast("int").as("file_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        min(col("doc_id")).cast("bigint").as("min_id"),
+        max(col("doc_id")).cast("bigint").as("max_id"))
+      .orderBy("file_id")
+  }
+
+  /** Column-level profile of the documents table
+    * ([[graft.ops.Profile.profileTable]]): per column — null count,
+    * exact distinct count, min/max (portable string render), mean
+    * string length. One full scan, O(#columns) output rows. */
+  def profileTableOp(spark: SparkSession, sfDir: String): DataFrame = {
+    gs(spark, sfDir)
+    graft.ops.Profile.profileTable(spark.table("documents"))
+      .orderBy("column_name")
+  }
+
   /** Per-group top-k sampling (functions.Sampling.topKPerGroup): the
     * best-balance customers per nation — the deterministic
     * corpus-construction sampler, oracled by a row_number window. */
@@ -569,6 +649,9 @@ object OperatorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_bucketed_join" -> (bucketedJoin _),
+    "op_salted_join" -> (saltedJoinOp _),
+    "op_profile_table" -> (profileTableOp _),
+    "op_compact_small_files" -> (compactSmallFiles _),
     "op_topk_sample" -> (topkSample _),
     "op_load_xls_roundtrip" -> (loadXlsRoundtrip _),
     "op_load_xml_roundtrip" -> (loadXmlRoundtrip _),
@@ -605,6 +688,67 @@ object OperatorQueries {
         |  cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS total_cents
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY c.c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the plain unsalted join — hash-match proves saltedJoin preserves
+    // join semantics exactly (cardinality, grouping, sums)
+    "op_salted_join" ->
+      """WITH ev AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 10 < 7 THEN 1 ELSE event_id % 96 + 1 END AS k
+        |  FROM events),
+        |dim AS (SELECT p_partkey AS k, p_brand FROM part WHERE p_partkey <= 96)
+        |SELECT ev.k AS k, cast(count(*) as bigint) AS n_events,
+        |  cast(sum(event_id) as bigint) AS sum_eid, min(p_brand) AS brand
+        |FROM ev JOIN dim ON ev.k = dim.k
+        |GROUP BY ev.k ORDER BY ev.k""".stripMargin,
+
+    // the deterministic bucket rule replayed directly — the engine side
+    // additionally require()s the physical file counts (≥32 → 4)
+    "op_compact_small_files" ->
+      """SELECT cast(doc_id % 4 as int) AS file_id,
+        |  cast(count(*) as bigint) AS n_rows,
+        |  cast(min(doc_id) as bigint) AS min_id,
+        |  cast(max(doc_id) as bigint) AS max_id
+        |FROM documents GROUP BY doc_id % 4 ORDER BY file_id""".stripMargin,
+
+    // one UNION ALL branch per documents column, mirroring
+    // Profile.profileTable's metric set (n_distinct excludes NULLs on
+    // both engines; min/max rendered via cast to varchar; avg_len is a
+    // single division of exact integer sums)
+    "op_profile_table" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS column_name,
+        |    cast(count(*) FILTER (WHERE doc_id IS NULL) as bigint) AS n_nulls,
+        |    cast(count(DISTINCT doc_id) as bigint) AS n_distinct,
+        |    cast(min(doc_id) as varchar) AS min_str,
+        |    cast(max(doc_id) as varchar) AS max_str,
+        |    cast(NULL as double) AS avg_len
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'text', cast(count(*) FILTER (WHERE text IS NULL) as bigint),
+        |    cast(count(DISTINCT text) as bigint),
+        |    cast(min(text) as varchar), cast(max(text) as varchar),
+        |    avg(length(text))
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', cast(count(*) FILTER (WHERE lang IS NULL) as bigint),
+        |    cast(count(DISTINCT lang) as bigint),
+        |    cast(min(lang) as varchar), cast(max(lang) as varchar),
+        |    avg(length(lang))
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', cast(count(*) FILTER (WHERE source IS NULL) as bigint),
+        |    cast(count(DISTINCT source) as bigint),
+        |    cast(min(source) as varchar), cast(max(source) as varchar),
+        |    avg(length(source))
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', cast(count(*) FILTER (WHERE n_chars IS NULL) as bigint),
+        |    cast(count(DISTINCT n_chars) as bigint),
+        |    cast(min(n_chars) as varchar), cast(max(n_chars) as varchar),
+        |    cast(NULL as double)
+        |  FROM documents) p
+        |ORDER BY column_name""".stripMargin,
 
     "op_topk_sample" ->
       """SELECT c_nationkey, c_custkey FROM (

@@ -307,6 +307,29 @@ object StreamingQueries {
       .select("doc_id", "text", "n_email", "n_ip", "n_phone").orderBy("doc_id")
   }
 
+  /** Streaming mojibake repair — [[PipelineQueries.fixMojibakeQ]]'s
+    * Latin-1 → strict-UTF-8 round-trip as a stateless streaming
+    * projection (per-row, zero state, zero shuffle: the shape that runs
+    * on an arriving crawl without reprocessing history). Two-batch file
+    * stream drained in Append mode equals the batch result, so the
+    * oracle IS the batch replay. */
+  def fixMojibakeStream(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    val corpus = PipelineQueries.mojibakeCorpus(spark, sfDir)
+    val dir = stageTwoBatches(spark,
+      corpus.where(col("doc_id") % 2 === 0), corpus.where(col("doc_id") % 2 === 1),
+      "graft_stream_moji")
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val fixed = stream.select(col("doc_id"),
+        graft.functions.TextAnalysis.fixMojibake(col("text")).as("ftext"),
+        length(col("text")).as("__l0"))
+      .select(col("doc_id"), col("ftext").as("text"),
+        (col("__l0") - length(col("ftext"))).cast("bigint").as("n_repaired"))
+    val name = "graft_stream_moji_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    Streams.runToMemorySink(fixed, name, OutputMode.Append())
+      .select("doc_id", "text", "n_repaired").orderBy("doc_id")
+  }
+
   /** Streaming bounded-state sketching: the per-source KMV
     * distinct-bigram sketch ([[graft.functions.Sketch]]) as a STATEFUL
     * streaming aggregation — the operational point of an O(k)
@@ -497,6 +520,7 @@ object StreamingQueries {
     "s_quality_stream" -> (qualityStream _),
     "s_classifier_stream" -> (classifierStream _),
     "s_pii_stream" -> (piiScrubStream _),
+    "s_fix_mojibake_stream" -> (fixMojibakeStream _),
     "s_dedup_stream" -> (dedupStream _),
     "s_dedup_neardup_stream" -> (dedupNearDupStream _),
     "s_dedup_media_stream" -> (dedupMediaStream _),
@@ -574,6 +598,9 @@ object StreamingQueries {
 
     // the batch PII-scrub oracle verbatim — stateless stream == batch
     "s_pii_stream" -> PipelineQueries.oracleSql("p_pii_scrub"),
+
+    // stateless projection → drained stream equals batch exactly
+    "s_fix_mojibake_stream" -> PipelineQueries.oracleSql("p_fix_mojibake"),
 
     // the batch sketch oracle verbatim — the k-min SET is batch-split
     // invariant, so the drained stream must equal the batch sketch

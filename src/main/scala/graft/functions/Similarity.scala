@@ -672,6 +672,22 @@ object Similarity {
       base.where(f).select(col(idCol), col("__v"), col("__cell"))
     }
     val centDf = cids.toSeq.zip(matrix).toDF("__cell", "__cv")
+    ivfSearchStage(cells, centDf, idCol, queries, qidCol, qvecCol, topK, nProbe)
+  }
+
+  /** The probe + in-cell scoring + rank stage shared by [[ivfTopKDet]]
+    * and the persisted-artifact path [[ivfSearchArtifacts]] — one code
+    * path, so the artifact round-trip can only differ through the
+    * artifacts themselves (it doesn't: parquet doubles are exact). */
+  private def ivfSearchStage(
+      cells: DataFrame,
+      centDf: DataFrame,
+      idCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      topK: Int,
+      nProbe: Int): DataFrame = {
     val qn = queries.select(col(qidCol),
       transform(normalize(col(qvecCol)), x => x.cast("double")).as("__qv"))
     val probeW = Window.partitionBy(qidCol)
@@ -686,6 +702,51 @@ object Similarity {
       .select(col(qidCol), col(idCol), dot(col("__qv"), col("__v")).as("cosine"))
       .withColumn("rank", row_number().over(rankW))
       .where(col("rank") <= topK)
+  }
+
+  /** Build the deterministic IVF index ([[kmeansFit]] + cell
+    * assignment) and persist it as two parquet artifacts under `dir`:
+    * `cells` (id, normalized vector, cell id — the cell-sharded corpus)
+    * and `centroids` (cell id, centroid vector). This is the production
+    * ANN lifecycle at 100 TB: the index is built ONCE by an indexing
+    * job and every search job loads the artifacts — nothing refits per
+    * query batch. Parquet stores the doubles bit-exactly, so a search
+    * over the loaded artifacts is bit-identical to searching the
+    * in-memory index. */
+  def ivfBuildArtifacts(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      rounds: Int,
+      blockSize: Int,
+      dir: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (v, cids, matrix) = kmeansFit(corpus, idCol, vecCol, nCentroids, rounds, blockSize)
+    v.select(col(idCol), col("__v"),
+        kmeansAssignCol(cids, matrix).cast("int").as("__cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/cells")
+    cids.toSeq.zip(matrix).toDF("__cell", "__cv")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/centroids")
+  }
+
+  /** Search a persisted IVF index ([[ivfBuildArtifacts]]): loads the
+    * cell-sharded corpus + centroid artifacts and runs the identical
+    * probe/score/rank stage as [[ivfTopKDet]]. `idCol` names the id
+    * column the artifacts were built with. */
+  def ivfSearchArtifacts(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      idCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      topK: Int,
+      nProbe: Int): DataFrame = {
+    val cells = spark.read.parquet(s"$dir/cells")
+    val centDf = spark.read.parquet(s"$dir/centroids")
+    ivfSearchStage(cells, centDf, idCol, queries, qidCol, qvecCol, topK, nProbe)
   }
 
   // -----------------------------------------------------------------

@@ -97,6 +97,22 @@ object TextAnalysis {
     ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(c)))
   }
 
+  /** ftfy-style mojibake repair for the single most common corruption in
+    * web crawls: UTF-8 bytes misdecoded as Latin-1 ("café" crawled as
+    * "cafÃ©"). Re-encodes the string as ISO-8859-1 and strictly
+    * re-decodes as UTF-8; the repair is kept only when (a) every char is
+    * Latin-1-representable, (b) the bytes form VALID UTF-8 (strict —
+    * malformed input returns the original, never a replacement char),
+    * and (c) the result is strictly shorter (true of any real mojibake:
+    * ≥2 chars collapse into 1; ASCII round-trips identical and is
+    * skipped by a fast path). The standard ftfy heuristic — text that
+    * legitimately spells "Ã©" is repaired too, exactly as ftfy does.
+    * Codegen'd narrow projection ([[MojibakeFixExpr]]); no shuffle. */
+  def fixMojibake(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(MojibakeFixExpr(ColumnBridge.expression(c)))
+  }
+
   /** HTML/markup removal for web-crawl corpora: comments and
     * script/style blocks go including their content, remaining tags are
     * stripped, the common entities decode (amp LAST so `&amp;lt;` ends up
@@ -1277,6 +1293,57 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "nfc_normalize"
+}
+
+/** UTF-8-as-Latin-1 double-encoding repair — see
+  * [[TextAnalysis.fixMojibake]] for the acceptance rule. */
+case class MojibakeFixExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    MojibakeFixExpr.fix(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MojibakeFixExpr.fix($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "fix_mojibake"
+}
+
+object MojibakeFixExpr {
+  def fix(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) {
+      if ((bytes(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) return s // ASCII can't be mojibake; round-trip is identity
+    val str = s.toString
+    // "encode as ISO-8859-1, REPORT on unmappable": chars U+0000–U+00FF
+    // map 1:1 to bytes, anything above means the text was never a
+    // Latin-1 misdecode — keep the original
+    val raw = new Array[Byte](str.length)
+    i = 0
+    while (i < str.length) {
+      val ch = str.charAt(i)
+      if (ch > 0xFF) return s
+      raw(i) = ch.toByte
+      i += 1
+    }
+    // strict UTF-8 decode: malformed bytes mean "not mojibake" — return
+    // the original rather than ever emitting a replacement char
+    try {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val fixed = dec.decode(java.nio.ByteBuffer.wrap(raw)).toString
+      if (fixed.length < str.length) UTF8String.fromString(fixed) else s
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => s
+    }
+  }
 }
 
 object NfcNormalizeExpr {

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, ByteType, ShortType, IntegerType, LongType, BooleanType, DateType}
+
+/** Column-level table profiling — the "profile before you train / load"
+  * data-quality pass (per column: null count, exact distinct count,
+  * min/max, mean string length). The reference ships per-column *checks*
+  * (`check_column`, reference `python-sdk/src/astro/sql/operators/`);
+  * profiling is the discovery half of the same workflow: the numbers a
+  * user reads before deciding which checks to pin.
+  *
+  * 100 TB shape: ONE full scan — every metric is a partial aggregate
+  * (null counts, min/max, length sums combine map-side; the per-column
+  * exact distincts expand via Spark's single-pass distinct-aggregate
+  * planning). The result is O(#columns) rows, driver-small by
+  * construction. min/max are rendered as strings so heterogeneous
+  * column types stack into one relation — but only for types whose
+  * string rendering is engine-portable (integrals, strings, booleans,
+  * dates); float/timestamp columns profile nulls/distincts only, since
+  * their text forms differ across engines.
+  */
+object Profile {
+
+  /** Renders min/max portably? Integral, string, boolean, and date
+    * columns only — see class doc. */
+  private def portableRender(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case StringType | ByteType | ShortType | IntegerType | LongType |
+         BooleanType | DateType => true
+    case _ => false
+  }
+
+  /** One row per column of `df`: (column_name, n_nulls, n_distinct,
+    * min_str, max_str, avg_len). `n_distinct` excludes NULLs (SQL
+    * `count(DISTINCT c)` semantics); `avg_len` is the mean character
+    * length of non-null values, string columns only. */
+  def profileTable(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields
+    val aggs: Seq[Column] = fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = col(f.name)
+      val minMax: Seq[Column] =
+        if (portableRender(f.dataType))
+          Seq(min(c).cast("string").as(s"__min_$i"),
+            max(c).cast("string").as(s"__max_$i"))
+        else
+          Seq(first(lit(null).cast("string")).as(s"__min_$i"),
+            first(lit(null).cast("string")).as(s"__max_$i"))
+      val avgLen: Column =
+        if (f.dataType == StringType) avg(length(c)).as(s"__len_$i")
+        else first(lit(null).cast("double")).as(s"__len_$i")
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nulls_$i"),
+        countDistinct(c).as(s"__dist_$i")) ++ minMax :+ avgLen
+    }.toIndexedSeq
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = fields.zipWithIndex.map { case (f, i) =>
+      struct(
+        lit(f.name).as("column_name"),
+        col(s"__nulls_$i").cast("long").as("n_nulls"),
+        col(s"__dist_$i").cast("long").as("n_distinct"),
+        col(s"__min_$i").as("min_str"),
+        col(s"__max_$i").as("max_str"),
+        col(s"__len_$i").cast("double").as("avg_len"))
+    }
+    one.select(inline(array(rows.toIndexedSeq: _*)))
+  }
+}

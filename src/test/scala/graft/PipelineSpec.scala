@@ -2484,4 +2484,47 @@ class PipelineSpec extends GraftSuite {
     assert(out(0) == ((3L, 2L, -1.0, 1.0)))
     assert(out(1) == ((3L, 1L, -2.0, 3.0)))
   }
+
+  test("fixMojibake: repairs Latin-1 misdecodes, leaves ASCII and invalid bytes alone") {
+    val d = Seq(
+      (1L, "plain ascii stays put"),
+      (2L, "caf\u00C3\u00A9 cr\u00C3\u00A8me"), // cafÃ© crÃ¨me → café crème
+      (3L, "stray \u00C3 alone is not valid utf-8"), // malformed → untouched
+      (4L, "real caf\u00E9 is already fine")) // é alone: 1 char, no shrink
+      .toDF("doc_id", "text")
+    val out = d.select($"doc_id", TextAnalysis.fixMojibake($"text").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "plain ascii stays put")
+    assert(out(2L) == "caf\u00E9 cr\u00E8me")
+    assert(out(3L) == "stray \u00C3 alone is not valid utf-8")
+    assert(out(4L) == "real caf\u00E9 is already fine")
+  }
+
+  test("ccnetBuckets: per-language terciles are balanced and rate-ordered") {
+    val out = PipelineQueries.ccnetBucketsQ(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Double, String)].collect()
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val sizes = rows.groupBy(_._4).view.mapValues(_.length).toMap
+      // ntile(3): bucket sizes differ by at most 1
+      assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced: $sizes")
+      // every head-rate >= every tail-rate within the language
+      val head = rows.filter(_._4 == "head").map(_._3)
+      val tail = rows.filter(_._4 == "tail").map(_._3)
+      if (head.nonEmpty && tail.nonEmpty) assert(head.min >= tail.max)
+    }
+  }
+
+  test("ccCorpusAndPairs: staged artifact serves repeated calls identically") {
+    val sfDir = "/root/testdata/sf0.001"
+    val (c1, p1) = PipelineQueries.ccCorpusAndPairs(spark, sfDir)
+    val (c2, p2) = PipelineQueries.ccCorpusAndPairs(spark, sfDir)
+    assert(c1.count() == c2.count())
+    assert(p1.count() == p2.count())
+    // the staged pairs equal a fresh mine (order-free compare on id pairs)
+    val (_, fresh, sets) = PipelineQueries.mineCcCorpusAndPairs(spark, sfDir)
+    val staged = p1.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mined = fresh.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    sets.unpersist()
+    assert(staged == mined)
+  }
 }

@@ -418,4 +418,42 @@ object TextExprPropertySpec extends Properties("TextExprs") {
       val pngDeclined = ImagePixels.decodePngLuma(png).isEmpty
       jpegDeclined && aviDeclined && pngDeclined
     }
+
+  // ---- MojibakeFixExpr (round-11) -------------------------------------
+
+  private def fixStr(s: String): String =
+    graft.functions.MojibakeFixExpr.fix(UTF8String.fromString(s)).toString
+
+  /** UTF-8 bytes misdecoded as Latin-1 — the corruption fixMojibake undoes. */
+  private def mojify(s: String): String =
+    new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  private val asciiGen: Gen[String] =
+    Gen.listOf(Gen.choose(' ', '~')).map(_.mkString)
+
+  // strings guaranteed non-ASCII: accented Latin, Greek, CJK, an emoji
+  private val richGen: Gen[String] = for {
+    pre <- asciiGen
+    core <- Gen.nonEmptyListOf(Gen.oneOf(
+      "é", "ï", "ü", "ñ", "ç", "ß", "λ", "Ж", "中", "文", "😀", "—")).map(_.mkString)
+    post <- asciiGen
+  } yield pre + core + post
+
+  property("fixMojibake: ASCII is identity") =
+    Prop.forAll(asciiGen) { s => fixStr(s) == s }
+
+  property("fixMojibake: repairs any Latin-1 misdecode of non-ASCII text") =
+    Prop.forAll(richGen) { s => fixStr(mojify(s)) == s }
+
+  property("fixMojibake: any repair round-trips back to the input") =
+    Prop.forAll(Gen.listOf(Gen.choose(0x20.toChar, 0xFF.toChar)).map(_.mkString)) { s =>
+      val f = fixStr(s)
+      f == s || mojify(f) == s
+    }
+
+  property("fixMojibake: never introduces a replacement char") =
+    Prop.forAll(Gen.listOf(Gen.choose(0x20.toChar, 0x2FFF.toChar)).map(_.mkString)) { s =>
+      !fixStr(s).contains('\uFFFD') || s.contains('\uFFFD')
+    }
 }

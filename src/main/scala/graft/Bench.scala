@@ -93,8 +93,9 @@ object Bench {
       // round-12: the CC family now reads a staged pair artifact, so the
       // FRESH mine is tracked separately (p_dedup_cc on the curve now
       // measures stage-once + propagate; p_cc_pair_mining carries the
-      // mining-linearity signal the CC rows used to)
-      "p_cc_pair_mining")
+      // mining-linearity signal the CC rows used to); the incremental
+      // near-dup row joins too — per-dump work must stay O(dump)
+      "p_cc_pair_mining", "p_dedup_minhash_incremental")
     val multiples = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTIPLES", "1,3,10")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
     val scaleRoot = "/tmp/graft-bench-scale-" + java.util.UUID.randomUUID().toString.take(8)

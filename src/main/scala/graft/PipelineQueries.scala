@@ -211,6 +211,74 @@ object PipelineQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** The portable-md5 band buckets of [[dedupMinHashPortable]] as a
+    * standalone (doc_id, __bucket) relation — 16 min-wise slot hashes
+    * from md5(shingle‖slot), 8 two-slot band buckets from
+    * md5(slots‖band). Shared by the incremental dedup row (which needs
+    * buckets WITHOUT the verify join, so it can't reuse the fused
+    * pipeline above). Every value is a deterministic function of md5 —
+    * DuckDB replays it bit-for-bit. */
+  private def portableBandBuckets(corpus: DataFrame): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val grams = array_distinct(when(size(toks) < 3, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
+    val sets = corpus.select(col("doc_id"), grams.as("__g"))
+    val slotAggs = (0 until 16).map(i =>
+      min(substring(md5(concat(col("g"), lit("|" + i))), 1, 8)).as(s"s$i"))
+    val sigs = sets.select(col("doc_id"), explode(col("__g")).as("g"))
+      .groupBy("doc_id").agg(slotAggs.head, slotAggs.tail: _*)
+    val buckets = array((0 until 8).map(b =>
+      md5(concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"), lit("b" + b)))): _*)
+    sigs.select(col("doc_id"), explode(buckets).as("__bucket"))
+  }
+
+  /** Incremental NEAR-dup dedup across two ingest batches — the
+    * per-dump curation shape (each crawl dump dedups against every
+    * earlier dump's retained docs without reprocessing them): batch 0
+    * (even ids) dedups within itself by the bucket-minimum rule, its
+    * KEPT docs' band buckets persist to parquet as the fingerprint
+    * STORE; batch 1 (odd ids) drops any doc sharing a bucket with the
+    * store (cross-batch) or with a smaller-id batch-1 doc
+    * (within-batch). Bucket-grained — no pairwise verify — the
+    * documented approximate at-scale mode (the [[dedupMinHashScale]]
+    * class), but over the PORTABLE md5 banding, so DuckDB replays the
+    * entire incremental run: both batches' signatures, the exact store
+    * contents, and every drop decision. Constructed copies (+100000)
+    * keep their base's id parity, so base and copy land in the SAME
+    * batch and dedup within it; the cross-batch drops exercised here
+    * come from the corpus's organic near-dup clusters, which straddle
+    * the parity split naturally.
+    * 100 TB shape: per-dump work is O(dump) signatures + one
+    * bucket-keyed join against an O(retained-docs) store; history is
+    * never rescanned. */
+  def dedupMinHashIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = docsWithNearDups(spark, sfDir)
+    val buckets = portableBandBuckets(corpus).cache()
+    val b0 = buckets.where(col("doc_id") % 2 === 0)
+    val b1 = buckets.where(col("doc_id") % 2 === 1)
+    def bucketMinLosers(b: DataFrame): DataFrame = {
+      val mins = b.groupBy("__bucket").agg(min("doc_id").as("__mn"))
+      b.join(mins, Seq("__bucket")).where(col("doc_id") > col("__mn"))
+        .select("doc_id").distinct()
+    }
+    val kept0 = b0.select("doc_id").distinct()
+      .join(bucketMinLosers(b0), Seq("doc_id"), "left_anti")
+    val stateDir = "/tmp/graft-minhash-state-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    graft.io.TempDirs.registerForCleanup(java.nio.file.Paths.get(stateDir))
+    b0.join(kept0, Seq("doc_id")).select("__bucket").distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stateDir)
+    val store = spark.read.parquet(stateDir)
+    val drop1 = b1.join(store, Seq("__bucket")).select("doc_id")
+      .unionByName(bucketMinLosers(b1)).distinct()
+    val kept1 = b1.select("doc_id").distinct()
+      .join(drop1, Seq("doc_id"), "left_anti")
+    kept0.withColumn("batch", lit(0L))
+      .unionByName(kept1.withColumn("batch", lit(1L)))
+      .orderBy("doc_id")
+  }
+
   /** Portable-md5 SimHash twin — the same closure as
     * [[dedupMinHashPortable]] for the OTHER banding family: a 64-bit
     * SimHash built from md5 token bits (per bit, the ±1 majority over
@@ -1407,6 +1475,49 @@ object PipelineQueries {
         .when(variant === 2, concat(lit("HTTP://"), upper(site), lit(".COM:80/page/1?id=7&utm_campaign=z")))
         .when(variant === 3, concat(lit("http://"), site, lit(".com/page/1?id=7")))
         .otherwise(concat(lit("https://"), site, lit(".com/")))).as("url"))
+  }
+
+  /** URL-policy filtering — the RefinedWeb-style pre-crawl gate: a
+    * domain BLOCKLIST applied as a broadcast join (the at-scale shape —
+    * the blocklist is a TABLE of millions of domains broadcast once,
+    * never a literal IN-list), plus suffix, media-extension, and
+    * path-keyword rules as narrow regexp projections. The output keeps
+    * the per-rule audit flags alongside the verdict (the "why was my
+    * page dropped" view operators actually ship). Fixture hosts/paths
+    * are a deterministic function of doc_id exercising every rule;
+    * DuckDB replays the construction, the parse, and every rule. */
+  def urlPolicyQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val host =
+      when(col("doc_id") % 5 === 0,
+        concat(lit("news"), (col("doc_id") % 7).cast("string"), lit(".example.com")))
+        .when(col("doc_id") % 5 === 1, lit("spam.casino.biz"))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("cdn"), (col("doc_id") % 3).cast("string"), lit(".assets.net")))
+        .when(col("doc_id") % 5 === 3, lit("ads.tracker.casino.biz"))
+        .otherwise(lit("blog.example.org"))
+    val path =
+      when(col("doc_id") % 4 === 0, concat(lit("/article/"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("/download/file"), col("doc_id").cast("string"), lit(".exe")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("/img/pic"), col("doc_id").cast("string"), lit(".jpg")))
+        .otherwise(concat(lit("/post/"), col("doc_id").cast("string")))
+    val corpus = docs(spark, sfDir)
+      .select(col("doc_id"), concat(lit("https://"), host, path).as("url"))
+    val blocklist = Seq("spam.casino.biz", "malware.example.net").toDF("host")
+    val parsed = corpus
+      .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)", 1))
+      .withColumn("ext", regexp_extract(col("url"), "\\.([a-z0-9]+)$", 1))
+    parsed
+      .join(broadcast(blocklist.withColumn("__b", lit(1L))), Seq("host"), "left")
+      .select(col("doc_id"), col("host"),
+        col("__b").isNotNull.as("blocked_domain"),
+        col("host").endsWith("casino.biz").as("blocked_suffix"),
+        col("ext").isin("exe", "jpg", "zip").as("blocked_ext"))
+      .withColumn("keep",
+        !(col("blocked_domain") || col("blocked_suffix") || col("blocked_ext")))
+      .orderBy("doc_id")
   }
 
   /** URL canonicalization, text-exactly oracle-checked: DuckDB replays
@@ -3046,6 +3157,7 @@ object PipelineQueries {
     "p_dedup_minhash" -> (dedupMinHash _),
     "p_dedup_minhash_keep" -> (dedupMinHashKeep _),
     "p_dedup_minhash_portable" -> (dedupMinHashPortable _),
+    "p_dedup_minhash_incremental" -> (dedupMinHashIncremental _),
     "p_dedup_simhash_portable" -> (dedupSimHashPortable _),
     "p_sketch_vocab" -> (sketchVocab _),
     "p_sketch_overlap" -> (sketchOverlap _),
@@ -3101,6 +3213,7 @@ object PipelineQueries {
     "p_sample_cluster" -> (sampleCluster _),
     "p_url_canonical" -> (urlCanonical _),
     "p_dedup_url" -> (dedupUrl _),
+    "p_url_policy" -> (urlPolicyQ _),
     "p_dedup_url_best" -> (dedupUrlBest _),
     "p_tfidf_terms" -> (tfidfTerms _),
     "p_dsir_features" -> (dsirFeatures _),
@@ -3863,6 +3976,46 @@ object PipelineQueries {
          |SELECT c.doc_id FROM corpus c LEFT JOIN losers l ON c.doc_id = l.doc_id
          |WHERE l.doc_id IS NULL ORDER BY c.doc_id""".stripMargin,
 
+    // the full incremental run replayed: both batches' md5 signatures,
+    // the kept-doc fingerprint store, cross-batch and within-batch drops
+    "p_dedup_minhash_incremental" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text || ' zq extra trailing token' FROM documents),
+         |sh AS MATERIALIZED (
+         |  $shingleSetsSql),
+         |slotmin AS (
+         |  SELECT doc_id, i, min(substr(md5(g || '|' || i), 1, 8)) AS m
+         |  FROM (SELECT doc_id, unnest(s) AS g FROM sh)
+         |       CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+         |  GROUP BY doc_id, i),
+         |sig AS MATERIALIZED (
+         |  SELECT doc_id, list(m ORDER BY i) AS sg FROM slotmin GROUP BY doc_id),
+         |banded AS MATERIALIZED (
+         |  SELECT doc_id, md5(sg[2*b+1] || sg[2*b+2] || 'b' || b) AS bucket
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+         |b0 AS (SELECT doc_id, bucket FROM banded WHERE doc_id % 2 = 0),
+         |b1 AS (SELECT doc_id, bucket FROM banded WHERE doc_id % 2 = 1),
+         |m0 AS (SELECT bucket, min(doc_id) AS mn FROM b0 GROUP BY bucket),
+         |kept0 AS (
+         |  SELECT DISTINCT doc_id FROM b0 WHERE doc_id NOT IN (
+         |    SELECT DISTINCT d.doc_id FROM b0 d JOIN m0 ON d.bucket = m0.bucket
+         |    WHERE d.doc_id > m0.mn)),
+         |store AS (
+         |  SELECT DISTINCT b.bucket FROM b0 b JOIN kept0 k ON b.doc_id = k.doc_id),
+         |m1 AS (SELECT bucket, min(doc_id) AS mn FROM b1 GROUP BY bucket),
+         |kept1 AS (
+         |  SELECT DISTINCT doc_id FROM b1 WHERE doc_id NOT IN (
+         |    SELECT d.doc_id FROM b1 d JOIN store s ON d.bucket = s.bucket
+         |    UNION
+         |    SELECT d.doc_id FROM b1 d JOIN m1 ON d.bucket = m1.bucket
+         |    WHERE d.doc_id > m1.mn))
+         |SELECT doc_id, cast(0 as bigint) AS batch FROM kept0
+         |UNION ALL
+         |SELECT doc_id, cast(1 as bigint) AS batch FROM kept1
+         |ORDER BY doc_id""".stripMargin,
+
     "p_dedup_recall_canary" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
@@ -4063,6 +4216,34 @@ object PipelineQueries {
     "p_url_canonical" ->
       (s"""WITH $urlCanonSql
         |SELECT doc_id, url, canon_url FROM canon ORDER BY doc_id""".stripMargin),
+
+    // fixture construction + host/ext parse + every policy rule replayed
+    "p_url_policy" ->
+      """WITH uc AS (
+        |  SELECT doc_id, 'https://' ||
+        |    CASE WHEN doc_id % 5 = 0 THEN 'news' || cast(doc_id % 7 as varchar) || '.example.com'
+        |         WHEN doc_id % 5 = 1 THEN 'spam.casino.biz'
+        |         WHEN doc_id % 5 = 2 THEN 'cdn' || cast(doc_id % 3 as varchar) || '.assets.net'
+        |         WHEN doc_id % 5 = 3 THEN 'ads.tracker.casino.biz'
+        |         ELSE 'blog.example.org' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '/article/' || cast(doc_id as varchar)
+        |         WHEN doc_id % 4 = 1 THEN '/download/file' || cast(doc_id as varchar) || '.exe'
+        |         WHEN doc_id % 4 = 2 THEN '/img/pic' || cast(doc_id as varchar) || '.jpg'
+        |         ELSE '/post/' || cast(doc_id as varchar) END AS url
+        |  FROM documents),
+        |parsed AS (
+        |  SELECT doc_id,
+        |    regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+        |    regexp_extract(url, '\.([a-z0-9]+)$', 1) AS ext
+        |  FROM uc)
+        |SELECT doc_id, host,
+        |  host IN ('spam.casino.biz', 'malware.example.net') AS blocked_domain,
+        |  host LIKE '%casino.biz' AS blocked_suffix,
+        |  ext IN ('exe', 'jpg', 'zip') AS blocked_ext,
+        |  NOT (host IN ('spam.casino.biz', 'malware.example.net')
+        |    OR host LIKE '%casino.biz'
+        |    OR ext IN ('exe', 'jpg', 'zip')) AS keep
+        |FROM parsed ORDER BY doc_id""".stripMargin,
 
     "p_dedup_url" ->
       (s"""WITH $urlCanonSql

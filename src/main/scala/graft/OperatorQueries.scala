@@ -498,6 +498,22 @@ object OperatorQueries {
       .orderBy("c_custkey")
   }
 
+  /** BIFF5 (Excel 5.0/95) write → load roundtrip — the write half of
+    * the legacy matrix ([[graft.io.ExcelBiff.writeXls5]]: inline LABEL
+    * byte strings, no SST); the reader auto-detects the version from
+    * BOF, so the same loadFile path consumes it. */
+  def loadXls5Roundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val dir = tmpDir("graft_xls5")
+    val src = spark.table("customer")
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    graft.io.ExcelBiff.writeXls5(src, s"$dir/customer5.xls")
+    g.loadFile(FileRef(s"$dir/customer5.xls"))
+      .select(col("c_custkey").cast("bigint"), col("c_name"),
+        col("c_mktsegment"), col("c_acctbal").cast("double"))
+      .orderBy("c_custkey")
+  }
+
   /** XML export → load roundtrip through Spark 4's built-in XML
     * datasource (a file type BEYOND the reference's registry —
     * files/types/__init__.py stops at csv/json/ndjson/parquet/xls*).
@@ -595,7 +611,7 @@ object OperatorQueries {
     val root = graft.io.TempDirs.registerForCleanup(java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       "graft-compact-" + spark.sparkContext.applicationId + "-" +
-        Integer.toHexString(sfDir.hashCode))).toString
+        sfDir.replaceAll("[^A-Za-z0-9.-]", "_"))).toString
     val src = spark.table("documents").select("doc_id", "text")
     src.repartition(48).write.mode("overwrite").parquet(s"$root/fragmented")
     def parquetFiles(p: String): Int = {
@@ -654,6 +670,7 @@ object OperatorQueries {
     "op_compact_small_files" -> (compactSmallFiles _),
     "op_topk_sample" -> (topkSample _),
     "op_load_xls_roundtrip" -> (loadXlsRoundtrip _),
+    "op_load_xls5_roundtrip" -> (loadXls5Roundtrip _),
     "op_load_xml_roundtrip" -> (loadXmlRoundtrip _),
     "op_load_csv_roundtrip" -> (loadCsvRoundtrip _),
     "op_load_http" -> (loadHttp _),
@@ -761,6 +778,9 @@ object OperatorQueries {
       "SELECT p_partkey, p_name, p_brand, p_size FROM part ORDER BY p_partkey",
 
     "op_load_xls_roundtrip" ->
+      "SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer ORDER BY c_custkey",
+
+    "op_load_xls5_roundtrip" ->
       "SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer ORDER BY c_custkey",
 
     "op_load_xml_roundtrip" ->

@@ -545,7 +545,7 @@ object PipelineQueries {
       val dir = graft.io.TempDirs.registerForCleanup(java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
         "graft-ccpairs-" + spark.sparkContext.applicationId + "-" +
-          Integer.toHexString(sfDir.hashCode))).toString
+          sfDir.replaceAll("[^A-Za-z0-9.-]", "_"))).toString
       val (corpus, pairs, sets) = mineCcCorpusAndPairs(spark, sfDir)
       corpus.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$dir/corpus")
@@ -915,7 +915,7 @@ object PipelineQueries {
     val dir = graft.io.TempDirs.registerForCleanup(java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       "graft-ivfidx-" + spark.sparkContext.applicationId + "-" +
-        Integer.toHexString(sfDir.hashCode))).toString
+        sfDir.replaceAll("[^A-Za-z0-9.-]", "_"))).toString
     Similarity.ivfBuildArtifacts(e, "vec_id", "embedding",
       nCentroids = 16, rounds = 2, blockSize = 16, dir)
     val q = e.where(col("vec_id") < 5)
@@ -1727,6 +1727,34 @@ object PipelineQueries {
           .as("n_regs_set"),
         Sketch.hllSumInvScaled(col("r"), p).as("sum_inv_scaled"),
         Sketch.hllEstimate(col("r"), p).as("est_distinct"))
+  }
+
+  /** Approximate column profile — profiling at the 100 TB posture:
+    * `op_profile_table`'s exact per-column distincts pay Spark's
+    * distinct-aggregate Expand (input ×#columns); this variant prices
+    * every column's cardinality from ONE un-expanded pass holding
+    * constant state — a 256-byte HLL register set per column (the
+    * [[sketchHll]] machinery, so the estimate double replays
+    * bit-exactly in DuckDB). Null counts stay exact (plain partial
+    * aggregates riding the same pass). Output per column: exact null
+    * count, registers set, corrected distinct estimate. */
+  def profileApproxQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = 8
+    val d = docs(spark, sfDir)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = cols.zipWithIndex.flatMap { case (n, i) => Seq(
+      coalesce(sum(when(col(n).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__n_$i"),
+      Sketch.hll(Sketch.kmvHash(col(n).cast("string")), p).as(s"__r_$i"))
+    }.toIndexedSeq
+    val one = d.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.zipWithIndex.map { case (n, i) => struct(
+      lit(n).as("column_name"),
+      col(s"__n_$i").cast("long").as("n_nulls"),
+      (lit(1 << p) - Sketch.hllZeroRegs(col(s"__r_$i"))).cast("bigint")
+        .as("n_regs_set"),
+      Sketch.hllEstimate(col(s"__r_$i"), p).as("est_distinct"))
+    }
+    one.select(inline(array(rows.toIndexedSeq: _*))).orderBy("column_name")
   }
 
   /** Point-frequency estimates from a Count-Min sketch
@@ -3163,6 +3191,7 @@ object PipelineQueries {
     "p_sketch_overlap" -> (sketchOverlap _),
     "p_sketch_quantiles" -> (sketchQuantiles _),
     "p_sketch_hll" -> (sketchHll _),
+    "p_profile_approx" -> (profileApproxQ _),
     "p_sketch_hll_rollup" -> (sketchHllRollup _),
     "p_boilerplate_strip" -> (boilerplateStrip _),
     "p_sketch_cms" -> (sketchCms _),
@@ -4369,11 +4398,61 @@ object PipelineQueries {
     // terms, and the SAME literal numerator / correction table the Spark
     // plan embeds (Double.toString round-trips, so the doubles are
     // bit-identical on both sides)
+    // per-column HLL register replay (the p_sketch_hll chain, ungrouped,
+    // value = cast(col as varchar), NULLs excluded like the engine agg)
+    "p_profile_approx" -> {
+      val p = 8
+      val m = 1 << p
+      val numer = Sketch.hllAlpha(p) * m.toDouble * m.toDouble * Math.pow(2.0, 61 - p)
+      // e0 suffix: a bare decimal literal list unifies to DECIMAL(20,16),
+      // whose cast to DOUBLE divides by 10^16 in float arithmetic — 1 ulp
+      // off the engine's double table when the small-range correction
+      // fires; e0 forces each element to parse as DOUBLE directly
+      val corrList = Sketch.hllCorrectionTable(p).map(d => s"${d}e0")
+        .mkString("[", ", ", "]")
+      def branch(c: String): String =
+        s"""SELECT '$c' AS column_name,
+           |  (SELECT cast(count(*) FILTER (WHERE $c IS NULL) as bigint) FROM documents) AS n_nulls,
+           |  n_regs_set, sum_inv_scaled, est_distinct FROM (
+           |  WITH h AS (SELECT DISTINCT substr(md5(cast($c as varchar)), 1, 15) AS hx
+           |    FROM documents WHERE $c IS NOT NULL),
+           |  hi AS (SELECT
+           |    list_reduce(list_transform(range(1, 16), i ->
+           |      CAST(strpos('0123456789abcdef', substr(hx, i, 1)) - 1 AS BIGINT)),
+           |      (a, b) -> a * 16 + b) AS hv
+           |    FROM h),
+           |  br AS (SELECT hv // 4503599627370496 AS bucket,
+           |    hv % 4503599627370496 AS rem FROM hi),
+           |  rr AS (SELECT bucket,
+           |    max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END) AS m_j
+           |    FROM br GROUP BY bucket),
+           |  st AS (SELECT count(*) AS n_set,
+           |    sum(CAST(1 AS BIGINT) << (53 - m_j)) AS sum_set FROM rr),
+           |  fin AS (SELECT n_set,
+           |    coalesce(sum_set, 0) + ($m - n_set) * 9007199254740992 AS sum_inv_scaled FROM st),
+           |  est AS (SELECT n_set, sum_inv_scaled,
+           |    $numer / CAST(sum_inv_scaled AS DOUBLE) AS raw FROM fin)
+           |  SELECT CAST(n_set AS BIGINT) AS n_regs_set, sum_inv_scaled,
+           |    CASE WHEN raw <= ${2.5 * m} AND ($m - n_set) > 0
+           |      THEN ($corrList)[CAST($m - n_set AS INT)] ELSE raw END AS est_distinct
+           |  FROM est)""".stripMargin
+      Seq("doc_id", "text", "lang", "source", "n_chars")
+        .map(branch).mkString(
+          "SELECT column_name, n_nulls, n_regs_set, est_distinct FROM (\n",
+          "\nUNION ALL\n",
+          "\n) ORDER BY column_name")
+    },
+
     "p_sketch_hll" -> {
       val p = 8
       val m = 1 << p
       val numer = Sketch.hllAlpha(p) * m.toDouble * m.toDouble * Math.pow(2.0, 61 - p)
-      val corrList = Sketch.hllCorrectionTable(p).mkString("[", ", ", "]")
+      // e0 suffix: a bare decimal literal list unifies to DECIMAL(20,16),
+      // whose cast to DOUBLE divides by 10^16 in float arithmetic — 1 ulp
+      // off the engine's double table when the small-range correction
+      // fires; e0 forces each element to parse as DOUBLE directly
+      val corrList = Sketch.hllCorrectionTable(p).map(d => s"${d}e0")
+        .mkString("[", ", ", "]")
       s"""WITH $sketchGramsSql,
         |h AS (SELECT DISTINCT source, substr(md5(gm), 1, 15) AS hx FROM sgrams),
         |hi AS (SELECT source,
@@ -5624,7 +5703,12 @@ object PipelineQueries {
       val p = 8
       val m = 1 << p
       val numer = Sketch.hllAlpha(p) * m.toDouble * m.toDouble * Math.pow(2.0, 61 - p)
-      val corrList = Sketch.hllCorrectionTable(p).mkString("[", ", ", "]")
+      // e0 suffix: a bare decimal literal list unifies to DECIMAL(20,16),
+      // whose cast to DOUBLE divides by 10^16 in float arithmetic — 1 ulp
+      // off the engine's double table when the small-range correction
+      // fires; e0 forces each element to parse as DOUBLE directly
+      val corrList = Sketch.hllCorrectionTable(p).map(d => s"${d}e0")
+        .mkString("[", ", ", "]")
       s"""WITH $sketchGramsSql,
         |h AS (SELECT DISTINCT substr(md5(gm), 1, 15) AS hx FROM sgrams),
         |hi AS (SELECT

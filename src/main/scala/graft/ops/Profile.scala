@@ -50,7 +50,8 @@ object Profile {
         if (f.dataType == StringType) avg(length(c)).as(s"__len_$i")
         else first(lit(null).cast("double")).as(s"__len_$i")
       Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nulls_$i"),
+        // coalesce: sum over an EMPTY table is NULL — profile to 0 instead
+        coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nulls_$i"),
         countDistinct(c).as(s"__dist_$i")) ++ minMax :+ avgLen
     }.toIndexedSeq
     val one = df.agg(aggs.head, aggs.tail: _*)

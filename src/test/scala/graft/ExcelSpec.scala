@@ -236,4 +236,29 @@ class ExcelSpec extends GraftSuite {
     val dblBits = java.lang.Double.doubleToLongBits(2.5)
     assert(m.invoke(ExcelBiff, Int.box(((dblBits >>> 32) & 0xfffffffcL).toInt)) == 2.5)
   }
+
+  test("xls BIFF5 write -> read roundtrip (inline LABEL byte strings)") {
+    val dir = tmp()
+    val df = Seq(
+      (1L, "plain", 1.5),
+      (2L, "caf\u00e9 \u00fcber", -3.25), // Latin-1 exercises the 8-bit path
+      (3L, "", 0.0))
+      .toDF("id", "name", "score")
+    graft.io.ExcelBiff.writeXls5(df, s"$dir/five.xls")
+    val back = graft.io.ExcelBiff.readXls(spark, s"$dir/five.xls")
+      .selectExpr("cast(id as bigint) id", "name", "cast(score as double) score")
+      .orderBy("id").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(back(1).getString(1) == "caf\u00e9 \u00fcber")
+    assert(back.map(_.getDouble(2)).toSeq == Seq(1.5, -3.25, 0.0))
+  }
+
+  test("xls BIFF5 write rejects non-Latin-1 text with a clear message") {
+    val dir = tmp()
+    val df = Seq((1L, "\u4e2d\u6587")).toDF("id", "name")
+    val e = intercept[Exception] {
+      graft.io.ExcelBiff.writeXls5(df, s"$dir/wide.xls")
+    }
+    assert(e.getMessage.contains("BIFF8"))
+  }
 }

@@ -2527,4 +2527,13 @@ class PipelineSpec extends GraftSuite {
     sets.unpersist()
     assert(staged == mined)
   }
+
+  test("profileTable: empty table profiles to zeros, not nulls") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "name")
+    val out = graft.ops.Profile.profileTable(empty)
+      .orderBy("column_name").collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+    assert(out.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+  }
 }

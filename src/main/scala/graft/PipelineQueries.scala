@@ -252,9 +252,16 @@ object PipelineQueries {
     * 100 TB shape: per-dump work is O(dump) signatures + one
     * bucket-keyed join against an O(retained-docs) store; history is
     * never rescanned. */
-  def dedupMinHashIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val corpus = docsWithNearDups(spark, sfDir)
-    val buckets = portableBandBuckets(corpus).cache()
+  def dedupMinHashIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalKeepFromBuckets(spark,
+      portableBandBuckets(docsWithNearDups(spark, sfDir)).cache())
+
+  /** The incremental keep computation over ANY (doc_id, __bucket)
+    * relation — shared by the certified portable-md5 row and the
+    * production-hash bench twin ([[benchOnlyQueries]]), so the two
+    * paths differ ONLY in the banding hash family. */
+  private def incrementalKeepFromBuckets(
+      spark: SparkSession, buckets: DataFrame): DataFrame = {
     val b0 = buckets.where(col("doc_id") % 2 === 0)
     val b1 = buckets.where(col("doc_id") % 2 === 1)
     def bucketMinLosers(b: DataFrame): DataFrame = {
@@ -3355,6 +3362,16 @@ object PipelineQueries {
     "p_cc_pair_mining" -> ((s: SparkSession, dir: String) => {
       val (_, pairs, _) = mineCcCorpusAndPairs(s, dir)
       pairs.orderBy("id_a", "id_b")
+    }),
+    // the incremental dedup run over the PRODUCTION (fused xxhash64)
+    // banding — identical run shape to the certified portable-md5 row
+    // (shared incrementalKeepFromBuckets), different hash family, so
+    // its keep-set has no external replay; prices what the certified
+    // twin's md5 arithmetic costs vs the engine path
+    "p_dedup_incremental_fast" -> ((s: SparkSession, dir: String) => {
+      incrementalKeepFromBuckets(s, graft.functions.Dedup.bandBuckets(
+        docsWithNearDups(s, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 8).cache())
     }),
   )
 

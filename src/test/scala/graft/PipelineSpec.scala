@@ -2536,4 +2536,20 @@ class PipelineSpec extends GraftSuite {
     assert(out.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
     assert(out.forall(r => r.isNullAt(3) && r.isNullAt(4)))
   }
+
+  test("incremental fast twin: production banding drops the constructed copies") {
+    val out = SparkEntry.benchOnlyQueries("p_dedup_incremental_fast")(
+      spark, "/root/testdata/sf0.001").select("doc_id", "batch")
+      .as[(Long, Long)].collect()
+    val kept = out.map(_._1).toSet
+    assert(out.nonEmpty && out.map(_._2).toSet == Set(0L, 1L))
+    // every constructed copy (id = base + 100000) pairs with its base at
+    // j = m/(m+3); at 16 hashes / 8 two-row bands the per-pair miss is
+    // tiny, so ≥ 90% of copies must drop (hash-family-specific misses
+    // keep this a floor, not an equality — the md5 twin is the
+    // certified row)
+    val copies = kept.count(_ >= 100000)
+    val total = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(copies <= total / 10, s"copies kept: $copies of $total")
+  }
 }

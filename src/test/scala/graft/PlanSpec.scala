@@ -467,4 +467,23 @@ class PlanSpec extends GraftSuite {
         s"$name: expected a pinned verify exchange, found none\n$p")
     }
   }
+
+  test("fix_mojibake: codegen'd narrow projection, zero exchanges") {
+    val p = plan("p_fix_mojibake")
+    assert(p.contains("fix_mojibake"), p)
+    // the only exchange allowed is the final presentation sort
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("url policy: blocklist joins broadcast, no sort-merge") {
+    val p = plan("p_url_policy")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("salted join: hash join on salted keys, no nested-loop fallback") {
+    val p = plan("op_salted_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }

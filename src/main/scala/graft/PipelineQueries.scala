@@ -1745,9 +1745,16 @@ object PipelineQueries {
     * bit-exactly in DuckDB). Null counts stay exact (plain partial
     * aggregates riding the same pass). Output per column: exact null
     * count, registers set, corrected distinct estimate. */
-  def profileApproxQ(spark: SparkSession, sfDir: String): DataFrame = {
+  def profileApproxQ(spark: SparkSession, sfDir: String): DataFrame =
+    profileApproxAgg(docs(spark, sfDir)).orderBy("column_name")
+
+  /** The one-pass HLL profile aggregation over any documents-shaped
+    * relation — shared with the streaming twin ([[StreamingQueries]]):
+    * register max is batch-split invariant and the null counts are
+    * plain sums, so the drained stream equals the batch profile by
+    * construction. */
+  private[graft] def profileApproxAgg(d: DataFrame): DataFrame = {
     val p = 8
-    val d = docs(spark, sfDir)
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
     val aggs = cols.zipWithIndex.flatMap { case (n, i) => Seq(
       coalesce(sum(when(col(n).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__n_$i"),
@@ -1761,7 +1768,7 @@ object PipelineQueries {
         .as("n_regs_set"),
       Sketch.hllEstimate(col(s"__r_$i"), p).as("est_distinct"))
     }
-    one.select(inline(array(rows.toIndexedSeq: _*))).orderBy("column_name")
+    one.select(inline(array(rows.toIndexedSeq: _*)))
   }
 
   /** Point-frequency estimates from a Count-Min sketch

@@ -384,6 +384,26 @@ object StreamingQueries {
       .orderBy("source")
   }
 
+  /** Streaming approximate profile — [[PipelineQueries.profileApproxQ]]
+    * as a STATEFUL streaming aggregation: the state is FIVE 256-byte
+    * HLL register sets + five exact null counters no matter how much
+    * corpus flows through (the "profile a live crawl" posture).
+    * Register max and counter sums are batch-split invariant, so the
+    * drained two-batch stream equals the batch profile — the oracle IS
+    * the batch replay. */
+  def profileApproxStream(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    val corpus = Tables.read(spark, sfDir, "documents")
+    val dir = stageTwoBatches(spark,
+      corpus.where(col("doc_id") % 2 === 0), corpus.where(col("doc_id") % 2 === 1),
+      "graft_stream_profile")
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = PipelineQueries.profileApproxAgg(stream)
+    val name = "graft_stream_profile_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    Streams.runToMemorySink(out, name, OutputMode.Complete())
+      .orderBy("column_name")
+  }
+
   /** Streaming exact dedup: the documents corpus (∪ shifted-id copies, so
     * real duplicates span micro-batches) flows through a streaming
     * groupBy(content fingerprint) keeping the minimum doc_id — stateful
@@ -521,6 +541,7 @@ object StreamingQueries {
     "s_classifier_stream" -> (classifierStream _),
     "s_pii_stream" -> (piiScrubStream _),
     "s_fix_mojibake_stream" -> (fixMojibakeStream _),
+    "s_profile_stream" -> (profileApproxStream _),
     "s_dedup_stream" -> (dedupStream _),
     "s_dedup_neardup_stream" -> (dedupNearDupStream _),
     "s_dedup_media_stream" -> (dedupMediaStream _),
@@ -601,6 +622,10 @@ object StreamingQueries {
 
     // stateless projection → drained stream equals batch exactly
     "s_fix_mojibake_stream" -> PipelineQueries.oracleSql("p_fix_mojibake"),
+
+    // register-max + counter sums are batch-split invariant → the
+    // drained stream equals the batch profile, same oracle
+    "s_profile_stream" -> PipelineQueries.oracleSql("p_profile_approx"),
 
     // the batch sketch oracle verbatim — the k-min SET is batch-split
     // invariant, so the drained stream must equal the batch sketch

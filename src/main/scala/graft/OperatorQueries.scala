@@ -647,6 +647,17 @@ object OperatorQueries {
       .orderBy("column_name")
   }
 
+  /** Profile over the events table — certifies [[graft.ops.Profile]]'s
+    * NON-portable-render fallback: timestamp (`ts`) and double
+    * (`value`) columns profile nulls/distincts only (their text forms
+    * differ across engines, so min/max render NULL by design), while
+    * the bigint/string columns keep the full metric set. */
+  def profileEventsOp(spark: SparkSession, sfDir: String): DataFrame = {
+    gs(spark, sfDir)
+    graft.ops.Profile.profileTable(spark.table("events"))
+      .orderBy("column_name")
+  }
+
   /** Per-group top-k sampling (functions.Sampling.topKPerGroup): the
     * best-balance customers per nation — the deterministic
     * corpus-construction sampler, oracled by a row_number window. */
@@ -667,6 +678,7 @@ object OperatorQueries {
     "op_bucketed_join" -> (bucketedJoin _),
     "op_salted_join" -> (saltedJoinOp _),
     "op_profile_table" -> (profileTableOp _),
+    "op_profile_events" -> (profileEventsOp _),
     "op_compact_small_files" -> (compactSmallFiles _),
     "op_topk_sample" -> (topkSample _),
     "op_load_xls_roundtrip" -> (loadXlsRoundtrip _),
@@ -765,6 +777,47 @@ object OperatorQueries {
         |    cast(min(n_chars) as varchar), cast(max(n_chars) as varchar),
         |    cast(NULL as double)
         |  FROM documents) p
+        |ORDER BY column_name""".stripMargin,
+
+    // ts (timestamp) and value (double) take the non-portable-render
+    // branch: nulls/distincts only, min/max NULL by design
+    "op_profile_events" ->
+      """SELECT * FROM (
+        |  SELECT 'event_id' AS column_name,
+        |    cast(count(*) FILTER (WHERE event_id IS NULL) as bigint) AS n_nulls,
+        |    cast(count(DISTINCT event_id) as bigint) AS n_distinct,
+        |    cast(min(event_id) as varchar) AS min_str,
+        |    cast(max(event_id) as varchar) AS max_str,
+        |    cast(NULL as double) AS avg_len
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'ts', cast(count(*) FILTER (WHERE ts IS NULL) as bigint),
+        |    cast(count(DISTINCT ts) as bigint),
+        |    cast(NULL as varchar), cast(NULL as varchar), cast(NULL as double)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', cast(count(*) FILTER (WHERE user_id IS NULL) as bigint),
+        |    cast(count(DISTINCT user_id) as bigint),
+        |    cast(min(user_id) as varchar), cast(max(user_id) as varchar),
+        |    cast(NULL as double)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', cast(count(*) FILTER (WHERE event_type IS NULL) as bigint),
+        |    cast(count(DISTINCT event_type) as bigint),
+        |    cast(min(event_type) as varchar), cast(max(event_type) as varchar),
+        |    avg(length(event_type))
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'value', cast(count(*) FILTER (WHERE value IS NULL) as bigint),
+        |    cast(count(DISTINCT value) as bigint),
+        |    cast(NULL as varchar), cast(NULL as varchar), cast(NULL as double)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'props', cast(count(*) FILTER (WHERE props IS NULL) as bigint),
+        |    cast(count(DISTINCT props) as bigint),
+        |    cast(min(props) as varchar), cast(max(props) as varchar),
+        |    avg(length(props))
+        |  FROM events) p
         |ORDER BY column_name""".stripMargin,
 
     "op_topk_sample" ->

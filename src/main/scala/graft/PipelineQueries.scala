@@ -1493,8 +1493,12 @@ object PipelineQueries {
     * page dropped" view operators actually ship). Fixture hosts/paths
     * are a deterministic function of doc_id exercising every rule;
     * DuckDB replays the construction, the parse, and every rule. */
-  def urlPolicyQ(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  def urlPolicyQ(spark: SparkSession, sfDir: String): DataFrame =
+    urlPolicyVerdicts(spark, urlPolicyCorpus(spark, sfDir)).orderBy("doc_id")
+
+  /** The deterministic (doc_id, url) fixture — shared with the
+    * streaming twin. */
+  private[graft] def urlPolicyCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val host =
       when(col("doc_id") % 5 === 0,
         concat(lit("news"), (col("doc_id") % 7).cast("string"), lit(".example.com")))
@@ -1510,8 +1514,16 @@ object PipelineQueries {
         .when(col("doc_id") % 4 === 2,
           concat(lit("/img/pic"), col("doc_id").cast("string"), lit(".jpg")))
         .otherwise(concat(lit("/post/"), col("doc_id").cast("string")))
-    val corpus = docs(spark, sfDir)
+    docs(spark, sfDir)
       .select(col("doc_id"), concat(lit("https://"), host, path).as("url"))
+  }
+
+  /** Parse + blocklist join + rule flags over any (doc_id, url)
+    * relation — works on a stream too (the blocklist side is static,
+    * so the join re-plans per micro-batch as stream-static; rules are
+    * stateless projections). */
+  private[graft] def urlPolicyVerdicts(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    import spark.implicits._
     val blocklist = Seq("spam.casino.biz", "malware.example.net").toDF("host")
     val parsed = corpus
       .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)", 1))
@@ -1524,7 +1536,6 @@ object PipelineQueries {
         col("ext").isin("exe", "jpg", "zip").as("blocked_ext"))
       .withColumn("keep",
         !(col("blocked_domain") || col("blocked_suffix") || col("blocked_ext")))
-      .orderBy("doc_id")
   }
 
   /** URL canonicalization, text-exactly oracle-checked: DuckDB replays

@@ -384,6 +384,25 @@ object StreamingQueries {
       .orderBy("source")
   }
 
+  /** Streaming URL-policy gate — [[PipelineQueries.urlPolicyQ]]'s
+    * blocklist-join + rule projections over an arriving crawl: the
+    * blocklist side is STATIC (re-broadcast per micro-batch, the
+    * stream-static join shape), the rules are stateless projections,
+    * so the drained stream equals the batch verdicts — the oracle IS
+    * the batch replay. */
+  def urlPolicyStream(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    val corpus = PipelineQueries.urlPolicyCorpus(spark, sfDir)
+    val dir = stageTwoBatches(spark,
+      corpus.where(col("doc_id") % 2 === 0), corpus.where(col("doc_id") % 2 === 1),
+      "graft_stream_urlpol")
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val gated = PipelineQueries.urlPolicyVerdicts(spark, stream)
+    val name = "graft_stream_urlpol_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    Streams.runToMemorySink(gated, name, OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
   /** Streaming approximate profile — [[PipelineQueries.profileApproxQ]]
     * as a STATEFUL streaming aggregation: the state is FIVE 256-byte
     * HLL register sets + five exact null counters no matter how much
@@ -542,6 +561,7 @@ object StreamingQueries {
     "s_pii_stream" -> (piiScrubStream _),
     "s_fix_mojibake_stream" -> (fixMojibakeStream _),
     "s_profile_stream" -> (profileApproxStream _),
+    "s_url_policy_stream" -> (urlPolicyStream _),
     "s_dedup_stream" -> (dedupStream _),
     "s_dedup_neardup_stream" -> (dedupNearDupStream _),
     "s_dedup_media_stream" -> (dedupMediaStream _),
@@ -626,6 +646,9 @@ object StreamingQueries {
     // register-max + counter sums are batch-split invariant → the
     // drained stream equals the batch profile, same oracle
     "s_profile_stream" -> PipelineQueries.oracleSql("p_profile_approx"),
+
+    // stream-static blocklist join + stateless rules → equals batch
+    "s_url_policy_stream" -> PipelineQueries.oracleSql("p_url_policy"),
 
     // the batch sketch oracle verbatim — the k-min SET is batch-split
     // invariant, so the drained stream must equal the batch sketch

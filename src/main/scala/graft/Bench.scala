@@ -99,23 +99,38 @@ object Bench {
     val multiples = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTIPLES", "1,3,10")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
     val scaleRoot = "/tmp/graft-bench-scale-" + java.util.UUID.randomUUID().toString.take(8)
-    val curve = multiples.map { m =>
+    // Materialize every multiple's corpus FIRST, then time each query's
+    // multiples back-to-back (query-outer, multiple-inner). The flag below
+    // is a RATIO between the ×1 and ×10 points; with the old
+    // multiple-outer order those two timings sat many minutes apart, so a
+    // shared-host regime shift mid-curve inflated one side only and
+    // manufactured ratio excursions (p_dedup_edit 2.062 / simhash twin
+    // 79.6 s in the round-12 slow-regime refresh, byte-identical plans).
+    // Adjacent timings inflate TOGETHER, keeping the ratio attributable
+    // to the plan rather than to when the host slowed down.
+    val dirs = multiples.map { m =>
       val dir = s"$scaleRoot/x$m"
       val docs = graft.ops.Scale.scaleDocuments(Tables.read(spark, sfDir, "documents"), m)
       val embs = graft.ops.Scale.scaleEmbeddings(Tables.read(spark, sfDir, "embeddings"), m, dim = 64)
       docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
       embs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
-      // min-of-2 like the main suite: single-pass curve points manufactured
-      // two phantom regressions (rounds 4/5 flagged 16.95 s / 10.03 s at
-      // ×10 for a query whose min-of-2 truth was 3.56 s — shared-host
-      // noise, not a plan change).
-      val times = scaleQueries.map { n =>
+      m -> (dir, spark.read.parquet(s"$dir/documents.parquet").count())
+    }.toMap
+    // min-of-2 like the main suite: single-pass curve points manufactured
+    // two phantom regressions (rounds 4/5 flagged 16.95 s / 10.03 s at
+    // ×10 for a query whose min-of-2 truth was 3.56 s — shared-host
+    // noise, not a plan change).
+    val perQuery = scaleQueries.map { n =>
+      n -> multiples.map { m =>
+        val dir = dirs(m)._1
         val a = runOnce(s"scale_x${m}_$n", (s, _) => benchQueries(n)(s, dir))
         val b = runOnce(s"scale_x${m}_$n", (s, _) => benchQueries(n)(s, dir))
-        n -> math.min(a, b)
-      }
-      m -> (nDocs, times)
+        m -> math.min(a, b)
+      }.toMap
+    }
+    val curve = multiples.map { m =>
+      m -> (dirs(m)._2, scaleQueries.map(n =>
+        n -> perQuery.find(_._1 == n).get._2(m)))
     }
     // Per-query scaling verdict: wall-clock ratio between the largest and
     // smallest multiple, normalized by the data ratio — 1.0 = perfectly

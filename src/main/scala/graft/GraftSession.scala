@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.core._
 import graft.io.Flatten
 import graft.ops.Merge
-import graft.sql.SqlTemplate
+import graft.sql.{SqlDialect, SqlTemplate}
 
 /** The engine facade: one Spark-native implementation of the reference's
   * whole operator surface (python-sdk/src/astro/sql/__init__.py:20-50).
@@ -460,8 +460,16 @@ class GraftSession(val spark: SparkSession) {
     * bound to a placeholder is auto-registered as a temp view and renders
     * as its name — the reference materializes dataframe args into temp
     * tables before rendering (base_decorator.py:369-417); a lazy view is
-    * the Spark-native equivalent (no copy, full pushdown through it). */
-  def sql(template: String, bindings: Map[String, Any] = Map.empty): DataFrame = {
+    * the Spark-native equivalent (no copy, full pushdown through it).
+    *
+    * `dialect` ("spark" default, or "postgres") translates the rendered
+    * SQL through [[graft.sql.SqlDialect]] first — the reference passed
+    * dialect SQL straight to the warehouse engine (transform.py:55-72),
+    * so users bringing Postgres-flavored queries get the common forms
+    * (::casts, ~ regex ops, "quoted idents", to_char, …) mapped to
+    * Spark SQL instead of a parse error. */
+  def sql(template: String, bindings: Map[String, Any] = Map.empty,
+      dialect: String = "spark"): DataFrame = {
     val resolved: Map[String, Any] = bindings.map {
       case (k, ds: org.apache.spark.sql.Dataset[_]) =>
         val ref = TableRef.temp()
@@ -469,7 +477,7 @@ class GraftSession(val spark: SparkSession) {
         k -> ref
       case kv => kv
     }
-    spark.sql(SqlTemplate.render(template, resolved))
+    spark.sql(SqlDialect.toSparkSql(SqlTemplate.render(template, resolved), dialect))
   }
 
   /** Run `body` bracketed by a [[QueryModifier]]'s pre/post statements
@@ -487,9 +495,10 @@ class GraftSession(val spark: SparkSession) {
   def transform(
       sqlTemplate: String,
       bindings: Map[String, Any] = Map.empty,
-      output: Option[TableRef] = None): TableRef = {
+      output: Option[TableRef] = None,
+      dialect: String = "spark"): TableRef = {
     val out = output.getOrElse(TableRef.temp())
-    val df = sql(sqlTemplate, bindings)
+    val df = sql(sqlTemplate, bindings, dialect)
     replaceTable(df, out)
     logOp("transform",
       bindings.values.collect { case t: TableRef => t.qualifiedName }.toSeq,
@@ -510,8 +519,9 @@ class GraftSession(val spark: SparkSession) {
 
   /** Lazy variant of transform: just the DataFrame, no materialization —
     * the Spark-idiomatic fast path (SURVEY §3.2). */
-  def transformLazy(sqlTemplate: String, bindings: Map[String, Any] = Map.empty): DataFrame =
-    sql(sqlTemplate, bindings)
+  def transformLazy(sqlTemplate: String, bindings: Map[String, Any] = Map.empty,
+      dialect: String = "spark"): DataFrame =
+    sql(sqlTemplate, bindings, dialect)
 
   /** run_raw_sql (raw_sql.py:25-234): arbitrary SQL; `failOnEmpty` and
     * `responseSize` (row-truncation) parity. Returns collected rows. */

@@ -384,6 +384,30 @@ object StreamingQueries {
       .orderBy("source")
   }
 
+  /** Streaming KMV quantile sketch — the per-lang token-count quantile
+    * report ([[PipelineQueries.sketchQuantilesAgg]]) as a stateful
+    * streaming aggregation: per-lang state is the 64 smallest packed
+    * (hash, value) longs no matter how much corpus flows through, and
+    * the k-min SET is order/batch-split invariant (union + trim), so
+    * draining the two-batch stream in Complete mode yields EXACTLY the
+    * batch report — the oracle IS the batch `p_sketch_quantiles`
+    * replay, with the aggregation code shared by construction. Closes
+    * the sketch family's streaming residue: KMV-distinct, HLL, CMS, and
+    * now the quantile sketch all have drained-stream twins. */
+  def quantileStream(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    val corpus = Tables.read(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text")
+    val dir = stageTwoBatches(spark,
+      corpus.where(col("doc_id") % 2 === 0), corpus.where(col("doc_id") % 2 === 1),
+      "graft_stream_quantile")
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = PipelineQueries.sketchQuantilesAgg(stream)
+    val name = "graft_stream_quantile_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    Streams.runToMemorySink(out, name, OutputMode.Complete())
+      .orderBy("lang")
+  }
+
   /** Streaming URL-policy gate — [[PipelineQueries.urlPolicyQ]]'s
     * blocklist-join + rule projections over an arriving crawl: the
     * blocklist side is STATIC (re-broadcast per micro-batch, the
@@ -568,6 +592,7 @@ object StreamingQueries {
     "s_decontaminate_stream" -> (decontaminateStream _),
     "s_sketch_stream" -> (sketchStream _),
     "s_hll_stream" -> (hllStream _),
+    "s_quantile_stream" -> (quantileStream _),
     "s_asof_stream" -> (asofStream _),
     "s_cms_stream" -> (cmsStream _),
     "s_ann_assign_stream" -> (annAssignStream _),
@@ -655,6 +680,9 @@ object StreamingQueries {
     // cell-for-cell (max_kmin and the estimator double included)
     "s_sketch_stream" -> PipelineQueries.oracleSql("p_sketch_vocab"),
     "s_hll_stream" -> PipelineQueries.oracleSql("p_sketch_hll"),
+    // k-min (hash, value) packs are batch-split invariant → the drained
+    // stream equals the batch quantile report, same oracle
+    "s_quantile_stream" -> PipelineQueries.oracleSql("p_sketch_quantiles"),
     "s_asof_stream" -> PipelineQueries.oracleSql("p_asof_join"),
     // the drained streaming counter table == the batch CMS counters: the
     // oracle replays the row:item md5 buckets and counts over ALL gram

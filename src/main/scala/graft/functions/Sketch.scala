@@ -35,9 +35,20 @@ object Sketch {
   /** Portable 60-bit item hash: the first 15 hex digits of md5 as a
     * non-negative long. 60 bits keeps the value inside both engines'
     * exact BIGINT range and converts to double with one well-defined
-    * rounding, and md5 makes the k-min set replayable anywhere. */
-  def kmvHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    * rounding, and md5 makes the k-min set replayable anywhere.
+    *
+    * Fused ([[Md5PrefixExpr]], round 12): one digest → long per row,
+    * bit-identical to the former `conv(substring(md5(c),1,15),16,10)`
+    * column form (the 15-nibble value IS the top 60 bits of the
+    * digest) but without materializing the 32-char hex string,
+    * substringing it, and re-parsing — the md5-replay machinery under
+    * every sketch/portable-twin row, so the alloc chain was suite-wide
+    * hot. Equality pinned in SketchSpec. */
+  def kmvHash(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      Md5PrefixExpr(ColumnBridge.expression(c.cast("string")), 15))
+  }
 
   /** KMV aggregate over pre-hashed longs (see [[kmvHash]]): the sorted
     * array of the group's k smallest distinct hashes. */
@@ -104,10 +115,15 @@ object Sketch {
     * sample is uniform over items); clamping bounds are part of the
     * declared contract (token counts / scores at 2^24 ≈ 16.7M are
     * saturated, which for a p90-style statistic is indistinguishable). */
-  def kmvQuantilePack(id: Column, value: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 9), 16, 10).cast("long") *
+  def kmvQuantilePack(id: Column, value: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // fused 9-nibble digest ([[Md5PrefixExpr]]) — bit-identical to the
+    // former conv(substring(md5(id),1,9),16,10) column form
+    ColumnBridge.column(
+      Md5PrefixExpr(ColumnBridge.expression(id.cast("string")), 9)) *
       lit(QuantileValueDomain) +
       least(greatest(value.cast("long"), lit(0L)), lit(QuantileValueDomain - 1))
+  }
 
   /** The sorted sample VALUES back out of a packed k-min sketch. */
   def kmvSampleValues(kmins: Column): Column =
@@ -200,7 +216,10 @@ object Sketch {
   /** Cardinality estimate from a register array: raw harmonic estimate
     * with the small-range linear-counting correction. Every arithmetic
     * step is a literal, an exact integer, or one correctly-rounded
-    * double op, so an external replay hash-matches. */
+    * double op, so an external replay hash-matches. In-suite use only:
+    * round-11 driver boards showed the double path sits at the oracle
+    * engine's version-portability cliff (literal parse / fetch
+    * conversion drift); contract rows ship [[hllEstimateMicro]]. */
   def hllEstimate(regs: Column, p: Int): Column = {
     val m = 1 << p
     val numer = hllAlpha(p) * m.toDouble * m.toDouble * Math.pow(2.0, 61 - p)
@@ -208,6 +227,57 @@ object Sketch {
     val raw = lit(numer) / hllSumInvScaled(regs, p).cast("double")
     val v = hllZeroRegs(regs)
     when(raw <= lit(2.5 * m) && v > 0, element_at(corr, v)).otherwise(raw)
+  }
+
+  /** Micro-units per distinct item of the integer estimate surface. */
+  val HllEstScale = 1000000L
+
+  /** Exact integer numerator of the micro-unit raw estimate:
+    * floor(α·m²·2^(W+1)·10^6). α's BINARY double value expands exactly
+    * in decimal (java BigDecimal(double) is exact), so this ~27-digit
+    * integer is one deterministic literal both the Spark plan and the
+    * generated oracle SQL embed verbatim. */
+  def hllNumerMicro(p: Int): java.math.BigDecimal = {
+    val m = (1 << p).toLong
+    new java.math.BigDecimal(hllAlpha(p))
+      .multiply(new java.math.BigDecimal(m * m))
+      .multiply(new java.math.BigDecimal(
+        java.math.BigInteger.ONE.shiftLeft(61 - p)))
+      .multiply(new java.math.BigDecimal(HllEstScale))
+      .setScale(0, java.math.RoundingMode.FLOOR)
+  }
+
+  /** The m·ln(m/V) small-range correction table in integer micro-units
+    * (floor), index V = 1..m — BIGINT literals, so neither engine parses
+    * a double or evaluates a transcendental at query time. */
+  def hllCorrectionTableMicro(p: Int): Array[Long] = {
+    val m = 1 << p
+    Array.tabulate(m)(i =>
+      math.floor(m * math.log(m.toDouble / (i + 1)) * HllEstScale).toLong)
+  }
+
+  /** Integer-exact cardinality estimate in micro-units (10⁻⁶ items):
+    * floor(numer_micro / sum_inv_scaled) via DECIMAL(38,0) integral
+    * division, with the small-range branch a literal BIGINT table
+    * lookup — every step is integer arithmetic, so the value replays
+    * bit-for-bit on ANY oracle engine version (no double literal parse,
+    * no double division, no HUGEINT fetch conversion). est_distinct =
+    * micro / 10^6 to within 1 micro-unit of [[hllEstimate]]'s double
+    * (pinned in SketchSpec). Scope: the quotient exceeds BIGINT only
+    * past ~9·10^12 distinct — far beyond the 60-bit hash domain's
+    * collision-safe range. */
+  def hllEstimateMicro(regs: Column, p: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val m = 1 << p
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val corr = typedLit(hllCorrectionTableMicro(p))
+    val raw = ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression(lit(hllNumerMicro(p)).cast(dec38)),
+      ColumnBridge.expression(hllSumInvScaled(regs, p).cast(dec38))))
+    val v = hllZeroRegs(regs)
+    when(raw <= lit(5L * m / 2 * HllEstScale) && v > 0, element_at(corr, v))
+      .otherwise(raw)
   }
 
   // ---------------------------------------------------------------------
@@ -483,4 +553,66 @@ case class HllAgg(
       newChildren: IndexedSeq[org.apache.spark.sql.catalyst.expressions.Expression]) =
     copy(child = newChildren.head)
   override def prettyName: String = "hll"
+}
+
+/** The first `nibbles` hex digits of md5(utf8 bytes) as a non-negative
+  * long, as ONE codegen'd digest → shift per row — bit-identical to
+  * `conv(substring(md5(c), 1, nibbles), 16, 10)` (the value of the
+  * leading nibbles IS the top 4·nibbles bits of the digest) without
+  * materializing the 32-char hex string, substringing it, and
+  * re-parsing. This is the portable-hash kernel under every md5-replay
+  * surface (KMV/HLL/CMS sketches, the portable dedup twins, tar
+  * sharding), so the per-row alloc chain was suite-wide hot.
+  * Equality with the column form is pinned in SketchSpec. */
+case class Md5PrefixExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    nibbles: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{DataType, LongType, StringType}
+
+  require(nibbles >= 1 && nibbles <= 15,
+    s"md5 prefix must keep 1..15 nibbles (sign-safe long), got $nibbles")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md5_prefix expects string (cast first), got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    Md5PrefixExpr.prefix(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes, nibbles)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5PrefixExpr.prefix($c.getBytes(), $nibbles);")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "md5_prefix"
+}
+
+object Md5PrefixExpr {
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** Top 4·nibbles bits of md5(bytes) as a long (big-endian digest
+    * order — hex digit i of the canonical md5 string is nibble i). */
+  def prefix(bytes: Array[Byte], nibbles: Int): Long = {
+    val d = md.get()
+    d.reset()
+    val h = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v >>> (64 - 4 * nibbles)
+  }
 }

@@ -632,11 +632,22 @@ object ExcelBiff {
   def writeXls5(df: DataFrame, path: String): Unit = {
     val schema = df.schema
     val rows = df.collect()
+    // hard BIFF5 format limits, rejected with a clear message instead of
+    // silently wrapping through the 16-bit fields into a corrupt file:
+    // 2^14 rows (header + 16383 data rows), 256 columns, and LABEL
+    // payloads within the 2080-byte BIFF2–5 record-data cap (8 fixed
+    // bytes + cch) — larger datasets belong to the BIFF8 writer
+    require(rows.length + 1 <= 16384,
+      s"BIFF5 sheets cap at 16384 rows; got ${rows.length} data rows — use writeXls (BIFF8)")
+    require(schema.length <= 256,
+      s"BIFF5 sheets cap at 256 columns; got ${schema.length}")
     val isNum = schema.fields.map(f => f.dataType.isInstanceOf[NumericType])
 
     def byteStr(s: String): Array[Byte] = {
       require(s.forall(_ <= 0xff),
         s"BIFF5 strings are 8-bit byte strings; '${s.take(40)}' needs the BIFF8 writer")
+      require(s.length <= 2072,
+        s"BIFF5 LABEL cells cap at 2072 bytes; got ${s.length} — use writeXls (BIFF8)")
       leBytes16(s.length) ++ s.map(_.toByte).toArray
     }
 

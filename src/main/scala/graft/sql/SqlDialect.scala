@@ -1,0 +1,433 @@
+package graft.sql
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Postgres-flavored SQL → Spark SQL translation for the `transform` /
+  * `run_raw_sql` surface.
+  *
+  * The reference passed dialect SQL through to whatever warehouse engine
+  * backed the table (`sql/operators/transform.py:55-72` — no translation,
+  * the engine's dialect IS the contract); on Spark the engine dialect is
+  * Spark SQL, so users bringing Postgres-flavored queries need the
+  * common dialect forms mapped. This is a TOKEN-level translator — it
+  * never parses full SQL, it rewrites exactly the constructs whose
+  * Postgres spelling Spark rejects, and passes everything else through
+  * untouched (unknown constructs then fail with Spark's own error,
+  * never silently change meaning):
+  *
+  *  - `expr::type` postfix casts (chained ok) → `CAST(expr AS type)`,
+  *    with Postgres type names mapped (int4/int8/float8/text/bool/
+  *    bytea/timestamptz/"double precision"/"character varying"...);
+  *    the same type map applies inside explicit `CAST(x AS int8)`.
+  *  - `"quoted identifiers"` → Spark backtick identifiers (in Spark,
+  *    double quotes are string literals).
+  *  - `$tag$dollar-quoted strings$tag$` → standard quoted literals.
+  *  - regex operators: `a ~ p` → `a RLIKE p`, `a !~ p` → `a NOT RLIKE
+  *    p`, `a ~* p` → `upper(a) RLIKE upper(p)` (and the `!~*`
+  *    negation). Unary bitwise `~` is left alone (operand-context
+  *    detection).
+  *  - function renames: `now()` → `current_timestamp()`, `random()` →
+  *    `rand()`, `strpos` → `instr`, `string_agg` → `listagg`,
+  *    `to_char(ts, 'fmt')` → `date_format(ts, '<mapped fmt>')` with the
+  *    Postgres format tokens (YYYY/MM/DD/HH24/MI/SS/...) mapped to
+  *    java.time patterns when the format is a literal.
+  *  - `ILIKE`, `||` concat, `IS DISTINCT FROM`, `LIMIT/OFFSET`,
+  *    `SUBSTRING(x FROM y FOR z)`, `POSITION(a IN b)`, `split_part`,
+  *    `left`/`right` need no rewrite — Spark 4 accepts them natively —
+  *    and are covered by SqlDialectSpec so the pass-through stays pinned.
+  *
+  * Documented out of scope (pass through unchanged, Spark errors):
+  * `SIMILAR TO`, `E'...'` escape strings, `generate_series`, arrays'
+  * `ANY/ALL(array)` forms, `DISTINCT ON`.
+  */
+object SqlDialect {
+
+  /** Translate `sql` from `dialect` to Spark SQL. Supported dialects:
+    * "spark"/"ansi" (identity) and "postgres"/"postgresql". */
+  def toSparkSql(sql: String, dialect: String): String =
+    dialect.toLowerCase match {
+      case "spark" | "ansi" | "" => sql
+      case "postgres" | "postgresql" => translatePostgres(sql)
+      case other => throw new IllegalArgumentException(
+        s"Unsupported SQL dialect: $other (supported: spark, postgres)")
+    }
+
+  // ------------------------------------------------------------------
+  // tokens
+  // ------------------------------------------------------------------
+  private sealed trait Tok { def text: String }
+  private final case class Word(text: String) extends Tok
+  private final case class Num(text: String) extends Tok
+  private final case class Str(text: String) extends Tok   // quoted, Spark form
+  private final case class QIdent(text: String) extends Tok // backticked, Spark form
+  private final case class Sym(text: String) extends Tok
+  private final case class Ws(text: String) extends Tok
+  /** Already-rewritten Spark SQL fragment — opaque to later passes. */
+  private final case class Raw(text: String) extends Tok
+
+  private val multiSyms = Seq("!~*", "!~", "~*", "::", "||", "<=", ">=", "<>", "!=")
+
+  /** Lex Postgres SQL. Strings and quoted identifiers are converted to
+    * their SPARK spelling at lex time ('' stays '', `"x"` → `` `x` ``,
+    * dollar-quoting → single quotes with doubling). */
+  private def lex(sql: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = sql.length
+    def isWordStart(c: Char) = c.isLetter || c == '_'
+    def isWordPart(c: Char) = c.isLetterOrDigit || c == '_' || c == '$'
+    while (i < n) {
+      val c = sql(i)
+      if (c.isWhitespace) {
+        val j = { var k = i; while (k < n && sql(k).isWhitespace) k += 1; k }
+        out += Ws(sql.substring(i, j)); i = j
+      } else if (c == '-' && i + 1 < n && sql(i + 1) == '-') {
+        val j = sql.indexOf('\n', i) match { case -1 => n; case x => x }
+        out += Ws(sql.substring(i, j)); i = j
+      } else if (c == '/' && i + 1 < n && sql(i + 1) == '*') {
+        // Postgres block comments nest
+        var depth = 1; var j = i + 2
+        while (j < n && depth > 0) {
+          if (j + 1 < n && sql(j) == '/' && sql(j + 1) == '*') { depth += 1; j += 2 }
+          else if (j + 1 < n && sql(j) == '*' && sql(j + 1) == '/') { depth -= 1; j += 2 }
+          else j += 1
+        }
+        out += Ws(sql.substring(i, j)); i = j
+      } else if (c == '\'') {
+        var j = i + 1
+        val b = new StringBuilder
+        var closed = false
+        while (j < n && !closed) {
+          if (sql(j) == '\'' && j + 1 < n && sql(j + 1) == '\'') { b.append("''"); j += 2 }
+          else if (sql(j) == '\'') { closed = true; j += 1 }
+          else { b.append(sql(j)); j += 1 }
+        }
+        if (!closed) throw new IllegalArgumentException(
+          s"Unterminated string literal at offset $i")
+        out += Str("'" + b.toString + "'"); i = j
+      } else if (c == '"') {
+        var j = i + 1
+        val b = new StringBuilder
+        var closed = false
+        while (j < n && !closed) {
+          if (sql(j) == '"' && j + 1 < n && sql(j + 1) == '"') { b.append('"'); j += 2 }
+          else if (sql(j) == '"') { closed = true; j += 1 }
+          else { b.append(sql(j)); j += 1 }
+        }
+        if (!closed) throw new IllegalArgumentException(
+          s"Unterminated quoted identifier at offset $i")
+        out += QIdent("`" + b.toString.replace("`", "``") + "`"); i = j
+      } else if (c == '$' && {
+        // dollar-quoted string: $tag$ ... $tag$ (tag may be empty)
+        val e = sql.indexOf('$', i + 1)
+        e > i && sql.substring(i + 1, e).forall(ch => ch.isLetterOrDigit || ch == '_')
+      }) {
+        val e = sql.indexOf('$', i + 1)
+        val delim = sql.substring(i, e + 1)
+        val close = sql.indexOf(delim, e + 1)
+        if (close < 0) throw new IllegalArgumentException(
+          s"Unterminated dollar-quoted string at offset $i")
+        val body = sql.substring(e + 1, close)
+        out += Str("'" + body.replace("'", "''") + "'")
+        i = close + delim.length
+      } else if (c.isDigit || (c == '.' && i + 1 < n && sql(i + 1).isDigit)) {
+        var j = i
+        while (j < n && (sql(j).isDigit || sql(j) == '.')) j += 1
+        if (j < n && (sql(j) == 'e' || sql(j) == 'E')) {
+          var k = j + 1
+          if (k < n && (sql(k) == '+' || sql(k) == '-')) k += 1
+          if (k < n && sql(k).isDigit) { while (k < n && sql(k).isDigit) k += 1; j = k }
+        }
+        out += Num(sql.substring(i, j)); i = j
+      } else if (isWordStart(c)) {
+        var j = i + 1
+        while (j < n && isWordPart(sql(j))) j += 1
+        out += Word(sql.substring(i, j)); i = j
+      } else {
+        multiSyms.find(s => sql.startsWith(s, i)) match {
+          case Some(s) => out += Sym(s); i += s.length
+          case None => out += Sym(c.toString); i += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------------------------
+  // rewrites
+  // ------------------------------------------------------------------
+
+  /** Postgres → Spark type-name map (applied to `::type` and the type
+    * position of explicit CASTs). Unlisted names pass through. */
+  private val typeMap = Map(
+    "int2" -> "smallint", "int4" -> "int", "int8" -> "bigint",
+    "serial" -> "int", "bigserial" -> "bigint",
+    "float4" -> "float", "float8" -> "double",
+    "real" -> "float",
+    "text" -> "string", "bpchar" -> "string", "name" -> "string",
+    "bool" -> "boolean",
+    "bytea" -> "binary",
+    "timestamptz" -> "timestamp",
+    "numeric" -> "decimal")
+
+  /** Two-word Postgres type names (checked before the one-word map). */
+  private val twoWordTypes = Map(
+    ("double", "precision") -> "double",
+    ("character", "varying") -> "string")
+
+  private val fnRename = Map(
+    "now" -> "current_timestamp",
+    "random" -> "rand",
+    "strpos" -> "instr",
+    "string_agg" -> "listagg")
+
+  /** Postgres to_char patterns → java.time patterns, longest-first. */
+  private val toCharTokens = Seq(
+    "HH24" -> "HH", "HH12" -> "hh", "YYYY" -> "yyyy", "Month" -> "MMMM",
+    "MON" -> "MMM", "Mon" -> "MMM", "DDD" -> "DDD", "Day" -> "EEEE",
+    "Dy" -> "EEE", "MS" -> "SSS", "YY" -> "yy", "MM" -> "MM",
+    "DD" -> "dd", "MI" -> "mm", "SS" -> "ss", "TZ" -> "z", "AM" -> "a",
+    "PM" -> "a")
+
+  private def mapToCharFormat(lit: String): String = {
+    // lit includes the surrounding quotes
+    val body = lit.substring(1, lit.length - 1)
+    val b = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      toCharTokens.find { case (pg, _) => body.startsWith(pg, i) } match {
+        case Some((pg, jt)) => b.append(jt); i += pg.length
+        case None =>
+          val c = body.charAt(i)
+          // literal text in a java.time pattern must be quoted if alpha
+          if (c.isLetter) b.append('\'').append(c).append('\'') else b.append(c)
+          i += 1
+      }
+    }
+    "'" + b.toString + "'"
+  }
+
+  /** Keywords that can directly precede a unary operator — a `~` after
+    * one of these is bitwise NOT, not the binary regex match. */
+  private val preUnaryKeywords = Set(
+    "select", "where", "and", "or", "not", "on", "when", "then", "else",
+    "case", "end", "by", "having", "from", "join", "in", "like", "ilike",
+    "between", "is", "as", "union", "all", "distinct", "intersect",
+    "except", "limit", "offset", "order", "group", "values", "set",
+    "exists", "any", "some", "returning")
+
+  private def isOperandEnd(t: Tok): Boolean = t match {
+    case Word(w) => !preUnaryKeywords.contains(w.toLowerCase)
+    case Num(_) | Str(_) | QIdent(_) | Raw(_) => true
+    case Sym(")") | Sym("]") => true
+    case _ => false
+  }
+
+  /** Index of the previous/next non-whitespace token, or -1. */
+  private def prevIdx(ts: ArrayBuffer[Tok], i: Int): Int = {
+    var j = i - 1; while (j >= 0 && ts(j).isInstanceOf[Ws]) j -= 1; j
+  }
+  private def nextIdx(ts: ArrayBuffer[Tok], i: Int): Int = {
+    var j = i + 1; while (j < ts.length && ts(j).isInstanceOf[Ws]) j += 1
+    if (j < ts.length) j else -1
+  }
+
+  /** Start index of the primary expression ENDING at `end` (inclusive):
+    * a single atom, a balanced (...) group, or a function call
+    * name(...). Used by the `::` and `~*` rewrites. */
+  private def primaryStart(ts: ArrayBuffer[Tok], end: Int): Int = ts(end) match {
+    case Sym(")") =>
+      var depth = 1; var j = end - 1
+      while (j >= 0 && depth > 0) {
+        ts(j) match {
+          case Sym(")") => depth += 1
+          case Sym("(") => depth -= 1
+          case _ =>
+        }
+        if (depth > 0) j -= 1
+      }
+      if (j < 0) throw new IllegalArgumentException("Unbalanced parentheses")
+      val p = prevIdx(ts, j)
+      // a preceding non-keyword Word is the call's function name; a
+      // keyword (SELECT/WHERE/AND/...) means the group stands alone
+      ts.lift(p) match {
+        case Some(Word(w)) if !preUnaryKeywords.contains(w.toLowerCase) => p
+        case _ => j
+      }
+    case _ => end
+  }
+
+  /** End index of the primary expression STARTING at `start` (inclusive):
+    * an atom, a parenthesized group, or name(...). */
+  private def primaryEnd(ts: ArrayBuffer[Tok], start: Int): Int = ts(start) match {
+    case Sym("(") =>
+      var depth = 1; var j = start + 1
+      while (j < ts.length && depth > 0) {
+        ts(j) match {
+          case Sym("(") => depth += 1
+          case Sym(")") => depth -= 1
+          case _ =>
+        }
+        if (depth > 0) j += 1
+      }
+      if (j >= ts.length) throw new IllegalArgumentException("Unbalanced parentheses")
+      j
+    case Word(_) =>
+      val nx = nextIdx(ts, start)
+      if (nx >= 0 && ts(nx) == Sym("(")) primaryEnd(ts, nx) else start
+    case _ => start
+  }
+
+  private def text(ts: collection.Seq[Tok]): String = ts.map(_.text).mkString
+
+  /** Replace ts[from..to] (inclusive) with one Raw token. */
+  private def splice(ts: ArrayBuffer[Tok], from: Int, to: Int, raw: String): Unit = {
+    ts.remove(from, to - from + 1)
+    ts.insert(from, Raw(raw))
+  }
+
+  /** Consume a type name at `i` (skipping nothing — callers pass a
+    * non-ws index): returns (mapped Spark type text, last index used). */
+  private def mapTypeAt(ts: ArrayBuffer[Tok], i: Int): (String, Int) = {
+    val w1 = ts(i) match {
+      case Word(t) => t
+      case other => throw new IllegalArgumentException(
+        s"Expected a type name after ::, got '${other.text}'")
+    }
+    val n1 = nextIdx(ts, i)
+    // two-word types
+    if (n1 >= 0) ts(n1) match {
+      case Word(w2) if twoWordTypes.contains((w1.toLowerCase, w2.toLowerCase)) =>
+        return (twoWordTypes((w1.toLowerCase, w2.toLowerCase)), n1)
+      case _ =>
+    }
+    val base = typeMap.getOrElse(w1.toLowerCase, w1)
+    // parenthesized precision: varchar(10), decimal(10,2)
+    if (n1 >= 0 && ts(n1) == Sym("(")) {
+      val close = primaryEnd(ts, n1)
+      (base + text(ts.slice(n1, close + 1)), close)
+    } else (base, i)
+  }
+
+  private def translatePostgres(sql: String): String = {
+    val ts = ArrayBuffer(lex(sql): _*)
+
+    // 1) `::` postfix casts, innermost-first via repeated single-pass
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < ts.length && !changed) {
+        if (ts(i) == Sym("::")) {
+          val opEnd = prevIdx(ts, i)
+          if (opEnd < 0) throw new IllegalArgumentException("'::' with no operand")
+          val opStart = primaryStart(ts, opEnd)
+          val tIdx = nextIdx(ts, i)
+          if (tIdx < 0) throw new IllegalArgumentException("'::' with no type")
+          val (tpe, tEnd) = mapTypeAt(ts, tIdx)
+          val operand = text(ts.slice(opStart, opEnd + 1))
+          splice(ts, opStart, tEnd, s"CAST($operand AS $tpe)")
+          changed = true
+        }
+        i += 1
+      }
+    }
+
+    // 2) regex operators (binary only: previous token must end an operand)
+    var i = 0
+    while (i < ts.length) {
+      ts(i) match {
+        case Sym(op @ ("~" | "~*" | "!~" | "!~*")) =>
+          val p = prevIdx(ts, i)
+          if (p >= 0 && isOperandEnd(ts(p))) {
+            if (op == "~") { ts(i) = Raw(" RLIKE "); }
+            else if (op == "!~") { ts(i) = Raw(" NOT RLIKE ") }
+            else {
+              // case-insensitive: wrap both primaries in upper()
+              val lStart = primaryStart(ts, p)
+              val rStart = nextIdx(ts, i)
+              if (rStart < 0) throw new IllegalArgumentException(s"'$op' with no pattern")
+              val rEnd = primaryEnd(ts, rStart)
+              val lhs = text(ts.slice(lStart, p + 1))
+              val rhs = text(ts.slice(rStart, rEnd + 1))
+              val neg = if (op == "!~*") "NOT " else ""
+              splice(ts, lStart, rEnd, s"${neg}upper($lhs) RLIKE upper($rhs)")
+              i = lStart
+            }
+          }
+        case _ =>
+      }
+      i += 1
+    }
+
+    // 3) function renames + to_char format mapping + CAST type mapping
+    i = 0
+    while (i < ts.length) {
+      ts(i) match {
+        case Word(w) =>
+          val nx = nextIdx(ts, i)
+          val isCall = nx >= 0 && ts(nx) == Sym("(")
+          if (isCall && fnRename.contains(w.toLowerCase)) {
+            ts(i) = Raw(fnRename(w.toLowerCase))
+          } else if (isCall && w.toLowerCase == "to_char") {
+            // to_char(expr, 'fmt') with a LITERAL format → date_format
+            val close = primaryEnd(ts, nx)
+            // find the top-level comma inside the call
+            var depth = 0; var comma = -1
+            var j = nx + 1
+            while (j < close && comma < 0) {
+              ts(j) match {
+                case Sym("(") => depth += 1
+                case Sym(")") => depth -= 1
+                case Sym(",") if depth == 0 => comma = j
+                case _ =>
+              }
+              j += 1
+            }
+            val fIdx = if (comma > 0) nextIdx(ts, comma) else -1
+            if (fIdx > 0 && fIdx == prevIdx(ts, close) && ts(fIdx).isInstanceOf[Str]) {
+              val mapped = mapToCharFormat(ts(fIdx).text)
+              val arg = text(ts.slice(nx + 1, comma))
+              splice(ts, i, close, s"date_format($arg, $mapped)")
+            }
+          } else if (isCall && w.toLowerCase == "cast") {
+            // CAST(x AS int8): map the type after the top-level AS
+            val close = primaryEnd(ts, nx)
+            var depth = 0; var asIdx = -1
+            var j = nx + 1
+            while (j < close) {
+              ts(j) match {
+                case Sym("(") => depth += 1
+                case Sym(")") => depth -= 1
+                case Word(a) if depth == 0 && a.equalsIgnoreCase("as") => asIdx = j
+                case _ =>
+              }
+              j += 1
+            }
+            if (asIdx > 0) {
+              val tIdx = nextIdx(ts, asIdx)
+              if (tIdx > 0 && tIdx < close) ts(tIdx) match {
+                case Word(t) =>
+                  val n1 = nextIdx(ts, tIdx)
+                  val two = if (n1 >= 0 && n1 < close) ts(n1) match {
+                    case Word(t2) => twoWordTypes.get((t.toLowerCase, t2.toLowerCase))
+                      .map(m => (m, n1))
+                    case _ => None
+                  } else None
+                  two match {
+                    case Some((m, endT)) => splice(ts, tIdx, endT, m)
+                    case None => typeMap.get(t.toLowerCase)
+                      .foreach(m => ts(tIdx) = Raw(m))
+                  }
+                case _ =>
+              }
+            }
+          }
+        case _ =>
+      }
+      i += 1
+    }
+
+    text(ts.toSeq)
+  }
+}

@@ -261,4 +261,25 @@ class ExcelSpec extends GraftSuite {
     }
     assert(e.getMessage.contains("BIFF8"))
   }
+
+  test("xls BIFF5 write rejects format-limit overflows instead of corrupting") {
+    val dir = tmp()
+    // 16384 data rows + header = 16385 > the 2^14 BIFF5 row cap
+    val tall = spark.range(16384).selectExpr("id", "cast(id as string) s")
+    val er = intercept[Exception] {
+      graft.io.ExcelBiff.writeXls5(tall, s"$dir/tall.xls")
+    }
+    assert(er.getMessage.contains("16384 rows"))
+    // a LABEL payload past the 2080-byte BIFF2\u20135 record-data cap
+    val long = Seq((1L, "x" * 2073)).toDF("id", "s")
+    val el = intercept[Exception] {
+      graft.io.ExcelBiff.writeXls5(long, s"$dir/long.xls")
+    }
+    assert(el.getMessage.contains("2072"))
+    // at the caps exactly, the file writes and reads back
+    val edge = Seq((1L, "y" * 2072)).toDF("id", "s")
+    graft.io.ExcelBiff.writeXls5(edge, s"$dir/edge.xls")
+    val back = graft.io.ExcelBiff.readXls(spark, s"$dir/edge.xls").collect()
+    assert(back.length == 1 && back(0).getString(1).length == 2072)
+  }
 }

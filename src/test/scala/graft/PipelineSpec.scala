@@ -2528,6 +2528,22 @@ class PipelineSpec extends GraftSuite {
     assert(staged == mined)
   }
 
+  test("dedupMinHashIncremental: staged batch-0 store equals the fresh two-batch run") {
+    val sfDir = "/root/testdata/sf0.001"
+    // staged path (first call builds kept0/store artifacts, second reuses)
+    val s1 = PipelineQueries.dedupMinHashIncremental(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    val s2 = PipelineQueries.dedupMinHashIncremental(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    assert(s1 == s2)
+    // fresh unstaged witness over the same portable-md5 buckets
+    val fresh = PipelineQueries.incrementalKeepFromBuckets(spark,
+      PipelineQueries.portableBandBuckets(
+        PipelineQueries.docsWithNearDups(spark, sfDir)).cache())
+      .as[(Long, Long)].collect().toSet
+    assert(s1 == fresh)
+  }
+
   test("profileTable: empty table profiles to zeros, not nulls") {
     val empty = Seq.empty[(Long, String)].toDF("id", "name")
     val out = graft.ops.Profile.profileTable(empty)

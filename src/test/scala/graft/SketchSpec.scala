@@ -123,6 +123,25 @@ class SketchSpec extends GraftSuite {
     assert(math.abs(sorted - n / 2) < 0.16 * n, s"p50=$sorted")
   }
 
+  test("fused md5 prefix equals the conv(substring(md5)) column form") {
+    // kmvHash/kmvQuantilePack are the portable-hash kernel under every
+    // md5-replay oracle; the fused digest must stay bit-identical to the
+    // relational spelling DuckDB replays (incl. unicode + empty strings)
+    val d = (Seq("", "a", "café 中文", "zq extra trailing token") ++
+      (1 to 500).map(i => s"w$i b${i % 7}")).toDF("v")
+    val cmp = d.select(
+      Sketch.kmvHash(col("v")).as("fused"),
+      conv(substring(md5(col("v")), 1, 15), 16, 10).cast("long").as("col15"),
+      (Sketch.kmvQuantilePack(col("v"), lit(0L)) / Sketch.QuantileValueDomain)
+        .cast("long").as("fused9"),
+      conv(substring(md5(col("v")), 1, 9), 16, 10).cast("long").as("col9"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"15-nibble mismatch: $r")
+      assert(r.getLong(2) == r.getLong(3), s"9-nibble mismatch: $r")
+    }
+  }
+
   test("estimator lands near the true cardinality at k=128") {
     val n = 20000
     val d = (1 to n).map(i => s"word$i").toDF("v")
@@ -204,6 +223,27 @@ class SketchSpec extends GraftSuite {
     val est = hllEst(d, 8)
     // rsd = 1.04/sqrt(256) ≈ 6.5%; allow 4 sigma
     assert(math.abs(est - n) < 0.26 * n, s"est=$est")
+  }
+
+  test("hll micro estimate is the integer twin of the double estimator") {
+    // the contract rows ship integer micro-units (engine-version-portable);
+    // this pins them to the in-suite double path: |micro/1e6 − est| ≤ 1e-6
+    // on BOTH branches (raw: floor of the same quotient; correction:
+    // floor of the same table entry), and the empty sketch reads 0
+    for (n <- Seq(40, 3000, 50000)) {
+      val d = (1 to n).map(i => s"w$i").toDF("v")
+      val agg = d.select(Sketch.kmvHash(col("v")).as("h"))
+        .groupBy().agg(Sketch.hll(col("h"), 8).as("r"))
+      val (micro, dbl) = agg.select(
+        Sketch.hllEstimateMicro(col("r"), 8),
+        Sketch.hllEstimate(col("r"), 8)).as[(Long, Double)].head()
+      assert(math.abs(micro / 1e6 - dbl) <= 2e-6, s"n=$n micro=$micro dbl=$dbl")
+    }
+    val empty = Seq.empty[String].toDF("v")
+    val m0 = empty.select(Sketch.kmvHash(col("v")).as("h"))
+      .groupBy().agg(Sketch.hll(col("h"), 8).as("r"))
+      .select(Sketch.hllEstimateMicro(col("r"), 8)).as[Long].head()
+    assert(m0 == 0L)
   }
 
   test("hll null inputs are ignored, all-NULL group estimates 0") {

@@ -1,0 +1,117 @@
+package graft
+
+import graft.sql.SqlDialect.toSparkSql
+
+/** Postgres → Spark SQL dialect translation (graft.sql.SqlDialect):
+  * string-level rewrites, pass-through pins for forms Spark accepts
+  * natively, and end-to-end execution through GraftSession.transform
+  * (the reference's dialect posture — transform.py:55-72 — passed SQL
+  * straight to the warehouse engine; here the engine dialect is Spark,
+  * so the common Postgres spellings must map). */
+class SqlDialectSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def pg(s: String) = toSparkSql(s, "postgres")
+
+  test("postfix :: casts: atoms, function calls, parens, chains, precision") {
+    assert(pg("SELECT a::int8 FROM t") == "SELECT CAST(a AS bigint) FROM t")
+    assert(pg("SELECT count(*)::int4 FROM t")
+      == "SELECT CAST(count(*) AS int) FROM t")
+    assert(pg("SELECT (a + b)::float8 FROM t")
+      == "SELECT CAST((a + b) AS double) FROM t")
+    assert(pg("SELECT a::text::int8 FROM t")
+      == "SELECT CAST(CAST(a AS string) AS bigint) FROM t")
+    assert(pg("SELECT a::numeric(10,2) FROM t")
+      == "SELECT CAST(a AS decimal(10,2)) FROM t")
+    assert(pg("SELECT a::double precision FROM t")
+      == "SELECT CAST(a AS double) FROM t")
+    assert(pg("SELECT '42'::int8") == "SELECT CAST('42' AS bigint)")
+  }
+
+  test("explicit CAST type names map; :: inside strings/comments untouched") {
+    assert(pg("SELECT CAST(a AS int8) FROM t") == "SELECT CAST(a AS bigint) FROM t")
+    assert(pg("SELECT CAST(a AS double precision) FROM t")
+      == "SELECT CAST(a AS double) FROM t")
+    assert(pg("SELECT 'a::b' FROM t") == "SELECT 'a::b' FROM t")
+    assert(pg("SELECT a FROM t -- x::int8\n") == "SELECT a FROM t -- x::int8\n")
+    assert(pg("SELECT a /* c::int /* nested */ */ FROM t")
+      == "SELECT a /* c::int /* nested */ */ FROM t")
+  }
+
+  test("quoted identifiers and dollar-quoted strings") {
+    assert(pg("SELECT \"my col\" FROM \"T\"") == "SELECT `my col` FROM `T`")
+    assert(pg("SELECT $$it's here$$") == "SELECT 'it''s here'")
+    assert(pg("SELECT $tag$a$b$tag$") == "SELECT 'a$b'")
+  }
+
+  test("regex operators: ~, !~, ~*, !~*; unary bitwise ~ untouched") {
+    assert(pg("SELECT * FROM t WHERE a ~ 'x'")
+      == "SELECT * FROM t WHERE a  RLIKE  'x'")
+    assert(pg("SELECT * FROM t WHERE a !~ 'x'")
+      == "SELECT * FROM t WHERE a  NOT RLIKE  'x'")
+    assert(pg("SELECT * FROM t WHERE a ~* 'x'")
+      == "SELECT * FROM t WHERE upper(a) RLIKE upper('x')")
+    assert(pg("SELECT * FROM t WHERE a !~* lower(p)")
+      == "SELECT * FROM t WHERE NOT upper(a) RLIKE upper(lower(p))")
+    assert(pg("SELECT ~ 5") == "SELECT ~ 5") // unary bitwise NOT
+  }
+
+  test("function renames and to_char format mapping") {
+    assert(pg("SELECT now(), random(), strpos(a, 'x'), string_agg(a, ',') FROM t")
+      == "SELECT current_timestamp(), rand(), instr(a, 'x'), listagg(a, ',') FROM t")
+    assert(pg("SELECT to_char(d, 'YYYY-MM-DD') FROM t")
+      == "SELECT date_format(d, 'yyyy-MM-dd') FROM t")
+    assert(pg("SELECT to_char(d, 'HH24:MI:SS') FROM t")
+      == "SELECT date_format(d, 'HH:mm:ss') FROM t")
+    // non-literal format: left for Spark to reject, not silently changed
+    assert(pg("SELECT to_char(d, f) FROM t") == "SELECT to_char(d, f) FROM t")
+  }
+
+  test("identity dialects and unknown dialect rejection") {
+    assert(toSparkSql("SELECT 1::int", "spark") == "SELECT 1::int")
+    val e = intercept[IllegalArgumentException](toSparkSql("SELECT 1", "oracle"))
+    assert(e.getMessage.contains("oracle"))
+  }
+
+  test("end-to-end: Postgres-flavored transform over a real table") {
+    val df = Seq(
+      (1L, "Alpha Widget", 19.99, "2024-03-05"),
+      (2L, "beta gadget", 5.25, "2024-03-17"),
+      (3L, "GAMMA widget", 102.5, "2024-04-01"))
+      .toDF("id", "name", "price", "day")
+      .selectExpr("id", "name", "price", "CAST(day AS date) AS day")
+    val out = g.transformLazy(
+      """SELECT "id"::int8 AS id,
+        |  to_char(day, 'YYYY-MM') AS month,
+        |  (round(price * 100))::int8 AS cents
+        |FROM {{src}}
+        |WHERE name ~* 'widget' AND name !~ '^beta'
+        |ORDER BY id""".stripMargin,
+      Map("src" -> df), dialect = "postgres")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "2024-03", 1999L), (3L, "2024-04", 10250L)))
+  }
+
+  test("pass-through pins: ILIKE, ||, IS DISTINCT FROM, substring FROM FOR, split_part") {
+    val df = Seq(("Alpha", "x"), ("beta", "y")).toDF("a", "b")
+    val out = g.transformLazy(
+      """SELECT a || '-' || b AS j,
+        |  substring(a FROM 1 FOR 2) AS s2,
+        |  split_part(a || '_' || b, '_', 2) AS sp
+        |FROM {{src}} WHERE a ILIKE 'alp%' AND a IS DISTINCT FROM b
+        |ORDER BY a""".stripMargin,
+      Map("src" -> df), dialect = "postgres")
+      .as[(String, String, String)].collect().toSeq
+    assert(out == Seq(("Alpha-x", "Al", "x")))
+  }
+
+  test("string_agg → listagg executes") {
+    val df = Seq((1L, "b"), (1L, "a"), (2L, "c")).toDF("k", "v")
+    val out = g.transformLazy(
+      "SELECT k, string_agg(v, ',') AS vs FROM {{src}} GROUP BY k ORDER BY k",
+      Map("src" -> df), dialect = "postgres")
+      .as[(Long, String)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L))
+    assert(out.head._2.split(",").sorted.toSeq == Seq("a", "b"))
+  }
+}

@@ -30,6 +30,12 @@ def frame(con, sql):
     return [cols[i] for i in order], sorted(out)
 
 def main(sf_dir, out_dir):
+    # name the oracle engine version up front: any future hash mismatch is
+    # immediately attributable to engine drift vs a real bug (round 11: the
+    # HLL trio passed on DuckDB 1.0.0 and failed on the driver's DuckDB —
+    # root cause was version-sensitive double/HUGEINT handling, since
+    # removed from every contract surface)
+    print(f"oracle engine: duckdb {duckdb.__version__}")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"

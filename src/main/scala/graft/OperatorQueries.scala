@@ -213,6 +213,27 @@ object OperatorQueries {
     spark.table(out.qualifiedName).orderBy("c_mktsegment", "month")
   }
 
+  /** transform with `dialect = "snowflake"` — the reference SDK's
+    * PRIMARY warehouse, so Snowflake-flavored SQL is what its users
+    * most often bring: IFF, TO_VARCHAR, DATEADD/DATEDIFF with a part
+    * name, `::number` casts. Not valid Spark SQL as written; the
+    * DuckDB oracle certifies the translated semantics. */
+  def transformDialectSf(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val out = g.transform(
+      """SELECT o_orderstatus,
+        |  TO_VARCHAR(o_orderdate, 'YYYY-MM') AS month,
+        |  count(*)::int8 AS n,
+        |  sum(IFF(o_totalprice > 100000, 1, 0))::number(18,0)::int8 AS n_big,
+        |  max(DATEDIFF(day, '1995-01-01'::date, o_orderdate))::int8 AS max_days
+        |FROM {{orders}}
+        |GROUP BY o_orderstatus, TO_VARCHAR(o_orderdate, 'YYYY-MM')""".stripMargin,
+      bindings = Map("orders" -> TableRef("orders")),
+      output = Some(TableRef("op_transform_dialect_sf_out")),
+      dialect = "snowflake")
+    spark.table(out.qualifiedName).orderBy("o_orderstatus", "month")
+  }
+
   /** transform with a DataFrame argument: the frame auto-registers as a
     * temp view and renders as its name (base_decorator.py:369-417 parity). */
   def transformDfArg(spark: SparkSession, sfDir: String): DataFrame = {
@@ -716,6 +737,7 @@ object OperatorQueries {
     "op_flatten_projection" -> (flattenProjection _),
     "op_transform_ctas" -> (transformCtas _),
     "op_transform_dialect" -> (transformDialect _),
+    "op_transform_dialect_sf" -> (transformDialectSf _),
     "op_transform_df_arg" -> (transformDfArg _),
     "op_value_list" -> (valueList _),
     "op_dataframe_op" -> (dataframeOp _),
@@ -902,6 +924,17 @@ object OperatorQueries {
         |  AND lower(c_mktsegment) LIKE '%a%'
         |GROUP BY c_mktsegment, strftime(o_orderdate, '%Y-%m')
         |ORDER BY c_mktsegment, month""".stripMargin,
+
+    // the Snowflake-flavored transform restated dialect-neutrally
+    "op_transform_dialect_sf" ->
+      """SELECT o_orderstatus,
+        |  strftime(o_orderdate, '%Y-%m') AS month,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) as bigint) AS n_big,
+        |  cast(max(date_diff('day', DATE '1995-01-01', o_orderdate)) as bigint) AS max_days
+        |FROM orders
+        |GROUP BY o_orderstatus, strftime(o_orderdate, '%Y-%m')
+        |ORDER BY o_orderstatus, month""".stripMargin,
 
     "op_transform_df_arg" ->
       """WITH f AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey HAVING count(*) >= 10)

@@ -43,13 +43,18 @@ import scala.collection.mutable.ArrayBuffer
 object SqlDialect {
 
   /** Translate `sql` from `dialect` to Spark SQL. Supported dialects:
-    * "spark"/"ansi" (identity) and "postgres"/"postgresql". */
+    * "spark"/"ansi" (identity), "postgres"/"postgresql", and
+    * "snowflake" (the reference SDK's primary warehouse — its users'
+    * queries are most often Snowflake-flavored: shares the Postgres
+    * machinery and adds IFF/GETDATE/DATEADD/DATEDIFF/TO_VARCHAR/
+    * ZEROIFNULL/NULLIFZERO and the NUMBER/TIMESTAMP_NTZ type names). */
   def toSparkSql(sql: String, dialect: String): String =
     dialect.toLowerCase match {
       case "spark" | "ansi" | "" => sql
-      case "postgres" | "postgresql" => translatePostgres(sql)
+      case "postgres" | "postgresql" => translate(sql, snowflake = false)
+      case "snowflake" => translate(sql, snowflake = true)
       case other => throw new IllegalArgumentException(
-        s"Unsupported SQL dialect: $other (supported: spark, postgres)")
+        s"Unsupported SQL dialect: $other (supported: spark, postgres, snowflake)")
     }
 
   // ------------------------------------------------------------------
@@ -105,6 +110,19 @@ object SqlDialect {
         if (!closed) throw new IllegalArgumentException(
           s"Unterminated string literal at offset $i")
         out += Str("'" + b.toString + "'"); i = j
+      } else if (c == '`') {
+        // backtick identifier (our OWN output on a fixpoint re-lex):
+        // pass through verbatim, `` stays the escape
+        var j = i + 1
+        var closed = false
+        while (j < n && !closed) {
+          if (sql(j) == '`' && j + 1 < n && sql(j + 1) == '`') j += 2
+          else if (sql(j) == '`') { closed = true; j += 1 }
+          else j += 1
+        }
+        if (!closed) throw new IllegalArgumentException(
+          s"Unterminated backtick identifier at offset $i")
+        out += QIdent(sql.substring(i, j)); i = j
       } else if (c == '"') {
         var j = i + 1
         val b = new StringBuilder
@@ -168,6 +186,9 @@ object SqlDialect {
     "bool" -> "boolean",
     "bytea" -> "binary",
     "timestamptz" -> "timestamp",
+    // Snowflake spellings (only ever consulted in type positions)
+    "number" -> "decimal",
+    "timestamp_ltz" -> "timestamp", "timestamp_tz" -> "timestamp",
     "numeric" -> "decimal")
 
   /** Two-word Postgres type names (checked before the one-word map). */
@@ -180,6 +201,16 @@ object SqlDialect {
     "random" -> "rand",
     "strpos" -> "instr",
     "string_agg" -> "listagg")
+
+  /** Snowflake-only straight renames (arity-compatible); ZEROIFNULL /
+    * NULLIFZERO / TO_VARCHAR need argument rewrites and are handled
+    * structurally in pass 3. */
+  private val snowflakeFnRename = Map(
+    "iff" -> "if",
+    "getdate" -> "current_timestamp",
+    "systimestamp" -> "current_timestamp",
+    "dateadd" -> "timestampadd",
+    "datediff" -> "timestampdiff")
 
   /** Postgres to_char patterns → java.time patterns, longest-first. */
   private val toCharTokens = Seq(
@@ -286,6 +317,22 @@ object SqlDialect {
     ts.insert(from, Raw(raw))
   }
 
+  /** Index of the first depth-0 comma between `open` (a "(") and its
+    * matching `close`, or -1. */
+  private def topLevelComma(ts: ArrayBuffer[Tok], open: Int, close: Int): Int = {
+    var depth = 0; var j = open + 1
+    while (j < close) {
+      ts(j) match {
+        case Sym("(") => depth += 1
+        case Sym(")") => depth -= 1
+        case Sym(",") if depth == 0 => return j
+        case _ =>
+      }
+      j += 1
+    }
+    -1
+  }
+
   /** Consume a type name at `i` (skipping nothing — callers pass a
     * non-ws index): returns (mapped Spark type text, last index used). */
   private def mapTypeAt(ts: ArrayBuffer[Tok], i: Int): (String, Int) = {
@@ -309,7 +356,26 @@ object SqlDialect {
     } else (base, i)
   }
 
-  private def translatePostgres(sql: String): String = {
+  /** Run single-pass translation to a fixpoint: a pass's rewrites emit
+    * opaque fragments whose INTERIOR tokens (nested dialect calls inside
+    * a `::` cast operand, a ZEROIFNULL argument, …) the same pass can no
+    * longer see — re-lexing the output turns them back into live tokens
+    * for the next pass. Every rewrite produces a form that is not itself
+    * a rewrite candidate (CAST/RLIKE/date_format/…), so this converges;
+    * the guard bounds pathological input. */
+  private def translate(sql: String, snowflake: Boolean): String = {
+    var cur = sql
+    var prev: String = null
+    var guard = 0
+    while (cur != prev && guard < 16) {
+      prev = cur
+      cur = translateOnce(cur, snowflake)
+      guard += 1
+    }
+    cur
+  }
+
+  private def translateOnce(sql: String, snowflake: Boolean): String = {
     val ts = ArrayBuffer(lex(sql): _*)
 
     // 1) `::` postfix casts, innermost-first via repeated single-pass
@@ -361,34 +427,61 @@ object SqlDialect {
     }
 
     // 3) function renames + to_char format mapping + CAST type mapping
+    //    (+ the Snowflake-only call rewrites)
     i = 0
     while (i < ts.length) {
       ts(i) match {
         case Word(w) =>
           val nx = nextIdx(ts, i)
           val isCall = nx >= 0 && ts(nx) == Sym("(")
-          if (isCall && fnRename.contains(w.toLowerCase)) {
-            ts(i) = Raw(fnRename(w.toLowerCase))
+          val wl = w.toLowerCase
+          if (isCall && snowflake && snowflakeFnRename.contains(wl)) {
+            ts(i) = Raw(snowflakeFnRename(wl))
+            if (wl == "dateadd" || wl == "datediff") {
+              // Snowflake allows a QUOTED part name — timestampadd/-diff
+              // need a bare unit identifier
+              val a1 = nextIdx(ts, nx)
+              if (a1 >= 0) ts(a1) match {
+                case Str(s) => ts(a1) = Raw(s.substring(1, s.length - 1))
+                case _ =>
+              }
+            }
+          } else if (isCall && snowflake &&
+              (wl == "zeroifnull" || wl == "nullifzero" || wl == "to_varchar")) {
+            // token-preserving rewrites: only the NAME and the fixed
+            // pieces change, the argument tokens stay live so nested
+            // dialect calls inside them still translate in this pass
+            val close = primaryEnd(ts, nx)
+            wl match {
+              case "zeroifnull" =>
+                ts(i) = Raw("coalesce"); ts.insert(close, Raw(", 0"))
+              case "nullifzero" =>
+                ts(i) = Raw("nullif"); ts.insert(close, Raw(", 0"))
+              case _ =>
+                // TO_VARCHAR(x) → CAST(x AS string); TO_VARCHAR(x, 'fmt')
+                // with a literal format → date_format (same token map as
+                // to_char); non-literal formats pass through untouched
+                val comma = topLevelComma(ts, nx, close)
+                if (comma < 0) {
+                  ts(i) = Raw("CAST"); ts.insert(close, Raw(" AS string"))
+                } else {
+                  val fIdx = nextIdx(ts, comma)
+                  if (fIdx > 0 && fIdx == prevIdx(ts, close) && ts(fIdx).isInstanceOf[Str]) {
+                    ts(fIdx) = Raw(mapToCharFormat(ts(fIdx).text))
+                    ts(i) = Raw("date_format")
+                  }
+                }
+            }
+          } else if (isCall && fnRename.contains(wl)) {
+            ts(i) = Raw(fnRename(wl))
           } else if (isCall && w.toLowerCase == "to_char") {
             // to_char(expr, 'fmt') with a LITERAL format → date_format
             val close = primaryEnd(ts, nx)
-            // find the top-level comma inside the call
-            var depth = 0; var comma = -1
-            var j = nx + 1
-            while (j < close && comma < 0) {
-              ts(j) match {
-                case Sym("(") => depth += 1
-                case Sym(")") => depth -= 1
-                case Sym(",") if depth == 0 => comma = j
-                case _ =>
-              }
-              j += 1
-            }
+            val comma = topLevelComma(ts, nx, close)
             val fIdx = if (comma > 0) nextIdx(ts, comma) else -1
             if (fIdx > 0 && fIdx == prevIdx(ts, close) && ts(fIdx).isInstanceOf[Str]) {
-              val mapped = mapToCharFormat(ts(fIdx).text)
-              val arg = text(ts.slice(nx + 1, comma))
-              splice(ts, i, close, s"date_format($arg, $mapped)")
+              ts(fIdx) = Raw(mapToCharFormat(ts(fIdx).text))
+              ts(i) = Raw("date_format")
             }
           } else if (isCall && w.toLowerCase == "cast") {
             // CAST(x AS int8): map the type after the top-level AS

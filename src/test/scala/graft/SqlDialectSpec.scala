@@ -105,6 +105,57 @@ class SqlDialectSpec extends GraftSuite {
     assert(out == Seq(("Alpha-x", "Al", "x")))
   }
 
+  test("snowflake: IFF/GETDATE/DATEADD/DATEDIFF/TO_VARCHAR/ZEROIFNULL/NULLIFZERO") {
+    def sf(s: String) = toSparkSql(s, "snowflake")
+    assert(sf("SELECT IFF(a > 1, 'x', 'y')") == "SELECT if(a > 1, 'x', 'y')")
+    assert(sf("SELECT GETDATE()") == "SELECT current_timestamp()")
+    assert(sf("SELECT DATEADD(day, 3, d) FROM t")
+      == "SELECT timestampadd(day, 3, d) FROM t")
+    assert(sf("SELECT DATEADD('day', 3, d) FROM t")
+      == "SELECT timestampadd(day, 3, d) FROM t")
+    assert(sf("SELECT DATEDIFF(month, a, b) FROM t")
+      == "SELECT timestampdiff(month, a, b) FROM t")
+    assert(sf("SELECT TO_VARCHAR(x) FROM t") == "SELECT CAST(x AS string) FROM t")
+    assert(sf("SELECT TO_VARCHAR(d, 'YYYY-MM-DD') FROM t")
+      == "SELECT date_format(d, 'yyyy-MM-dd') FROM t")
+    assert(sf("SELECT ZEROIFNULL(x) FROM t") == "SELECT coalesce(x, 0) FROM t")
+    assert(sf("SELECT NULLIFZERO(x) FROM t") == "SELECT nullif(x, 0) FROM t")
+    assert(sf("SELECT x::number(10,2) FROM t")
+      == "SELECT CAST(x AS decimal(10,2)) FROM t")
+    // snowflake-only names untouched under postgres
+    assert(pg("SELECT IFF(a, 'x', 'y')") == "SELECT IFF(a, 'x', 'y')")
+  }
+
+  test("nested rewrites translate through the fixpoint (calls inside :: operands)") {
+    def sf(s: String) = toSparkSql(s, "snowflake")
+    // IFF sits inside a sum that the :: pass wraps first — the fixpoint
+    // re-lex must still reach it
+    assert(sf("SELECT sum(IFF(a > 1, 1, 0))::int8 FROM t")
+      == "SELECT CAST(sum(if(a > 1, 1, 0)) AS bigint) FROM t")
+    assert(sf("SELECT ZEROIFNULL(NULLIFZERO(v)) FROM t")
+      == "SELECT coalesce(nullif(v, 0), 0) FROM t")
+    assert(pg("SELECT to_char(now(), 'YYYY') ")
+      == "SELECT date_format(current_timestamp(), 'yyyy') ")
+  }
+
+  test("snowflake end-to-end: a Snowflake-flavored transform executes") {
+    val df = Seq((1L, 10.0, "2024-03-05"), (2L, 0.0, "2024-03-20"))
+      .toDF("id", "v", "day")
+      .selectExpr("id", "v", "CAST(day AS date) AS day")
+    val out = g.transformLazy(
+      """SELECT id::int8 AS id,
+        |  IFF(v > 5, 'hi', 'lo') AS bucket,
+        |  ZEROIFNULL(NULLIFZERO(v)) AS v2,
+        |  TO_VARCHAR(day, 'YYYY-MM') AS month,
+        |  DATEDIFF(day, day, DATEADD(day, 7, day)) AS plus7
+        |FROM {{src}} ORDER BY id""".stripMargin,
+      Map("src" -> df), dialect = "snowflake")
+      .as[(Long, String, Double, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "hi", 10.0, "2024-03", 7L),
+      (2L, "lo", 0.0, "2024-03", 7L)))
+  }
+
   test("string_agg → listagg executes") {
     val df = Seq((1L, "b"), (1L, "a"), (2L, "c")).toDF("k", "v")
     val out = g.transformLazy(

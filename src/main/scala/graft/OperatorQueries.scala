@@ -234,6 +234,28 @@ object OperatorQueries {
     spark.table(out.qualifiedName).orderBy("o_orderstatus", "month")
   }
 
+  /** transform with `dialect = "bigquery"`: SAFE_CAST, FORMAT_DATE
+    * (format-first strftime tokens), DATE_DIFF (end-minus-start arg
+    * order), DATE_ADD with INTERVAL — none valid Spark SQL as written;
+    * the DuckDB oracle certifies the translated semantics. */
+  def transformDialectBq(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val out = g.transform(
+      """SELECT o_orderstatus,
+        |  FORMAT_DATE('%Y-%m', o_orderdate) AS month,
+        |  SAFE_CAST(count(*) AS INT64) AS n,
+        |  max(DATE_DIFF(DATE_ADD(o_orderdate, INTERVAL 30 DAY),
+        |                DATE '1995-01-01', DAY)) AS max_days
+        |FROM {{orders}}
+        |GROUP BY o_orderstatus, FORMAT_DATE('%Y-%m', o_orderdate)""".stripMargin,
+      bindings = Map("orders" -> TableRef("orders")),
+      output = Some(TableRef("op_transform_dialect_bq_out")),
+      dialect = "bigquery")
+    spark.table(out.qualifiedName)
+      .selectExpr("o_orderstatus", "month", "n", "CAST(max_days AS bigint) AS max_days")
+      .orderBy("o_orderstatus", "month")
+  }
+
   /** transform with a DataFrame argument: the frame auto-registers as a
     * temp view and renders as its name (base_decorator.py:369-417 parity). */
   def transformDfArg(spark: SparkSession, sfDir: String): DataFrame = {
@@ -738,6 +760,7 @@ object OperatorQueries {
     "op_transform_ctas" -> (transformCtas _),
     "op_transform_dialect" -> (transformDialect _),
     "op_transform_dialect_sf" -> (transformDialectSf _),
+    "op_transform_dialect_bq" -> (transformDialectBq _),
     "op_transform_df_arg" -> (transformDfArg _),
     "op_value_list" -> (valueList _),
     "op_dataframe_op" -> (dataframeOp _),
@@ -932,6 +955,17 @@ object OperatorQueries {
         |  cast(count(*) as bigint) AS n,
         |  cast(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) as bigint) AS n_big,
         |  cast(max(date_diff('day', DATE '1995-01-01', o_orderdate)) as bigint) AS max_days
+        |FROM orders
+        |GROUP BY o_orderstatus, strftime(o_orderdate, '%Y-%m')
+        |ORDER BY o_orderstatus, month""".stripMargin,
+
+    // the BigQuery-flavored transform restated dialect-neutrally
+    "op_transform_dialect_bq" ->
+      """SELECT o_orderstatus,
+        |  strftime(o_orderdate, '%Y-%m') AS month,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(max(date_diff('day', DATE '1995-01-01',
+        |    o_orderdate + INTERVAL 30 DAY)) as bigint) AS max_days
         |FROM orders
         |GROUP BY o_orderstatus, strftime(o_orderdate, '%Y-%m')
         |ORDER BY o_orderstatus, month""".stripMargin,

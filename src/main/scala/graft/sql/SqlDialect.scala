@@ -42,20 +42,40 @@ import scala.collection.mutable.ArrayBuffer
   */
 object SqlDialect {
 
-  /** Translate `sql` from `dialect` to Spark SQL. Supported dialects:
-    * "spark"/"ansi" (identity), "postgres"/"postgresql", and
-    * "snowflake" (the reference SDK's primary warehouse — its users'
-    * queries are most often Snowflake-flavored: shares the Postgres
-    * machinery and adds IFF/GETDATE/DATEADD/DATEDIFF/TO_VARCHAR/
-    * ZEROIFNULL/NULLIFZERO and the NUMBER/TIMESTAMP_NTZ type names). */
+  /** Translate `sql` from `dialect` to Spark SQL — one entry per
+    * warehouse the reference SDK supported:
+    *  - "spark"/"ansi": identity.
+    *  - "postgres"/"postgresql": the base machinery.
+    *  - "snowflake" (the reference's primary warehouse): adds IFF/
+    *    GETDATE/DATEADD/DATEDIFF/TO_VARCHAR/ZEROIFNULL/NULLIFZERO and
+    *    the NUMBER/TIMESTAMP_LTZ type names.
+    *  - "redshift": Redshift IS Postgres-dialect-based and also uses
+    *    the GETDATE/DATEADD/DATEDIFF call forms — the Snowflake mode
+    *    covers both, so it's an alias.
+    *  - "bigquery": SAFE_CAST/SAFE_DIVIDE → try_*, FORMAT_DATE/
+    *    FORMAT_TIMESTAMP (strftime tokens, format-first arg order),
+    *    TIMESTAMP_DIFF/DATE_DIFF (end-minus-start arg reorder),
+    *    DATE_ADD/DATE_SUB with INTERVAL → `+`/`-` arithmetic,
+    *    ARRAY_LENGTH → size, INT64/FLOAT64/BYTES type names; double
+    *    quotes lex as STRINGS (BigQuery semantics), backtick
+    *    identifiers are already Spark-native.
+    * MSSQL is documented out of scope (TOP-n is structural; T-SQL's
+    * 2-arg ISNULL collides with Spark's 1-arg isnull). */
   def toSparkSql(sql: String, dialect: String): String =
     dialect.toLowerCase match {
       case "spark" | "ansi" | "" => sql
-      case "postgres" | "postgresql" => translate(sql, snowflake = false)
-      case "snowflake" => translate(sql, snowflake = true)
+      case "postgres" | "postgresql" => translate(sql, Pg)
+      case "snowflake" | "redshift" => translate(sql, Sf)
+      case "bigquery" => translate(sql, Bq)
       case other => throw new IllegalArgumentException(
-        s"Unsupported SQL dialect: $other (supported: spark, postgres, snowflake)")
+        s"Unsupported SQL dialect: $other " +
+          "(supported: spark, postgres, redshift, snowflake, bigquery)")
     }
+
+  private sealed trait Mode
+  private case object Pg extends Mode
+  private case object Sf extends Mode
+  private case object Bq extends Mode
 
   // ------------------------------------------------------------------
   // tokens
@@ -72,10 +92,11 @@ object SqlDialect {
 
   private val multiSyms = Seq("!~*", "!~", "~*", "::", "||", "<=", ">=", "<>", "!=")
 
-  /** Lex Postgres SQL. Strings and quoted identifiers are converted to
-    * their SPARK spelling at lex time ('' stays '', `"x"` → `` `x` ``,
+  /** Lex dialect SQL. Strings and quoted identifiers are converted to
+    * their SPARK spelling at lex time ('' stays '', `"x"` → `` `x` ``
+    * — or to a string when `dqAsString` (BigQuery semantics) —
     * dollar-quoting → single quotes with doubling). */
-  private def lex(sql: String): Vector[Tok] = {
+  private def lex(sql: String, dqAsString: Boolean = false): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var i = 0
     val n = sql.length
@@ -133,8 +154,10 @@ object SqlDialect {
           else { b.append(sql(j)); j += 1 }
         }
         if (!closed) throw new IllegalArgumentException(
-          s"Unterminated quoted identifier at offset $i")
-        out += QIdent("`" + b.toString.replace("`", "``") + "`"); i = j
+          s"Unterminated double-quoted token at offset $i")
+        if (dqAsString) out += Str("'" + b.toString.replace("'", "''") + "'")
+        else out += QIdent("`" + b.toString.replace("`", "``") + "`")
+        i = j
       } else if (c == '$' && {
         // dollar-quoted string: $tag$ ... $tag$ (tag may be empty)
         val e = sql.indexOf('$', i + 1)
@@ -189,6 +212,8 @@ object SqlDialect {
     // Snowflake spellings (only ever consulted in type positions)
     "number" -> "decimal",
     "timestamp_ltz" -> "timestamp", "timestamp_tz" -> "timestamp",
+    // BigQuery spellings
+    "int64" -> "bigint", "float64" -> "double", "bytes" -> "binary",
     "numeric" -> "decimal")
 
   /** Two-word Postgres type names (checked before the one-word map). */
@@ -211,6 +236,39 @@ object SqlDialect {
     "systimestamp" -> "current_timestamp",
     "dateadd" -> "timestampadd",
     "datediff" -> "timestampdiff")
+
+  /** BigQuery straight renames (arity-compatible); FORMAT_DATE /
+    * *_DIFF / *_ADD / *_SUB need argument rewrites — pass 3. */
+  private val bigqueryFnRename = Map(
+    "safe_cast" -> "try_cast",
+    "safe_divide" -> "try_divide",
+    "array_length" -> "size",
+    "generate_uuid" -> "uuid",
+    "current_datetime" -> "current_timestamp",
+    "ifnull" -> "coalesce")
+
+  /** BigQuery strftime-style format tokens → java.time patterns. */
+  private val strftimeTokens = Seq(
+    "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%d" -> "dd",
+    "%e" -> "d", "%H" -> "HH", "%I" -> "hh", "%M" -> "mm", "%S" -> "ss",
+    "%j" -> "DDD", "%b" -> "MMM", "%B" -> "MMMM", "%a" -> "EEE",
+    "%A" -> "EEEE", "%p" -> "a", "%Z" -> "z", "%%" -> "%")
+
+  private def mapStrftimeFormat(lit: String): String = {
+    val body = lit.substring(1, lit.length - 1)
+    val b = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      strftimeTokens.find { case (t, _) => body.startsWith(t, i) } match {
+        case Some((t, jt)) => b.append(jt); i += t.length
+        case None =>
+          val c = body.charAt(i)
+          if (c.isLetter) b.append('\'').append(c).append('\'') else b.append(c)
+          i += 1
+      }
+    }
+    "'" + b.toString + "'"
+  }
 
   /** Postgres to_char patterns → java.time patterns, longest-first. */
   private val toCharTokens = Seq(
@@ -363,20 +421,20 @@ object SqlDialect {
     * for the next pass. Every rewrite produces a form that is not itself
     * a rewrite candidate (CAST/RLIKE/date_format/…), so this converges;
     * the guard bounds pathological input. */
-  private def translate(sql: String, snowflake: Boolean): String = {
+  private def translate(sql: String, mode: Mode): String = {
     var cur = sql
     var prev: String = null
     var guard = 0
     while (cur != prev && guard < 16) {
       prev = cur
-      cur = translateOnce(cur, snowflake)
+      cur = translateOnce(cur, mode)
       guard += 1
     }
     cur
   }
 
-  private def translateOnce(sql: String, snowflake: Boolean): String = {
-    val ts = ArrayBuffer(lex(sql): _*)
+  private def translateOnce(sql: String, mode: Mode): String = {
+    val ts = ArrayBuffer(lex(sql, dqAsString = mode == Bq): _*)
 
     // 1) `::` postfix casts, innermost-first via repeated single-pass
     var changed = true
@@ -435,7 +493,7 @@ object SqlDialect {
           val nx = nextIdx(ts, i)
           val isCall = nx >= 0 && ts(nx) == Sym("(")
           val wl = w.toLowerCase
-          if (isCall && snowflake && snowflakeFnRename.contains(wl)) {
+          if (isCall && mode == Sf && snowflakeFnRename.contains(wl)) {
             ts(i) = Raw(snowflakeFnRename(wl))
             if (wl == "dateadd" || wl == "datediff") {
               // Snowflake allows a QUOTED part name — timestampadd/-diff
@@ -446,7 +504,7 @@ object SqlDialect {
                 case _ =>
               }
             }
-          } else if (isCall && snowflake &&
+          } else if (isCall && mode == Sf &&
               (wl == "zeroifnull" || wl == "nullifzero" || wl == "to_varchar")) {
             // token-preserving rewrites: only the NAME and the fixed
             // pieces change, the argument tokens stay live so nested
@@ -472,6 +530,57 @@ object SqlDialect {
                   }
                 }
             }
+          } else if (isCall && mode == Bq && bigqueryFnRename.contains(wl)) {
+            ts(i) = Raw(bigqueryFnRename(wl))
+          } else if (isCall && mode == Bq &&
+              (wl == "format_date" || wl == "format_timestamp" ||
+               wl == "format_datetime")) {
+            // FORMAT_DATE('%Y-%m', d): format comes FIRST in BigQuery —
+            // map the strftime tokens and swap to date_format(d, fmt)
+            val close = primaryEnd(ts, nx)
+            val comma = topLevelComma(ts, nx, close)
+            if (comma > 0) {
+              val fIdx = nextIdx(ts, nx)
+              if (fIdx == prevIdx(ts, comma) && ts(fIdx).isInstanceOf[Str]) {
+                val mapped = mapStrftimeFormat(ts(fIdx).text)
+                val rest = text(ts.slice(comma + 1, close)).trim
+                splice(ts, i, close, s"date_format($rest, $mapped)")
+              }
+            }
+          } else if (isCall && mode == Bq &&
+              (wl == "timestamp_diff" || wl == "date_diff" ||
+               wl == "datetime_diff")) {
+            // X_DIFF(end, start, part) = end − start →
+            // timestampdiff(part, start, end) (same sign convention)
+            val close = primaryEnd(ts, nx)
+            val c1 = topLevelComma(ts, nx, close)
+            val c2 = if (c1 > 0) topLevelComma(ts, c1, close) else -1
+            if (c1 > 0 && c2 > 0) {
+              val endArg = text(ts.slice(nx + 1, c1)).trim
+              val startArg = text(ts.slice(c1 + 1, c2)).trim
+              val part = text(ts.slice(c2 + 1, close)).trim
+              splice(ts, i, close, s"timestampdiff($part, $startArg, $endArg)")
+            }
+          } else if (isCall && mode == Bq &&
+              (wl == "date_add" || wl == "timestamp_add" || wl == "datetime_add" ||
+               wl == "date_sub" || wl == "timestamp_sub" || wl == "datetime_sub")) {
+            // X_ADD(d, INTERVAL n unit) → (d + INTERVAL n unit); without
+            // INTERVAL, Spark's own 2-arg date_add already applies
+            val close = primaryEnd(ts, nx)
+            val comma = topLevelComma(ts, nx, close)
+            if (comma > 0) {
+              val second = nextIdx(ts, comma)
+              val isInterval = second > 0 && (ts(second) match {
+                case Word(w2) => w2.equalsIgnoreCase("interval")
+                case _ => false
+              })
+              if (isInterval) {
+                val d = text(ts.slice(nx + 1, comma)).trim
+                val iv = text(ts.slice(comma + 1, close)).trim
+                val op = if (wl.endsWith("_sub")) "-" else "+"
+                splice(ts, i, close, s"($d $op $iv)")
+              }
+            }
           } else if (isCall && fnRename.contains(wl)) {
             ts(i) = Raw(fnRename(wl))
           } else if (isCall && w.toLowerCase == "to_char") {
@@ -483,8 +592,8 @@ object SqlDialect {
               ts(fIdx) = Raw(mapToCharFormat(ts(fIdx).text))
               ts(i) = Raw("date_format")
             }
-          } else if (isCall && w.toLowerCase == "cast") {
-            // CAST(x AS int8): map the type after the top-level AS
+          } else if (isCall && (wl == "cast" || wl == "try_cast")) {
+            // CAST(x AS int8) / TRY_CAST: map the type after the top-level AS
             val close = primaryEnd(ts, nx)
             var depth = 0; var asIdx = -1
             var j = nx + 1

@@ -156,6 +156,40 @@ class SqlDialectSpec extends GraftSuite {
       (2L, "lo", 0.0, "2024-03", 7L)))
   }
 
+  test("bigquery: SAFE_CAST/FORMAT_DATE/TIMESTAMP_DIFF/INTERVAL math/types/strings") {
+    def bq(s: String) = toSparkSql(s, "bigquery")
+    assert(bq("SELECT SAFE_CAST(x AS INT64) FROM t")
+      == "SELECT try_cast(x AS bigint) FROM t")
+    assert(bq("SELECT FORMAT_DATE('%Y-%m', d) FROM t")
+      == "SELECT date_format(d, 'yyyy-MM') FROM t")
+    assert(bq("SELECT TIMESTAMP_DIFF(b, a, DAY) FROM t")
+      == "SELECT timestampdiff(DAY, a, b) FROM t")
+    assert(bq("SELECT DATE_ADD(d, INTERVAL 3 DAY) FROM t")
+      == "SELECT (d + INTERVAL 3 DAY) FROM t")
+    assert(bq("SELECT DATE_SUB(d, INTERVAL 1 MONTH) FROM t")
+      == "SELECT (d - INTERVAL 1 MONTH) FROM t")
+    assert(bq("SELECT ARRAY_LENGTH(xs), SAFE_DIVIDE(a, b) FROM t")
+      == "SELECT size(xs), try_divide(a, b) FROM t")
+    // BigQuery double quotes are STRINGS, not identifiers
+    assert(bq("SELECT \"it's\" FROM t") == "SELECT 'it''s' FROM t")
+    // redshift aliases the Postgres+DATEADD machinery
+    assert(toSparkSql("SELECT GETDATE(), a::int8 FROM t", "redshift")
+      == "SELECT current_timestamp(), CAST(a AS bigint) FROM t")
+  }
+
+  test("bigquery end-to-end: a BigQuery-flavored transform executes") {
+    val df = Seq((1L, "2024-03-05"), (2L, "2024-04-20")).toDF("id", "day")
+      .selectExpr("id", "CAST(day AS date) AS day")
+    val out = g.transformLazy(
+      """SELECT SAFE_CAST(id AS INT64) AS id,
+        |  FORMAT_DATE('%Y-%m', day) AS month,
+        |  DATE_DIFF(DATE_ADD(day, INTERVAL 7 DAY), day, DAY) AS plus7
+        |FROM {{src}} ORDER BY id""".stripMargin,
+      Map("src" -> df), dialect = "bigquery")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "2024-03", 7L), (2L, "2024-04", 7L)))
+  }
+
   test("string_agg → listagg executes") {
     val df = Seq((1L, "b"), (1L, "a"), (2L, "c")).toDF("k", "v")
     val out = g.transformLazy(

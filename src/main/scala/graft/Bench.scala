@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // see GraftSession.localSpark: the inferred explode null-guard
+      // duplicates gram-lambda evaluation into few-task scan stages
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.session.timeZone", "UTC")
       // 60 queries × several codegen'd stages overflow the default
       // 100-entry generated-class cache, so pass 2 re-compiles (and

@@ -716,6 +716,19 @@ object GraftSession {
       // 2000-entry edge) — evictions re-run janino mid-suite (see the
       // Bench.scala comment)
       .config("spark.sql.codegen.cache.maxEntries", "8000")
+      // InferFiltersFromGenerate adds `size(e) > 0 AND isnotnull(e)`
+      // under every explode, and predicate pushdown then substitutes the
+      // generator's WHOLE input expression into the scan-stage filter —
+      // for the gram/shingle lambdas that means tokenizing every
+      // document twice more in the (few-task) scan stage before the
+      // repartition can spread the work (measured: the incremental-dedup
+      // banding spent 8 s CPU in a 2-task scan stage on a 584 KB input).
+      // The rule only ever prunes rows whose generator input is
+      // empty/null — a row class our corpora don't produce — so
+      // excluding it is semantics-free here and removes the duplicated
+      // evaluation everywhere at once.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -30,8 +30,15 @@ object PerfProbe {
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
         val wall = (for {a <- i.completionTime; b <- i.submissionTime} yield a - b).getOrElse(-1L)
+        // the job-group name is always the same lambda frame — the RDD
+        // chain names are what identify the stage's actual work; run/cpu
+        // separate compute from scheduling/straggler wall
+        val m = i.taskMetrics
+        val rdds = (f"run=${m.executorRunTime / 1e3}%.2fs " +
+          f"cpu=${m.executorCpuTime / 1e9}%.2fs " +
+          i.rddInfos.map(_.name).distinct.mkString(",")).take(140)
         rows.synchronized {
-          rows += ((i.stageId, i.numTasks, wall, i.name.takeWhile(_ != '\n').take(60)))
+          rows += ((i.stageId, i.numTasks, wall, rdds))
         }
       }
     }

@@ -15,6 +15,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // see GraftSession.localSpark: the inferred explode null-guard
+      // duplicates gram-lambda evaluation into few-task scan stages
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         "/tmp/graft-warehouse-" + java.util.UUID.randomUUID().toString.take(8))

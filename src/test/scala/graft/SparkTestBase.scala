@@ -13,6 +13,11 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         "/tmp/graft-test-warehouse-" + java.util.UUID.randomUUID().toString.take(8))
+      // match the Verify/Bench sessions (GraftSession.localSpark note):
+      // the inferred explode null-guard duplicates gram-lambda
+      // evaluation into scan stages and changes plan shapes
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -188,11 +188,8 @@ object PipelineQueries {
     * twin certifies the banding ARITHMETIC on organic data. */
   def dedupMinHashPortable(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = docsWithNearDups(spark, sfDir)
-    val toks = split(lower(trim(col("text"))), "\\s+")
-    val grams = array_distinct(when(size(toks) < 3, array(array_join(toks, " ")))
-      .otherwise(transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
-    val sets = corpus.select(col("doc_id"), grams.as("__g")).cache()
+    val sets = corpus.select(col("doc_id"),
+      wordGramStrings(col("text"), 3, distinct = true).as("__g")).cache()
     val slotAggs = (0 until 16).map(i =>
       min(substring(md5(concat(col("g"), lit("|" + i))), 1, 8)).as(s"s$i"))
     val sigs = sets.select(col("doc_id"), explode(col("__g")).as("g"))
@@ -225,11 +222,8 @@ object PipelineQueries {
     * pipeline above). Every value is a deterministic function of md5 —
     * DuckDB replays it bit-for-bit. */
   private[graft] def portableBandBuckets(corpus: DataFrame): DataFrame = {
-    val toks = split(lower(trim(col("text"))), "\\s+")
-    val grams = array_distinct(when(size(toks) < 3, array(array_join(toks, " ")))
-      .otherwise(transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
-    val sets = corpus.select(col("doc_id"), grams.as("__g"))
+    val sets = corpus.select(col("doc_id"),
+      wordGramStrings(col("text"), 3, distinct = true).as("__g"))
     val slotAggs = (0 until 16).map(i =>
       min(substring(md5(concat(col("g"), lit("|" + i))), 1, 8)).as(s"s$i"))
     val sigs = sets.select(col("doc_id"), explode(col("__g")).as("g"))
@@ -1680,12 +1674,19 @@ object PipelineQueries {
 
   /** The word-bigram array of a text column — shared by [[bigramItems]]
     * and the streaming sketch ([[StreamingQueries]]), so the stream and
-    * the batch oracle stay the same construction by definition. */
-  private[graft] def bigramsOf(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    when(size(toks) < 2, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+    * the batch oracle stay the same construction by definition. Fused
+    * since round 12 ([[graft.functions.WordGramsExpr]], bit-identical
+    * to the former transform/slice/concat_ws lambda — pinned in
+    * TextExprPropertySpec). */
+  private[graft] def bigramsOf(text: Column): Column =
+    wordGramStrings(text, 2, distinct = false)
+
+  /** Fused word k-gram strings over lower(trim(text)) — see
+    * [[graft.functions.WordGramsExpr]]. */
+  private def wordGramStrings(text: Column, k: Int, distinct: Boolean): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.WordGramsExpr(
+      ColumnBridge.expression(lower(trim(text))), k, distinct))
   }
 
   /** Per-source distinct-bigram cardinality via the bounded KMV sketch

@@ -1549,3 +1549,98 @@ case class Fingerprint64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
   override def prettyName: String = "fingerprint64"
 }
+
+/** All word k-grams of a string as `array<string>` in ONE codegen'd
+  * pass — bit-identical to the lambda spelling
+  * `when(size(toks) < k, array(concat_ws(" ", toks)))
+  *   .otherwise(transform(sequence(0, size(toks) - k),
+  *     i => concat_ws(" ", slice(toks, i + 1, k))))`
+  * over `toks = split(s, "\\s+")` (with `array_distinct` folded in when
+  * `distinct`): tokens follow Spark split's limit = -1 semantics
+  * (leading AND trailing whitespace runs produce empty tokens,
+  * "" → [""]), grams join k consecutive tokens with single spaces, and
+  * n < k collapses to ONE gram of all tokens. Callers pass the already
+  * lower(trim(..))-normalized column. Replaces the interpreted
+  * transform/slice/concat_ws chain that dominated the sketch/banding
+  * rows' CPU (and, before round 12's InferFiltersFromGenerate
+  * exclusion, ran TWICE more inside the scan-stage filter). Equality
+  * with the lambda spelling is pinned by TextExprPropertySpec. */
+case class WordGramsExpr(child: Expression, k: Int, distinct: Boolean)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+  require(k >= 1, "gram size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    WordGramsExpr.grams(input.asInstanceOf[UTF8String].getBytes, k, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordGramsExpr.grams($c.getBytes(), $k, $distinct);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "word_grams"
+}
+
+object WordGramsExpr {
+  private def isWs(b: Byte): Boolean =
+    b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
+      b == 0x0b.toByte || b == '\f'.toByte || b == '\r'.toByte
+
+  /** Called from codegen. */
+  def grams(bytes: Array[Byte], k: Int,
+      distinct: Boolean): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val len = bytes.length
+    // token spans [starts(i), ends(i)) under Spark split("\s+", -1):
+    // empty tokens at both ends when the string starts/ends with a run
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var n = 0
+    def push(s: Int, e: Int): Unit = {
+      if (n == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, n * 2)
+        ends = java.util.Arrays.copyOf(ends, n * 2)
+      }
+      starts(n) = s; ends(n) = e; n += 1
+    }
+    if (len == 0) push(0, 0)
+    else {
+      if (isWs(bytes(0))) push(0, 0)
+      var i = 0
+      while (i < len) {
+        if (!isWs(bytes(i))) {
+          val s = i
+          while (i < len && !isWs(bytes(i))) i += 1
+          push(s, i)
+        } else i += 1
+      }
+      if (isWs(bytes(len - 1))) push(len, len)
+    }
+    val span = if (n < k) n else k // tokens per gram
+    val nGrams = if (n < k) 1 else n - k + 1
+    val out = new Array[Any](nGrams)
+    var outN = 0
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+    var g = 0
+    while (g < nGrams) {
+      var size = span - 1 // single-space separators (span >= 1: n >= 1 always)
+      var t = g
+      while (t < g + span) { size += ends(t) - starts(t); t += 1 }
+      val buf = new Array[Byte](size)
+      var pos = 0
+      t = g
+      while (t < g + span) {
+        if (t > g) { buf(pos) = ' '.toByte; pos += 1 }
+        val l = ends(t) - starts(t)
+        System.arraycopy(bytes, starts(t), buf, pos, l)
+        pos += l
+        t += 1
+      }
+      val s = UTF8String.fromBytes(buf)
+      if (seen == null || seen.add(s)) { out(outN) = s; outN += 1 }
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (outN == out.length) out
+      else java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], outN)
+        .asInstanceOf[Array[Any]])
+  }
+}

@@ -123,6 +123,30 @@ class SketchSpec extends GraftSuite {
     assert(math.abs(sorted - n / 2) < 0.16 * n, s"p50=$sorted")
   }
 
+  test("fused word grams equal the split+slide lambda over real documents") {
+    // the gram construction under every sketch row and the portable
+    // banding — the fused expr must match the relational spelling the
+    // oracles replay, on the actual corpus
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+    def lambda(k: Int): org.apache.spark.sql.Column = {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      when(size(toks) < k, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    }
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def fused(k: Int, distinct: Boolean) = ColumnBridge.column(
+      graft.functions.WordGramsExpr(
+        ColumnBridge.expression(lower(trim(col("text")))), k, distinct))
+    val bad2 = d.select(fused(2, false).as("f"), lambda(2).as("l"))
+      .where(not(col("f") === col("l"))).count()
+    assert(bad2 == 0L)
+    val bad3 = d.select(fused(3, true).as("f"), array_distinct(lambda(3)).as("l"))
+      .where(not(col("f") === col("l"))).count()
+    assert(bad3 == 0L)
+  }
+
   test("fused md5 prefix equals the conv(substring(md5)) column form") {
     // kmvHash/kmvQuantilePack are the portable-hash kernel under every
     // md5-replay oracle; the fused digest must stay bit-identical to the

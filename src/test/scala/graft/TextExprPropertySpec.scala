@@ -456,4 +456,38 @@ object TextExprPropertySpec extends Properties("TextExprs") {
     Prop.forAll(Gen.listOf(Gen.choose(0x20.toChar, 0x2FFF.toChar)).map(_.mkString)) { s =>
       !fixStr(s).contains('\uFFFD') || s.contains('\uFFFD')
     }
+
+  // ---- WordGramsExpr vs the split("\s+", -1) + sliding-join reference ----
+
+  private def refGrams(t: String, k: Int, distinct: Boolean): Seq[String] = {
+    // Java Pattern.split with limit -1 IS Spark split's semantics
+    // (leading AND trailing empties kept, "" -> [""])
+    val toks = java.util.regex.Pattern.compile("\\s+").split(t, -1)
+    val grams =
+      if (toks.length < k) Seq(toks.mkString(" "))
+      else (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" "))
+    if (distinct) grams.distinct else grams
+  }
+
+  private def fusedGrams(t: String, k: Int, distinct: Boolean): Seq[String] = {
+    val a = graft.functions.WordGramsExpr.grams(t.getBytes("UTF-8"), k, distinct)
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+  }
+
+  private val gramTextGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      6 -> Gen.oneOf("a", "bb", "cat", "\u65E5\u672C", "x1"),
+      3 -> Gen.oneOf(" ", "  ", "\t", "\n", "\r", "", "\f"),
+      1 -> Gen.const(""))).map(_.mkString)
+
+  property("WordGramsExpr(k=2) == split+slide lambda") =
+    Prop.forAll(gramTextGen) { t => fusedGrams(t, 2, false) == refGrams(t, 2, false) }
+
+  property("WordGramsExpr(k=3, distinct) == array_distinct(split+slide)") =
+    Prop.forAll(gramTextGen) { t => fusedGrams(t, 3, true) == refGrams(t, 3, true) }
+
+  property("WordGramsExpr handles k > token count (single collapsed gram)") =
+    Prop.forAll(Gen.oneOf("", " ", "a", "a b", "\t\t", " a ")) { t =>
+      (1 to 5).forall(k => fusedGrams(t, k, false) == refGrams(t, k, false))
+    }
 }

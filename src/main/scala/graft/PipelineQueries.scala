@@ -1641,7 +1641,11 @@ object PipelineQueries {
   /** DSIR hashed-bigram feature map: portable-md5 buckets, counts with
     * multiplicity — integer-exact, fully oracled. */
   def dsirFeatures(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.hashedNgramFeatures(docs(spark, sfDir), "doc_id", "text", n = 2)
+    // repartition: the gram+md5 projection otherwise runs on the input
+    // file's 1–2 splits (the docsWithDups rationale)
+    TextAnalysis.hashedNgramFeatures(
+        docs(spark, sfDir).repartition(spark.sparkContext.defaultParallelism),
+        "doc_id", "text", n = 2)
       .orderBy("doc_id", "bucket")
 
   /** DSIR importance scores against the English subset as the target
@@ -1649,7 +1653,8 @@ object PipelineQueries {
     * and the per-doc sum folds in bucket order, so the importance
     * DOUBLES hash-match (the meanPoolExact discipline for scalars). */
   def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
+    // repartition both feature inputs off the file's 1–2 splits
+    val d = docs(spark, sfDir).repartition(spark.sparkContext.defaultParallelism)
     TextAnalysis.dsirImportance(d.select("doc_id", "text"), "doc_id", "text",
         d.where(col("lang") === "en").select("doc_id", "text"))
       .orderBy("doc_id")
@@ -2775,7 +2780,10 @@ object PipelineQueries {
   def pipelineCurate(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = qualityCorpus(spark, sfDir)
     val gated = TextAnalysis.qualityFilter(corpus, "text", qualityRules)
-    val spans = TextAnalysis.dupSpanFraction(corpus, "doc_id", "text", k = 5)
+    // repartition: the span-gram explode otherwise runs on 1 file split
+    val spans = TextAnalysis.dupSpanFraction(
+      corpus.repartition(spark.sparkContext.defaultParallelism),
+      "doc_id", "text", k = 5)
     val lm = graft.functions.LanguageModel.buildBigramLm(
       docs(spark, sfDir), "text", vocabSize = 20, maxBigrams = 300)
     val scored = graft.functions.LanguageModel.scoreDocs(gated, "doc_id", "text", lm)

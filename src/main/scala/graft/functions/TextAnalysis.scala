@@ -729,11 +729,12 @@ object TextAnalysis {
       textCol: String,
       n: Int = 2): org.apache.spark.sql.DataFrame = {
     // raw string grams WITH multiplicity (unlike the dedup shingles —
-    // DSIR features are counts, and md5 keeps the bucket portable)
-    val toks = split(lower(trim(col(textCol))), "\\s+")
-    val grams = when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    // DSIR features are counts, and md5 keeps the bucket portable);
+    // fused construction ([[WordGramsExpr]], bit-identical to the
+    // split/slide/concat_ws lambda)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val grams = ColumnBridge.column(WordGramsExpr(
+      ColumnBridge.expression(lower(trim(col(textCol)))), n, distinct = false))
     df.select(col(idCol), explode(grams).as("__g"))
       .select(col(idCol), substring(md5(col("__g")), 1, 2).as("bucket"))
       .groupBy(col(idCol), col("bucket"))
@@ -884,11 +885,11 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       k: Int = 3): org.apache.spark.sql.DataFrame = {
-    val toks = split(lower(trim(col(textCol))), "\\s+")
-    val n = size(toks)
-    val rawGrams = when(n < k, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), n - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    // fused gram construction ([[WordGramsExpr]] — bit-identical to the
+    // split/slide/concat_ws lambda the oracles replay)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val rawGrams = ColumnBridge.column(WordGramsExpr(
+      ColumnBridge.expression(lower(trim(col(textCol)))), k, distinct = false))
     // every position, with multiplicity — the coverage denominator
     val positions = Dedup.maybeCache(
       df.select(col(idCol), explode(transform(rawGrams, g => xxhash64(g))).as("__g")))

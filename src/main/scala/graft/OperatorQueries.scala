@@ -256,6 +256,76 @@ object OperatorQueries {
       .orderBy("o_orderstatus", "month")
   }
 
+  /** transform with `dialect = "postgres"`, round 2 — the escape-layer
+    * semantics the round-12 advice flagged: regex escape CLASSES through
+    * `~` (standard-conforming strings hold `\d` literally — the
+    * translator doubles the backslash so Spark's parser doesn't eat
+    * it), case-insensitive `~*` via the `(?i)` inline flag
+    * (upper()-wrapping would invert `\d`→`\D`), an `E'...'` escape
+    * string decoded at lex time, and a table-QUALIFIED `o.col::type`
+    * cast (the primary-expression walker must absorb the `.` chain).
+    * The DuckDB oracle replays every one natively. */
+  def transformDialectPg2(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val out = g.transform(
+      """SELECT o.o_orderstatus,
+        |  count(*)::int8 AS n,
+        |  sum(CASE WHEN o.o_orderpriority ~ '^\d-' THEN 1 ELSE 0 END)::int8 AS n_digit,
+        |  sum(CASE WHEN o.o_orderpriority ~* 'urgent' THEN 1 ELSE 0 END)::int8 AS n_urgent,
+        |  length(E'a\tb\\c')::int8 AS elen,
+        |  max(o.o_orderpriority::text) AS max_prio
+        |FROM {{orders}} o
+        |GROUP BY o.o_orderstatus""".stripMargin,
+      bindings = Map("orders" -> TableRef("orders")),
+      output = Some(TableRef("op_transform_dialect_pg2_out")),
+      dialect = "postgres")
+    spark.table(out.qualifiedName).orderBy("o_orderstatus")
+  }
+
+  /** transform with `dialect = "redshift"` — genuinely Redshift-flavored
+    * SQL, not just the Snowflake-shared call forms: LISTAGG ... WITHIN
+    * GROUP (passes through natively to Spark 4's listagg), DATE_PART
+    * with a BARE part name (quoted for Spark), boundary-counting
+    * DATEDIFF over year parts, and the Postgres-base `::` casts. */
+  def transformDialectRs(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val out = g.transform(
+      """SELECT r_name,
+        |  LISTAGG(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+        |  DATE_PART(mon, DATE '1996-07-15')::int8 AS m,
+        |  DATEDIFF(year, '1993-12-31'::date, DATE '1996-01-02')::int8 AS yrs
+        |FROM {{nation}} JOIN {{region}} ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+      bindings = Map("nation" -> TableRef("nation"), "region" -> TableRef("region")),
+      output = Some(TableRef("op_transform_dialect_rs_out")),
+      dialect = "redshift")
+    spark.table(out.qualifiedName).orderBy("r_name")
+  }
+
+  /** transform with `dialect = "mssql"` (the reference supported MSSQL,
+    * `databases/mssql.py:277-430`): `SELECT TOP n` → LIMIT, `[bracket]`
+    * identifiers, 2-arg ISNULL, LEN, CHARINDEX (locate shares the
+    * argument order), T-SQL `datetime` type name, and the
+    * boundary-counting DATEDIFF. None of it is valid Spark SQL as
+    * written; the DuckDB oracle certifies the translated semantics. */
+  def transformDialectMs(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val out = g.transform(
+      """SELECT TOP 2 [o_orderstatus],
+        |  CAST(COUNT(*) AS bigint) AS n,
+        |  CAST(LEN(MIN(o_orderpriority)) AS bigint) AS prio_len,
+        |  CAST(CHARINDEX('-', MIN(o_orderpriority)) AS bigint) AS dash_pos,
+        |  ISNULL(NULLIF(MIN(o_orderpriority), ''), 'none') AS top_prio,
+        |  CAST(DATEDIFF(day, CAST('1995-01-01' AS datetime), MAX(o_orderdate)) AS bigint) AS max_days
+        |FROM {{orders}}
+        |GROUP BY [o_orderstatus]
+        |ORDER BY [o_orderstatus]""".stripMargin,
+      bindings = Map("orders" -> TableRef("orders")),
+      output = Some(TableRef("op_transform_dialect_ms_out")),
+      dialect = "mssql")
+    spark.table(out.qualifiedName).orderBy("o_orderstatus")
+  }
+
   /** transform with a DataFrame argument: the frame auto-registers as a
     * temp view and renders as its name (base_decorator.py:369-417 parity). */
   def transformDfArg(spark: SparkSession, sfDir: String): DataFrame = {
@@ -761,6 +831,9 @@ object OperatorQueries {
     "op_transform_dialect" -> (transformDialect _),
     "op_transform_dialect_sf" -> (transformDialectSf _),
     "op_transform_dialect_bq" -> (transformDialectBq _),
+    "op_transform_dialect_pg2" -> (transformDialectPg2 _),
+    "op_transform_dialect_rs" -> (transformDialectRs _),
+    "op_transform_dialect_ms" -> (transformDialectMs _),
     "op_transform_df_arg" -> (transformDfArg _),
     "op_value_list" -> (valueList _),
     "op_dataframe_op" -> (dataframeOp _),
@@ -969,6 +1042,43 @@ object OperatorQueries {
         |FROM orders
         |GROUP BY o_orderstatus, strftime(o_orderdate, '%Y-%m')
         |ORDER BY o_orderstatus, month""".stripMargin,
+
+    // the second Postgres-flavored transform (escape layer) restated
+    // dialect-neutrally: DuckDB strings are standard-conforming and its
+    // regex engine accepts the same (?i)/class syntax
+    "op_transform_dialect_pg2" ->
+      """SELECT o_orderstatus,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(CASE WHEN regexp_matches(o_orderpriority, '^\d-') THEN 1 ELSE 0 END) as bigint) AS n_digit,
+        |  cast(sum(CASE WHEN regexp_matches(o_orderpriority, '(?i)urgent') THEN 1 ELSE 0 END) as bigint) AS n_urgent,
+        |  cast(length(e'a\tb\\c') as bigint) AS elen,
+        |  max(cast(o_orderpriority as varchar)) AS max_prio
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // the Redshift-flavored transform restated dialect-neutrally
+    "op_transform_dialect_rs" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  cast(date_part('month', DATE '1996-07-15') as bigint) AS m,
+        |  cast(date_diff('year', DATE '1993-12-31', DATE '1996-01-02') as bigint) AS yrs
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
+
+    // the T-SQL-flavored transform restated dialect-neutrally
+    "op_transform_dialect_ms" ->
+      """SELECT o_orderstatus,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(length(min(o_orderpriority)) as bigint) AS prio_len,
+        |  cast(strpos(min(o_orderpriority), '-') as bigint) AS dash_pos,
+        |  coalesce(nullif(min(o_orderpriority), ''), 'none') AS top_prio,
+        |  cast(date_diff('day', TIMESTAMP '1995-01-01', max(o_orderdate)) as bigint) AS max_days
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus
+        |LIMIT 2""".stripMargin,
 
     "op_transform_df_arg" ->
       """WITH f AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey HAVING count(*) >= 10)

@@ -2,56 +2,79 @@ package graft.sql
 
 import scala.collection.mutable.ArrayBuffer
 
-/** Postgres-flavored SQL → Spark SQL translation for the `transform` /
+/** Dialect-flavored SQL → Spark SQL translation for the `transform` /
   * `run_raw_sql` surface.
   *
   * The reference passed dialect SQL through to whatever warehouse engine
   * backed the table (`sql/operators/transform.py:55-72` — no translation,
   * the engine's dialect IS the contract); on Spark the engine dialect is
-  * Spark SQL, so users bringing Postgres-flavored queries need the
+  * Spark SQL, so users bringing warehouse-flavored queries need the
   * common dialect forms mapped. This is a TOKEN-level translator — it
   * never parses full SQL, it rewrites exactly the constructs whose
-  * Postgres spelling Spark rejects, and passes everything else through
-  * untouched (unknown constructs then fail with Spark's own error,
-  * never silently change meaning):
+  * source spelling Spark rejects (or silently mis-reads), and passes
+  * everything else through untouched (unknown constructs then fail with
+  * Spark's own error, never silently change meaning):
   *
-  *  - `expr::type` postfix casts (chained ok) → `CAST(expr AS type)`,
+  *  - `expr::type` postfix casts (chained ok, `t.col::type` qualified
+  *    chains and `arr[i]::type` subscripts ok) → `CAST(expr AS type)`,
   *    with Postgres type names mapped (int4/int8/float8/text/bool/
   *    bytea/timestamptz/"double precision"/"character varying"...);
   *    the same type map applies inside explicit `CAST(x AS int8)`.
   *  - `"quoted identifiers"` → Spark backtick identifiers (in Spark,
   *    double quotes are string literals).
   *  - `$tag$dollar-quoted strings$tag$` → standard quoted literals.
+  *  - `E'...'` escape strings (Postgres): the C-style escapes are
+  *    DECODED at lex time (\n, \t, \\, \', \xHH, octal, \uXXXX,
+  *    \UXXXXXXXX) and re-emitted as a plain literal.
+  *  - standard-conforming string literals (Postgres/Redshift treat a
+  *    backslash in '...' as a LITERAL character; Spark processes it as
+  *    an escape): backslashes are doubled once, at final emission, so
+  *    `a ~ '\d+'` reaches RLIKE with the pattern `\d+` intact.
   *  - regex operators: `a ~ p` → `a RLIKE p`, `a !~ p` → `a NOT RLIKE
-  *    p`, `a ~* p` → `upper(a) RLIKE upper(p)` (and the `!~*`
-  *    negation). Unary bitwise `~` is left alone (operand-context
-  *    detection).
+  *    p`, `a ~* p` → `a RLIKE concat('(?i)', p)` (the Java inline
+  *    case-insensitivity flag — upper()-wrapping would invert regex
+  *    escape classes like \d/\D) and the `!~*` negation. Unary bitwise
+  *    `~` is left alone (operand-context detection).
   *  - function renames: `now()` → `current_timestamp()`, `random()` →
   *    `rand()`, `strpos` → `instr`, `string_agg` → `listagg`,
   *    `to_char(ts, 'fmt')` → `date_format(ts, '<mapped fmt>')` with the
-  *    Postgres format tokens (YYYY/MM/DD/HH24/MI/SS/...) mapped to
-  *    java.time patterns when the format is a literal.
+  *    Postgres format tokens (YYYY/MM/DD/HH24/MI/SS/MONTH/Month/Day/
+  *    DY/...) mapped to java.time patterns when the format is a
+  *    literal. Case-variant spelled-out names (MONTH vs Month) all map
+  *    to the same java pattern — java.time always emits capitalized
+  *    names, so all-caps Postgres output ("JANUARY") comes back
+  *    capitalized ("January"); documented approximation.
   *  - `ILIKE`, `||` concat, `IS DISTINCT FROM`, `LIMIT/OFFSET`,
   *    `SUBSTRING(x FROM y FOR z)`, `POSITION(a IN b)`, `split_part`,
   *    `left`/`right` need no rewrite — Spark 4 accepts them natively —
   *    and are covered by SqlDialectSpec so the pass-through stays pinned.
   *
   * Documented out of scope (pass through unchanged, Spark errors):
-  * `SIMILAR TO`, `E'...'` escape strings, `generate_series`, arrays'
-  * `ANY/ALL(array)` forms, `DISTINCT ON`.
+  * `SIMILAR TO`, `generate_series`, arrays' `ANY/ALL(array)` forms,
+  * `DISTINCT ON`, T-SQL `TOP n PERCENT` / `TOP n WITH TIES`, and
+  * `TOP n` directly over a set operation (UNION/INTERSECT/EXCEPT).
   */
 object SqlDialect {
 
   /** Translate `sql` from `dialect` to Spark SQL — one entry per
     * warehouse the reference SDK supported:
     *  - "spark"/"ansi": identity.
-    *  - "postgres"/"postgresql": the base machinery.
+    *  - "postgres"/"postgresql": the base machinery + `E'...'` escape
+    *    strings + literal-backslash standard strings.
     *  - "snowflake" (the reference's primary warehouse): adds IFF/
     *    GETDATE/DATEADD/DATEDIFF/TO_VARCHAR/ZEROIFNULL/NULLIFZERO and
-    *    the NUMBER/TIMESTAMP_LTZ type names.
-    *  - "redshift": Redshift IS Postgres-dialect-based and also uses
-    *    the GETDATE/DATEADD/DATEDIFF call forms — the Snowflake mode
-    *    covers both, so it's an alias.
+    *    the NUMBER/TIMESTAMP_LTZ type names. DATEDIFF translates to
+    *    BOUNDARY-crossing arithmetic (date_trunc both args, then
+    *    timestampdiff) because Snowflake counts date-part boundaries,
+    *    not complete elapsed intervals. Snowflake strings process
+    *    backslash escapes exactly like Spark's, so literals pass
+    *    through unchanged.
+    *  - "redshift": Redshift IS Postgres-dialect-based (regex ops,
+    *    `::`, standard-conforming strings per its
+    *    standard_conforming_strings=on default) and also uses the
+    *    GETDATE/DATEADD/DATEDIFF call forms; adds bare-part
+    *    DATE_PART quoting and bare SYSDATE. LISTAGG ... WITHIN GROUP
+    *    passes through natively (Spark 4 accepts it; pinned in spec).
     *  - "bigquery": SAFE_CAST/SAFE_DIVIDE → try_*, FORMAT_DATE/
     *    FORMAT_TIMESTAMP (strftime tokens, format-first arg order),
     *    TIMESTAMP_DIFF/DATE_DIFF (end-minus-start arg reorder),
@@ -59,23 +82,62 @@ object SqlDialect {
     *    ARRAY_LENGTH → size, INT64/FLOAT64/BYTES type names; double
     *    quotes lex as STRINGS (BigQuery semantics), backtick
     *    identifiers are already Spark-native.
-    * MSSQL is documented out of scope (TOP-n is structural; T-SQL's
-    * 2-arg ISNULL collides with Spark's 1-arg isnull). */
+    *  - "mssql"/"sqlserver" (the reference supported MSSQL,
+    *    `databases/mssql.py:277-430`): `[bracket]` identifiers,
+    *    `SELECT TOP n` → trailing `LIMIT n` (plain n or (expr); PERCENT
+    *    / WITH TIES / set-operation scopes are left untouched → loud
+    *    Spark error), 2-arg ISNULL → coalesce, IIF → if, GETDATE/
+    *    SYSDATETIME, DATEADD/DATEDIFF (boundary semantics like
+    *    Snowflake — T-SQL DATEDIFF also counts boundary crossings),
+    *    DATEPART with a bare part name → date_part('part', x),
+    *    LEN → length, CHARINDEX → locate (same argument order), and
+    *    the T-SQL type names (datetime/datetime2/bit/nvarchar/...).
+    */
   def toSparkSql(sql: String, dialect: String): String =
     dialect.toLowerCase match {
       case "spark" | "ansi" | "" => sql
       case "postgres" | "postgresql" => translate(sql, Pg)
-      case "snowflake" | "redshift" => translate(sql, Sf)
+      case "snowflake" => translate(sql, Sf)
+      case "redshift" => translate(sql, Rs)
       case "bigquery" => translate(sql, Bq)
+      case "mssql" | "sqlserver" => translate(sql, Ms)
       case other => throw new IllegalArgumentException(
         s"Unsupported SQL dialect: $other " +
-          "(supported: spark, postgres, redshift, snowflake, bigquery)")
+          "(supported: spark, postgres, redshift, snowflake, bigquery, mssql)")
     }
 
-  private sealed trait Mode
-  private case object Pg extends Mode
-  private case object Sf extends Mode
-  private case object Bq extends Mode
+  /** Capability profile of a dialect mode (one value per dialect; the
+    * passes branch on capabilities, not on dialect names). */
+  private final case class Mode(
+      name: String,
+      /** BigQuery: double-quoted tokens are strings, not identifiers. */
+      dqAsString: Boolean = false,
+      /** Postgres: `E'...'` escape strings (decoded at lex time). */
+      eStrings: Boolean = false,
+      /** Postgres/Redshift standard-conforming strings: a backslash in
+        * a literal is a literal character — doubled once at final
+        * emission so Spark's escape processing restores it. */
+      literalBackslashes: Boolean = false,
+      /** Snowflake-family call forms (IFF/GETDATE/DATEADD/DATEDIFF/...). */
+      sfCalls: Boolean = false,
+      /** BigQuery call forms (SAFE_CAST, FORMAT_DATE, the DIFF/ADD family). */
+      bqCalls: Boolean = false,
+      /** T-SQL call forms (ISNULL/IIF/LEN/CHARINDEX/TOP/...). */
+      msCalls: Boolean = false,
+      /** T-SQL `[bracket]` identifiers. */
+      bracketIdents: Boolean = false,
+      /** Redshift/T-SQL: quote a bare part name in DATE_PART/DATEPART. */
+      bareDatePart: Boolean = false,
+      /** Redshift: bare SYSDATE keyword. */
+      bareSysdate: Boolean = false)
+
+  private val Pg = Mode("postgres", eStrings = true, literalBackslashes = true)
+  private val Sf = Mode("snowflake", sfCalls = true)
+  private val Rs = Mode("redshift", literalBackslashes = true, sfCalls = true,
+    bareDatePart = true, bareSysdate = true)
+  private val Bq = Mode("bigquery", dqAsString = true, bqCalls = true)
+  private val Ms = Mode("mssql", sfCalls = true, msCalls = true,
+    bracketIdents = true, bareDatePart = true)
 
   // ------------------------------------------------------------------
   // tokens
@@ -94,9 +156,11 @@ object SqlDialect {
 
   /** Lex dialect SQL. Strings and quoted identifiers are converted to
     * their SPARK spelling at lex time ('' stays '', `"x"` → `` `x` ``
-    * — or to a string when `dqAsString` (BigQuery semantics) —
-    * dollar-quoting → single quotes with doubling). */
-  private def lex(sql: String, dqAsString: Boolean = false): Vector[Tok] = {
+    * — or to a string when `dqAsString` (BigQuery semantics) — E'...'
+    * escape strings decode to plain literals, `[x]` → `` `x` `` when
+    * `bracketIdents`, dollar-quoting → single quotes with doubling). */
+  private def lex(sql: String, dqAsString: Boolean = false,
+      eStrings: Boolean = false, bracketIdents: Boolean = false): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var i = 0
     val n = sql.length
@@ -119,6 +183,13 @@ object SqlDialect {
           else j += 1
         }
         out += Ws(sql.substring(i, j)); i = j
+      } else if (eStrings && (c == 'E' || c == 'e') && i + 1 < n && sql(i + 1) == '\'') {
+        // Postgres escape string: decode the C-style escapes into the
+        // actual characters; the final-emission backslash doubling (the
+        // literalBackslashes pass) then re-protects any literal
+        // backslash the decode produced.
+        val (body, next) = decodeEscapeString(sql, i + 1)
+        out += Str("'" + body.replace("'", "''") + "'"); i = next
       } else if (c == '\'') {
         var j = i + 1
         val b = new StringBuilder
@@ -158,6 +229,20 @@ object SqlDialect {
         if (dqAsString) out += Str("'" + b.toString.replace("'", "''") + "'")
         else out += QIdent("`" + b.toString.replace("`", "``") + "`")
         i = j
+      } else if (bracketIdents && c == '[') {
+        // T-SQL bracket identifier; ]] is the escape for ]
+        var j = i + 1
+        val b = new StringBuilder
+        var closed = false
+        while (j < n && !closed) {
+          if (sql(j) == ']' && j + 1 < n && sql(j + 1) == ']') { b.append(']'); j += 2 }
+          else if (sql(j) == ']') { closed = true; j += 1 }
+          else { b.append(sql(j)); j += 1 }
+        }
+        if (!closed) throw new IllegalArgumentException(
+          s"Unterminated bracket identifier at offset $i")
+        out += QIdent("`" + b.toString.replace("`", "``") + "`")
+        i = j
       } else if (c == '$' && {
         // dollar-quoted string: $tag$ ... $tag$ (tag may be empty)
         val e = sql.indexOf('$', i + 1)
@@ -194,6 +279,57 @@ object SqlDialect {
     out.result()
   }
 
+  /** Decode a Postgres `E'...'` body starting at the opening quote
+    * (index `start` = the `'`): returns (decoded body, index past the
+    * closing quote). Escapes per the Postgres lexer: \b \f \n \r \t,
+    * \o/\oo/\ooo octal, \xh/\xhh hex, \uXXXX, \UXXXXXXXX, \\ → \,
+    * \' → ', '' → ', any other \c → c. */
+  private def decodeEscapeString(sql: String, start: Int): (String, Int) = {
+    val n = sql.length
+    val b = new StringBuilder
+    var j = start + 1
+    while (j < n) {
+      val c = sql(j)
+      if (c == '\'') {
+        if (j + 1 < n && sql(j + 1) == '\'') { b.append('\''); j += 2 }
+        else return (b.toString, j + 1)
+      } else if (c == '\\' && j + 1 < n) {
+        val e = sql(j + 1)
+        e match {
+          case 'b' => b.append('\b'); j += 2
+          case 'f' => b.append('\f'); j += 2
+          case 'n' => b.append('\n'); j += 2
+          case 'r' => b.append('\r'); j += 2
+          case 't' => b.append('\t'); j += 2
+          case 'x' =>
+            var k = j + 2; var v = 0; var used = 0
+            while (k < n && used < 2 && Character.digit(sql(k), 16) >= 0) {
+              v = v * 16 + Character.digit(sql(k), 16); k += 1; used += 1
+            }
+            if (used == 0) { b.append('x'); j += 2 }
+            else { b.append(v.toChar); j = k }
+          case 'u' | 'U' =>
+            val want = if (e == 'u') 4 else 8
+            var k = j + 2; var v = 0; var used = 0
+            while (k < n && used < want && Character.digit(sql(k), 16) >= 0) {
+              v = v * 16 + Character.digit(sql(k), 16); k += 1; used += 1
+            }
+            if (used != want) { b.append(e); j += 2 }
+            else { b.appendAll(Character.toChars(v)); j = k }
+          case o if o >= '0' && o <= '7' =>
+            var k = j + 1; var v = 0; var used = 0
+            while (k < n && used < 3 && sql(k) >= '0' && sql(k) <= '7') {
+              v = v * 8 + (sql(k) - '0'); k += 1; used += 1
+            }
+            b.append(v.toChar); j = k
+          case other => b.append(other); j += 2
+        }
+      } else { b.append(c); j += 1 }
+    }
+    throw new IllegalArgumentException(
+      s"Unterminated escape string literal at offset ${start - 1}")
+  }
+
   // ------------------------------------------------------------------
   // rewrites
   // ------------------------------------------------------------------
@@ -216,6 +352,16 @@ object SqlDialect {
     "int64" -> "bigint", "float64" -> "double", "bytes" -> "binary",
     "numeric" -> "decimal")
 
+  /** T-SQL type names, consulted only under the mssql mode (`bit` is a
+    * bit-STRING type in Postgres — mode-gated to avoid collisions). */
+  private val msTypeMap = Map(
+    "datetime" -> "timestamp", "datetime2" -> "timestamp",
+    "smalldatetime" -> "timestamp", "datetimeoffset" -> "timestamp",
+    "bit" -> "boolean",
+    "nvarchar" -> "varchar", "nchar" -> "char", "ntext" -> "string",
+    "uniqueidentifier" -> "string",
+    "money" -> "decimal(19,4)", "smallmoney" -> "decimal(10,4)")
+
   /** Two-word Postgres type names (checked before the one-word map). */
   private val twoWordTypes = Map(
     ("double", "precision") -> "double",
@@ -227,15 +373,22 @@ object SqlDialect {
     "strpos" -> "instr",
     "string_agg" -> "listagg")
 
-  /** Snowflake-only straight renames (arity-compatible); ZEROIFNULL /
-    * NULLIFZERO / TO_VARCHAR need argument rewrites and are handled
-    * structurally in pass 3. */
+  /** Snowflake-family straight renames (arity-compatible); ZEROIFNULL /
+    * NULLIFZERO / TO_VARCHAR / DATEADD / DATEDIFF need argument
+    * rewrites and are handled structurally in pass 3. */
   private val snowflakeFnRename = Map(
     "iff" -> "if",
     "getdate" -> "current_timestamp",
-    "systimestamp" -> "current_timestamp",
-    "dateadd" -> "timestampadd",
-    "datediff" -> "timestampdiff")
+    "systimestamp" -> "current_timestamp")
+
+  /** T-SQL straight renames (arity-compatible; CHARINDEX(find, in[,
+    * start]) and locate(substr, str[, pos]) share an argument order). */
+  private val mssqlFnRename = Map(
+    "iif" -> "if",
+    "len" -> "length",
+    "charindex" -> "locate",
+    "sysdatetime" -> "current_timestamp",
+    "newid" -> "uuid")
 
   /** BigQuery straight renames (arity-compatible); FORMAT_DATE /
     * *_DIFF / *_ADD / *_SUB need argument rewrites — pass 3. */
@@ -246,6 +399,28 @@ object SqlDialect {
     "generate_uuid" -> "uuid",
     "current_datetime" -> "current_timestamp",
     "ifnull" -> "coalesce")
+
+  /** Date-part alias canonicalization (Snowflake / Redshift / T-SQL
+    * spellings → the unit names Spark's timestampadd/timestampdiff/
+    * date_trunc accept). Unknown aliases leave the whole call
+    * untranslated — loud Spark error, never a silent guess. */
+  private val datePartCanon = Map(
+    "year" -> "year", "y" -> "year", "yy" -> "year", "yyy" -> "year",
+    "yyyy" -> "year", "yr" -> "year", "yrs" -> "year", "years" -> "year",
+    "quarter" -> "quarter", "q" -> "quarter", "qq" -> "quarter",
+    "qtr" -> "quarter", "qtrs" -> "quarter", "quarters" -> "quarter",
+    "month" -> "month", "m" -> "month", "mm" -> "month", "mon" -> "month",
+    "mons" -> "month", "months" -> "month",
+    "week" -> "week", "w" -> "week", "wk" -> "week", "ww" -> "week",
+    "weeks" -> "week", "weekofyear" -> "week", "woy" -> "week", "wy" -> "week",
+    "day" -> "day", "d" -> "day", "dd" -> "day", "days" -> "day",
+    "dayofmonth" -> "day",
+    "hour" -> "hour", "h" -> "hour", "hh" -> "hour", "hr" -> "hour",
+    "hrs" -> "hour", "hours" -> "hour",
+    "minute" -> "minute", "mi" -> "minute", "min" -> "minute",
+    "mins" -> "minute", "minutes" -> "minute", "n" -> "minute",
+    "second" -> "second", "s" -> "second", "ss" -> "second",
+    "sec" -> "second", "secs" -> "second", "seconds" -> "second")
 
   /** BigQuery strftime-style format tokens → java.time patterns. */
   private val strftimeTokens = Seq(
@@ -270,11 +445,18 @@ object SqlDialect {
     "'" + b.toString + "'"
   }
 
-  /** Postgres to_char patterns → java.time patterns, longest-first. */
+  /** Postgres to_char patterns → java.time patterns, longest-first
+    * (MONTH before MON; the all-caps spellings map to the same java
+    * pattern as the capitalized ones — java.time has no case-variant
+    * output, the documented approximation). */
   private val toCharTokens = Seq(
-    "HH24" -> "HH", "HH12" -> "hh", "YYYY" -> "yyyy", "Month" -> "MMMM",
-    "MON" -> "MMM", "Mon" -> "MMM", "DDD" -> "DDD", "Day" -> "EEEE",
-    "Dy" -> "EEE", "MS" -> "SSS", "YY" -> "yy", "MM" -> "MM",
+    "MONTH" -> "MMMM", "Month" -> "MMMM", "month" -> "MMMM",
+    "HH24" -> "HH", "HH12" -> "hh", "YYYY" -> "yyyy",
+    "MON" -> "MMM", "Mon" -> "MMM", "mon" -> "MMM",
+    "DDD" -> "DDD",
+    "DAY" -> "EEEE", "Day" -> "EEEE", "day" -> "EEEE",
+    "DY" -> "EEE", "Dy" -> "EEE", "dy" -> "EEE",
+    "MS" -> "SSS", "YY" -> "yy", "MM" -> "MM",
     "DD" -> "dd", "MI" -> "mm", "SS" -> "ss", "TZ" -> "z", "AM" -> "a",
     "PM" -> "a")
 
@@ -321,50 +503,109 @@ object SqlDialect {
     if (j < ts.length) j else -1
   }
 
+  /** Scan back from a closing bracket at `end` (")" or "]") to its
+    * matching opener; returns the opener index. */
+  private def matchBack(ts: ArrayBuffer[Tok], end: Int,
+      open: String, close: String): Int = {
+    var depth = 1; var j = end - 1
+    while (j >= 0 && depth > 0) {
+      ts(j) match {
+        case Sym(`close`) => depth += 1
+        case Sym(`open`) => depth -= 1
+        case _ =>
+      }
+      if (depth > 0) j -= 1
+    }
+    if (j < 0) throw new IllegalArgumentException(s"Unbalanced '$open$close'")
+    j
+  }
+
   /** Start index of the primary expression ENDING at `end` (inclusive):
-    * a single atom, a balanced (...) group, or a function call
-    * name(...). Used by the `::` and `~*` rewrites. */
-  private def primaryStart(ts: ArrayBuffer[Tok], end: Int): Int = ts(end) match {
-    case Sym(")") =>
-      var depth = 1; var j = end - 1
-      while (j >= 0 && depth > 0) {
-        ts(j) match {
-          case Sym(")") => depth += 1
-          case Sym("(") => depth -= 1
-          case _ =>
+    * a single atom, a balanced (...) group, a function call name(...),
+    * an array subscript base[...] — then absorbing any qualified
+    * `<ident> .` chain to the left (t.col, db.schema.fn(x)). Used by
+    * the `::` and `~*` rewrites. */
+  private def primaryStart(ts: ArrayBuffer[Tok], end: Int): Int = {
+    val base = ts(end) match {
+      case Sym(")") =>
+        val j = matchBack(ts, end, "(", ")")
+        val p = prevIdx(ts, j)
+        // a preceding non-keyword Word is the call's function name; a
+        // keyword (SELECT/WHERE/AND/...) means the group stands alone
+        ts.lift(p) match {
+          case Some(Word(w)) if !preUnaryKeywords.contains(w.toLowerCase) => p
+          case Some(QIdent(_)) => p
+          case _ => j
         }
-        if (depth > 0) j -= 1
-      }
-      if (j < 0) throw new IllegalArgumentException("Unbalanced parentheses")
-      val p = prevIdx(ts, j)
-      // a preceding non-keyword Word is the call's function name; a
-      // keyword (SELECT/WHERE/AND/...) means the group stands alone
-      ts.lift(p) match {
-        case Some(Word(w)) if !preUnaryKeywords.contains(w.toLowerCase) => p
-        case _ => j
-      }
-    case _ => end
+      case Sym("]") =>
+        // array subscript: the subscripted primary precedes the '['
+        val j = matchBack(ts, end, "[", "]")
+        val p = prevIdx(ts, j)
+        if (p < 0) j else primaryStart(ts, p)
+      case _ => end
+    }
+    // absorb a qualification chain: <ident> '.' <current start>
+    var start = base
+    var dot = prevIdx(ts, start)
+    while (dot >= 0 && ts(dot) == Sym(".") && {
+      val q = prevIdx(ts, dot)
+      q >= 0 && (ts(q) match {
+        case Word(w) => !preUnaryKeywords.contains(w.toLowerCase)
+        case QIdent(_) => true
+        case _ => false
+      })
+    }) {
+      start = prevIdx(ts, dot)
+      dot = prevIdx(ts, start)
+    }
+    start
   }
 
   /** End index of the primary expression STARTING at `start` (inclusive):
-    * an atom, a parenthesized group, or name(...). */
-  private def primaryEnd(ts: ArrayBuffer[Tok], start: Int): Int = ts(start) match {
-    case Sym("(") =>
-      var depth = 1; var j = start + 1
+    * an atom, a parenthesized group, or name(...) — then absorbing any
+    * `.` qualification chain and `[...]` subscripts to the right
+    * (t.col, t.arr[1], schema.fn(x)). */
+  private def primaryEnd(ts: ArrayBuffer[Tok], start: Int): Int = {
+    def balancedEnd(from: Int, open: String, close: String): Int = {
+      var depth = 1; var j = from + 1
       while (j < ts.length && depth > 0) {
         ts(j) match {
-          case Sym("(") => depth += 1
-          case Sym(")") => depth -= 1
+          case Sym(`open`) => depth += 1
+          case Sym(`close`) => depth -= 1
           case _ =>
         }
         if (depth > 0) j += 1
       }
-      if (j >= ts.length) throw new IllegalArgumentException("Unbalanced parentheses")
+      if (j >= ts.length) throw new IllegalArgumentException(s"Unbalanced '$open$close'")
       j
-    case Word(_) =>
-      val nx = nextIdx(ts, start)
-      if (nx >= 0 && ts(nx) == Sym("(")) primaryEnd(ts, nx) else start
-    case _ => start
+    }
+    var end = ts(start) match {
+      case Sym("(") => balancedEnd(start, "(", ")")
+      case Word(_) | QIdent(_) =>
+        val nx = nextIdx(ts, start)
+        if (nx >= 0 && ts(nx) == Sym("(")) balancedEnd(nx, "(", ")") else start
+      case _ => start
+    }
+    // absorb rightward: '.' <ident> (possibly a call), '[' subscript ']'
+    var go = true
+    while (go) {
+      val nx = nextIdx(ts, end)
+      if (nx >= 0 && ts(nx) == Sym(".")) {
+        val after = nextIdx(ts, nx)
+        val ok = after >= 0 && (ts(after) match {
+          case Word(_) | QIdent(_) => true
+          case _ => false
+        })
+        if (ok) {
+          end = after
+          val call = nextIdx(ts, end)
+          if (call >= 0 && ts(call) == Sym("(")) end = balancedEnd(call, "(", ")")
+        } else go = false
+      } else if (nx >= 0 && ts(nx) == Sym("[")) {
+        end = balancedEnd(nx, "[", "]")
+      } else go = false
+    }
+    end
   }
 
   private def text(ts: collection.Seq[Tok]): String = ts.map(_.text).mkString
@@ -393,7 +634,7 @@ object SqlDialect {
 
   /** Consume a type name at `i` (skipping nothing — callers pass a
     * non-ws index): returns (mapped Spark type text, last index used). */
-  private def mapTypeAt(ts: ArrayBuffer[Tok], i: Int): (String, Int) = {
+  private def mapTypeAt(ts: ArrayBuffer[Tok], i: Int, mode: Mode): (String, Int) = {
     val w1 = ts(i) match {
       case Word(t) => t
       case other => throw new IllegalArgumentException(
@@ -406,12 +647,18 @@ object SqlDialect {
         return (twoWordTypes((w1.toLowerCase, w2.toLowerCase)), n1)
       case _ =>
     }
-    val base = typeMap.getOrElse(w1.toLowerCase, w1)
+    val base = lookupType(w1, mode).getOrElse(w1)
     // parenthesized precision: varchar(10), decimal(10,2)
     if (n1 >= 0 && ts(n1) == Sym("(")) {
       val close = primaryEnd(ts, n1)
       (base + text(ts.slice(n1, close + 1)), close)
     } else (base, i)
+  }
+
+  private def lookupType(name: String, mode: Mode): Option[String] = {
+    val l = name.toLowerCase
+    if (mode.msCalls) msTypeMap.get(l).orElse(typeMap.get(l))
+    else typeMap.get(l)
   }
 
   /** Run single-pass translation to a fixpoint: a pass's rewrites emit
@@ -420,7 +667,9 @@ object SqlDialect {
     * longer see — re-lexing the output turns them back into live tokens
     * for the next pass. Every rewrite produces a form that is not itself
     * a rewrite candidate (CAST/RLIKE/date_format/…), so this converges;
-    * the guard bounds pathological input. */
+    * the guard bounds pathological input. The standard-conforming-string
+    * backslash doubling runs ONCE, after the fixpoint, so re-lexing
+    * never re-escapes. */
   private def translate(sql: String, mode: Mode): String = {
     var cur = sql
     var prev: String = null
@@ -430,11 +679,27 @@ object SqlDialect {
       cur = translateOnce(cur, mode)
       guard += 1
     }
+    if (mode.literalBackslashes && cur.contains("\\")) {
+      // Postgres/Redshift standard strings hold backslashes LITERALLY;
+      // Spark's parser processes them as escapes — double them exactly
+      // once at final emission. (E'...' bodies were already decoded to
+      // real characters at lex time, so their backslashes are literal
+      // too by this point.)
+      val ts = lex(cur, dqAsString = mode.dqAsString)
+      cur = ts.map {
+        case Str(t) => t.replace("\\", "\\\\")
+        case t => t.text
+      }.mkString
+    }
     cur
   }
 
   private def translateOnce(sql: String, mode: Mode): String = {
-    val ts = ArrayBuffer(lex(sql, dqAsString = mode == Bq): _*)
+    val ts = ArrayBuffer(lex(sql, dqAsString = mode.dqAsString,
+      eStrings = mode.eStrings, bracketIdents = mode.bracketIdents): _*)
+
+    // 0) T-SQL `SELECT TOP n` → trailing LIMIT n within the SELECT's scope
+    if (mode.msCalls) rewriteTopN(ts)
 
     // 1) `::` postfix casts, innermost-first via repeated single-pass
     var changed = true
@@ -448,7 +713,7 @@ object SqlDialect {
           val opStart = primaryStart(ts, opEnd)
           val tIdx = nextIdx(ts, i)
           if (tIdx < 0) throw new IllegalArgumentException("'::' with no type")
-          val (tpe, tEnd) = mapTypeAt(ts, tIdx)
+          val (tpe, tEnd) = mapTypeAt(ts, tIdx, mode)
           val operand = text(ts.slice(opStart, opEnd + 1))
           splice(ts, opStart, tEnd, s"CAST($operand AS $tpe)")
           changed = true
@@ -467,7 +732,10 @@ object SqlDialect {
             if (op == "~") { ts(i) = Raw(" RLIKE "); }
             else if (op == "!~") { ts(i) = Raw(" NOT RLIKE ") }
             else {
-              // case-insensitive: wrap both primaries in upper()
+              // case-insensitive: prepend the Java inline (?i) flag to
+              // the pattern. upper()-wrapping both sides would invert
+              // regex escape classes (\d→\D, \w→\W, \s→\S, \b→\B) —
+              // silent wrong results on any class-bearing pattern.
               val lStart = primaryStart(ts, p)
               val rStart = nextIdx(ts, i)
               if (rStart < 0) throw new IllegalArgumentException(s"'$op' with no pattern")
@@ -475,7 +743,7 @@ object SqlDialect {
               val lhs = text(ts.slice(lStart, p + 1))
               val rhs = text(ts.slice(rStart, rEnd + 1))
               val neg = if (op == "!~*") "NOT " else ""
-              splice(ts, lStart, rEnd, s"${neg}upper($lhs) RLIKE upper($rhs)")
+              splice(ts, lStart, rEnd, s"$neg$lhs RLIKE concat('(?i)', $rhs)")
               i = lStart
             }
           }
@@ -485,7 +753,7 @@ object SqlDialect {
     }
 
     // 3) function renames + to_char format mapping + CAST type mapping
-    //    (+ the Snowflake-only call rewrites)
+    //    (+ the Snowflake/T-SQL/BigQuery call rewrites)
     i = 0
     while (i < ts.length) {
       ts(i) match {
@@ -493,18 +761,53 @@ object SqlDialect {
           val nx = nextIdx(ts, i)
           val isCall = nx >= 0 && ts(nx) == Sym("(")
           val wl = w.toLowerCase
-          if (isCall && mode == Sf && snowflakeFnRename.contains(wl)) {
+          if (isCall && mode.sfCalls && snowflakeFnRename.contains(wl)) {
             ts(i) = Raw(snowflakeFnRename(wl))
-            if (wl == "dateadd" || wl == "datediff") {
-              // Snowflake allows a QUOTED part name — timestampadd/-diff
-              // need a bare unit identifier
-              val a1 = nextIdx(ts, nx)
-              if (a1 >= 0) ts(a1) match {
-                case Str(s) => ts(a1) = Raw(s.substring(1, s.length - 1))
-                case _ =>
+          } else if (isCall && mode.msCalls && mssqlFnRename.contains(wl)) {
+            ts(i) = Raw(mssqlFnRename(wl))
+          } else if (isCall && mode.msCalls && wl == "isnull") {
+            // T-SQL 2-arg ISNULL(a, b) → coalesce; Spark's own 1-arg
+            // isnull keeps its meaning when there is no second argument
+            val close = primaryEnd(ts, nx)
+            if (topLevelComma(ts, nx, close) > 0) ts(i) = Raw("coalesce")
+          } else if (isCall && (mode.sfCalls || mode.msCalls) && wl == "dateadd") {
+            // DATEADD(part, n, d) → timestampadd(canonical_part, n, d);
+            // unknown part aliases leave the call untranslated (loud
+            // Spark error — never a silent unit guess)
+            val a1 = nextIdx(ts, nx)
+            canonicalPartAt(ts, a1).foreach { part =>
+              ts(i) = Raw("timestampadd")
+              ts(a1) = Raw(part)
+            }
+          } else if (isCall && (mode.sfCalls || mode.msCalls) && wl == "datediff") {
+            // Snowflake/Redshift/T-SQL DATEDIFF counts date-part
+            // BOUNDARY crossings; timestampdiff counts complete elapsed
+            // intervals (DATEDIFF(year,'2023-12-31','2024-01-01') is 1
+            // there, 0 elapsed). Truncating both arguments to the part
+            // makes the two counts agree for every whole-unit part.
+            val close = primaryEnd(ts, nx)
+            val c1 = topLevelComma(ts, nx, close)
+            val c2 = if (c1 > 0) topLevelComma(ts, c1, close) else -1
+            if (c1 > 0 && c2 > 0) {
+              canonicalPartAt(ts, nextIdx(ts, nx)).foreach { part =>
+                val a = text(ts.slice(c1 + 1, c2)).trim
+                val b = text(ts.slice(c2 + 1, close)).trim
+                splice(ts, i, close,
+                  s"timestampdiff($part, date_trunc('$part', $a), date_trunc('$part', $b))")
               }
             }
-          } else if (isCall && mode == Sf &&
+          } else if (isCall && mode.bareDatePart &&
+              (wl == "date_part" || wl == "datepart")) {
+            // Redshift DATE_PART / T-SQL DATEPART accept a BARE part
+            // name; Spark's date_part needs a string literal
+            val a1 = nextIdx(ts, nx)
+            if (a1 >= 0) ts(a1) match {
+              case Word(part) =>
+                ts(i) = Raw("date_part")
+                ts(a1) = Raw("'" + part + "'")
+              case _ => if (wl == "datepart") ts(i) = Raw("date_part")
+            }
+          } else if (isCall && mode.sfCalls &&
               (wl == "zeroifnull" || wl == "nullifzero" || wl == "to_varchar")) {
             // token-preserving rewrites: only the NAME and the fixed
             // pieces change, the argument tokens stay live so nested
@@ -530,9 +833,9 @@ object SqlDialect {
                   }
                 }
             }
-          } else if (isCall && mode == Bq && bigqueryFnRename.contains(wl)) {
+          } else if (isCall && mode.bqCalls && bigqueryFnRename.contains(wl)) {
             ts(i) = Raw(bigqueryFnRename(wl))
-          } else if (isCall && mode == Bq &&
+          } else if (isCall && mode.bqCalls &&
               (wl == "format_date" || wl == "format_timestamp" ||
                wl == "format_datetime")) {
             // FORMAT_DATE('%Y-%m', d): format comes FIRST in BigQuery —
@@ -547,7 +850,7 @@ object SqlDialect {
                 splice(ts, i, close, s"date_format($rest, $mapped)")
               }
             }
-          } else if (isCall && mode == Bq &&
+          } else if (isCall && mode.bqCalls &&
               (wl == "timestamp_diff" || wl == "date_diff" ||
                wl == "datetime_diff")) {
             // X_DIFF(end, start, part) = end − start →
@@ -561,7 +864,7 @@ object SqlDialect {
               val part = text(ts.slice(c2 + 1, close)).trim
               splice(ts, i, close, s"timestampdiff($part, $startArg, $endArg)")
             }
-          } else if (isCall && mode == Bq &&
+          } else if (isCall && mode.bqCalls &&
               (wl == "date_add" || wl == "timestamp_add" || wl == "datetime_add" ||
                wl == "date_sub" || wl == "timestamp_sub" || wl == "datetime_sub")) {
             // X_ADD(d, INTERVAL n unit) → (d + INTERVAL n unit); without
@@ -618,12 +921,15 @@ object SqlDialect {
                   } else None
                   two match {
                     case Some((m, endT)) => splice(ts, tIdx, endT, m)
-                    case None => typeMap.get(t.toLowerCase)
+                    case None => lookupType(t, mode)
                       .foreach(m => ts(tIdx) = Raw(m))
                   }
                 case _ =>
               }
             }
+          } else if (!isCall && mode.bareSysdate && wl == "sysdate") {
+            // Redshift bare SYSDATE keyword (no parens)
+            ts(i) = Raw("current_timestamp()")
           }
         case _ =>
       }
@@ -631,5 +937,90 @@ object SqlDialect {
     }
 
     text(ts.toSeq)
+  }
+
+  /** Canonicalize the date-part token at index `a1` (a bare Word or a
+    * quoted Str — Snowflake allows both): Some(canonical unit) if the
+    * alias is known, None otherwise (caller leaves the call alone). */
+  private def canonicalPartAt(ts: ArrayBuffer[Tok], a1: Int): Option[String] = {
+    if (a1 < 0) return None
+    ts(a1) match {
+      case Word(p) => datePartCanon.get(p.toLowerCase)
+      case Str(s) => datePartCanon.get(s.substring(1, s.length - 1).toLowerCase)
+      case _ => None
+    }
+  }
+
+  /** T-SQL `SELECT [ALL|DISTINCT] TOP n [expr-in-parens]` → remove the
+    * TOP clause and append `LIMIT n` at the end of that SELECT's scope
+    * (end of input for a depth-0 select, before the closing ")" for a
+    * subquery). Left untouched — loud Spark error — when followed by
+    * PERCENT / WITH TIES, or when a depth-0 set operator shares the
+    * scope (LIMIT at scope end would bind to the wrong branch). */
+  private def rewriteTopN(ts: ArrayBuffer[Tok]): Unit = {
+    var restart = true
+    while (restart) {
+      restart = false
+      var i = 0
+      while (i < ts.length && !restart) {
+        ts(i) match {
+          case Word(s) if s.equalsIgnoreCase("select") =>
+            var j = nextIdx(ts, i)
+            // skip the optional ALL / DISTINCT quantifier
+            if (j >= 0) ts(j) match {
+              case Word(q) if q.equalsIgnoreCase("all") ||
+                  q.equalsIgnoreCase("distinct") => j = nextIdx(ts, j)
+              case _ =>
+            }
+            val isTop = j >= 0 && (ts(j) match {
+              case Word(t) => t.equalsIgnoreCase("top")
+              case _ => false
+            })
+            if (isTop) {
+              val nIdx = nextIdx(ts, j)
+              val (limitText, consumedEnd) =
+                if (nIdx >= 0 && ts(nIdx).isInstanceOf[Num]) (ts(nIdx).text, nIdx)
+                else if (nIdx >= 0 && ts(nIdx) == Sym("(")) {
+                  val close = primaryEnd(ts, nIdx)
+                  (text(ts.slice(nIdx, close + 1)), close)
+                } else ("", -1)
+              val after = if (consumedEnd >= 0) nextIdx(ts, consumedEnd) else -1
+              val blocked = after >= 0 && (ts(after) match {
+                case Word(x) => x.equalsIgnoreCase("percent") || x.equalsIgnoreCase("with")
+                case _ => false
+              })
+              if (consumedEnd >= 0 && !blocked) {
+                // scope end: where this SELECT's depth closes
+                var depth = 0; var k = consumedEnd + 1; var scopeEnd = ts.length
+                var setOp = false
+                while (k < ts.length && scopeEnd == ts.length) {
+                  ts(k) match {
+                    case Sym("(") => depth += 1
+                    case Sym(")") =>
+                      if (depth == 0) scopeEnd = k else depth -= 1
+                    case Word(x) if depth == 0 &&
+                        (x.equalsIgnoreCase("union") || x.equalsIgnoreCase("intersect") ||
+                         x.equalsIgnoreCase("except")) => setOp = true
+                    case _ =>
+                  }
+                  k += 1
+                }
+                if (!setOp) {
+                  // absorb the whitespace after the TOP clause so the
+                  // select list doesn't keep a double space
+                  val last = if (consumedEnd + 1 < ts.length &&
+                    ts(consumedEnd + 1).isInstanceOf[Ws]) consumedEnd + 1 else consumedEnd
+                  val removed = last - j + 1
+                  ts.remove(j, removed)
+                  ts.insert(scopeEnd - removed, Raw(s" LIMIT $limitText "))
+                  restart = true
+                }
+              }
+            }
+          case _ =>
+        }
+        i += 1
+      }
+    }
   }
 }

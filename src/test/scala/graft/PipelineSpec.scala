@@ -2544,6 +2544,54 @@ class PipelineSpec extends GraftSuite {
     assert(s1 == fresh)
   }
 
+  /** The exact on-disk path [[PipelineQueries.stagedParquet]] writes for
+    * (this app, `sfDir`, `name`) — mirrors its key construction. */
+  private def stagedDir(sfDir: String, name: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-media-$name-" + spark.sparkContext.applicationId + "-" +
+        sfDir.replaceAll("[^A-Za-z0-9.-]", "_")).toString
+
+  test("stagedMedia: the staged media artifact is byte-identical to a fresh synthesis") {
+    val sfDir = "/root/testdata/sf0.001"
+    // dedupJpegProgressive is the round-12 flag row — its staged query
+    // must equal the keep-set over freshly synthesized containers
+    val staged = PipelineQueries.dedupJpegProgressive(spark, sfDir)
+      .as[Long].collect().toSeq
+    val fresh = graft.functions.Multimodal.imageNearDupKeep(
+        PipelineQueries.jpegProgressiveMedia(spark, sfDir),
+        "media_id", "content", maxHamming = 3)
+      .orderBy("media_id").select("media_id").as[Long].collect().toSeq
+    assert(staged == fresh)
+    // and the artifact bytes themselves match the fresh encode, row for
+    // row (md5 over content — the strongest staged ≡ fresh witness)
+    val freshHash = PipelineQueries.imagePxMedia(spark, sfDir)
+      .select(col("media_id"), md5(col("content")).as("h"))
+      .as[(Long, String)].collect().toMap
+    PipelineQueries.dedupImagePx(spark, sfDir).count() // forces staging
+    val stagedHash = spark.read.parquet(stagedDir(sfDir, "imagepx"))
+      .select(col("media_id"), md5(col("content")).as("h"))
+      .as[(Long, String)].collect().toMap
+    assert(stagedHash == freshHash)
+  }
+
+  test("dedupMinHashPortable: staged md5 relations equal the fresh derivation") {
+    val sfDir = "/root/testdata/sf0.001"
+    val s1 = PipelineQueries.dedupMinHashPortable(spark, sfDir)
+      .as[Long].collect().toSeq
+    // second call reads the staged artifacts — identical result
+    val s2 = PipelineQueries.dedupMinHashPortable(spark, sfDir)
+      .as[Long].collect().toSeq
+    assert(s1 == s2)
+    // fresh witness: the unstaged band relation drives the same
+    // bucket-min + keep rule through the incremental helper's math
+    val corpus = PipelineQueries.docsWithNearDups(spark, sfDir)
+    val freshBuckets = PipelineQueries.portableBandBuckets(corpus).cache()
+    val stagedBuckets = spark.read.parquet(stagedDir(sfDir, "mhport-banded"))
+      .as[(Long, String)].collect().toSet
+    assert(stagedBuckets == freshBuckets.as[(Long, String)].collect().toSet)
+    freshBuckets.unpersist()
+  }
+
   test("profileTable: empty table profiles to zeros, not nulls") {
     val empty = Seq.empty[(Long, String)].toDF("id", "name")
     val out = graft.ops.Profile.profileTable(empty)

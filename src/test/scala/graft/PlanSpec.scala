@@ -49,6 +49,31 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("PushedFilters: [IsNotNull(p_size)"), p)
   }
 
+  test("incremental dedup: the bucketed fingerprint store joins without a store-side shuffle") {
+    import spark.implicits._
+    // force SMJ: at spec scale the store would broadcast, masking the
+    // bucketed-scan property the 100 TB claim rests on
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val tbl = "graft_incstore_planspec"
+      graft.ops.Scale.writeBucketed(
+        (0 until 1000).map(i => s"b$i").toDF("__bucket"),
+        tbl, Seq("__bucket"),
+        numBuckets = spark.sparkContext.defaultParallelism,
+        sortCols = Seq("__bucket"))
+      val dump = (500 until 1500).map(i => (i.toLong, s"b$i")).toDF("doc_id", "__bucket")
+      val joined = dump.join(spark.table(tbl), Seq("__bucket"))
+      val p = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("Bucketed: true"), p)
+      // exactly ONE exchange: the dump side; the store scan is already
+      // hash-partitioned by its bucket layout (formatted explain lists
+      // each node twice — tree line + detail header — so match headers)
+      assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+        "the fingerprint store side must not shuffle\n" + p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("dedup exact: single shuffle on fingerprint, no raw-text shuffle key") {
     val p = plan("p_dedup_exact")
     // partitioning expression is the fingerprint hash pair, not `text`

@@ -2,12 +2,12 @@ package graft
 
 import graft.sql.SqlDialect.toSparkSql
 
-/** Postgres → Spark SQL dialect translation (graft.sql.SqlDialect):
+/** Dialect → Spark SQL translation (graft.sql.SqlDialect):
   * string-level rewrites, pass-through pins for forms Spark accepts
   * natively, and end-to-end execution through GraftSession.transform
   * (the reference's dialect posture — transform.py:55-72 — passed SQL
   * straight to the warehouse engine; here the engine dialect is Spark,
-  * so the common Postgres spellings must map). */
+  * so the common warehouse spellings must map). */
 class SqlDialectSpec extends GraftSuite {
   import spark.implicits._
 
@@ -26,6 +26,16 @@ class SqlDialectSpec extends GraftSuite {
     assert(pg("SELECT a::double precision FROM t")
       == "SELECT CAST(a AS double) FROM t")
     assert(pg("SELECT '42'::int8") == "SELECT CAST('42' AS bigint)")
+  }
+
+  test("qualified and subscripted :: operands (t.col, db.s.fn(x), arr[i])") {
+    // the ubiquitous table-aliased cast — must absorb the '.' chain
+    assert(pg("SELECT t.col::int8 FROM t") == "SELECT CAST(t.col AS bigint) FROM t")
+    assert(pg("SELECT a.b.c::text FROM t") == "SELECT CAST(a.b.c AS string) FROM t")
+    assert(pg("SELECT s.f(x)::int4 FROM t") == "SELECT CAST(s.f(x) AS int) FROM t")
+    assert(pg("SELECT arr[1]::int8 FROM t") == "SELECT CAST(arr[1] AS bigint) FROM t")
+    assert(pg("SELECT t.arr[1]::int8 FROM t")
+      == "SELECT CAST(t.arr[1] AS bigint) FROM t")
   }
 
   test("explicit CAST type names map; :: inside strings/comments untouched") {
@@ -49,11 +59,37 @@ class SqlDialectSpec extends GraftSuite {
       == "SELECT * FROM t WHERE a  RLIKE  'x'")
     assert(pg("SELECT * FROM t WHERE a !~ 'x'")
       == "SELECT * FROM t WHERE a  NOT RLIKE  'x'")
+    // (?i) inline flag, NOT upper()-wrapping: uppercasing a pattern
+    // inverts regex escape classes (\d→\D, \w→\W, \s→\S, \b→\B)
     assert(pg("SELECT * FROM t WHERE a ~* 'x'")
-      == "SELECT * FROM t WHERE upper(a) RLIKE upper('x')")
+      == "SELECT * FROM t WHERE a RLIKE concat('(?i)', 'x')")
     assert(pg("SELECT * FROM t WHERE a !~* lower(p)")
-      == "SELECT * FROM t WHERE NOT upper(a) RLIKE upper(lower(p))")
+      == "SELECT * FROM t WHERE NOT a RLIKE concat('(?i)', lower(p))")
+    assert(pg("SELECT * FROM t WHERE t.a ~* t.p")
+      == "SELECT * FROM t WHERE t.a RLIKE concat('(?i)', t.p)")
     assert(pg("SELECT ~ 5") == "SELECT ~ 5") // unary bitwise NOT
+  }
+
+  test("standard-conforming strings: backslashes double once at emission") {
+    // Postgres holds '\d+' as backslash-d-plus; Spark's parser would
+    // eat the backslash — the translator doubles it exactly once
+    assert(pg("SELECT * FROM t WHERE a ~ '\\d+'")
+      == "SELECT * FROM t WHERE a  RLIKE  '\\\\d+'")
+    assert(pg("SELECT '\\n' FROM t") == "SELECT '\\\\n' FROM t")
+    // fixpoint does NOT re-escape: a query needing 2+ passes still
+    // doubles only once
+    assert(pg("SELECT sum(x)::int8 FROM t WHERE a ~ '\\w'")
+      == "SELECT CAST(sum(x) AS bigint) FROM t WHERE a  RLIKE  '\\\\w'")
+  }
+
+  test("E'...' escape strings decode (and re-protect literal backslashes)") {
+    // E'\t' is a real TAB; emitted as the actual character
+    assert(pg("SELECT E'a\\tb'") == "SELECT 'a\tb'")
+    // E'\\d' is a LITERAL backslash-d; doubled at emission for Spark
+    assert(pg("SELECT E'\\\\d+'") == "SELECT '\\\\d+'")
+    assert(pg("SELECT E'it\\'s'") == "SELECT 'it''s'")
+    assert(pg("SELECT E'\\x41\\u0042'") == "SELECT 'AB'")
+    assert(pg("SELECT E'\\101'") == "SELECT 'A'") // octal
   }
 
   test("function renames and to_char format mapping") {
@@ -63,6 +99,12 @@ class SqlDialectSpec extends GraftSuite {
       == "SELECT date_format(d, 'yyyy-MM-dd') FROM t")
     assert(pg("SELECT to_char(d, 'HH24:MI:SS') FROM t")
       == "SELECT date_format(d, 'HH:mm:ss') FROM t")
+    // spelled-out names: all case variants map (java.time emits
+    // capitalized — the documented approximation for MONTH/DAY)
+    assert(pg("SELECT to_char(d, 'MONTH YYYY') FROM t")
+      == "SELECT date_format(d, 'MMMM yyyy') FROM t")
+    assert(pg("SELECT to_char(d, 'Day DY') FROM t")
+      == "SELECT date_format(d, 'EEEE EEE') FROM t")
     // non-literal format: left for Spark to reject, not silently changed
     assert(pg("SELECT to_char(d, f) FROM t") == "SELECT to_char(d, f) FROM t")
   }
@@ -92,6 +134,19 @@ class SqlDialectSpec extends GraftSuite {
     assert(out == Seq((1L, "2024-03", 1999L), (3L, "2024-04", 10250L)))
   }
 
+  test("end-to-end: regex escape classes survive ~* and standard strings") {
+    val df = Seq((1L, "order 12 PENDING"), (2L, "no digits here"),
+      (3L, "pending 7")).toDF("id", "txt")
+    val out = g.transformLazy(
+      """SELECT id::int8 AS id FROM {{src}}
+        |WHERE txt ~ '\d+' AND txt ~* 'PENDING\s*\d*'
+        |ORDER BY id""".stripMargin,
+      Map("src" -> df), dialect = "postgres")
+      .as[Long].collect().toSeq
+    // upper()-wrapping would have turned \d into \D and matched nothing
+    assert(out == Seq(1L, 3L))
+  }
+
   test("pass-through pins: ILIKE, ||, IS DISTINCT FROM, substring FROM FOR, split_part") {
     val df = Seq(("Alpha", "x"), ("beta", "y")).toDF("a", "b")
     val out = g.transformLazy(
@@ -113,8 +168,16 @@ class SqlDialectSpec extends GraftSuite {
       == "SELECT timestampadd(day, 3, d) FROM t")
     assert(sf("SELECT DATEADD('day', 3, d) FROM t")
       == "SELECT timestampadd(day, 3, d) FROM t")
+    // part aliases canonicalize (dd → day); unknown parts leave the
+    // call untouched for Spark's own error
+    assert(sf("SELECT DATEADD(dd, 3, d) FROM t")
+      == "SELECT timestampadd(day, 3, d) FROM t")
+    assert(sf("SELECT DATEADD(flurb, 3, d) FROM t")
+      == "SELECT DATEADD(flurb, 3, d) FROM t")
+    // DATEDIFF counts BOUNDARY crossings in Snowflake/Redshift/T-SQL —
+    // both args truncate to the part before the elapsed count
     assert(sf("SELECT DATEDIFF(month, a, b) FROM t")
-      == "SELECT timestampdiff(month, a, b) FROM t")
+      == "SELECT timestampdiff(month, date_trunc('month', a), date_trunc('month', b)) FROM t")
     assert(sf("SELECT TO_VARCHAR(x) FROM t") == "SELECT CAST(x AS string) FROM t")
     assert(sf("SELECT TO_VARCHAR(d, 'YYYY-MM-DD') FROM t")
       == "SELECT date_format(d, 'yyyy-MM-dd') FROM t")
@@ -124,6 +187,20 @@ class SqlDialectSpec extends GraftSuite {
       == "SELECT CAST(x AS decimal(10,2)) FROM t")
     // snowflake-only names untouched under postgres
     assert(pg("SELECT IFF(a, 'x', 'y')") == "SELECT IFF(a, 'x', 'y')")
+  }
+
+  test("DATEDIFF boundary semantics execute: year/month crossings count") {
+    val df = Seq((1L, "2023-12-31", "2024-01-01")).toDF("id", "a", "b")
+      .selectExpr("id", "CAST(a AS date) AS a", "CAST(b AS date) AS b")
+    val out = g.transformLazy(
+      """SELECT DATEDIFF(year, a, b) AS yr, DATEDIFF(month, a, b) AS mo,
+        |  DATEDIFF(day, a, b) AS dy
+        |FROM {{src}}""".stripMargin,
+      Map("src" -> df), dialect = "snowflake")
+      .as[(Long, Long, Long)].collect().toSeq
+    // Snowflake: 1 year boundary, 1 month boundary, 1 day — the naive
+    // timestampdiff rename would have returned (0, 0, 1)
+    assert(out == Seq((1L, 1L, 1L)))
   }
 
   test("nested rewrites translate through the fixpoint (calls inside :: operands)") {
@@ -172,9 +249,6 @@ class SqlDialectSpec extends GraftSuite {
       == "SELECT size(xs), try_divide(a, b) FROM t")
     // BigQuery double quotes are STRINGS, not identifiers
     assert(bq("SELECT \"it's\" FROM t") == "SELECT 'it''s' FROM t")
-    // redshift aliases the Postgres+DATEADD machinery
-    assert(toSparkSql("SELECT GETDATE(), a::int8 FROM t", "redshift")
-      == "SELECT current_timestamp(), CAST(a AS bigint) FROM t")
   }
 
   test("bigquery end-to-end: a BigQuery-flavored transform executes") {
@@ -188,6 +262,88 @@ class SqlDialectSpec extends GraftSuite {
       Map("src" -> df), dialect = "bigquery")
       .as[(Long, String, Long)].collect().toSeq
     assert(out == Seq((1L, "2024-03", 7L), (2L, "2024-04", 7L)))
+  }
+
+  test("redshift: postgres base + GETDATE/DATE_PART bare parts/SYSDATE/backslashes") {
+    def rs(s: String) = toSparkSql(s, "redshift")
+    assert(rs("SELECT GETDATE(), a::int8 FROM t")
+      == "SELECT current_timestamp(), CAST(a AS bigint) FROM t")
+    // bare part name quotes for Spark's date_part
+    assert(rs("SELECT DATE_PART(mon, d) FROM t")
+      == "SELECT date_part('mon', d) FROM t")
+    assert(rs("SELECT DATE_PART('year', d) FROM t")
+      == "SELECT DATE_PART('year', d) FROM t") // already quoted: untouched name is fine
+    // bare SYSDATE keyword
+    assert(rs("SELECT SYSDATE FROM t") == "SELECT current_timestamp() FROM t")
+    // Redshift standard-conforming strings hold backslashes literally
+    assert(rs("SELECT * FROM t WHERE a ~ '\\d'")
+      == "SELECT * FROM t WHERE a  RLIKE  '\\\\d'")
+    // regex ops + DATEDIFF both present (the Postgres+Snowflake union)
+    assert(rs("SELECT DATEDIFF(year, a, b) FROM t")
+      == "SELECT timestampdiff(year, date_trunc('year', a), date_trunc('year', b)) FROM t")
+  }
+
+  test("redshift end-to-end: LISTAGG WITHIN GROUP + DATE_PART execute") {
+    val df = Seq((1L, "b", "2024-03-05"), (1L, "a", "2024-05-20"), (2L, "c", "2024-07-01"))
+      .toDF("k", "v", "day")
+      .selectExpr("k", "v", "CAST(day AS date) AS day")
+    val out = g.transformLazy(
+      """SELECT k::int8 AS k,
+        |  LISTAGG(v, ',') WITHIN GROUP (ORDER BY v) AS vs,
+        |  DATE_PART(mon, MAX(day))::int8 AS last_mon
+        |FROM {{src}} GROUP BY k ORDER BY k""".stripMargin,
+      Map("src" -> df), dialect = "redshift")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "a,b", 5L), (2L, "c", 7L)))
+  }
+
+  test("mssql: TOP/brackets/ISNULL/IIF/LEN/CHARINDEX/DATEPART/types") {
+    def ms(s: String) = toSparkSql(s, "mssql")
+    assert(ms("SELECT TOP 3 a FROM t ORDER BY a")
+      == "SELECT a FROM t ORDER BY a LIMIT 3 ")
+    assert(ms("SELECT TOP (5) a FROM t") == "SELECT a FROM t LIMIT (5) ")
+    assert(ms("SELECT DISTINCT TOP 3 a FROM t")
+      == "SELECT DISTINCT a FROM t LIMIT 3 ")
+    // subquery scope: LIMIT lands inside the parens
+    assert(ms("SELECT x FROM (SELECT TOP 2 y AS x FROM u) s")
+      == "SELECT x FROM (SELECT y AS x FROM u LIMIT 2 ) s")
+    // PERCENT / WITH TIES / set ops: untouched → loud Spark error
+    assert(ms("SELECT TOP 10 PERCENT a FROM t")
+      == "SELECT TOP 10 PERCENT a FROM t")
+    assert(ms("SELECT TOP 3 a FROM t UNION SELECT b FROM u")
+      == "SELECT TOP 3 a FROM t UNION SELECT b FROM u")
+    assert(ms("SELECT [my col], [t].[a] FROM [t]")
+      == "SELECT `my col`, `t`.`a` FROM `t`")
+    assert(ms("SELECT ISNULL(a, 0) FROM t") == "SELECT coalesce(a, 0) FROM t")
+    assert(ms("SELECT ISNULL(a) FROM t") == "SELECT ISNULL(a) FROM t") // 1-arg: Spark's own
+    assert(ms("SELECT IIF(a > 1, 'x', 'y')") == "SELECT if(a > 1, 'x', 'y')")
+    assert(ms("SELECT LEN(a), CHARINDEX('-', a) FROM t")
+      == "SELECT length(a), locate('-', a) FROM t")
+    assert(ms("SELECT DATEPART(yy, d) FROM t") == "SELECT date_part('yy', d) FROM t")
+    assert(ms("SELECT GETDATE()") == "SELECT current_timestamp()")
+    assert(ms("SELECT CAST(a AS datetime), CAST(b AS nvarchar(20)) FROM t")
+      == "SELECT CAST(a AS timestamp), CAST(b AS varchar(20)) FROM t")
+    assert(ms("SELECT DATEDIFF(dd, a, b) FROM t")
+      == "SELECT timestampdiff(day, date_trunc('day', a), date_trunc('day', b)) FROM t")
+  }
+
+  test("mssql end-to-end: a T-SQL-flavored transform executes") {
+    val df = Seq((1L, "1-URGENT", "2024-03-05"), (2L, null, "2024-04-20"),
+      (3L, "3-LOW", "2024-02-11"))
+      .toDF("id", "prio", "day")
+      .selectExpr("id", "prio", "CAST(day AS date) AS day")
+    val out = g.transformLazy(
+      """SELECT TOP 2 [id],
+        |  ISNULL(prio, 'none') AS prio,
+        |  LEN(ISNULL(prio, '')) AS plen,
+        |  CHARINDEX('-', ISNULL(prio, '')) AS dash,
+        |  DATEDIFF(day, CAST('2024-01-01' AS datetime), day) AS days
+        |FROM {{src}} ORDER BY [id]""".stripMargin,
+      Map("src" -> df), dialect = "mssql")
+      .as[(Long, String, Int, Int, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "1-URGENT", 8, 2, 64L),
+      (2L, "none", 0, 0, 110L)))
   }
 
   test("string_agg → listagg executes") {

@@ -462,12 +462,15 @@ class GraftSession(val spark: SparkSession) {
     * tables before rendering (base_decorator.py:369-417); a lazy view is
     * the Spark-native equivalent (no copy, full pushdown through it).
     *
-    * `dialect` ("spark" default, or "postgres") translates the rendered
-    * SQL through [[graft.sql.SqlDialect]] first — the reference passed
-    * dialect SQL straight to the warehouse engine (transform.py:55-72),
-    * so users bringing Postgres-flavored queries get the common forms
-    * (::casts, ~ regex ops, "quoted idents", to_char, …) mapped to
-    * Spark SQL instead of a parse error. */
+    * `dialect` ("spark" default; "postgres", "redshift", "snowflake",
+    * "bigquery", "mssql" — one per warehouse the reference SDK
+    * supported) translates the rendered SQL through
+    * [[graft.sql.SqlDialect]] first — the reference passed dialect SQL
+    * straight to the warehouse engine (transform.py:55-72), so users
+    * bringing warehouse-flavored queries get the common forms (::casts,
+    * ~ regex ops incl. (?i) case-insensitivity, E'...' escape strings,
+    * "quoted"/[bracket] idents, TOP n, to_char, boundary-counting
+    * DATEDIFF, …) mapped to Spark SQL instead of a parse error. */
   def sql(template: String, bindings: Map[String, Any] = Map.empty,
       dialect: String = "spark"): DataFrame = {
     val resolved: Map[String, Any] = bindings.map {

@@ -282,6 +282,29 @@ object OperatorQueries {
     spark.table(out.qualifiedName).orderBy("o_orderstatus")
   }
 
+  /** transform with `dialect = "postgres"`, round 3 — the set-returning
+    * and SQL-regex forms a real Postgres DAG hits first after E'...':
+    * `FROM generate_series(a, b)` (→ explode(sequence)) driving a join
+    * against a real table, and `SIMILAR TO` (→ anchored RLIKE with the
+    * SQL-regex wildcards converted). DuckDB runs generate_series
+    * natively; its SIMILAR TO takes a plain regex (no %→.* mapping,
+    * unlike Postgres), so the oracle replays the documented conversion
+    * via regexp_full_match instead. */
+  def transformDialectPg3(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val out = g.transform(
+      """SELECT g.i::int8 AS bucket,
+        |  sum(CASE WHEN o.o_orderpriority SIMILAR TO '(1|3)-%' THEN 1 ELSE 0 END)::int8 AS n_prio13,
+        |  count(*)::int8 AS n
+        |FROM generate_series(0, 4) AS g(i)
+        |JOIN {{orders}} o ON (o.o_orderkey % 5) = g.i
+        |GROUP BY g.i""".stripMargin,
+      bindings = Map("orders" -> TableRef("orders")),
+      output = Some(TableRef("op_transform_dialect_pg3_out")),
+      dialect = "postgres")
+    spark.table(out.qualifiedName).orderBy("bucket")
+  }
+
   /** transform with `dialect = "redshift"` — genuinely Redshift-flavored
     * SQL, not just the Snowflake-shared call forms: LISTAGG ... WITHIN
     * GROUP (passes through natively to Spark 4's listagg), DATE_PART
@@ -832,6 +855,7 @@ object OperatorQueries {
     "op_transform_dialect_sf" -> (transformDialectSf _),
     "op_transform_dialect_bq" -> (transformDialectBq _),
     "op_transform_dialect_pg2" -> (transformDialectPg2 _),
+    "op_transform_dialect_pg3" -> (transformDialectPg3 _),
     "op_transform_dialect_rs" -> (transformDialectRs _),
     "op_transform_dialect_ms" -> (transformDialectMs _),
     "op_transform_df_arg" -> (transformDfArg _),
@@ -1056,6 +1080,20 @@ object OperatorQueries {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // the third Postgres-flavored transform: DuckDB runs generate_series
+    // natively; SIMILAR TO is NOT replayed verbatim because DuckDB's
+    // SIMILAR TO takes a plain regex (no %→.* wildcard mapping, unlike
+    // Postgres) — the oracle replays the documented conversion instead
+    // (anchored full-match regex with % mapped to .*)
+    "op_transform_dialect_pg3" ->
+      """SELECT cast(g.i as bigint) AS bucket,
+        |  cast(sum(CASE WHEN regexp_full_match(o.o_orderpriority, '(?:(1|3)-.*)') THEN 1 ELSE 0 END) as bigint) AS n_prio13,
+        |  cast(count(*) as bigint) AS n
+        |FROM generate_series(0, 4) AS g(i)
+        |JOIN orders o ON (o.o_orderkey % 5) = g.i
+        |GROUP BY g.i
+        |ORDER BY bucket""".stripMargin,
 
     // the Redshift-flavored transform restated dialect-neutrally
     "op_transform_dialect_rs" ->

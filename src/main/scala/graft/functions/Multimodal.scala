@@ -2820,9 +2820,18 @@ object Multimodal {
       idCol: String,
       contentCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // persisted: the banding machinery consumes the hash relation three
+    // times (oversized-bucket count + both self-join sides), and each
+    // consumption would otherwise re-run the full container DECODE over
+    // every media row — the expensive part of the whole query (the
+    // round-13 jpeg_color curve read exactly 3× the single-decode cost).
+    // (id, hash) is 16 bytes/row, the cheapest possible thing to hold;
+    // at crawl scale it is the hash index a dedup run materializes
+    // anyway. The harness's clearCache between queries releases it.
     val hashed = media
       .select(col(idCol).as("__id"), imagePayloadDHash(col(contentCol)).as("__sh"))
       .where(col("__sh").isNotNull)
+      .persist()
     val pairs = Dedup.hammingPairsFromHashes(hashed, maxHamming)
     Dedup.keepFirstFromPairs(media.select(col(idCol)), idCol, pairs)
   }

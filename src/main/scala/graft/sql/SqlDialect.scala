@@ -49,10 +49,21 @@ import scala.collection.mutable.ArrayBuffer
   *    `left`/`right` need no rewrite — Spark 4 accepts them natively —
   *    and are covered by SqlDialectSpec so the pass-through stays pinned.
   *
+  *  - `FROM generate_series(a, b[, step])` (with optional alias/column
+  *    alias) → `(SELECT explode(sequence(a, b, step)) AS col) alias`;
+  *    a missing step becomes an explicit `, 1` so Postgres's
+  *    empty-descending-range semantics fail loudly instead of Spark's
+  *    sequence silently inferring a negative step.
+  *  - `expr [NOT] SIMILAR TO 'pattern'` → anchored RLIKE with the SQL
+  *    regex converted (`%`→`.*`, `_`→`.`, literal `.`/`^`/`$` escaped,
+  *    `|`/`*`/`+`/`?`/`{}`/`()`/`[]` kept, `\x` → literal x).
+  *
   * Documented out of scope (pass through unchanged, Spark errors):
-  * `SIMILAR TO`, `generate_series`, arrays' `ANY/ALL(array)` forms,
-  * `DISTINCT ON`, T-SQL `TOP n PERCENT` / `TOP n WITH TIES`, and
-  * `TOP n` directly over a set operation (UNION/INTERSECT/EXCEPT).
+  * arrays' `ANY/ALL(array)` forms, `DISTINCT ON`, projection-position
+  * `generate_series`, `FROM t, generate_series(...)` comma lists,
+  * `SIMILAR TO` with a non-literal pattern or an ESCAPE clause, T-SQL
+  * `TOP n PERCENT` / `TOP n WITH TIES`, and `TOP n` directly over a
+  * set operation (UNION/INTERSECT/EXCEPT).
   */
 object SqlDialect {
 
@@ -129,12 +140,16 @@ object SqlDialect {
       /** Redshift/T-SQL: quote a bare part name in DATE_PART/DATEPART. */
       bareDatePart: Boolean = false,
       /** Redshift: bare SYSDATE keyword. */
-      bareSysdate: Boolean = false)
+      bareSysdate: Boolean = false,
+      /** Postgres-family extras: `FROM generate_series(...)` →
+        * explode(sequence(...)) subquery, `SIMILAR TO` → anchored RLIKE. */
+      pgExtras: Boolean = false)
 
-  private val Pg = Mode("postgres", eStrings = true, literalBackslashes = true)
+  private val Pg = Mode("postgres", eStrings = true, literalBackslashes = true,
+    pgExtras = true)
   private val Sf = Mode("snowflake", sfCalls = true)
   private val Rs = Mode("redshift", literalBackslashes = true, sfCalls = true,
-    bareDatePart = true, bareSysdate = true)
+    bareDatePart = true, bareSysdate = true, pgExtras = true)
   private val Bq = Mode("bigquery", dqAsString = true, bqCalls = true)
   private val Ms = Mode("mssql", sfCalls = true, msCalls = true,
     bracketIdents = true, bareDatePart = true)
@@ -701,6 +716,12 @@ object SqlDialect {
     // 0) T-SQL `SELECT TOP n` → trailing LIMIT n within the SELECT's scope
     if (mode.msCalls) rewriteTopN(ts)
 
+    // 0b) Postgres set-returning / SQL-regex extras
+    if (mode.pgExtras) {
+      rewriteGenerateSeries(ts)
+      rewriteSimilarTo(ts)
+    }
+
     // 1) `::` postfix casts, innermost-first via repeated single-pass
     var changed = true
     while (changed) {
@@ -949,6 +970,169 @@ object SqlDialect {
       case Str(s) => datePartCanon.get(s.substring(1, s.length - 1).toLowerCase)
       case _ => None
     }
+  }
+
+  /** Keywords that terminate a FROM-item (cannot be a table alias). */
+  private val postFromKeywords = Set(
+    "where", "group", "order", "limit", "offset", "having", "union",
+    "intersect", "except", "on", "join", "inner", "left", "right",
+    "full", "cross", "natural", "using", "window", "qualify", "as")
+
+  /** Postgres `FROM generate_series(a, b[, step]) [AS] alias[(col)]` →
+    * `FROM (SELECT explode(sequence(a, b[, step])) AS col) alias` — the
+    * Spark-native set-returning form (sequence handles integral AND
+    * timestamp+interval arguments with the same signature). A missing
+    * step appends `, 1`: Postgres steps by 1 and returns EMPTY for a
+    * descending range, where Spark's sequence would silently infer a
+    * negative step — with the explicit step the descending case fails
+    * LOUDLY at runtime instead of changing meaning. Only the FROM/JOIN
+    * position rewrites; a projection-position generate_series passes
+    * through to Spark's own unknown-function error. */
+  private def rewriteGenerateSeries(ts: ArrayBuffer[Tok]): Unit = {
+    var restart = true
+    while (restart) {
+      restart = false
+      var i = 0
+      while (i < ts.length && !restart) {
+        // FROM / JOIN position only: a comma-separated FROM-list item is
+        // not distinguishable from a SELECT-list item at token level, and
+        // a projection-position generate_series must stay untouched (it
+        // then fails with Spark's own unknown-function error)
+        val isFromPos = ts(i) match {
+          case Word(w) => w.equalsIgnoreCase("from") || w.equalsIgnoreCase("join")
+          case _ => false
+        }
+        if (isFromPos) {
+          val g = nextIdx(ts, i)
+          val isGs = g >= 0 && (ts(g) match {
+            case Word(w) => w.equalsIgnoreCase("generate_series")
+            case _ => false
+          })
+          if (isGs) {
+            val open = nextIdx(ts, g)
+            if (open >= 0 && ts(open) == Sym("(")) {
+              {
+                val close = primaryEnd(ts, open)
+                val hasStep = topLevelComma(ts, open, close) > 0 && {
+                  val c1 = topLevelComma(ts, open, close)
+                  topLevelComma(ts, c1, close) > 0
+                }
+                val argsText = text(ts.slice(open + 1, close)).trim +
+                  (if (hasStep) "" else ", 1")
+                // optional [AS] alias [( col )]
+                var end = close
+                var aliasName = "generate_series"
+                var colName = "generate_series"
+                var j = nextIdx(ts, close)
+                if (j >= 0) ts(j) match {
+                  case Word(a) if a.equalsIgnoreCase("as") => j = nextIdx(ts, j)
+                  case _ =>
+                }
+                if (j >= 0) ts(j) match {
+                  case Word(a) if !postFromKeywords.contains(a.toLowerCase) =>
+                    aliasName = a; end = j
+                    val p1 = nextIdx(ts, j)
+                    if (p1 >= 0 && ts(p1) == Sym("(")) {
+                      val p2 = nextIdx(ts, p1)
+                      val p3 = if (p2 >= 0) nextIdx(ts, p2) else -1
+                      (if (p2 >= 0) ts(p2) else null, if (p3 >= 0) ts(p3) else null) match {
+                        case (Word(c), Sym(")")) => colName = c; end = p3
+                        case _ =>
+                      }
+                    }
+                  case QIdent(a) => aliasName = a; end = j
+                  case _ =>
+                }
+                splice(ts, g, end,
+                  s"(SELECT explode(sequence($argsText)) AS $colName) $aliasName")
+                restart = true
+              }
+            }
+          }
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** Postgres `expr [NOT] SIMILAR TO 'pattern'` → anchored RLIKE with
+    * the SQL-regex pattern converted to a Java regex: `%` → `.*`, `_`
+    * → `.`, `.`/`^`/`$` are LITERAL in SIMILAR TO (escaped for the
+    * regex), `|`/`*`/`+`/`?`/`{}`/`()`/`[]` keep their meaning,
+    * backslash escapes make the next character literal. Non-literal
+    * patterns and explicit ESCAPE clauses pass through untouched
+    * (loud Spark error, never a silent meaning change). */
+  private def rewriteSimilarTo(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      val isSimilar = ts(i) match {
+        case Word(w) => w.equalsIgnoreCase("similar")
+        case _ => false
+      }
+      if (isSimilar) {
+        val toIdx = nextIdx(ts, i)
+        val isTo = toIdx >= 0 && (ts(toIdx) match {
+          case Word(w) => w.equalsIgnoreCase("to")
+          case _ => false
+        })
+        if (isTo) {
+          val patIdx = nextIdx(ts, toIdx)
+          val patOk = patIdx >= 0 && ts(patIdx).isInstanceOf[Str]
+          val afterPat = if (patOk) nextIdx(ts, patIdx) else -1
+          val hasEscape = afterPat >= 0 && (ts(afterPat) match {
+            case Word(w) => w.equalsIgnoreCase("escape")
+            case _ => false
+          })
+          if (patOk && !hasEscape) {
+            // [NOT] before SIMILAR
+            val p = prevIdx(ts, i)
+            val negIdx = if (p >= 0) ts(p) match {
+              case Word(w) if w.equalsIgnoreCase("not") => p
+              case _ => -1
+            } else -1
+            val lhsEnd = prevIdx(ts, if (negIdx >= 0) negIdx else i)
+            if (lhsEnd >= 0 && isOperandEnd(ts(lhsEnd))) {
+              val lhsStart = primaryStart(ts, lhsEnd)
+              val lhs = text(ts.slice(lhsStart, lhsEnd + 1))
+              val lit = ts(patIdx).text
+              val regex = similarToRegex(lit.substring(1, lit.length - 1))
+              val neg = if (negIdx >= 0) "NOT " else ""
+              splice(ts, lhsStart, patIdx,
+                s"$neg$lhs RLIKE '${regex.replace("'", "''")}'")
+              i = lhsStart
+            }
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** SQL-regex (SIMILAR TO) pattern body → anchored Java regex. */
+  private def similarToRegex(pat: String): String = {
+    val b = new StringBuilder("^(?:")
+    var i = 0
+    var inClass = false
+    while (i < pat.length) {
+      val c = pat(i)
+      if (inClass) {
+        b.append(c); if (c == ']') inClass = false; i += 1
+      } else c match {
+        case '%' => b.append(".*"); i += 1
+        case '_' => b.append('.'); i += 1
+        case '[' => b.append('['); inClass = true; i += 1
+        case '\\' if i + 1 < pat.length =>
+          val e = pat(i + 1)
+          // \x in SIMILAR TO = literal x; letters/digits must NOT keep
+          // the backslash (\d would become a regex class)
+          if (e.isLetterOrDigit) b.append(e) else b.append('\\').append(e)
+          i += 2
+        // literal in SIMILAR TO, special in a regex
+        case '.' | '^' | '$' => b.append('\\').append(c); i += 1
+        case other => b.append(other); i += 1
+      }
+    }
+    b.append(")$").toString
   }
 
   /** T-SQL `SELECT [ALL|DISTINCT] TOP n [expr-in-parens]` → remove the

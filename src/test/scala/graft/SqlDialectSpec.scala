@@ -346,6 +346,54 @@ class SqlDialectSpec extends GraftSuite {
       (2L, "none", 0, 0, 110L)))
   }
 
+  test("generate_series: FROM-position rewrites to explode(sequence), others stay loud") {
+    assert(pg("SELECT i FROM generate_series(1, 5) AS g(i)")
+      == "SELECT i FROM (SELECT explode(sequence(1, 5, 1)) AS i) g")
+    assert(pg("SELECT * FROM generate_series(1, 5)")
+      == "SELECT * FROM (SELECT explode(sequence(1, 5, 1)) AS generate_series) generate_series")
+    assert(pg("SELECT i FROM generate_series(0, 10, 2) g(i) WHERE i > 3")
+      == "SELECT i FROM (SELECT explode(sequence(0, 10, 2)) AS i) g WHERE i > 3")
+    // projection position: untouched → Spark's own unknown-function error
+    assert(pg("SELECT generate_series(1, 3)") == "SELECT generate_series(1, 3)")
+  }
+
+  test("generate_series executes end-to-end (int and date ranges)") {
+    val out = g.transformLazy(
+      "SELECT i::int8 AS i FROM generate_series(2, 8, 3) AS g(i) ORDER BY i",
+      Map.empty, dialect = "postgres").as[Long].collect().toSeq
+    assert(out == Seq(2L, 5L, 8L))
+    val days = g.transformLazy(
+      """SELECT count(*)::int8 AS n FROM generate_series(
+        |DATE '2024-01-01', DATE '2024-01-10', INTERVAL 3 DAY) AS g(d)""".stripMargin,
+      Map.empty, dialect = "postgres").as[Long].collect().toSeq
+    assert(days == Seq(4L))
+  }
+
+  test("SIMILAR TO: SQL regex converts to anchored RLIKE; escape clause stays loud") {
+    assert(pg("SELECT * FROM t WHERE a SIMILAR TO 'abc%'")
+      == "SELECT * FROM t WHERE a RLIKE '^(?:abc.*)$'")
+    assert(pg("SELECT * FROM t WHERE a NOT SIMILAR TO '_b(c|d)%'")
+      == "SELECT * FROM t WHERE NOT a RLIKE '^(?:.b(c|d).*)$'")
+    // '.' is literal in SIMILAR TO; \d is a literal d (not a regex
+    // class); the regex backslash then doubles once at emission
+    assert(pg("SELECT * FROM t WHERE a SIMILAR TO 'x.y\\d'")
+      == "SELECT * FROM t WHERE a RLIKE '^(?:x\\\\.yd)$'")
+    // explicit ESCAPE / non-literal pattern: untouched
+    assert(pg("SELECT * FROM t WHERE a SIMILAR TO p")
+      == "SELECT * FROM t WHERE a SIMILAR TO p")
+    assert(pg("SELECT * FROM t WHERE a SIMILAR TO 'x%' ESCAPE '#'")
+      == "SELECT * FROM t WHERE a SIMILAR TO 'x%' ESCAPE '#'")
+  }
+
+  test("SIMILAR TO executes: anchored, percent/underscore wildcards") {
+    val df = Seq("abc", "abcd", "xbc", "ab").toDF("s")
+    val out = g.transformLazy(
+      "SELECT s FROM {{src}} WHERE s SIMILAR TO '_bc%' ORDER BY s",
+      Map("src" -> df), dialect = "postgres").as[String].collect().toSeq
+    // anchored: 'ab' fails, 'abc'/'abcd'/'xbc' match _bc%
+    assert(out == Seq("abc", "abcd", "xbc"))
+  }
+
   test("string_agg → listagg executes") {
     val df = Seq((1L, "b"), (1L, "a"), (2L, "c")).toDF("k", "v")
     val out = g.transformLazy(

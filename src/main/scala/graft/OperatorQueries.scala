@@ -305,6 +305,26 @@ object OperatorQueries {
     spark.table(out.qualifiedName).orderBy("bucket")
   }
 
+  /** transform with `dialect = "postgres"`, round 4 — `DISTINCT ON`,
+    * the canonical "latest row per key" Postgres idiom, rewritten to a
+    * rank-1 window filter. DuckDB supports DISTINCT ON natively, so
+    * the oracle replays the untranslated spelling. */
+  def transformDialectPg4(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val out = g.transform(
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+        |FROM {{orders}}
+        |WHERE o_custkey % 100 = 7
+        |ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC""".stripMargin,
+      bindings = Map("orders" -> TableRef("orders")),
+      output = Some(TableRef("op_transform_dialect_pg4_out")),
+      dialect = "postgres")
+    spark.table(out.qualifiedName)
+      .selectExpr("o_custkey", "o_orderkey",
+        "date_format(o_orderdate, 'yyyy-MM-dd') AS day")
+      .orderBy("o_custkey")
+  }
+
   /** transform with `dialect = "redshift"` — genuinely Redshift-flavored
     * SQL, not just the Snowflake-shared call forms: LISTAGG ... WITHIN
     * GROUP (passes through natively to Spark 4's listagg), DATE_PART
@@ -856,6 +876,7 @@ object OperatorQueries {
     "op_transform_dialect_bq" -> (transformDialectBq _),
     "op_transform_dialect_pg2" -> (transformDialectPg2 _),
     "op_transform_dialect_pg3" -> (transformDialectPg3 _),
+    "op_transform_dialect_pg4" -> (transformDialectPg4 _),
     "op_transform_dialect_rs" -> (transformDialectRs _),
     "op_transform_dialect_ms" -> (transformDialectMs _),
     "op_transform_df_arg" -> (transformDfArg _),
@@ -1094,6 +1115,18 @@ object OperatorQueries {
         |JOIN orders o ON (o.o_orderkey % 5) = g.i
         |GROUP BY g.i
         |ORDER BY bucket""".stripMargin,
+
+    // the fourth Postgres-flavored transform: DuckDB supports DISTINCT ON
+    // natively, so the oracle replays the untranslated spelling
+    "op_transform_dialect_pg4" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS day
+        |FROM (
+        |  SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+        |  FROM orders
+        |  WHERE o_custkey % 100 = 7
+        |  ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+        |)
+        |ORDER BY o_custkey""".stripMargin,
 
     // the Redshift-flavored transform restated dialect-neutrally
     "op_transform_dialect_rs" ->

@@ -143,10 +143,13 @@ object SqlDialect {
       bareSysdate: Boolean = false,
       /** Postgres-family extras: `FROM generate_series(...)` →
         * explode(sequence(...)) subquery, `SIMILAR TO` → anchored RLIKE. */
-      pgExtras: Boolean = false)
+      pgExtras: Boolean = false,
+      /** Postgres only: `SELECT DISTINCT ON (keys) …` → row_number
+        * window + rank-1 filter (guarded; see [[rewriteDistinctOn]]). */
+      distinctOn: Boolean = false)
 
   private val Pg = Mode("postgres", eStrings = true, literalBackslashes = true,
-    pgExtras = true)
+    pgExtras = true, distinctOn = true)
   private val Sf = Mode("snowflake", sfCalls = true)
   private val Rs = Mode("redshift", literalBackslashes = true, sfCalls = true,
     bareDatePart = true, bareSysdate = true, pgExtras = true)
@@ -721,6 +724,7 @@ object SqlDialect {
       rewriteGenerateSeries(ts)
       rewriteSimilarTo(ts)
     }
+    if (mode.distinctOn) rewriteDistinctOn(ts)
 
     // 1) `::` postfix casts, innermost-first via repeated single-pass
     var changed = true
@@ -1105,6 +1109,185 @@ object SqlDialect {
         }
       }
       i += 1
+    }
+  }
+
+  /** Postgres `SELECT DISTINCT ON (keys) items FROM … [ORDER BY o]
+    * [LIMIT …]` → `SELECT names FROM (SELECT items, row_number() OVER
+    * (PARTITION BY keys ORDER BY o|keys) AS __gd_rn FROM …) __gd WHERE
+    * __gd_rn = 1 [ORDER BY o] [LIMIT …]` — the standard window
+    * restatement. GUARDED: the rewrite only fires when it is provably
+    * meaning-preserving —
+    *  - every select-list item has a derivable output name (bare or
+    *    qualified column, or an [AS] alias; `*` or an unaliased
+    *    expression skip),
+    *  - the DISTINCT ON keys contain no positional (numeric) refs,
+    *  - every ORDER BY item (modulo ASC/DESC/NULLS …) resolves to a
+    *    projected output name (the outer select re-orders by it),
+    *  - no set operator shares the scope.
+    * Anything else leaves DISTINCT ON untouched → Spark's own parse
+    * error, never a silent meaning change. GROUP BY/HAVING stay inside
+    * the wrapped query (windows evaluate post-aggregation, matching
+    * Postgres's DISTINCT ON-after-GROUP BY order). Known engine-level
+    * gap (applies to EVERY translated ORDER BY, not this rewrite
+    * specifically): Postgres defaults to NULLS LAST for ASC /
+    * NULLS FIRST for DESC, Spark to the opposite — an ORDER BY over a
+    * nullable column without an explicit NULLS clause ranks nulls
+    * differently in the two engines. */
+  private def rewriteDistinctOn(ts: ArrayBuffer[Tok]): Unit = {
+    def isWord(t: Tok, w: String) = t match {
+      case Word(x) => x.equalsIgnoreCase(w)
+      case _ => false
+    }
+    var restart = true
+    while (restart) {
+      restart = false
+      var i = 0
+      while (i < ts.length && !restart) {
+        if (isWord(ts(i), "select")) {
+          val d = nextIdx(ts, i)
+          val o = if (d >= 0 && isWord(ts(d), "distinct")) nextIdx(ts, d) else -1
+          val open = if (o >= 0 && isWord(ts(o), "on")) nextIdx(ts, o) else -1
+          if (open >= 0 && ts(open) == Sym("(")) {
+            val keysClose = primaryEnd(ts, open)
+            val keysText = text(ts.slice(open + 1, keysClose)).trim
+            // positional keys (DISTINCT ON (1)) are ORDER BY-style refs
+            // the inner window cannot reproduce — skip
+            val keysPositional = ts.slice(open + 1, keysClose).exists {
+              case Num(_) => true
+              case _ => false
+            }
+            // scan the scope: first depth-0 FROM / ORDER BY / LIMIT|OFFSET,
+            // any depth-0 set op, the scope end
+            var depth = 0
+            var k = keysClose + 1
+            var fromIdx = -1; var orderIdx = -1; var tailIdx = -1
+            var setOp = false
+            var scopeEnd = ts.length
+            while (k < ts.length && scopeEnd == ts.length) {
+              ts(k) match {
+                case Sym("(") => depth += 1
+                case Sym(")") => if (depth == 0) scopeEnd = k else depth -= 1
+                case Word(w) if depth == 0 =>
+                  val wl = w.toLowerCase
+                  if (wl == "from" && fromIdx < 0) fromIdx = k
+                  else if (wl == "order" && orderIdx < 0 && {
+                    val nb = nextIdx(ts, k); nb >= 0 && isWord(ts(nb), "by")
+                  }) orderIdx = k
+                  else if ((wl == "limit" || wl == "offset") && tailIdx < 0 &&
+                    fromIdx >= 0) tailIdx = k
+                  else if (wl == "union" || wl == "intersect" || wl == "except")
+                    setOp = true
+                case _ =>
+              }
+              k += 1
+            }
+            val itemsEnd = if (fromIdx >= 0) fromIdx else -1
+            if (!keysPositional && !setOp && itemsEnd > keysClose) {
+              // output names of the select list (None = underivable → skip)
+              val names = selectListNames(ts, keysClose + 1, itemsEnd)
+              val midEnd =
+                if (orderIdx >= 0) orderIdx
+                else if (tailIdx >= 0) tailIdx else scopeEnd
+              val orderText =
+                if (orderIdx >= 0) {
+                  val byIdx = nextIdx(ts, orderIdx)
+                  val oEnd = if (tailIdx >= 0) tailIdx else scopeEnd
+                  Some(text(ts.slice(byIdx + 1, oEnd)).trim)
+                } else None
+              val orderOk = orderText.forall(ot =>
+                names.exists(ns => orderItemsResolve(ot, ns)))
+              if (names.isDefined && orderOk) {
+                val itemsText = text(ts.slice(keysClose + 1, itemsEnd)).trim
+                val midText = text(ts.slice(fromIdx, midEnd)).trim
+                val tailText =
+                  if (tailIdx >= 0) " " + text(ts.slice(tailIdx, scopeEnd)).trim
+                  else ""
+                val windowOrder = orderText.getOrElse(keysText)
+                val outerOrder = orderText.map(ot => s" ORDER BY $ot").getOrElse("")
+                val namesCsv = names.get.mkString(", ")
+                splice(ts, i, scopeEnd - 1,
+                  s"SELECT $namesCsv FROM (SELECT $itemsText, row_number() OVER " +
+                    s"(PARTITION BY $keysText ORDER BY $windowOrder) AS __gd_rn " +
+                    s"$midText) __gd WHERE __gd_rn = 1$outerOrder$tailText")
+                restart = true
+              }
+            }
+          }
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** Output names of a select list slice, or None when any item's name
+    * is underivable (`*`, unaliased expressions). */
+  private def selectListNames(
+      ts: ArrayBuffer[Tok], from: Int, until: Int): Option[Seq[String]] = {
+    val names = Vector.newBuilder[String]
+    var depth = 0
+    var itemToks = Vector.newBuilder[Tok]
+    def finish(): Boolean = {
+      val toks = itemToks.result().filterNot(_.isInstanceOf[Ws])
+      itemToks = Vector.newBuilder[Tok]
+      if (toks.isEmpty) return false
+      // trailing [AS] alias
+      val last = toks.last
+      val explicitAlias = last match {
+        case Word(w) if toks.length >= 2 && !preUnaryKeywords.contains(w.toLowerCase) &&
+            (toks(toks.length - 2) match {
+              case Word(a) if a.equalsIgnoreCase("as") => true
+              case Sym(_) => false
+              case Word(_) | Num(_) | Str(_) | QIdent(_) | Raw(_) => true
+              case _ => false
+            }) => Some(w)
+        case QIdent(q) if toks.length >= 2 && (toks(toks.length - 2) match {
+          case Sym(_) => false // a qualification dot, not an alias position
+          case _ => true
+        }) => Some(q)
+        case _ => None
+      }
+      explicitAlias match {
+        case Some(n) => names += n; true
+        case None =>
+          // a bare (possibly qualified) column: words joined by dots
+          val colish = toks.length % 2 == 1 &&
+            toks.zipWithIndex.forall {
+              case (Word(w), idx) if idx % 2 == 0 =>
+                !preUnaryKeywords.contains(w.toLowerCase)
+              case (QIdent(_), idx) if idx % 2 == 0 => true
+              case (Sym("."), idx) if idx % 2 == 1 => true
+              case _ => false
+            }
+          if (colish) { names += toks.last.text; true } else false
+      }
+    }
+    var j = from
+    while (j < until) {
+      ts(j) match {
+        case Sym("(") => depth += 1; itemToks += ts(j)
+        case Sym(")") => depth -= 1; itemToks += ts(j)
+        // (a projection `*` or `t.*` item fails finish() naturally — a
+        // lone/dotted Sym is neither an alias nor a column chain)
+        case Sym(",") if depth == 0 => if (!finish()) return None
+        case _ => itemToks += ts(j)
+      }
+      j += 1
+    }
+    if (!finish()) return None
+    Some(names.result())
+  }
+
+  /** Every ORDER BY item (modulo direction/null-order suffixes) must be
+    * a column whose last segment is a projected output name. */
+  private def orderItemsResolve(orderText: String, names: Seq[String]): Boolean = {
+    val lowered = names.map(n => n.stripPrefix("`").stripSuffix("`").toLowerCase).toSet
+    orderText.split(",").forall { item =>
+      val words = item.trim.split("\\s+").toSeq
+      val base = words.takeWhile(w => !Set("asc", "desc", "nulls")
+        .contains(w.toLowerCase)).mkString(" ")
+      val seg = base.split("\\.").last.trim.stripPrefix("`").stripSuffix("`")
+      seg.nonEmpty && !base.contains("(") && lowered.contains(seg.toLowerCase)
     }
   }
 

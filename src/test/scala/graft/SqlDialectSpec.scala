@@ -394,6 +394,48 @@ class SqlDialectSpec extends GraftSuite {
     assert(out == Seq("abc", "abcd", "xbc"))
   }
 
+  test("DISTINCT ON: rewrites to a rank-1 window filter; ambiguous forms stay loud") {
+    assert(pg("SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC")
+      == "SELECT k, v FROM (SELECT k, v, row_number() OVER " +
+         "(PARTITION BY k ORDER BY k, v DESC) AS __gd_rn FROM t) __gd " +
+         "WHERE __gd_rn = 1 ORDER BY k, v DESC")
+    // no ORDER BY: window orders by the keys
+    assert(pg("SELECT DISTINCT ON (k) k, v FROM t")
+      == "SELECT k, v FROM (SELECT k, v, row_number() OVER " +
+         "(PARTITION BY k ORDER BY k) AS __gd_rn FROM t) __gd WHERE __gd_rn = 1")
+    // aliased expression + LIMIT
+    assert(pg("SELECT DISTINCT ON (k) k, v * 2 AS dv FROM t ORDER BY k, dv LIMIT 3")
+      == "SELECT k, dv FROM (SELECT k, v * 2 AS dv, row_number() OVER " +
+         "(PARTITION BY k ORDER BY k, dv) AS __gd_rn FROM t) __gd " +
+         "WHERE __gd_rn = 1 ORDER BY k, dv LIMIT 3")
+    // guards: star, unaliased expression, positional keys, set ops,
+    // ORDER BY on a non-projected column — all untouched → loud
+    assert(pg("SELECT DISTINCT ON (k) * FROM t")
+      == "SELECT DISTINCT ON (k) * FROM t")
+    assert(pg("SELECT DISTINCT ON (k) k, v + 1 FROM t")
+      == "SELECT DISTINCT ON (k) k, v + 1 FROM t")
+    assert(pg("SELECT DISTINCT ON (1) k, v FROM t")
+      == "SELECT DISTINCT ON (1) k, v FROM t")
+    assert(pg("SELECT DISTINCT ON (k) k FROM t UNION SELECT j FROM u")
+      == "SELECT DISTINCT ON (k) k FROM t UNION SELECT j FROM u")
+    assert(pg("SELECT DISTINCT ON (k) v FROM t ORDER BY k, ts")
+      == "SELECT DISTINCT ON (k) v FROM t ORDER BY k, ts")
+    // plain DISTINCT untouched
+    assert(pg("SELECT DISTINCT k FROM t") == "SELECT DISTINCT k FROM t")
+  }
+
+  test("DISTINCT ON executes: latest row per key") {
+    val df = Seq((1L, "2024-01-01", "old"), (1L, "2024-03-01", "new"),
+      (2L, "2024-02-01", "only")).toDF("k", "day", "v")
+      .selectExpr("k", "CAST(day AS date) AS day", "v")
+    val out = g.transformLazy(
+      """SELECT DISTINCT ON (k) k, v, day
+        |FROM {{src}} ORDER BY k, day DESC""".stripMargin,
+      Map("src" -> df), dialect = "postgres")
+      .selectExpr("k", "v").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "new"), (2L, "only")))
+  }
+
   test("string_agg → listagg executes") {
     val df = Seq((1L, "b"), (1L, "a"), (2L, "c")).toDF("k", "v")
     val out = g.transformLazy(

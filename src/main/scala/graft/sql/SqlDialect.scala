@@ -58,12 +58,18 @@ import scala.collection.mutable.ArrayBuffer
   *    regex converted (`%`→`.*`, `_`→`.`, literal `.`/`^`/`$` escaped,
   *    `|`/`*`/`+`/`?`/`{}`/`()`/`[]` kept, `\x` → literal x).
   *
+  *  - `expr = ANY(ARRAY[…] | '{…}')` → `array_contains(array(…),
+  *    expr)` and `expr <> ALL(…)` → its negation; `SELECT DISTINCT ON
+  *    (keys)` → a rank-1 row_number window filter (both guarded — see
+  *    [[rewriteAnyAllArray]] / [[rewriteDistinctOn]]).
+  *
   * Documented out of scope (pass through unchanged, Spark errors):
-  * arrays' `ANY/ALL(array)` forms, `DISTINCT ON`, projection-position
-  * `generate_series`, `FROM t, generate_series(...)` comma lists,
-  * `SIMILAR TO` with a non-literal pattern or an ESCAPE clause, T-SQL
-  * `TOP n PERCENT` / `TOP n WITH TIES`, and `TOP n` directly over a
-  * set operation (UNION/INTERSECT/EXCEPT).
+  * projection-position `generate_series`, `FROM t, generate_series(...)`
+  * comma lists, `SIMILAR TO` with a non-literal pattern or an ESCAPE
+  * clause, `ANY/ALL` with other operators or subqueries or quoted
+  * array-literal items, DISTINCT ON forms failing the meaning-
+  * preservation guards, T-SQL `TOP n PERCENT` / `TOP n WITH TIES`,
+  * and `TOP n` directly over a set operation (UNION/INTERSECT/EXCEPT).
   */
 object SqlDialect {
 
@@ -725,6 +731,7 @@ object SqlDialect {
       rewriteSimilarTo(ts)
     }
     if (mode.distinctOn) rewriteDistinctOn(ts)
+    if (mode.pgExtras) rewriteAnyAllArray(ts)
 
     // 1) `::` postfix casts, innermost-first via repeated single-pass
     var changed = true
@@ -1288,6 +1295,80 @@ object SqlDialect {
         .contains(w.toLowerCase)).mkString(" ")
       val seg = base.split("\\.").last.trim.stripPrefix("`").stripSuffix("`")
       seg.nonEmpty && !base.contains("(") && lowered.contains(seg.toLowerCase)
+    }
+  }
+
+  /** Postgres array membership: `expr = ANY(ARRAY[…])` / `expr =
+    * ANY('{…}')` → `array_contains(array(…), expr)`, `expr <> ALL(…)`
+    * → `NOT array_contains(array(…), expr)` (the two forms real DAG
+    * SQL uses; `= ANY(subquery)` is already Spark's `IN (subquery)`
+    * and passes through as ANY over a paren-subquery — detected and
+    * skipped). `ARRAY[…]` converts to Spark's `array(…)`; a `'{a,b}'`
+    * literal converts only when it is a SIMPLE comma list (no quotes,
+    * braces, or escapes inside — anything else passes through to
+    * Spark's own error). Other operators (`> ANY`, `LIKE ANY`, …)
+    * pass through untouched. */
+  private def rewriteAnyAllArray(ts: ArrayBuffer[Tok]): Unit = {
+    var restart = true
+    while (restart) {
+      restart = false
+      var i = 0
+      while (i < ts.length && !restart) {
+        val anyAll = ts(i) match {
+          case Word(w) if w.equalsIgnoreCase("any") => Some(false)
+          case Word(w) if w.equalsIgnoreCase("all") => Some(true)
+          case _ => None
+        }
+        if (anyAll.isDefined) {
+          val open = nextIdx(ts, i)
+          val opIdx = prevIdx(ts, i)
+          val op = if (opIdx >= 0) ts(opIdx) match {
+            case Sym("=") if !anyAll.get => Some(false) // = ANY → contains
+            case Sym("<>") | Sym("!=") if anyAll.get => Some(true) // <> ALL → not contains
+            case _ => None
+          } else None
+          if (open >= 0 && ts(open) == Sym("(") && op.isDefined) {
+            val close = primaryEnd(ts, open)
+            val inner = nextIdx(ts, open)
+            // the array argument: ARRAY[…], a '{…}' literal, or anything
+            // else (incl. a subquery) → skip
+            val arrText: Option[String] = ts(inner) match {
+              case Word(a) if a.equalsIgnoreCase("array") =>
+                val br = nextIdx(ts, inner)
+                if (br >= 0 && ts(br) == Sym("[")) {
+                  // primaryEnd from the ARRAY word absorbs the [..] block
+                  val brClose = primaryEnd(ts, inner)
+                  if (ts(brClose) == Sym("]") && nextIdx(ts, brClose) == close)
+                    Some("array(" + text(ts.slice(br + 1, brClose)).trim + ")")
+                  else None
+                } else None
+              case Str(s) =>
+                val body = s.substring(1, s.length - 1).trim
+                if (nextIdx(ts, inner) == close &&
+                    body.startsWith("{") && body.endsWith("}")) {
+                  val items = body.substring(1, body.length - 1)
+                  if (items.nonEmpty && !items.exists(c => "\"'{}\\".contains(c)))
+                    Some(items.split(",").map(_.trim).map(x =>
+                      if (x.matches("[-+]?\\d+(\\.\\d+)?")) x else "'" + x + "'")
+                      .mkString("array(", ", ", ")"))
+                  else None
+                } else None
+              case _ => None
+            }
+            arrText.foreach { arr =>
+              val lhsEnd = prevIdx(ts, opIdx)
+              if (lhsEnd >= 0 && isOperandEnd(ts(lhsEnd))) {
+                val lhsStart = primaryStart(ts, lhsEnd)
+                val lhs = text(ts.slice(lhsStart, lhsEnd + 1))
+                val neg = if (op.get) "NOT " else ""
+                splice(ts, lhsStart, close, s"${neg}array_contains($arr, $lhs)")
+                restart = true
+              }
+            }
+          }
+        }
+        i += 1
+      }
     }
   }
 

@@ -436,6 +436,34 @@ class SqlDialectSpec extends GraftSuite {
     assert(out == Seq((1L, "new"), (2L, "only")))
   }
 
+  test("= ANY / <> ALL over array constructors rewrite to array_contains") {
+    assert(pg("SELECT * FROM t WHERE id = ANY(ARRAY[1, 2, 3])")
+      == "SELECT * FROM t WHERE array_contains(array(1, 2, 3), id)")
+    assert(pg("SELECT * FROM t WHERE id <> ALL(ARRAY[1, 2])")
+      == "SELECT * FROM t WHERE NOT array_contains(array(1, 2), id)")
+    assert(pg("SELECT * FROM t WHERE name = ANY('{a, b, c}')")
+      == "SELECT * FROM t WHERE array_contains(array('a', 'b', 'c'), name)")
+    assert(pg("SELECT * FROM t WHERE id = ANY('{1,2,3}')")
+      == "SELECT * FROM t WHERE array_contains(array(1, 2, 3), id)")
+    // subqueries, other operators, quoted items: untouched → loud
+    assert(pg("SELECT * FROM t WHERE id = ANY(SELECT x FROM u)")
+      == "SELECT * FROM t WHERE id = ANY(SELECT x FROM u)")
+    assert(pg("SELECT * FROM t WHERE id > ANY(ARRAY[1, 2])")
+      == "SELECT * FROM t WHERE id > ANY(ARRAY[1, 2])")
+    assert(pg("SELECT * FROM t WHERE s = ANY('{''a'',b}')")
+      == "SELECT * FROM t WHERE s = ANY('{''a'',b}')")
+  }
+
+  test("= ANY executes over int and string arrays") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    val out = g.transformLazy(
+      """SELECT id FROM {{src}}
+        |WHERE id = ANY(ARRAY[1, 3]) OR s = ANY('{b}')
+        |ORDER BY id""".stripMargin,
+      Map("src" -> df), dialect = "postgres").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
   test("string_agg → listagg executes") {
     val df = Seq((1L, "b"), (1L, "a"), (2L, "c")).toDF("k", "v")
     val out = g.transformLazy(

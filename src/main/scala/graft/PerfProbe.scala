@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: time + explain individual queries.
   * Usage: runMain graft.PerfProbe <sfDir> <query...> [--explain]
-  *   [--conf:key=value ...]
+  *   [--conf:key=value ...] [--scale:m] [--stages]
   */
 object PerfProbe {
   def main(args: Array[String]): Unit = {
@@ -43,16 +43,31 @@ object PerfProbe {
       }
     }
     if (stages) spark.sparkContext.addSparkListener(listener)
+    // --scale:m — time the queries against an m× synthetic corpus (the
+    // Bench scale-curve construction), materialized once under /tmp and
+    // deleted on exit
+    val scaledDir: Option[String] =
+      args.find(_.startsWith("--scale:")).map(_.stripPrefix("--scale:").toInt).map { m =>
+        val dir = "/tmp/graft-perfprobe-x" + m + "-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        graft.io.TempDirs.registerForCleanup(java.nio.file.Paths.get(dir))
+        graft.ops.Scale.scaleDocuments(Tables.read(spark, sfDir, "documents"), m)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        graft.ops.Scale.scaleEmbeddings(Tables.read(spark, sfDir, "embeddings"), m, dim = 64)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        dir
+      }
+    val runDir = scaledDir.getOrElse(sfDir)
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name, SparkEntry.benchOnlyQueries(name))
-      if (explain) fn(spark, sfDir).explain("formatted")
+      if (explain) fn(spark, runDir).explain("formatted")
       // warm + timed runs, same materialization + isolation as Bench
       val times = (1 to 2).map { i =>
         spark.catalog.clearCache()
         System.gc()
         listener.rows.synchronized(listener.rows.clear())
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        fn(spark, runDir).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
         if (stages && i == 2) {
           listener.rows.synchronized(listener.rows.toSeq).sortBy(-_._3).take(12).foreach {

@@ -2820,8 +2820,8 @@ object Multimodal {
       idCol: String,
       contentCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // persisted: the banding machinery consumes the hash relation three
-    // times (oversized-bucket count + both self-join sides), and each
+    // persisted: the downstream machinery consumes the hash relation
+    // twice (distinct-hash collapse + the member join), and each
     // consumption would otherwise re-run the full container DECODE over
     // every media row — the expensive part of the whole query (the
     // round-13 jpeg_color curve read exactly 3× the single-decode cost).
@@ -2832,8 +2832,26 @@ object Multimodal {
       .select(col(idCol).as("__id"), imagePayloadDHash(col(contentCol)).as("__sh"))
       .where(col("__sh").isNotNull)
       .persist()
-    val pairs = Dedup.hammingPairsFromHashes(hashed, maxHamming)
-    Dedup.keepFirstFromPairs(media.select(col(idCol)), idCol, pairs)
+    // EXACT-duplicate collapse before the banded near-dup search — the
+    // crawl-scale essential: re-encodings of the same pixels share the
+    // exact dHash, and banding candidate volume grows with the SQUARE
+    // of per-bucket occupancy, so representatives (min id per distinct
+    // hash) must carry the Hamming search while same-hash members pair
+    // with their representative directly. Result-equivalent to banding
+    // the full relation: x is dropped iff some smaller id is within
+    // maxHamming — if that smaller id is a non-representative, its
+    // representative is smaller still and has the same hash, so the
+    // representative pair already drops x. Pinned against the all-pairs
+    // DuckDB oracles on every media contract row.
+    val reps = hashed.groupBy("__sh").agg(min("__id").as("__id")).persist()
+    val intra = hashed
+      .join(reps.select(col("__sh"), col("__id").as("__rep")), Seq("__sh"))
+      .where(col("__id") > col("__rep"))
+      .select(col("__rep").as("id_a"), col("__id").as("id_b"))
+    val inter = Dedup.hammingPairsFromHashes(reps, maxHamming)
+      .select("id_a", "id_b")
+    Dedup.keepFirstFromPairs(media.select(col(idCol)), idCol,
+      intra.unionByName(inter))
   }
 }
 

@@ -2062,13 +2062,17 @@ object PipelineQueries {
     * certifies container round-trip + payload walk + dHash + banding +
     * keep rule end to end. */
   def dedupImage(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir).select(col("doc_id"), col("text"),
-      col("n_chars").cast("long").as("n_chars"))
-    val mut = d.select((col("doc_id") + 99999).as("doc_id"),
-      expr("concat('zzz', substr(text, 4))").as("text"), col("n_chars"))
-    val corpus = d.unionByName(mut).where(col("doc_id") % 3 === 0)
-      .repartition(spark.sparkContext.defaultParallelism)
-    val media = Multimodal.mediaFromDocuments(corpus).toDF()
+    // staged per app+dataset ([[stagedMedia]]), like every other
+    // container-synthesis corpus
+    val media = stagedMedia(spark, sfDir, "imagemut") {
+      val d = docs(spark, sfDir).select(col("doc_id"), col("text"),
+        col("n_chars").cast("long").as("n_chars"))
+      val mut = d.select((col("doc_id") + 99999).as("doc_id"),
+        expr("concat('zzz', substr(text, 4))").as("text"), col("n_chars"))
+      val corpus = d.unionByName(mut).where(col("doc_id") % 3 === 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+      Multimodal.mediaFromDocuments(corpus).toDF()
+    }
     Multimodal.imageNearDupKeep(media, "media_id", "content", maxHamming = 3)
       .orderBy("media_id")
   }
@@ -2625,9 +2629,14 @@ object PipelineQueries {
   }
 
   def dedupMedia(spark: SparkSession, sfDir: String): DataFrame = {
-    val (bases, copies) = mediaDedupInputs(spark, sfDir)
-    val media = bases.unionByName(copies)
-      .repartition(spark.sparkContext.defaultParallelism)
+    // staged per app+dataset ([[stagedMedia]]): the keep side and the
+    // hash side each re-ran mediaFromDocuments' four container encodes
+    // per doc otherwise
+    val media = stagedMedia(spark, sfDir, "mediafull") {
+      val (bases, copies) = mediaDedupInputs(spark, sfDir)
+      bases.unionByName(copies)
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
     Multimodal.imageNearDupKeep(media, "media_id", "content", maxHamming = 3)
       .orderBy("media_id")
   }

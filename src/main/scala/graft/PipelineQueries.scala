@@ -278,7 +278,11 @@ object PipelineQueries {
         System.getProperty("java.io.tmpdir"),
         "graft-incstore-" + spark.sparkContext.applicationId + "-" +
           sfDir.replaceAll("[^A-Za-z0-9.-]", "_"))).toString
-      val table = "graft_incstore_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      // table name salted with the applicationId: two apps sharing a
+      // warehouse/metastore must not collide on a dataset-derived name
+      val table = ("graft_incstore_" +
+        spark.sparkContext.applicationId + "_" + sfDir)
+        .replaceAll("[^A-Za-z0-9]", "_")
       val b0 = portableBandBuckets(
         docsWithNearDups(spark, sfDir).where(col("doc_id") % 2 === 0)).cache()
       val kept0 = b0.select("doc_id").distinct()
@@ -354,9 +358,15 @@ object PipelineQueries {
       sortCols = Seq("__bucket"))
     val store = spark.table(stateTable)
     val kept1 = incrementalBatch1Keep(spark, b1, store)
-    kept0.withColumn("batch", lit(0L))
+    val out = kept0.withColumn("batch", lit(0L))
       .unionByName(kept1.withColumn("batch", lit(1L)))
       .orderBy("doc_id")
+      // materialize BEFORE dropping the throwaway store table (the lazy
+      // plan reads it); without the drop, repeated bench invocations
+      // would leak one warehouse table per run
+      .localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS `$stateTable`")
+    out
   }
 
   /** Portable-md5 SimHash twin — the same closure as
@@ -1438,10 +1448,17 @@ object PipelineQueries {
       .repartition(spark.sparkContext.defaultParallelism)
     val state = "/tmp/graft-dedup-state-" +
       java.util.UUID.randomUUID().toString.take(8)
+    // store buckets = shuffle parallelism: the dump's dedup output is
+    // already hash-partitioned on the fingerprint pair, so the store
+    // anti-join aligns with ZERO additional exchange (PlanSpec pins it)
+    val nb = spark.sparkContext.defaultParallelism
     val kept1 = Dedup.incrementalExactDedup(
-      corpus.where(col("doc_id") % 2 === 0), Seq("text"), "doc_id", state)
-    val kept2 = Dedup.incrementalExactDedup(
-      corpus.where(col("doc_id") % 2 === 1), Seq("text"), "doc_id", state)
+      corpus.where(col("doc_id") % 2 === 0), Seq("text"), "doc_id", state, nb)
+    // terminal dump runs the READ-ONLY form: same survivors, no append a
+    // later dump would consume — and the returned plan stays lazy, so
+    // the driver's plan dump shows the bucketed store scan itself
+    val kept2 = Dedup.incrementalExactDedupDry(
+      corpus.where(col("doc_id") % 2 === 1), Seq("text"), "doc_id", state, nb)
     kept1.unionByName(kept2).select("doc_id").orderBy("doc_id")
   }
 

@@ -74,6 +74,43 @@ class PlanSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("incremental EXACT dedup: bucketed fingerprint store, store side never shuffles") {
+    import spark.implicits._
+    // broadcast disabled for the same reason as the minhash-store pin —
+    // and the function itself pins a MERGE hint on the store side (the
+    // store grows without bound across dumps, so broadcasting history is
+    // the one plan that cannot survive; the hint makes the bucketed
+    // layout the plan regardless of a stale size estimate)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val state = java.nio.file.Files.createTempDirectory("planspec-exact")
+        .toString + "/state"
+      val nb = spark.sparkContext.defaultParallelism
+      val b1 = (0 until 2000).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+      graft.functions.Dedup.incrementalExactDedup(b1, Seq("text"), "doc_id", state, nb)
+      val b2 = (1000 until 3000).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+      val p = graft.functions.Dedup
+        .incrementalExactDedupDry(b2, Seq("text"), "doc_id", state, nb)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("Bucketed: true"), p)
+      assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"), p)
+      // Catalyst pushes the history anti-join BELOW the keep-min join
+      // (store-filter-first — strictly better: dropped history rows never
+      // enter the keep-min shuffle) and lifts the null-safe order filter
+      // into the keep-min join keys. The four exchanges are all
+      // batch-sized: payload→anti-join probe, payload→keep-min join,
+      // partial→final group-by, mins→keep-min join. The store-history
+      // side — the one side that is UNBOUNDED at 100 TB — contributes
+      // none: its scan arrives pre-partitioned by the bucket layout.
+      assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 4, p)
+      // a store-side shuffle would be an Exchange over exactly the
+      // 2-column fingerprint relation — assert none exists
+      assert("Exchange\\nInput \\[2\\]: \\[__fp#".r.findFirstIn(p).isEmpty,
+        "the fingerprint store side must not shuffle\n" + p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("dedup exact: single shuffle on fingerprint, no raw-text shuffle key") {
     val p = plan("p_dedup_exact")
     // partitioning expression is the fingerprint hash pair, not `text`

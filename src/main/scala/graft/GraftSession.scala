@@ -509,15 +509,20 @@ class GraftSession(val spark: SparkSession) {
     out
   }
 
-  /** transform_file (transform.py:145-191): SQL read from a file. */
+  /** transform_file (transform.py:145-191): SQL read from a file.
+    * `dialect` passes through to [[transform]] — this is the surface
+    * where users ship verbatim warehouse-dialect `.sql` files, so a
+    * Postgres/Snowflake/…-flavored file translates exactly like the
+    * same SQL passed inline. */
   def transformFile(
       path: String,
       bindings: Map[String, Any] = Map.empty,
-      output: Option[TableRef] = None): TableRef = {
+      output: Option[TableRef] = None,
+      dialect: String = "spark"): TableRef = {
     val template = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8)
-    transform(template, bindings, output)
+    transform(template, bindings, output, dialect)
   }
 
   /** Lazy variant of transform: just the DataFrame, no materialization —

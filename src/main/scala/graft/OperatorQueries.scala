@@ -369,6 +369,99 @@ object OperatorQueries {
     spark.table(out.qualifiedName).orderBy("o_orderstatus")
   }
 
+  /** transform_FILE with `dialect = "postgres"`, round 5 — certifies the
+    * two round-14 dialect additions end-to-end at once: (a) the explicit
+    * NULLS-ordering rewrite (Postgres ranks NULLS FIRST under DESC — the
+    * OPPOSITE of Spark — so the DISTINCT ON window must pick a
+    * NULL-dated order wherever a customer has one; without the rewrite
+    * this row hash-mismatches), and (b) transformFile's new `dialect`
+    * passthrough: the SQL ships as a verbatim .sql FILE, the reference's
+    * primary warehouse-dialect file surface (transform.py:145-191). The
+    * DuckDB oracle replays DISTINCT ON natively with the pg NULLS
+    * default written explicitly (DuckDB's own DESC default is
+    * nulls-last, unlike Postgres). */
+  def transformDialectPg5(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val f = java.nio.file.Files.createTempFile("graft-pg5", ".sql")
+    // od computes in a subquery: Spark windows cannot reference a
+    // same-SELECT lateral alias (the generated row_number would throw
+    // UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_WINDOW — a loud,
+    // documented DISTINCT ON residue for alias-typed order keys)
+    java.nio.file.Files.writeString(f,
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, od
+        |FROM (SELECT o_custkey, o_orderkey,
+        |        CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderdate END AS od
+        |      FROM {{orders}} WHERE o_custkey % 50 = 3) t
+        |ORDER BY o_custkey, od DESC, o_orderkey""".stripMargin)
+    val out = g.transformFile(f.toString,
+      bindings = Map("orders" -> TableRef("orders")),
+      output = Some(TableRef("op_transform_dialect_pg5_out")),
+      dialect = "postgres")
+    spark.table(out.qualifiedName)
+      .selectExpr("o_custkey", "o_orderkey",
+        "date_format(od, 'yyyy-MM-dd') AS od_day")
+      .orderBy("o_custkey")
+  }
+
+  /** get_file_list over a glob (files/operators/files.py:13-43): one
+    * marker file per nation key is written, the operator lists them
+    * back through the Hadoop-FS glob path, and the listed NAMES are
+    * parsed back into keys — so the oracle is exactly the nation keys.
+    * The 25-row collect is by-contract (nation is a fixed 25-row dim). */
+  def fileListOp(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val dir = tmpDir("graft_flist")
+    val keys = spark.table("nation")
+      .select(col("n_nationkey").cast("bigint")).collect().map(_.getLong(0))
+    keys.foreach { k =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, s"nation_$k.txt"), k.toString)
+    }
+    // also a decoy that the glob must exclude
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "region_0.csv"), "x")
+    val listed = g.getFileList(s"$dir/nation_*.txt")
+    import spark.implicits._
+    listed.map(p => p.substring(p.lastIndexOf("nation_") + 7)
+        .stripSuffix(".txt").toLong)
+      .toDF("n_nationkey").orderBy("n_nationkey")
+  }
+
+  /** export_file / export_table_to_file alias parity
+    * (export_to_file.py + export_table_to_file.py:1-84): the deprecated
+    * table-ref alias writes the CSV, the exportFile alias then re-exports
+    * the loaded frame, and the final read-back must match the source
+    * table exactly. */
+  def exportAliasRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val dir = tmpDir("graft_alias")
+    g.exportTableToFile(TableRef("nation"), FileRef(s"$dir/nation.csv"),
+      singleFile = true)
+    val once = g.loadFile(FileRef(s"$dir/nation.csv"))
+    g.exportFile(once, FileRef(s"$dir/nation2.csv"), singleFile = true)
+    g.loadFile(FileRef(s"$dir/nation2.csv"))
+      .select(col("n_nationkey").cast("bigint"), col("n_name"),
+        col("n_regionkey").cast("bigint"))
+      .orderBy("n_nationkey")
+  }
+
+  /** run_raw_sql with a result handler + response_size (raw_sql.py:46-78
+    * semantics): the handler receives the row-truncated collected rows
+    * and its mapped result is certified against the same LIMIT in the
+    * oracle. Bounded by-contract: responseSize caps the collect. */
+  def rawSqlHandlerOp(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val pairs = g.runRawSqlWith(
+      """SELECT c_mktsegment, cast(count(*) as bigint) AS n
+        |FROM {{c}} GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      Map("c" -> TableRef("customer")),
+      responseSize = 3) { rows =>
+      rows.map(r => (r.getString(0), r.getLong(1)))
+    }
+    import spark.implicits._
+    pairs.toDF("c_mktsegment", "n").orderBy("c_mktsegment")
+  }
+
   /** transform with a DataFrame argument: the frame auto-registers as a
     * temp view and renders as its name (base_decorator.py:369-417 parity). */
   def transformDfArg(spark: SparkSession, sfDir: String): DataFrame = {
@@ -879,6 +972,10 @@ object OperatorQueries {
     "op_transform_dialect_pg4" -> (transformDialectPg4 _),
     "op_transform_dialect_rs" -> (transformDialectRs _),
     "op_transform_dialect_ms" -> (transformDialectMs _),
+    "op_transform_dialect_pg5" -> (transformDialectPg5 _),
+    "op_file_list" -> (fileListOp _),
+    "op_export_alias_roundtrip" -> (exportAliasRoundtrip _),
+    "op_raw_sql_handler" -> (rawSqlHandlerOp _),
     "op_transform_df_arg" -> (transformDfArg _),
     "op_value_list" -> (valueList _),
     "op_dataframe_op" -> (dataframeOp _),
@@ -1150,6 +1247,36 @@ object OperatorQueries {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus
         |LIMIT 2""".stripMargin,
+
+    // the fifth Postgres-flavored transform (shipped as a .sql FILE):
+    // DuckDB replays DISTINCT ON natively; Postgres's DESC NULLS-FIRST
+    // default is written EXPLICITLY because DuckDB's own default_null_order
+    // (nulls_last) diverges from Postgres under DESC — the explicit form
+    // states the semantics our translation must reproduce from the bare SQL
+    "op_transform_dialect_pg5" ->
+      """SELECT o_custkey, o_orderkey, strftime(od, '%Y-%m-%d') AS od_day
+        |FROM (
+        |  SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderdate END AS od
+        |  FROM orders
+        |  WHERE o_custkey % 50 = 3
+        |  ORDER BY o_custkey, od DESC NULLS FIRST, o_orderkey
+        |)
+        |ORDER BY o_custkey""".stripMargin,
+
+    "op_file_list" ->
+      "SELECT cast(n_nationkey as bigint) AS n_nationkey FROM nation ORDER BY n_nationkey",
+
+    "op_export_alias_roundtrip" ->
+      """SELECT cast(n_nationkey as bigint) AS n_nationkey, n_name,
+        |  cast(n_regionkey as bigint) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "op_raw_sql_handler" ->
+      """SELECT c_mktsegment, n FROM (
+        |  SELECT c_mktsegment, cast(count(*) as bigint) AS n
+        |  FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment LIMIT 3
+        |) ORDER BY c_mktsegment""".stripMargin,
 
     "op_transform_df_arg" ->
       """WITH f AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey HAVING count(*) >= 10)

@@ -2814,7 +2814,21 @@ object Multimodal {
     * different container (PNG ↔ JPEG here) does not defeat the dedup —
     * that is the point of perceptual hashing over byte hashing. The scan
     * is one narrow codegen'd projection; only (chunk, id, hash) rows
-    * shuffle. */
+    * shuffle.
+    *
+    * Caching contract: the (id, hash) relation and its per-hash
+    * representatives are `persist()`ed (each is consumed twice, and a
+    * recompute would re-run the full container decode — the expensive
+    * part). They stay cached until the CALLER releases them —
+    * `spark.catalog.clearCache()` after consuming the result (what the
+    * bench/verify harnesses do between queries), or an application-level
+    * cache policy. They are deliberately NOT unpersisted here: that
+    * would force eager materialization inside this builder, breaking
+    * the lazy-plan contract every other operator keeps (and hiding the
+    * plan from inspection). Library users calling this repeatedly
+    * without releasing will accumulate 16-byte/row cached relations
+    * until executor storage evicts them LRU — harmless for storage
+    * memory, but clearCache keeps it deterministic. */
   def imageNearDupKeep(
       media: DataFrame,
       idCol: String,

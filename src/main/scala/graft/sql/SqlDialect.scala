@@ -152,16 +152,26 @@ object SqlDialect {
       pgExtras: Boolean = false,
       /** Postgres only: `SELECT DISTINCT ON (keys) …` → row_number
         * window + rank-1 filter (guarded; see [[rewriteDistinctOn]]). */
-      distinctOn: Boolean = false)
+      distinctOn: Boolean = false,
+      /** Postgres/Redshift/Snowflake default NULL ordering — NULLS LAST
+        * for ASC, NULLS FIRST for DESC — is the OPPOSITE of Spark's
+        * (and T-SQL's/BigQuery's, which match Spark): every translated
+        * ORDER BY item without an explicit NULLS clause gets the source
+        * dialect's default made explicit (see [[rewriteNullsOrdering]]). */
+      pgNullsOrder: Boolean = false)
 
   private val Pg = Mode("postgres", eStrings = true, literalBackslashes = true,
-    pgExtras = true, distinctOn = true)
-  private val Sf = Mode("snowflake", sfCalls = true)
+    pgExtras = true, distinctOn = true, pgNullsOrder = true)
+  private val Sf = Mode("snowflake", sfCalls = true, pgNullsOrder = true)
   private val Rs = Mode("redshift", literalBackslashes = true, sfCalls = true,
-    bareDatePart = true, bareSysdate = true, pgExtras = true)
+    bareDatePart = true, bareSysdate = true, pgExtras = true,
+    pgNullsOrder = true)
   private val Bq = Mode("bigquery", dqAsString = true, bqCalls = true)
-  private val Ms = Mode("mssql", sfCalls = true, msCalls = true,
-    bracketIdents = true, bareDatePart = true)
+  // T-SQL string literals never process backslash escapes — '\t' is a
+  // literal backslash-t there ('C:\temp\new' must survive verbatim), so
+  // mssql needs the same final-emission backslash doubling as Pg/Rs
+  private val Ms = Mode("mssql", literalBackslashes = true, sfCalls = true,
+    msCalls = true, bracketIdents = true, bareDatePart = true)
 
   // ------------------------------------------------------------------
   // tokens
@@ -426,25 +436,38 @@ object SqlDialect {
 
   /** Date-part alias canonicalization (Snowflake / Redshift / T-SQL
     * spellings → the unit names Spark's timestampadd/timestampdiff/
-    * date_trunc accept). Unknown aliases leave the whole call
-    * untranslated — loud Spark error, never a silent guess. */
+    * date_trunc accept) — the aliases whose meaning AGREES across the
+    * three dialects. Unknown aliases leave the whole call untranslated —
+    * loud Spark error, never a silent guess. The single-letter aliases
+    * whose meaning DIVERGES are per-mode ([[datePartCanonFor]]). */
   private val datePartCanon = Map(
-    "year" -> "year", "y" -> "year", "yy" -> "year", "yyy" -> "year",
+    "year" -> "year", "yy" -> "year", "yyy" -> "year",
     "yyyy" -> "year", "yr" -> "year", "yrs" -> "year", "years" -> "year",
     "quarter" -> "quarter", "q" -> "quarter", "qq" -> "quarter",
     "qtr" -> "quarter", "qtrs" -> "quarter", "quarters" -> "quarter",
-    "month" -> "month", "m" -> "month", "mm" -> "month", "mon" -> "month",
+    "month" -> "month", "mm" -> "month", "mon" -> "month",
     "mons" -> "month", "months" -> "month",
-    "week" -> "week", "w" -> "week", "wk" -> "week", "ww" -> "week",
+    "week" -> "week", "wk" -> "week", "ww" -> "week",
     "weeks" -> "week", "weekofyear" -> "week", "woy" -> "week", "wy" -> "week",
     "day" -> "day", "d" -> "day", "dd" -> "day", "days" -> "day",
     "dayofmonth" -> "day",
     "hour" -> "hour", "h" -> "hour", "hh" -> "hour", "hr" -> "hour",
     "hrs" -> "hour", "hours" -> "hour",
     "minute" -> "minute", "mi" -> "minute", "min" -> "minute",
-    "mins" -> "minute", "minutes" -> "minute", "n" -> "minute",
+    "mins" -> "minute", "minutes" -> "minute",
     "second" -> "second", "s" -> "second", "ss" -> "second",
     "sec" -> "second", "secs" -> "second", "seconds" -> "second")
+
+  /** The mode's full alias map. The divergent aliases: T-SQL reads `m`
+    * as MONTH and `n` as MINUTE, while Snowflake/Redshift read `m` as
+    * MINUTE (their month spellings are mm/mon/months); T-SQL reads `w`
+    * as WEEKDAY and `y`/`dy` as DAYOFYEAR — and its DATEADD even
+    * re-reads those as plain days — so in mssql mode `w`/`y`/`dy` stay
+    * unmapped and fail LOUDLY rather than guess a function-dependent
+    * meaning. */
+  private def datePartCanonFor(mode: Mode): Map[String, String] =
+    if (mode.msCalls) datePartCanon ++ Map("m" -> "month", "n" -> "minute")
+    else datePartCanon ++ Map("m" -> "minute", "w" -> "week", "y" -> "year")
 
   /** BigQuery strftime-style format tokens → java.time patterns. */
   private val strftimeTokens = Seq(
@@ -807,7 +830,7 @@ object SqlDialect {
             // unknown part aliases leave the call untranslated (loud
             // Spark error — never a silent unit guess)
             val a1 = nextIdx(ts, nx)
-            canonicalPartAt(ts, a1).foreach { part =>
+            canonicalPartAt(ts, a1, mode).foreach { part =>
               ts(i) = Raw("timestampadd")
               ts(a1) = Raw(part)
             }
@@ -821,22 +844,46 @@ object SqlDialect {
             val c1 = topLevelComma(ts, nx, close)
             val c2 = if (c1 > 0) topLevelComma(ts, c1, close) else -1
             if (c1 > 0 && c2 > 0) {
-              canonicalPartAt(ts, nextIdx(ts, nx)).foreach { part =>
-                val a = text(ts.slice(c1 + 1, c2)).trim
-                val b = text(ts.slice(c2 + 1, close)).trim
-                splice(ts, i, close,
-                  s"timestampdiff($part, date_trunc('$part', $a), date_trunc('$part', $b))")
-              }
+              // mssql: 'week' is EXCLUDED — date_trunc('week') is
+              // ISO/Monday-based, but T-SQL DATEDIFF(week) counts SUNDAY
+              // boundary crossings (default DATEFIRST), so a rewrite
+              // would be off by one across any Sun→Mon span. Excluded →
+              // the call passes through → loud Spark error, never a
+              // silently-shifted week count. Snowflake/Redshift weeks
+              // are Monday-based and translate fine.
+              canonicalPartAt(ts, nextIdx(ts, nx), mode)
+                .filterNot(p => mode.msCalls && p == "week")
+                .foreach { part =>
+                  val a = text(ts.slice(c1 + 1, c2)).trim
+                  val b = text(ts.slice(c2 + 1, close)).trim
+                  splice(ts, i, close,
+                    s"timestampdiff($part, date_trunc('$part', $a), date_trunc('$part', $b))")
+                }
             }
           } else if (isCall && mode.bareDatePart &&
               (wl == "date_part" || wl == "datepart")) {
             // Redshift DATE_PART / T-SQL DATEPART accept a BARE part
-            // name; Spark's date_part needs a string literal
+            // name; Spark's date_part needs a string literal — and the
+            // part is CANONICALIZED through the same per-mode alias map
+            // as DATEADD/DATEDIFF (quoting the alias verbatim would let
+            // Spark re-read T-SQL's 'm'=MONTH as MINUTE, or reject
+            // 'yy'/'dd' at runtime). Unknown aliases leave the call
+            // untouched → loud Spark error.
             val a1 = nextIdx(ts, nx)
             if (a1 >= 0) ts(a1) match {
-              case Word(part) =>
-                ts(i) = Raw("date_part")
-                ts(a1) = Raw("'" + part + "'")
+              case Word(_) =>
+                canonicalPartAt(ts, a1, mode).foreach { part =>
+                  ts(i) = Raw("date_part")
+                  ts(a1) = Raw("'" + part + "'")
+                }
+              case Str(_) =>
+                // quoted aliases carry the same dialect meaning — only
+                // rewrite when the canonical name differs (keeps the
+                // pass idempotent: 'month' maps to itself)
+                canonicalPartAt(ts, a1, mode).foreach { part =>
+                  ts(i) = Raw("date_part")
+                  ts(a1) = Raw("'" + part + "'")
+                }
               case _ => if (wl == "datepart") ts(i) = Raw("date_part")
             }
           } else if (isCall && mode.sfCalls &&
@@ -968,17 +1015,119 @@ object SqlDialect {
       i += 1
     }
 
+    // 4) ORDER BY null-ordering defaults (Pg/Rs/Sf → explicit NULLS …).
+    //    Runs LAST so it annotates final token shapes; ORDER BYs inside
+    //    Raw splices from earlier passes (the DISTINCT ON window) are
+    //    re-lexed and annotated on the next fixpoint iteration.
+    if (mode.pgNullsOrder) rewriteNullsOrdering(ts)
+
     text(ts.toSeq)
+  }
+
+  /** Keywords that can terminate an ORDER BY item list at depth 0 (the
+    * statement tail after ORDER BY, a window frame clause, or a set
+    * operator sharing the scope). */
+  private val orderStopWords = Set(
+    "limit", "offset", "fetch", "rows", "range", "groups", "union",
+    "intersect", "except", "minus", "for", "window", "into", "returning")
+
+  /** Postgres/Redshift/Snowflake rank NULLS LAST under ASC and NULLS
+    * FIRST under DESC; Spark (like T-SQL and BigQuery) defaults to the
+    * opposite. Without this pass, every translated ORDER BY over a
+    * nullable key silently ranks nulls differently — the translator's
+    * one silent-wrong-results path before round 14. The pass makes the
+    * source dialect's default EXPLICIT on every ORDER BY item lacking a
+    * NULLS clause — statement-level, subquery, window-spec, and
+    * aggregate (WITHIN GROUP / FILTER) ORDER BYs alike, since the item
+    * walker is scope-local (an item ends at a depth-0 comma, an
+    * enclosing `)`, or a stop keyword). Items carrying a Postgres
+    * `USING <op>` clause are left untouched → Spark's own loud parse
+    * error. Idempotent: items already ending in NULLS FIRST/LAST are
+    * skipped, so the translate fixpoint terminates. */
+  private def rewriteNullsOrdering(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      val isOrder = ts(i) match {
+        case Word(w) => w.equalsIgnoreCase("order")
+        case _ => false
+      }
+      val by = if (isOrder) nextIdx(ts, i) else -1
+      val isBy = by >= 0 && (ts(by) match {
+        case Word(w) => w.equalsIgnoreCase("by")
+        case _ => false
+      })
+      if (isBy) {
+        // walk the item list; j is the scan cursor, itemStart/lastSig
+        // track the current item's extent (significant tokens only)
+        var j = by + 1
+        var depth = 0
+        var lastSig = -1 // last significant token index of current item
+        var itemHasUsing = false
+        var done = false
+        // closes the current item: append the explicit NULLS default
+        // unless the item already has one (or a USING clause)
+        def closeItem(): Unit = {
+          if (lastSig >= 0 && !itemHasUsing) {
+            val hasNulls = ts(lastSig) match {
+              case Word(w) if w.equalsIgnoreCase("first") ||
+                  w.equalsIgnoreCase("last") =>
+                val p = prevIdx(ts, lastSig)
+                p >= 0 && (ts(p) match {
+                  case Word(n) => n.equalsIgnoreCase("nulls")
+                  case _ => false
+                })
+              case _ => false
+            }
+            if (!hasNulls) {
+              val desc = ts(lastSig) match {
+                case Word(w) => w.equalsIgnoreCase("desc")
+                case _ => false
+              }
+              ts.insert(lastSig + 1,
+                Raw(if (desc) " NULLS FIRST" else " NULLS LAST"))
+              j += 1 // account for the inserted token
+            }
+          }
+          lastSig = -1
+          itemHasUsing = false
+        }
+        while (j < ts.length && !done) {
+          ts(j) match {
+            case Sym("(") | Sym("[") => depth += 1; lastSig = j
+            case Sym(")") | Sym("]") if depth > 0 => depth -= 1; lastSig = j
+            case Sym(")") | Sym("]") => closeItem(); done = true // enclosing scope
+            case Sym(",") if depth == 0 => closeItem()
+            case Sym(";") if depth == 0 => closeItem(); done = true
+            case Word(w) if depth == 0 &&
+                orderStopWords.contains(w.toLowerCase) =>
+              closeItem(); done = true
+            case Word(w) if depth == 0 && w.equalsIgnoreCase("using") =>
+              itemHasUsing = true; lastSig = j
+            case _: Ws =>
+            case _ => lastSig = j
+          }
+          j += 1
+        }
+        if (!done) closeItem() // end of input ends the last item
+        // resume right after BY, not at j: an ORDER BY nested inside an
+        // item (scalar subquery) is walked as opaque depth>0 tokens
+        // above and still needs its own annotation pass — idempotence
+        // makes the re-scan of already-annotated regions a no-op
+        i = by + 1
+      } else i += 1
+    }
   }
 
   /** Canonicalize the date-part token at index `a1` (a bare Word or a
     * quoted Str — Snowflake allows both): Some(canonical unit) if the
     * alias is known, None otherwise (caller leaves the call alone). */
-  private def canonicalPartAt(ts: ArrayBuffer[Tok], a1: Int): Option[String] = {
+  private def canonicalPartAt(ts: ArrayBuffer[Tok], a1: Int,
+      mode: Mode): Option[String] = {
     if (a1 < 0) return None
+    val canon = datePartCanonFor(mode)
     ts(a1) match {
-      case Word(p) => datePartCanon.get(p.toLowerCase)
-      case Str(s) => datePartCanon.get(s.substring(1, s.length - 1).toLowerCase)
+      case Word(p) => canon.get(p.toLowerCase)
+      case Str(s) => canon.get(s.substring(1, s.length - 1).toLowerCase)
       case _ => None
     }
   }

@@ -268,11 +268,17 @@ class SqlDialectSpec extends GraftSuite {
     def rs(s: String) = toSparkSql(s, "redshift")
     assert(rs("SELECT GETDATE(), a::int8 FROM t")
       == "SELECT current_timestamp(), CAST(a AS bigint) FROM t")
-    // bare part name quotes for Spark's date_part
+    // bare part name quotes AND canonicalizes for Spark's date_part
     assert(rs("SELECT DATE_PART(mon, d) FROM t")
-      == "SELECT date_part('mon', d) FROM t")
+      == "SELECT date_part('month', d) FROM t")
     assert(rs("SELECT DATE_PART('year', d) FROM t")
-      == "SELECT DATE_PART('year', d) FROM t") // already quoted: untouched name is fine
+      == "SELECT date_part('year', d) FROM t") // quoted parts canonicalize too
+    // Redshift (like Snowflake) reads bare 'm' as MINUTE — month is mon/months
+    assert(rs("SELECT DATEADD(m, 5, d) FROM t")
+      == "SELECT timestampadd(minute, 5, d) FROM t")
+    // unknown alias: untouched -> loud Spark error, never a guess
+    assert(rs("SELECT DATE_PART(fortnight, d) FROM t")
+      == "SELECT DATE_PART(fortnight, d) FROM t")
     // bare SYSDATE keyword
     assert(rs("SELECT SYSDATE FROM t") == "SELECT current_timestamp() FROM t")
     // Redshift standard-conforming strings hold backslashes literally
@@ -319,7 +325,24 @@ class SqlDialectSpec extends GraftSuite {
     assert(ms("SELECT IIF(a > 1, 'x', 'y')") == "SELECT if(a > 1, 'x', 'y')")
     assert(ms("SELECT LEN(a), CHARINDEX('-', a) FROM t")
       == "SELECT length(a), locate('-', a) FROM t")
-    assert(ms("SELECT DATEPART(yy, d) FROM t") == "SELECT date_part('yy', d) FROM t")
+    // T-SQL part aliases canonicalize through the per-mode map: 'm' is
+    // MONTH there (Snowflake/Redshift read it as minute), yy/dd are the
+    // date_part spellings Spark would reject verbatim
+    assert(ms("SELECT DATEPART(yy, d) FROM t") == "SELECT date_part('year', d) FROM t")
+    assert(ms("SELECT DATEPART(m, d) FROM t") == "SELECT date_part('month', d) FROM t")
+    assert(ms("SELECT DATEPART(n, d) FROM t") == "SELECT date_part('minute', d) FROM t")
+    // T-SQL 'w' (weekday) and 'y'/'dy' (dayofyear) have function-dependent
+    // meanings; unmapped -> untouched -> loud Spark error
+    assert(ms("SELECT DATEPART(w, d) FROM t") == "SELECT DATEPART(w, d) FROM t")
+    assert(ms("SELECT DATEPART(y, d) FROM t") == "SELECT DATEPART(y, d) FROM t")
+    // T-SQL DATEDIFF(week) counts SUNDAY boundary crossings; the
+    // Monday-based date_trunc rewrite would be off by one -> excluded, loud
+    assert(ms("SELECT DATEDIFF(week, a, b) FROM t")
+      == "SELECT DATEDIFF(week, a, b) FROM t")
+    // T-SQL string literals hold backslashes literally: a Windows path
+    // must not gain a tab/newline through Spark's escape processing
+    assert(ms("SELECT 'C:\\temp\\new' FROM t")
+      == "SELECT 'C:\\\\temp\\\\new' FROM t")
     assert(ms("SELECT GETDATE()") == "SELECT current_timestamp()")
     assert(ms("SELECT CAST(a AS datetime), CAST(b AS nvarchar(20)) FROM t")
       == "SELECT CAST(a AS timestamp), CAST(b AS varchar(20)) FROM t")
@@ -395,19 +418,21 @@ class SqlDialectSpec extends GraftSuite {
   }
 
   test("DISTINCT ON: rewrites to a rank-1 window filter; ambiguous forms stay loud") {
+    // every ORDER BY (incl. the generated window's) carries Postgres's
+    // explicit NULLS default: LAST under ASC, FIRST under DESC
     assert(pg("SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC")
       == "SELECT k, v FROM (SELECT k, v, row_number() OVER " +
-         "(PARTITION BY k ORDER BY k, v DESC) AS __gd_rn FROM t) __gd " +
-         "WHERE __gd_rn = 1 ORDER BY k, v DESC")
+         "(PARTITION BY k ORDER BY k NULLS LAST, v DESC NULLS FIRST) AS __gd_rn FROM t) __gd " +
+         "WHERE __gd_rn = 1 ORDER BY k NULLS LAST, v DESC NULLS FIRST")
     // no ORDER BY: window orders by the keys
     assert(pg("SELECT DISTINCT ON (k) k, v FROM t")
       == "SELECT k, v FROM (SELECT k, v, row_number() OVER " +
-         "(PARTITION BY k ORDER BY k) AS __gd_rn FROM t) __gd WHERE __gd_rn = 1")
+         "(PARTITION BY k ORDER BY k NULLS LAST) AS __gd_rn FROM t) __gd WHERE __gd_rn = 1")
     // aliased expression + LIMIT
     assert(pg("SELECT DISTINCT ON (k) k, v * 2 AS dv FROM t ORDER BY k, dv LIMIT 3")
       == "SELECT k, dv FROM (SELECT k, v * 2 AS dv, row_number() OVER " +
-         "(PARTITION BY k ORDER BY k, dv) AS __gd_rn FROM t) __gd " +
-         "WHERE __gd_rn = 1 ORDER BY k, dv LIMIT 3")
+         "(PARTITION BY k ORDER BY k NULLS LAST, dv NULLS LAST) AS __gd_rn FROM t) __gd " +
+         "WHERE __gd_rn = 1 ORDER BY k NULLS LAST, dv NULLS LAST LIMIT 3")
     // guards: star, unaliased expression, positional keys, set ops,
     // ORDER BY on a non-projected column — all untouched → loud
     assert(pg("SELECT DISTINCT ON (k) * FROM t")
@@ -419,7 +444,7 @@ class SqlDialectSpec extends GraftSuite {
     assert(pg("SELECT DISTINCT ON (k) k FROM t UNION SELECT j FROM u")
       == "SELECT DISTINCT ON (k) k FROM t UNION SELECT j FROM u")
     assert(pg("SELECT DISTINCT ON (k) v FROM t ORDER BY k, ts")
-      == "SELECT DISTINCT ON (k) v FROM t ORDER BY k, ts")
+      == "SELECT DISTINCT ON (k) v FROM t ORDER BY k NULLS LAST, ts NULLS LAST")
     // plain DISTINCT untouched
     assert(pg("SELECT DISTINCT k FROM t") == "SELECT DISTINCT k FROM t")
   }
@@ -434,6 +459,74 @@ class SqlDialectSpec extends GraftSuite {
       Map("src" -> df), dialect = "postgres")
       .selectExpr("k", "v").as[(Long, String)].collect().toSeq
     assert(out == Seq((1L, "new"), (2L, "only")))
+  }
+
+  test("transformFile passes dialect through: a verbatim Postgres .sql file runs") {
+    val df = Seq((1L, "a-1"), (2L, null), (3L, "c-3")).toDF("id", "tag")
+    val f = java.nio.file.Files.createTempFile("graft-dialect", ".sql")
+    java.nio.file.Files.writeString(f,
+      """SELECT id::int8 AS id, tag
+        |FROM {{src}} WHERE tag ~ '\d' OR tag IS NULL
+        |ORDER BY tag DESC LIMIT 2""".stripMargin)
+    // the file is NOT valid Spark SQL (:: cast, ~ regex); pg NULLS
+    // default (DESC -> nulls first) picks the null row into the top 2
+    val out = spark.table(
+      g.transformFile(f.toString, Map("src" -> df), dialect = "postgres")
+        .qualifiedName)
+      .selectExpr("id").as[Long].collect().toSeq.sorted
+    assert(out == Seq(2L, 3L))
+  }
+
+  test("NULLS ordering: pg/rs/sf defaults become explicit; ms/bq (Spark-like) untouched") {
+    assert(pg("SELECT a FROM t ORDER BY a")
+      == "SELECT a FROM t ORDER BY a NULLS LAST")
+    assert(pg("SELECT a FROM t ORDER BY a DESC, b ASC, c")
+      == "SELECT a FROM t ORDER BY a DESC NULLS FIRST, b ASC NULLS LAST, c NULLS LAST")
+    // an explicit clause is respected (and keeps the pass idempotent)
+    assert(pg("SELECT a FROM t ORDER BY a NULLS FIRST")
+      == "SELECT a FROM t ORDER BY a NULLS FIRST")
+    // LIMIT/OFFSET terminate the item list
+    assert(pg("SELECT a FROM t ORDER BY a LIMIT 3 OFFSET 2")
+      == "SELECT a FROM t ORDER BY a NULLS LAST LIMIT 3 OFFSET 2")
+    // window-spec ORDER BY, with a frame clause terminating the items
+    assert(pg("SELECT sum(v) OVER (PARTITION BY k ORDER BY d " +
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
+      == "SELECT sum(v) OVER (PARTITION BY k ORDER BY d NULLS LAST " +
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
+    // call items keep their paren scope; DESC detected after the ()
+    assert(pg("SELECT a FROM t ORDER BY coalesce(a, b) DESC")
+      == "SELECT a FROM t ORDER BY coalesce(a, b) DESC NULLS FIRST")
+    // a subquery ORDER BY inside the statement annotates independently
+    assert(pg("SELECT a FROM (SELECT a FROM t ORDER BY a DESC LIMIT 1) s ORDER BY a")
+      == "SELECT a FROM (SELECT a FROM t ORDER BY a DESC NULLS FIRST LIMIT 1) s " +
+        "ORDER BY a NULLS LAST")
+    // Postgres USING <op> items stay untouched -> loud Spark error
+    assert(pg("SELECT a FROM t ORDER BY a USING <, b")
+      == "SELECT a FROM t ORDER BY a USING <, b NULLS LAST")
+    // GROUP BY is not ORDER BY
+    assert(pg("SELECT k, count(*) FROM t GROUP BY k")
+      == "SELECT k, count(*) FROM t GROUP BY k")
+    // mssql/bigquery share Spark's defaults: untouched
+    assert(toSparkSql("SELECT a FROM t ORDER BY a", "mssql")
+      == "SELECT a FROM t ORDER BY a")
+    assert(toSparkSql("SELECT a FROM t ORDER BY a", "bigquery")
+      == "SELECT a FROM t ORDER BY a")
+    // snowflake/redshift share Postgres's defaults
+    assert(toSparkSql("SELECT a FROM t ORDER BY a DESC", "snowflake")
+      == "SELECT a FROM t ORDER BY a DESC NULLS FIRST")
+    assert(toSparkSql("SELECT a FROM t ORDER BY a", "redshift")
+      == "SELECT a FROM t ORDER BY a NULLS LAST")
+  }
+
+  test("NULLS ordering executes: pg DESC ranks nulls FIRST like Postgres") {
+    val df = Seq((1L, Option(10L)), (2L, Option.empty[Long]), (3L, Option(5L)))
+      .toDF("id", "v")
+    // Spark's default (nulls LAST under DESC) would pick id=1; the pg
+    // default the translator makes explicit picks the null row
+    val out = g.transformLazy(
+      "SELECT id FROM {{src}} ORDER BY v DESC LIMIT 1",
+      Map("src" -> df), dialect = "postgres").as[Long].collect().toSeq
+    assert(out == Seq(2L))
   }
 
   test("= ANY / <> ALL over array constructors rewrite to array_contains") {

@@ -177,7 +177,18 @@ object Bench {
     // truncation then eats the curve, not the per-round comparables.
     val line =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","scale_curve":$curveJson,"scale_curve_flags":$flagsJson}"""
+    // Compact headline, printed BEFORE and AFTER the full line: the
+    // driver's artifact keeps a bounded stdout window (r11-r13 showed it
+    // capturing only the TAIL of the full line → "parsed": null), so a
+    // short self-contained JSON line must sit at both edges for the
+    // headline to survive whichever edge the window keeps. Same schema
+    // as the full line plus the board aggregates.
+    val maxRatio = if (scaleFlags.isEmpty) 0.0 else scaleFlags.map(_._2._1).max
+    val headline =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${results.size},"errors":${errors.size},"flags":${scaleFlags.count(_._2._2)},"max_ratio":${f"$maxRatio%.3f"},"sf":"$sfDir"}"""
+    println(headline)
     println(line)
+    println(headline)
     // Sidecar with the untruncated line: committed at round end, so the
     // full per-query map survives regardless of the driver's window.
     try java.nio.file.Files.writeString(

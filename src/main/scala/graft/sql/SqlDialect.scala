@@ -63,6 +63,13 @@ import scala.collection.mutable.ArrayBuffer
   *    (keys)` → a rank-1 row_number window filter (both guarded — see
   *    [[rewriteAnyAllArray]] / [[rewriteDistinctOn]]).
   *
+  *  - ORDER BY null ordering: Postgres/Redshift/Snowflake default
+  *    NULLS LAST under ASC / NULLS FIRST under DESC — the opposite of
+  *    Spark — so every translated ORDER BY item without an explicit
+  *    NULLS clause gets the source dialect's default appended
+  *    ([[rewriteNullsOrdering]]; mssql/bigquery share Spark's defaults
+  *    and stay untouched).
+  *
   * Documented out of scope (pass through unchanged, Spark errors):
   * projection-position `generate_series`, `FROM t, generate_series(...)`
   * comma lists, `SIMILAR TO` with a non-literal pattern or an ESCAPE
@@ -90,8 +97,10 @@ object SqlDialect {
     *    `::`, standard-conforming strings per its
     *    standard_conforming_strings=on default) and also uses the
     *    GETDATE/DATEADD/DATEDIFF call forms; adds bare-part
-    *    DATE_PART quoting and bare SYSDATE. LISTAGG ... WITHIN GROUP
-    *    passes through natively (Spark 4 accepts it; pinned in spec).
+    *    DATE_PART quoting + canonicalization and bare SYSDATE (note
+    *    Redshift reads bare `m` as MINUTE — month is mon/months).
+    *    LISTAGG ... WITHIN GROUP passes through natively (Spark 4
+    *    accepts it; pinned in spec).
     *  - "bigquery": SAFE_CAST/SAFE_DIVIDE → try_*, FORMAT_DATE/
     *    FORMAT_TIMESTAMP (strftime tokens, format-first arg order),
     *    TIMESTAMP_DIFF/DATE_DIFF (end-minus-start arg reorder),
@@ -105,10 +114,16 @@ object SqlDialect {
     *    / WITH TIES / set-operation scopes are left untouched → loud
     *    Spark error), 2-arg ISNULL → coalesce, IIF → if, GETDATE/
     *    SYSDATETIME, DATEADD/DATEDIFF (boundary semantics like
-    *    Snowflake — T-SQL DATEDIFF also counts boundary crossings),
-    *    DATEPART with a bare part name → date_part('part', x),
-    *    LEN → length, CHARINDEX → locate (same argument order), and
-    *    the T-SQL type names (datetime/datetime2/bit/nvarchar/...).
+    *    Snowflake — T-SQL DATEDIFF also counts boundary crossings;
+    *    `week` is EXCLUDED from the rewrite because T-SQL counts
+    *    SUNDAY crossings where date_trunc is Monday-based — loud),
+    *    DATEPART with a bare OR quoted part canonicalized through the
+    *    T-SQL alias map (m=MONTH, n=MINUTE; w/y/dy have
+    *    function-dependent meanings and stay unmapped → loud),
+    *    LEN → length, CHARINDEX → locate (same argument order),
+    *    the T-SQL type names (datetime/datetime2/bit/nvarchar/...),
+    *    and literal-backslash strings (T-SQL never processes backslash
+    *    escapes, so `'C:\temp'` survives verbatim).
     */
   def toSparkSql(sql: String, dialect: String): String =
     dialect.toLowerCase match {
@@ -1284,12 +1299,16 @@ object SqlDialect {
     * Anything else leaves DISTINCT ON untouched → Spark's own parse
     * error, never a silent meaning change. GROUP BY/HAVING stay inside
     * the wrapped query (windows evaluate post-aggregation, matching
-    * Postgres's DISTINCT ON-after-GROUP BY order). Known engine-level
-    * gap (applies to EVERY translated ORDER BY, not this rewrite
-    * specifically): Postgres defaults to NULLS LAST for ASC /
-    * NULLS FIRST for DESC, Spark to the opposite — an ORDER BY over a
-    * nullable column without an explicit NULLS clause ranks nulls
-    * differently in the two engines. */
+    * Postgres's DISTINCT ON-after-GROUP BY order). The Postgres
+    * NULLS-ordering defaults (NULLS LAST for ASC / NULLS FIRST for
+    * DESC — the opposite of Spark) are made explicit by
+    * [[rewriteNullsOrdering]] on the fixpoint re-lex, including inside
+    * the generated window's ORDER BY. Known Spark-side residue: an
+    * ORDER BY key that is a same-SELECT alias of an EXPRESSION hits
+    * Spark's lateral-alias-in-window restriction
+    * (UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_WINDOW) — a loud
+    * analysis error; compute the expression in a subquery instead
+    * (op_transform_dialect_pg5 demonstrates the shape). */
   private def rewriteDistinctOn(ts: ArrayBuffer[Tok]): Unit = {
     def isWord(t: Tok, w: String) = t match {
       case Word(x) => x.equalsIgnoreCase(w)

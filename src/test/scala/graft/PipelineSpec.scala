@@ -2544,6 +2544,25 @@ class PipelineSpec extends GraftSuite {
     assert(s1 == fresh)
   }
 
+  test("dedupEdit: staged signature relations equal the fresh unstaged pipeline") {
+    val sfDir = "/root/testdata/sf0.001"
+    // staged contract path (first call materializes sets/sigs/banded,
+    // second serves from the artifacts)
+    val s1 = PipelineQueries.queries("p_dedup_edit")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    val s2 = PipelineQueries.queries("p_dedup_edit")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(s1 == s2)
+    // fresh witness: identical arguments, no staging hook
+    val fresh = graft.functions.Dedup.editDistanceNearDupPairs(
+        PipelineQueries.docsWithNearDups(spark, sfDir, sliceMod = 2),
+        "doc_id", "text", ngramSize = 12, threshold = 0.55, maxDist = 30,
+        maxBucketSize = 1000)
+      .selectExpr("id_a", "id_b", "cast(edit_dist as bigint)")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(s1 == fresh)
+  }
+
   /** The exact on-disk path [[PipelineQueries.stagedParquet]] writes for
     * (this app, `sfDir`, `name`) — mirrors its key construction. */
   private def stagedDir(sfDir: String, name: String): String =

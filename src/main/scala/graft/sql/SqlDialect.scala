@@ -1469,9 +1469,10 @@ object SqlDialect {
   /** Postgres array membership: `expr = ANY(ARRAY[…])` / `expr =
     * ANY('{…}')` → `array_contains(array(…), expr)`, `expr <> ALL(…)`
     * → `NOT array_contains(array(…), expr)` (the two forms real DAG
-    * SQL uses; `= ANY(subquery)` is already Spark's `IN (subquery)`
-    * and passes through as ANY over a paren-subquery — detected and
-    * skipped). `ARRAY[…]` converts to Spark's `array(…)`; a `'{a,b}'`
+    * SQL uses), and subquery operands by the SQL-standard identities
+    * `= ANY(SELECT …)` ≡ `IN (SELECT …)` / `<> ALL(SELECT …)` ≡
+    * `NOT IN (SELECT …)` — only the operator spelling changes, the
+    * subquery tokens stay live (Spark parses the IN forms natively). `ARRAY[…]` converts to Spark's `array(…)`; a `'{a,b}'`
     * literal converts only when it is a SIMPLE comma list (no quotes,
     * braces, or escapes inside — anything else passes through to
     * Spark's own error). Other operators (`> ANY`, `LIKE ANY`, …)
@@ -1500,7 +1501,23 @@ object SqlDialect {
             val inner = nextIdx(ts, open)
             // the array argument: ARRAY[…], a '{…}' literal, or anything
             // else (incl. a subquery) → skip
-            val arrText: Option[String] = ts(inner) match {
+            // subquery operand: `= ANY(SELECT …)` IS the SQL-standard
+            // definition of `IN (SELECT …)` and `<> ALL(SELECT …)` of
+            // `NOT IN (SELECT …)` (identical NULL semantics) — Spark
+            // parses neither ANY form but both IN forms, so only the
+            // operator spelling changes; the subquery tokens stay live
+            val isSubquery = ts(inner) match {
+              case Word(w) => w.equalsIgnoreCase("select") || w.equalsIgnoreCase("with")
+              case _ => false
+            }
+            if (isSubquery) {
+              val lhsEnd = prevIdx(ts, opIdx)
+              if (lhsEnd >= 0 && isOperandEnd(ts(lhsEnd))) {
+                splice(ts, opIdx, i, if (op.get) " NOT IN " else " IN ")
+                restart = true
+              }
+            }
+            val arrText: Option[String] = if (isSubquery) None else ts(inner) match {
               case Word(a) if a.equalsIgnoreCase("array") =>
                 val br = nextIdx(ts, inner)
                 if (br >= 0 && ts(br) == Sym("[")) {

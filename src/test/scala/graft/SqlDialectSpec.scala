@@ -538,9 +538,12 @@ class SqlDialectSpec extends GraftSuite {
       == "SELECT * FROM t WHERE array_contains(array('a', 'b', 'c'), name)")
     assert(pg("SELECT * FROM t WHERE id = ANY('{1,2,3}')")
       == "SELECT * FROM t WHERE array_contains(array(1, 2, 3), id)")
-    // subqueries, other operators, quoted items: untouched → loud
+    // subquery operands: the SQL-standard IN / NOT IN identities
     assert(pg("SELECT * FROM t WHERE id = ANY(SELECT x FROM u)")
-      == "SELECT * FROM t WHERE id = ANY(SELECT x FROM u)")
+      == "SELECT * FROM t WHERE id  IN (SELECT x FROM u)")
+    assert(pg("SELECT * FROM t WHERE id <> ALL(SELECT x FROM u)")
+      == "SELECT * FROM t WHERE id  NOT IN (SELECT x FROM u)")
+    // other operators, quoted items: untouched → loud
     assert(pg("SELECT * FROM t WHERE id > ANY(ARRAY[1, 2])")
       == "SELECT * FROM t WHERE id > ANY(ARRAY[1, 2])")
     assert(pg("SELECT * FROM t WHERE s = ANY('{''a'',b}')")

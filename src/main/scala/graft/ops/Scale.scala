@@ -78,7 +78,12 @@ object Scale {
       bucketCols: Seq[String],
       numBuckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
-    var w = df.write.mode(SaveMode.Overwrite).format("parquet")
+    // pre-partition on the bucket columns (bucketBy assigns files with
+    // the same murmur3 hash): one task per bucket → one file per
+    // bucket, instead of every task emitting a file for each bucket it
+    // happens to hold (tasks × buckets small files)
+    var w = df.repartition(numBuckets, bucketCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
     w.saveAsTable(table)

@@ -52,6 +52,43 @@ class PipelineSpec extends GraftSuite {
     assert(mismatches == 0)
   }
 
+  test("IntersectCountExpr is bit-identical to size(array_intersect)") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // adversarial shapes: duplicates (count once), nulls on one/both
+    // sides (count once iff on both), empties, disjoint, asymmetric
+    // sizes (exercises the smaller-side table build both ways)
+    val rows: Seq[(Seq[java.lang.Long], Seq[java.lang.Long])] = Seq(
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](2L, 3L, 4L)),
+      (Seq[java.lang.Long](1L, 1L, 2L, 2L), Seq[java.lang.Long](2L, 2L, 1L)),
+      (Seq[java.lang.Long](), Seq[java.lang.Long](1L)),
+      (Seq[java.lang.Long](5L), Seq[java.lang.Long]()),
+      (Seq[java.lang.Long](null, 1L), Seq[java.lang.Long](null, null, 2L)),
+      (Seq[java.lang.Long](null, 1L), Seq[java.lang.Long](1L, 2L)),
+      (Seq[java.lang.Long](7L, 8L, 9L), Seq[java.lang.Long](10L, 11L)),
+      ((1L to 100L).map(java.lang.Long.valueOf),
+        (50L to 200L).map(java.lang.Long.valueOf)),
+      ((1L to 3L).map(java.lang.Long.valueOf),
+        (0L to 1000L).map(java.lang.Long.valueOf)))
+    val df = rows.toDF("a", "b")
+    val fused = ColumnBridge.column(graft.functions.IntersectCountExpr(
+      ColumnBridge.expression($"a"), ColumnBridge.expression($"b")))
+    val bad = df.select(
+      fused.as("f"), size(array_intersect($"a", $"b")).as("s"))
+      .where($"f" =!= $"s").count()
+    assert(bad == 0)
+    // randomized sweep: 500 pairs of random multisets over a small
+    // domain (forces collisions/dups), both orders
+    val r = new scala.util.Random(42)
+    val rand = (1 to 500).map { _ =>
+      def arr() = Seq.fill(r.nextInt(40))(java.lang.Long.valueOf(r.nextInt(25).toLong))
+      (arr(), arr())
+    }.toDF("a", "b")
+    val badRand = rand.select(
+      fused.as("f"), size(array_intersect($"a", $"b")).as("s"))
+      .where($"f" =!= $"s").count()
+    assert(badRand == 0)
+  }
+
   test("crossCorpusNearDupPairs flags only contaminated training docs") {
     val train = docs // ids 1..5: 1,2 identical; 3 near-dup of 1
     val ref = Seq((101L, base), // contaminates 1, 2, 3

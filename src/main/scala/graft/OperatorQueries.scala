@@ -403,6 +403,52 @@ object OperatorQueries {
       .orderBy("o_custkey")
   }
 
+  /** T-SQL `TOP n WITH TIES`, round 14 — certifies the guarded rank()
+    * window restatement ([[graft.sql.SqlDialect]] rewriteTopTies)
+    * end-to-end: ORDER BY a non-unique key, so the result is exactly
+    * "the first n rows plus every tie of the n-th" — a set DuckDB's
+    * rank()-based oracle reproduces deterministically regardless of
+    * within-tie order. Scale posture: the global rank is the semantic
+    * cost of the T-SQL construct itself; Spark plans it with a
+    * per-partition WindowGroupLimit ahead of the final exchange, so at
+    * most n+ties rows per upstream partition move — a global LIMIT's
+    * shape, and it prices inside the transform's CTAS, not in the
+    * returned scan. */
+  def transformDialectMs2(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val out = g.transform(
+      """SELECT TOP 5 WITH TIES
+        |  CAST([o_orderkey] AS bigint) AS okey,
+        |  o_orderpriority
+        |FROM {{orders}} WHERE o_custkey % 100 = 7
+        |ORDER BY o_orderpriority""".stripMargin,
+      bindings = Map("orders" -> TableRef("orders")),
+      output = Some(TableRef("op_transform_dialect_ms2_out")),
+      dialect = "mssql")
+    spark.table(out.qualifiedName).orderBy("okey")
+  }
+
+  /** T-SQL `TOP n PERCENT`, round 14 — the CEILING row-budget
+    * restatement. ORDER BY the unique order key (projected BARE —
+    * an expression alias as the order key would hit Spark's
+    * lateral-alias-in-window restriction, the same loud documented
+    * residue as DISTINCT ON's) so row_number is a total order and the
+    * selected prefix is deterministic (a PERCENT over a non-unique key
+    * would be tie-order-dependent in T-SQL too). The count(*) OVER ()
+    * budget term prices a global sort inside the CTAS — exactly what
+    * T-SQL's own TOP PERCENT execution pays. */
+  def transformDialectMs3(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val out = g.transform(
+      """SELECT TOP 10 PERCENT [o_orderkey], o_orderstatus
+        |FROM {{orders}} WHERE o_custkey % 100 = 7
+        |ORDER BY o_orderkey""".stripMargin,
+      bindings = Map("orders" -> TableRef("orders")),
+      output = Some(TableRef("op_transform_dialect_ms3_out")),
+      dialect = "mssql")
+    spark.table(out.qualifiedName).orderBy("o_orderkey")
+  }
+
   /** get_file_list over a glob (files/operators/files.py:13-43): one
     * marker file per nation key is written, the operator lists them
     * back through the Hadoop-FS glob path, and the listed NAMES are
@@ -972,6 +1018,8 @@ object OperatorQueries {
     "op_transform_dialect_pg4" -> (transformDialectPg4 _),
     "op_transform_dialect_rs" -> (transformDialectRs _),
     "op_transform_dialect_ms" -> (transformDialectMs _),
+    "op_transform_dialect_ms2" -> (transformDialectMs2 _),
+    "op_transform_dialect_ms3" -> (transformDialectMs3 _),
     "op_transform_dialect_pg5" -> (transformDialectPg5 _),
     "op_file_list" -> (fileListOp _),
     "op_export_alias_roundtrip" -> (exportAliasRoundtrip _),
@@ -1247,6 +1295,26 @@ object OperatorQueries {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus
         |LIMIT 2""".stripMargin,
+
+    // TOP n WITH TIES restated as the rank() window it is equivalent
+    // to — DuckDB evaluates the standard form natively; the result SET
+    // is tie-order-independent by construction
+    "op_transform_dialect_ms2" ->
+      """SELECT okey, o_orderpriority FROM (
+        |  SELECT cast(o_orderkey as bigint) AS okey, o_orderpriority,
+        |    rank() OVER (ORDER BY o_orderpriority) AS rk
+        |  FROM orders WHERE o_custkey % 100 = 7
+        |) WHERE rk <= 5 ORDER BY okey""".stripMargin,
+
+    // TOP n PERCENT: CEILING(count * n / 100) rows of the row_number
+    // total order — the T-SQL round-up rule, written out
+    "op_transform_dialect_ms3" ->
+      """SELECT o_orderkey, o_orderstatus FROM (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rn,
+        |    count(*) OVER () AS ct
+        |  FROM orders WHERE o_custkey % 100 = 7
+        |) WHERE rn <= CEILING(ct * 10 / 100.0) ORDER BY o_orderkey""".stripMargin,
 
     // the fifth Postgres-flavored transform (shipped as a .sql FILE):
     // DuckDB replays DISTINCT ON natively; Postgres's DESC NULLS-FIRST

@@ -75,7 +75,9 @@ import scala.collection.mutable.ArrayBuffer
   * comma lists, `SIMILAR TO` with a non-literal pattern or an ESCAPE
   * clause, `ANY/ALL` with other operators or subqueries or quoted
   * array-literal items, DISTINCT ON forms failing the meaning-
-  * preservation guards, T-SQL `TOP n PERCENT` / `TOP n WITH TIES`,
+  * preservation guards, T-SQL `TOP n PERCENT` / `TOP n WITH TIES`
+  * forms failing [[rewriteTopTies]]'s guards (no ORDER BY, DISTINCT
+  * quantifier, underivable output names, set-operation scope),
   * and `TOP n` directly over a set operation (UNION/INTERSECT/EXCEPT).
   */
 object SqlDialect {
@@ -110,9 +112,12 @@ object SqlDialect {
     *    identifiers are already Spark-native.
     *  - "mssql"/"sqlserver" (the reference supported MSSQL,
     *    `databases/mssql.py:277-430`): `[bracket]` identifiers,
-    *    `SELECT TOP n` → trailing `LIMIT n` (plain n or (expr); PERCENT
-    *    / WITH TIES / set-operation scopes are left untouched → loud
-    *    Spark error), 2-arg ISNULL → coalesce, IIF → if, GETDATE/
+    *    `SELECT TOP n` → trailing `LIMIT n` (plain n or (expr));
+    *    `TOP n WITH TIES` → a rank() window filter and `TOP n PERCENT
+    *    [WITH TIES]` → a row_number()/rank() + count-over window filter
+    *    with a CEILING row budget ([[rewriteTopTies]], guarded — forms
+    *    failing the guards and set-operation scopes are left untouched
+    *    → loud Spark error), 2-arg ISNULL → coalesce, IIF → if, GETDATE/
     *    SYSDATETIME, DATEADD/DATEDIFF (boundary semantics like
     *    Snowflake — T-SQL DATEDIFF also counts boundary crossings;
     *    `week` is EXCLUDED from the rewrite because T-SQL counts
@@ -760,8 +765,9 @@ object SqlDialect {
     val ts = ArrayBuffer(lex(sql, dqAsString = mode.dqAsString,
       eStrings = mode.eStrings, bracketIdents = mode.bracketIdents): _*)
 
-    // 0) T-SQL `SELECT TOP n` → trailing LIMIT n within the SELECT's scope
-    if (mode.msCalls) rewriteTopN(ts)
+    // 0) T-SQL `SELECT TOP n` family: the guarded PERCENT / WITH TIES
+    //    window restatements first, then plain TOP → trailing LIMIT
+    if (mode.msCalls) { rewriteTopTies(ts); rewriteTopN(ts) }
 
     // 0b) Postgres set-returning / SQL-regex extras
     if (mode.pgExtras) {
@@ -1584,12 +1590,137 @@ object SqlDialect {
     b.append(")$").toString
   }
 
+  /** T-SQL `SELECT [ALL] TOP n WITH TIES … ORDER BY o` and
+    * `SELECT [ALL] TOP n PERCENT [WITH TIES] … ORDER BY o` → the
+    * standard window restatements:
+    *  - WITH TIES ≡ `rank() OVER (ORDER BY o) <= n` (exact: a row has
+    *    rank ≤ n iff its tie-group intersects the first n positions —
+    *    precisely the rows TOP n WITH TIES returns),
+    *  - PERCENT ≡ `row_number() <= CEILING(count(*) OVER () * n / 100.0)`
+    *    (T-SQL rounds the row budget UP), rank() for the
+    *    PERCENT-WITH-TIES combination.
+    * GUARDED like [[rewriteDistinctOn]] — fires only when provably
+    * meaning-preserving: every select-list item has a derivable output
+    * name, an ORDER BY is present (T-SQL itself requires one for WITH
+    * TIES; a PERCENT without ORDER BY returns arbitrary rows — skipped
+    * → loud), every ORDER BY item resolves to a projected name, no
+    * DISTINCT quantifier (rank would be computed pre-dedup), no depth-0
+    * set operator in scope. Anything else passes through to Spark's own
+    * parse error. Scale note: the global rank window is the semantic
+    * cost of the construct itself — for the constant-n WITH TIES form
+    * Spark's InferWindowGroupLimit inserts a per-partition
+    * WindowGroupLimit before the single-partition exchange, so at most
+    * n+ties rows per upstream partition reach it (a global LIMIT's
+    * shape); the PERCENT form needs the total count and prices a full
+    * global sort, exactly like T-SQL's own execution. */
+  private def rewriteTopTies(ts: ArrayBuffer[Tok]): Unit = {
+    def isWord(t: Tok, w: String) = t match {
+      case Word(x) => x.equalsIgnoreCase(w)
+      case _ => false
+    }
+    var restart = true
+    while (restart) {
+      restart = false
+      var i = 0
+      while (i < ts.length && !restart) {
+        if (isWord(ts(i), "select")) {
+          var j = nextIdx(ts, i)
+          // ALL is a no-op quantifier; DISTINCT under the window
+          // restatement would rank pre-dedup → skip (loud)
+          if (j >= 0 && isWord(ts(j), "all")) j = nextIdx(ts, j)
+          if (j >= 0 && isWord(ts(j), "top")) {
+            val nIdx = nextIdx(ts, j)
+            val (limitText, consumedEnd) =
+              if (nIdx >= 0 && ts(nIdx).isInstanceOf[Num]) (ts(nIdx).text, nIdx)
+              else if (nIdx >= 0 && ts(nIdx) == Sym("(")) {
+                val close = primaryEnd(ts, nIdx)
+                (text(ts.slice(nIdx, close + 1)), close)
+              } else ("", -1)
+            if (consumedEnd >= 0) {
+              var clauseEnd = consumedEnd
+              var percent = false
+              val p = nextIdx(ts, clauseEnd)
+              if (p >= 0 && isWord(ts(p), "percent")) {
+                percent = true; clauseEnd = p
+              }
+              var ties = false
+              val w = nextIdx(ts, clauseEnd)
+              if (w >= 0 && isWord(ts(w), "with")) {
+                val t = nextIdx(ts, w)
+                if (t >= 0 && isWord(ts(t), "ties")) {
+                  ties = true; clauseEnd = t
+                }
+              }
+              if (percent || ties) {
+                // scope scan (the rewriteDistinctOn shape): first depth-0
+                // FROM / ORDER BY / LIMIT|OFFSET, set ops, scope end
+                var depth = 0
+                var k = clauseEnd + 1
+                var fromIdx = -1; var orderIdx = -1; var tailIdx = -1
+                var setOp = false
+                var scopeEnd = ts.length
+                while (k < ts.length && scopeEnd == ts.length) {
+                  ts(k) match {
+                    case Sym("(") => depth += 1
+                    case Sym(")") => if (depth == 0) scopeEnd = k else depth -= 1
+                    case Word(x) if depth == 0 =>
+                      val wl = x.toLowerCase
+                      if (wl == "from" && fromIdx < 0) fromIdx = k
+                      else if (wl == "order" && orderIdx < 0 && {
+                        val nb = nextIdx(ts, k); nb >= 0 && isWord(ts(nb), "by")
+                      }) orderIdx = k
+                      else if ((wl == "limit" || wl == "offset") && tailIdx < 0 &&
+                        fromIdx >= 0) tailIdx = k
+                      else if (wl == "union" || wl == "intersect" || wl == "except")
+                        setOp = true
+                    case _ =>
+                  }
+                  k += 1
+                }
+                if (fromIdx > clauseEnd && orderIdx > fromIdx && !setOp) {
+                  val names = selectListNames(ts, clauseEnd + 1, fromIdx)
+                  val byIdx = nextIdx(ts, orderIdx)
+                  val oEnd = if (tailIdx >= 0) tailIdx else scopeEnd
+                  val orderText = text(ts.slice(byIdx + 1, oEnd)).trim
+                  if (names.isDefined &&
+                      orderItemsResolve(orderText, names.get)) {
+                    val itemsText = text(ts.slice(clauseEnd + 1, fromIdx)).trim
+                    val midText = text(ts.slice(fromIdx, orderIdx)).trim
+                    val tailText =
+                      if (tailIdx >= 0) " " + text(ts.slice(tailIdx, scopeEnd)).trim
+                      else ""
+                    val namesCsv = names.get.mkString(", ")
+                    val (winCols, cutoff) =
+                      if (percent) {
+                        val rk = if (ties) "rank()" else "row_number()"
+                        (s"$rk OVER (ORDER BY $orderText) AS __gt_rk, " +
+                          "count(*) OVER () AS __gt_ct",
+                          s"__gt_rk <= CEILING(__gt_ct * ($limitText) / 100.0)")
+                      } else
+                        (s"rank() OVER (ORDER BY $orderText) AS __gt_rk",
+                          s"__gt_rk <= $limitText")
+                    splice(ts, i, scopeEnd - 1,
+                      s"SELECT $namesCsv FROM (SELECT $itemsText, $winCols " +
+                        s"$midText) __gt WHERE $cutoff ORDER BY $orderText$tailText")
+                    restart = true
+                  }
+                }
+              }
+            }
+          }
+        }
+        i += 1
+      }
+    }
+  }
+
   /** T-SQL `SELECT [ALL|DISTINCT] TOP n [expr-in-parens]` → remove the
     * TOP clause and append `LIMIT n` at the end of that SELECT's scope
     * (end of input for a depth-0 select, before the closing ")" for a
     * subquery). Left untouched — loud Spark error — when followed by
-    * PERCENT / WITH TIES, or when a depth-0 set operator shares the
-    * scope (LIMIT at scope end would bind to the wrong branch). */
+    * PERCENT / WITH TIES forms that fail [[rewriteTopTies]]'s guards,
+    * or when a depth-0 set operator shares the scope (LIMIT at scope
+    * end would bind to the wrong branch). */
   private def rewriteTopN(ts: ArrayBuffer[Tok]): Unit = {
     var restart = true
     while (restart) {

@@ -350,6 +350,67 @@ class SqlDialectSpec extends GraftSuite {
       == "SELECT timestampdiff(day, date_trunc('day', a), date_trunc('day', b)) FROM t")
   }
 
+  test("mssql: TOP WITH TIES / TOP PERCENT window restatements (guarded)") {
+    def ms(s: String) = toSparkSql(s, "mssql")
+    // WITH TIES ≡ rank() <= n (a row's tie-group intersects the first n
+    // positions exactly when its rank is <= n)
+    assert(ms("SELECT TOP 2 WITH TIES a FROM t ORDER BY a")
+      == "SELECT a FROM (SELECT a, rank() OVER (ORDER BY a) AS __gt_rk " +
+        "FROM t) __gt WHERE __gt_rk <= 2 ORDER BY a")
+    // PERCENT: row budget is CEILING(count * n / 100) — T-SQL rounds UP
+    assert(ms("SELECT TOP 10 PERCENT a FROM t ORDER BY a DESC")
+      == "SELECT a FROM (SELECT a, row_number() OVER (ORDER BY a DESC) " +
+        "AS __gt_rk, count(*) OVER () AS __gt_ct FROM t) __gt " +
+        "WHERE __gt_rk <= CEILING(__gt_ct * (10) / 100.0) ORDER BY a DESC")
+    // PERCENT WITH TIES: rank() with the CEILING budget
+    assert(ms("SELECT TOP 10 PERCENT WITH TIES a FROM t ORDER BY a")
+      == "SELECT a FROM (SELECT a, rank() OVER (ORDER BY a) " +
+        "AS __gt_rk, count(*) OVER () AS __gt_ct FROM t) __gt " +
+        "WHERE __gt_rk <= CEILING(__gt_ct * (10) / 100.0) ORDER BY a")
+    // parenthesized budget + aliased items + WHERE stays inside
+    assert(ms("SELECT TOP (3) WITH TIES a AS x, b FROM t WHERE b > 0 ORDER BY b")
+      == "SELECT x, b FROM (SELECT a AS x, b, rank() OVER (ORDER BY b) " +
+        "AS __gt_rk FROM t WHERE b > 0) __gt WHERE __gt_rk <= (3) ORDER BY b")
+    // guards: DISTINCT (rank would compute pre-dedup), no ORDER BY,
+    // set-op scope, underivable output name — all pass through → loud
+    assert(ms("SELECT DISTINCT TOP 3 WITH TIES a FROM t ORDER BY a")
+      == "SELECT DISTINCT TOP 3 WITH TIES a FROM t ORDER BY a")
+    assert(ms("SELECT TOP 3 WITH TIES a FROM t")
+      == "SELECT TOP 3 WITH TIES a FROM t")
+    assert(ms("SELECT TOP 3 WITH TIES a FROM t UNION SELECT b FROM u ORDER BY a")
+      == "SELECT TOP 3 WITH TIES a FROM t UNION SELECT b FROM u ORDER BY a")
+    assert(ms("SELECT TOP 3 WITH TIES a + 1 FROM t ORDER BY a")
+      == "SELECT TOP 3 WITH TIES a + 1 FROM t ORDER BY a")
+    // ORDER BY item that doesn't resolve to a projected name → untouched
+    assert(ms("SELECT TOP 3 WITH TIES a FROM t ORDER BY b")
+      == "SELECT TOP 3 WITH TIES a FROM t ORDER BY b")
+  }
+
+  test("mssql end-to-end: TOP WITH TIES and TOP PERCENT execute") {
+    val df = Seq((1L, 10L), (2L, 10L), (3L, 9L), (4L, 8L), (5L, 8L),
+      (6L, 8L), (7L, 7L), (8L, 6L), (9L, 5L), (10L, 4L))
+      .toDF("id", "score")
+    // TOP 3 WITH TIES by score DESC: rows 10,10,9 — the 3rd row (9) has
+    // no ties, so exactly 3 rows
+    val ties3 = g.transformLazy(
+      "SELECT TOP 3 WITH TIES id, score FROM {{src}} ORDER BY score DESC",
+      Map("src" -> df), dialect = "mssql")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(ties3 == Seq((1L, 10L), (2L, 10L), (3L, 9L)))
+    // TOP 4 WITH TIES: the 4th row is one of three tied 8s → all join
+    val ties4 = g.transformLazy(
+      "SELECT TOP 4 WITH TIES id, score FROM {{src}} ORDER BY score DESC",
+      Map("src" -> df), dialect = "mssql")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(ties4 == Seq((1L, 10L), (2L, 10L), (3L, 9L), (4L, 8L), (5L, 8L), (6L, 8L)))
+    // TOP 25 PERCENT of 10 rows = ceiling(2.5) = 3 rows
+    val pct = g.transformLazy(
+      "SELECT TOP 25 PERCENT id, score FROM {{src}} ORDER BY score DESC",
+      Map("src" -> df), dialect = "mssql")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(pct.length == 3 && pct.map(_._2).min >= 9L)
+  }
+
   test("mssql end-to-end: a T-SQL-flavored transform executes") {
     val df = Seq((1L, "1-URGENT", "2024-03-05"), (2L, null, "2024-04-20"),
       (3L, "3-LOW", "2024-02-11"))

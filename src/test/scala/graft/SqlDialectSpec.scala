@@ -409,6 +409,14 @@ class SqlDialectSpec extends GraftSuite {
       Map("src" -> df), dialect = "mssql")
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(pct.length == 3 && pct.map(_._2).min >= 9L)
+    // scale-shape pin: the constant-n WITH TIES rank filter must plan a
+    // WindowGroupLimit (per-partition top-k ahead of the final exchange
+    // — a global LIMIT's shape), not a full global sort of every row
+    val tiesPlan = g.transformLazy(
+      "SELECT TOP 3 WITH TIES id, score FROM {{src}} ORDER BY score DESC",
+      Map("src" -> df), dialect = "mssql")
+      .queryExecution.optimizedPlan.toString
+    assert(tiesPlan.contains("WindowGroupLimit"), tiesPlan)
   }
 
   test("mssql end-to-end: a T-SQL-flavored transform executes") {

@@ -1605,7 +1605,10 @@ object SqlDialect {
     * TIES; a PERCENT without ORDER BY returns arbitrary rows — skipped
     * → loud), every ORDER BY item resolves to a projected name, no
     * DISTINCT quantifier (rank would be computed pre-dedup), no depth-0
-    * set operator in scope. Anything else passes through to Spark's own
+    * set operator in scope, and a PERCENT budget that is a literal
+    * provably in T-SQL's accepted [0, 100] range (out-of-range budgets
+    * error there; the CEILING restatement would silently return all
+    * rows instead). Anything else passes through to Spark's own
     * parse error. Scale note: the global rank window is the semantic
     * cost of the construct itself — for the constant-n WITH TIES form
     * Spark's InferWindowGroupLimit inserts a per-partition
@@ -1639,9 +1642,18 @@ object SqlDialect {
             if (consumedEnd >= 0) {
               var clauseEnd = consumedEnd
               var percent = false
+              var budgetOk = true
               val p = nextIdx(ts, clauseEnd)
               if (p >= 0 && isWord(ts(p), "percent")) {
                 percent = true; clauseEnd = p
+                // T-SQL rejects PERCENT budgets outside [0, 100]; the
+                // CEILING restatement would silently accept them (150
+                // PERCENT → all rows). Rewrite only a literal budget
+                // provably in range — anything else stays loud.
+                budgetOk = ts(nIdx) match {
+                  case Num(t) => t.toDoubleOption.exists(v => v >= 0 && v <= 100)
+                  case _ => false
+                }
               }
               var ties = false
               val w = nextIdx(ts, clauseEnd)
@@ -1651,7 +1663,7 @@ object SqlDialect {
                   ties = true; clauseEnd = t
                 }
               }
-              if (percent || ties) {
+              if ((percent || ties) && budgetOk) {
                 // scope scan (the rewriteDistinctOn shape): first depth-0
                 // FROM / ORDER BY / LIMIT|OFFSET, set ops, scope end
                 var depth = 0

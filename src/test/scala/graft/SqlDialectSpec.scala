@@ -384,6 +384,18 @@ class SqlDialectSpec extends GraftSuite {
     // ORDER BY item that doesn't resolve to a projected name → untouched
     assert(ms("SELECT TOP 3 WITH TIES a FROM t ORDER BY b")
       == "SELECT TOP 3 WITH TIES a FROM t ORDER BY b")
+    // T-SQL rejects PERCENT budgets outside [0, 100] — the rewrite
+    // would silently return all rows, so out-of-range or non-literal
+    // budgets stay untouched → loud
+    assert(ms("SELECT TOP 150 PERCENT a FROM t ORDER BY a")
+      == "SELECT TOP 150 PERCENT a FROM t ORDER BY a")
+    assert(ms("SELECT TOP (5) PERCENT a FROM t ORDER BY a")
+      == "SELECT TOP (5) PERCENT a FROM t ORDER BY a")
+    // decimal budgets are fine (T-SQL PERCENT takes float)
+    assert(ms("SELECT TOP 2.5 PERCENT a FROM t ORDER BY a")
+      == "SELECT a FROM (SELECT a, row_number() OVER (ORDER BY a) " +
+        "AS __gt_rk, count(*) OVER () AS __gt_ct FROM t) __gt " +
+        "WHERE __gt_rk <= CEILING(__gt_ct * (2.5) / 100.0) ORDER BY a")
   }
 
   test("mssql end-to-end: TOP WITH TIES and TOP PERCENT execute") {

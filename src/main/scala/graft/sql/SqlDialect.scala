@@ -487,7 +487,17 @@ object SqlDialect {
     * meaning. */
   private def datePartCanonFor(mode: Mode): Map[String, String] =
     if (mode.msCalls) datePartCanon ++ Map("m" -> "month", "n" -> "minute")
-    else datePartCanon ++ Map("m" -> "minute", "w" -> "week", "y" -> "year")
+    else datePartCanon ++ Map(
+      "m" -> "minute", "w" -> "week", "y" -> "year",
+      // Redshift/Snowflake day-of-week and day-of-year families —
+      // their dow (0 = Sunday) matches Spark's date_part('dow')
+      // exactly, and doy is calendar-day-of-year everywhere. T-SQL's
+      // dw/weekday are DATEFIRST-dependent and its y/dy mean
+      // dayofyear, so the mssql branch maps NONE of these (loud).
+      "dow" -> "dow", "dw" -> "dow", "dayofweek" -> "dow",
+      "weekday" -> "dow",
+      "doy" -> "doy", "dy" -> "doy", "dayofyear" -> "doy",
+      "yday" -> "doy")
 
   /** BigQuery strftime-style format tokens → java.time patterns. */
   private val strftimeTokens = Seq(
@@ -892,19 +902,19 @@ object SqlDialect {
             // untouched → loud Spark error.
             val a1 = nextIdx(ts, nx)
             if (a1 >= 0) ts(a1) match {
-              case Word(_) =>
-                canonicalPartAt(ts, a1, mode).foreach { part =>
-                  ts(i) = Raw("date_part")
-                  ts(a1) = Raw("'" + part + "'")
-                }
-              case Str(_) =>
-                // quoted aliases carry the same dialect meaning — only
-                // rewrite when the canonical name differs (keeps the
-                // pass idempotent: 'month' maps to itself)
-                canonicalPartAt(ts, a1, mode).foreach { part =>
-                  ts(i) = Raw("date_part")
-                  ts(a1) = Raw("'" + part + "'")
-                }
+              case Word(_) | Str(_) =>
+                // bare and quoted aliases carry the same dialect
+                // meaning and route through the same map. mssql:
+                // 'week' (wk/ww) is EXCLUDED like DATEDIFF's — T-SQL
+                // DATEPART(week) numbers weeks from Jan 1 under
+                // DATEFIRST, Spark's 'week' is ISO; a rewrite would
+                // silently shift week numbers → loud instead.
+                canonicalPartAt(ts, a1, mode)
+                  .filterNot(p => mode.msCalls && p == "week")
+                  .foreach { part =>
+                    ts(i) = Raw("date_part")
+                    ts(a1) = Raw("'" + part + "'")
+                  }
               case _ => if (wl == "datepart") ts(i) = Raw("date_part")
             }
           } else if (isCall && mode.sfCalls &&
@@ -1299,8 +1309,16 @@ object SqlDialect {
     *    qualified column, or an [AS] alias; `*` or an unaliased
     *    expression skip),
     *  - the DISTINCT ON keys contain no positional (numeric) refs,
-    *  - every ORDER BY item (modulo ASC/DESC/NULLS …) resolves to a
-    *    projected output name (the outer select re-orders by it),
+    *  - every ORDER BY item (modulo ASC/DESC/NULLS …) is an
+    *    unqualified projected output name (the outer select re-orders
+    *    by it). Because Spark resolves a WINDOW's ORDER BY against the
+    *    INPUT scope while Postgres ranks by the output, an item naming
+    *    a select-list ALIAS is substituted with the alias's underlying
+    *    column in the generated window ([[windowOrderFor]]) — and when
+    *    the alias covers a general EXPRESSION (underivable /
+    *    undeterminable at token level) the rewrite is skipped; compute
+    *    the expression in a subquery instead
+    *    (op_transform_dialect_pg5 demonstrates the shape),
     *  - no set operator shares the scope.
     * Anything else leaves DISTINCT ON untouched → Spark's own parse
     * error, never a silent meaning change. GROUP BY/HAVING stay inside
@@ -1309,12 +1327,11 @@ object SqlDialect {
     * NULLS-ordering defaults (NULLS LAST for ASC / NULLS FIRST for
     * DESC — the opposite of Spark) are made explicit by
     * [[rewriteNullsOrdering]] on the fixpoint re-lex, including inside
-    * the generated window's ORDER BY. Known Spark-side residue: an
-    * ORDER BY key that is a same-SELECT alias of an EXPRESSION hits
-    * Spark's lateral-alias-in-window restriction
-    * (UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_WINDOW) — a loud
-    * analysis error; compute the expression in a subquery instead
-    * (op_transform_dialect_pg5 demonstrates the shape). */
+    * the generated window's ORDER BY. Known residue: the DISTINCT ON
+    * KEYS pass through verbatim into PARTITION BY (input scope) — a
+    * key naming a select alias that shadows a real input column keeps
+    * the input-column meaning; alias keys over bare columns are
+    * idempotent either way. */
   private def rewriteDistinctOn(ts: ArrayBuffer[Tok]): Unit = {
     def isWord(t: Tok, w: String) = t match {
       case Word(x) => x.equalsIgnoreCase(w)
@@ -1349,6 +1366,9 @@ object SqlDialect {
               ts(k) match {
                 case Sym("(") => depth += 1
                 case Sym(")") => if (depth == 0) scopeEnd = k else depth -= 1
+                // a statement-terminating semicolon ends the scope (verbatim
+                // .sql files commonly carry one)
+                case Sym(";") if depth == 0 => scopeEnd = k
                 case Word(w) if depth == 0 =>
                   val wl = w.toLowerCase
                   if (wl == "from" && fromIdx < 0) fromIdx = k
@@ -1365,8 +1385,8 @@ object SqlDialect {
             }
             val itemsEnd = if (fromIdx >= 0) fromIdx else -1
             if (!keysPositional && !setOp && itemsEnd > keysClose) {
-              // output names of the select list (None = underivable → skip)
-              val names = selectListNames(ts, keysClose + 1, itemsEnd)
+              // output names + underlying chains (None = underivable → skip)
+              val items = selectListItems(ts, keysClose + 1, itemsEnd)
               val midEnd =
                 if (orderIdx >= 0) orderIdx
                 else if (tailIdx >= 0) tailIdx else scopeEnd
@@ -1376,20 +1396,25 @@ object SqlDialect {
                   val oEnd = if (tailIdx >= 0) tailIdx else scopeEnd
                   Some(text(ts.slice(byIdx + 1, oEnd)).trim)
                 } else None
-              val orderOk = orderText.forall(ot =>
-                names.exists(ns => orderItemsResolve(ot, ns)))
-              if (names.isDefined && orderOk) {
+              // the window's ORDER BY resolves against the INPUT scope,
+              // so alias-typed order items substitute their underlying
+              // column ([[windowOrderFor]]); no ORDER BY → keys order
+              // (keysText is input-scope by construction)
+              val windowOrder: Option[String] = orderText match {
+                case Some(ot) => items.flatMap(its => windowOrderFor(ot, its))
+                case None => Some(keysText)
+              }
+              if (items.isDefined && windowOrder.isDefined) {
                 val itemsText = text(ts.slice(keysClose + 1, itemsEnd)).trim
                 val midText = text(ts.slice(fromIdx, midEnd)).trim
                 val tailText =
                   if (tailIdx >= 0) " " + text(ts.slice(tailIdx, scopeEnd)).trim
                   else ""
-                val windowOrder = orderText.getOrElse(keysText)
                 val outerOrder = orderText.map(ot => s" ORDER BY $ot").getOrElse("")
-                val namesCsv = names.get.mkString(", ")
+                val namesCsv = items.get.map(_._1).mkString(", ")
                 splice(ts, i, scopeEnd - 1,
                   s"SELECT $namesCsv FROM (SELECT $itemsText, row_number() OVER " +
-                    s"(PARTITION BY $keysText ORDER BY $windowOrder) AS __gd_rn " +
+                    s"(PARTITION BY $keysText ORDER BY ${windowOrder.get}) AS __gd_rn " +
                     s"$midText) __gd WHERE __gd_rn = 1$outerOrder$tailText")
                 restart = true
               }
@@ -1403,11 +1428,29 @@ object SqlDialect {
 
   /** Output names of a select list slice, or None when any item's name
     * is underivable (`*`, unaliased expressions). */
-  private def selectListNames(
-      ts: ArrayBuffer[Tok], from: Int, until: Int): Option[Seq[String]] = {
-    val names = Vector.newBuilder[String]
+  /** Select-list items as (output name, underlying bare-column chain):
+    * the chain is Some("t.a"-style text) when the item is a bare
+    * (possibly qualified) column or an alias OF one, None when the
+    * aliased operand is a general expression. Returns None overall when
+    * any item's output name is underivable (`*`, unaliased
+    * expressions). */
+  private def selectListItems(
+      ts: ArrayBuffer[Tok], from: Int, until: Int): Option[Seq[(String, Option[String])]] = {
+    val items = Vector.newBuilder[(String, Option[String])]
     var depth = 0
     var itemToks = Vector.newBuilder[Tok]
+    def chainText(toks: Vector[Tok]): Option[String] = {
+      // a bare (possibly qualified) column: words joined by dots
+      val colish = toks.nonEmpty && toks.length % 2 == 1 &&
+        toks.zipWithIndex.forall {
+          case (Word(w), idx) if idx % 2 == 0 =>
+            !preUnaryKeywords.contains(w.toLowerCase)
+          case (QIdent(_), idx) if idx % 2 == 0 => true
+          case (Sym("."), idx) if idx % 2 == 1 => true
+          case _ => false
+        }
+      if (colish) Some(toks.map(_.text).mkString) else None
+    }
     def finish(): Boolean = {
       val toks = itemToks.result().filterNot(_.isInstanceOf[Ws])
       itemToks = Vector.newBuilder[Tok]
@@ -1429,18 +1472,17 @@ object SqlDialect {
         case _ => None
       }
       explicitAlias match {
-        case Some(n) => names += n; true
+        case Some(n) =>
+          val op = toks(toks.length - 2) match {
+            case Word(a) if a.equalsIgnoreCase("as") => toks.dropRight(2)
+            case _ => toks.dropRight(1)
+          }
+          items += ((n, chainText(op))); true
         case None =>
-          // a bare (possibly qualified) column: words joined by dots
-          val colish = toks.length % 2 == 1 &&
-            toks.zipWithIndex.forall {
-              case (Word(w), idx) if idx % 2 == 0 =>
-                !preUnaryKeywords.contains(w.toLowerCase)
-              case (QIdent(_), idx) if idx % 2 == 0 => true
-              case (Sym("."), idx) if idx % 2 == 1 => true
-              case _ => false
-            }
-          if (colish) { names += toks.last.text; true } else false
+          chainText(toks) match {
+            case Some(c) => items += ((toks.last.text, Some(c))); true
+            case None => false
+          }
       }
     }
     var j = from
@@ -1456,20 +1498,39 @@ object SqlDialect {
       j += 1
     }
     if (!finish()) return None
-    Some(names.result())
+    Some(items.result())
   }
 
-  /** Every ORDER BY item (modulo direction/null-order suffixes) must be
-    * a column whose last segment is a projected output name. */
-  private def orderItemsResolve(orderText: String, names: Seq[String]): Boolean = {
-    val lowered = names.map(n => n.stripPrefix("`").stripSuffix("`").toLowerCase).toSet
-    orderText.split(",").forall { item =>
-      val words = item.trim.split("\\s+").toSeq
-      val base = words.takeWhile(w => !Set("asc", "desc", "nulls")
-        .contains(w.toLowerCase)).mkString(" ")
-      val seg = base.split("\\.").last.trim.stripPrefix("`").stripSuffix("`")
-      seg.nonEmpty && !base.contains("(") && lowered.contains(seg.toLowerCase)
+  /** The INNER-window ORDER BY text for a dialect window rewrite
+    * (DISTINCT ON / TOP WITH TIES). The dialect semantics rank by the
+    * OUTPUT columns, but Spark resolves a window's ORDER BY against the
+    * INPUT scope — so an ORDER BY item naming a select-list ALIAS must
+    * be substituted with the alias's underlying column, or it would
+    * silently rank by a same-named base column where one exists (and
+    * error on the lateral alias where one does not). Each item's base
+    * must be an UNQUALIFIED projected output name (the outer re-ORDER
+    * references output scope); pass-through columns keep their text,
+    * aliases of bare (possibly qualified) columns substitute the
+    * underlying chain, and aliases of general expressions return None —
+    * the substitution cannot be proven deterministic at token level, so
+    * the caller skips the rewrite (loud). */
+  private def windowOrderFor(orderText: String,
+      items: Seq[(String, Option[String])]): Option[String] = {
+    val byName = items.map { case (n, e) =>
+      n.stripPrefix("`").stripSuffix("`").toLowerCase -> e }.toMap
+    val parts: Seq[Option[String]] = orderText.split(",").toSeq.map { raw =>
+      val words = raw.trim.split("\\s+").toSeq
+      val (baseWords, sufWords) = words.span(w =>
+        !Set("asc", "desc", "nulls").contains(w.toLowerCase))
+      val base = baseWords.mkString(" ")
+      val key = base.stripPrefix("`").stripSuffix("`")
+      if (base.contains(".") || base.contains("(") || base.contains(" ") ||
+          key.isEmpty) None
+      else byName.get(key.toLowerCase).flatten.map { chain =>
+        (chain +: sufWords).mkString(" ")
+      }
     }
+    if (parts.forall(_.isDefined)) Some(parts.flatten.mkString(", ")) else None
   }
 
   /** Postgres array membership: `expr = ANY(ARRAY[…])` / `expr =
@@ -1603,7 +1664,10 @@ object SqlDialect {
     * meaning-preserving: every select-list item has a derivable output
     * name, an ORDER BY is present (T-SQL itself requires one for WITH
     * TIES; a PERCENT without ORDER BY returns arbitrary rows — skipped
-    * → loud), every ORDER BY item resolves to a projected name, no
+    * → loud), every ORDER BY item is an unqualified projected name
+    * (alias items substitute their underlying column in the generated
+    * window via [[windowOrderFor]] — T-SQL ranks by the OUTPUT, Spark
+    * windows resolve the INPUT scope; expression aliases skip), no
     * DISTINCT quantifier (rank would be computed pre-dedup), no depth-0
     * set operator in scope, and a PERCENT budget that is a literal
     * provably in T-SQL's accepted [0, 100] range (out-of-range budgets
@@ -1675,6 +1739,9 @@ object SqlDialect {
                   ts(k) match {
                     case Sym("(") => depth += 1
                     case Sym(")") => if (depth == 0) scopeEnd = k else depth -= 1
+                    // a statement-terminating semicolon ends the scope (verbatim
+                    // .sql files commonly carry one)
+                    case Sym(";") if depth == 0 => scopeEnd = k
                     case Word(x) if depth == 0 =>
                       val wl = x.toLowerCase
                       if (wl == "from" && fromIdx < 0) fromIdx = k
@@ -1690,26 +1757,30 @@ object SqlDialect {
                   k += 1
                 }
                 if (fromIdx > clauseEnd && orderIdx > fromIdx && !setOp) {
-                  val names = selectListNames(ts, clauseEnd + 1, fromIdx)
+                  val items = selectListItems(ts, clauseEnd + 1, fromIdx)
                   val byIdx = nextIdx(ts, orderIdx)
                   val oEnd = if (tailIdx >= 0) tailIdx else scopeEnd
                   val orderText = text(ts.slice(byIdx + 1, oEnd)).trim
-                  if (names.isDefined &&
-                      orderItemsResolve(orderText, names.get)) {
+                  // the window resolves ORDER BY against the INPUT
+                  // scope — alias-typed items substitute their
+                  // underlying column ([[windowOrderFor]])
+                  val winOrder = items.flatMap(its =>
+                    windowOrderFor(orderText, its))
+                  if (items.isDefined && winOrder.isDefined) {
                     val itemsText = text(ts.slice(clauseEnd + 1, fromIdx)).trim
                     val midText = text(ts.slice(fromIdx, orderIdx)).trim
                     val tailText =
                       if (tailIdx >= 0) " " + text(ts.slice(tailIdx, scopeEnd)).trim
                       else ""
-                    val namesCsv = names.get.mkString(", ")
+                    val namesCsv = items.get.map(_._1).mkString(", ")
                     val (winCols, cutoff) =
                       if (percent) {
                         val rk = if (ties) "rank()" else "row_number()"
-                        (s"$rk OVER (ORDER BY $orderText) AS __gt_rk, " +
+                        (s"$rk OVER (ORDER BY ${winOrder.get}) AS __gt_rk, " +
                           "count(*) OVER () AS __gt_ct",
                           s"__gt_rk <= CEILING(__gt_ct * ($limitText) / 100.0)")
                       } else
-                        (s"rank() OVER (ORDER BY $orderText) AS __gt_rk",
+                        (s"rank() OVER (ORDER BY ${winOrder.get}) AS __gt_rk",
                           s"__gt_rk <= $limitText")
                     splice(ts, i, scopeEnd - 1,
                       s"SELECT $namesCsv FROM (SELECT $itemsText, $winCols " +

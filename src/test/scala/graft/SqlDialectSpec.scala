@@ -276,6 +276,17 @@ class SqlDialectSpec extends GraftSuite {
     // Redshift (like Snowflake) reads bare 'm' as MINUTE — month is mon/months
     assert(rs("SELECT DATEADD(m, 5, d) FROM t")
       == "SELECT timestampadd(minute, 5, d) FROM t")
+    // day-of-week / day-of-year families: Redshift dow (0 = Sunday)
+    // matches Spark's date_part('dow') exactly; doy is calendar
+    // day-of-year in both
+    assert(rs("SELECT DATE_PART(dow, d) FROM t")
+      == "SELECT date_part('dow', d) FROM t")
+    assert(rs("SELECT DATE_PART(weekday, d) FROM t")
+      == "SELECT date_part('dow', d) FROM t")
+    assert(rs("SELECT DATE_PART(dayofyear, d) FROM t")
+      == "SELECT date_part('doy', d) FROM t")
+    assert(rs("SELECT DATE_PART(dy, d) FROM t")
+      == "SELECT date_part('doy', d) FROM t")
     // unknown alias: untouched -> loud Spark error, never a guess
     assert(rs("SELECT DATE_PART(fortnight, d) FROM t")
       == "SELECT DATE_PART(fortnight, d) FROM t")
@@ -335,6 +346,17 @@ class SqlDialectSpec extends GraftSuite {
     // meanings; unmapped -> untouched -> loud Spark error
     assert(ms("SELECT DATEPART(w, d) FROM t") == "SELECT DATEPART(w, d) FROM t")
     assert(ms("SELECT DATEPART(y, d) FROM t") == "SELECT DATEPART(y, d) FROM t")
+    // T-SQL DATEPART(week) numbers weeks from Jan 1 under DATEFIRST;
+    // Spark's 'week' is ISO — excluded like DATEDIFF's, loud not shifted
+    assert(ms("SELECT DATEPART(wk, d) FROM t") == "SELECT DATEPART(wk, d) FROM t")
+    assert(ms("SELECT DATEPART(week, d) FROM t") == "SELECT DATEPART(week, d) FROM t")
+    // weekday/dw are DATEFIRST-dependent: not in the mssql map -> loud
+    assert(ms("SELECT DATEPART(weekday, d) FROM t")
+      == "SELECT DATEPART(weekday, d) FROM t")
+    // DATEADD(week) is unaffected (adding weeks is adding 7-day spans,
+    // no boundary semantics)
+    assert(ms("SELECT DATEADD(wk, 2, d) FROM t")
+      == "SELECT timestampadd(week, 2, d) FROM t")
     // T-SQL DATEDIFF(week) counts SUNDAY boundary crossings; the
     // Monday-based date_trunc rewrite would be off by one -> excluded, loud
     assert(ms("SELECT DATEDIFF(week, a, b) FROM t")
@@ -384,6 +406,20 @@ class SqlDialectSpec extends GraftSuite {
     // ORDER BY item that doesn't resolve to a projected name → untouched
     assert(ms("SELECT TOP 3 WITH TIES a FROM t ORDER BY b")
       == "SELECT TOP 3 WITH TIES a FROM t ORDER BY b")
+    // ORDER BY an alias of a bare column: the window substitutes the
+    // underlying column (T-SQL ranks by the OUTPUT; a window alias
+    // would silently resolve to a same-named base column)
+    assert(ms("SELECT TOP 1 WITH TIES b AS a FROM t ORDER BY a")
+      == "SELECT a FROM (SELECT b AS a, rank() OVER (ORDER BY b) " +
+        "AS __gt_rk FROM t) __gt WHERE __gt_rk <= 1 ORDER BY a")
+    // alias of an EXPRESSION: substitution unprovable → untouched → loud
+    assert(ms("SELECT TOP 1 WITH TIES a + 1 AS x FROM t ORDER BY x")
+      == "SELECT TOP 1 WITH TIES a + 1 AS x FROM t ORDER BY x")
+    // a statement-terminating semicolon ends the scope (verbatim .sql
+    // files carry one) instead of poisoning the ORDER BY text
+    assert(ms("SELECT TOP 3 WITH TIES a FROM t ORDER BY a;")
+      == "SELECT a FROM (SELECT a, rank() OVER (ORDER BY a) " +
+        "AS __gt_rk FROM t) __gt WHERE __gt_rk <= 3 ORDER BY a;")
     // T-SQL rejects PERCENT budgets outside [0, 100] — the rewrite
     // would silently return all rows, so out-of-range or non-literal
     // budgets stay untouched → loud
@@ -509,11 +545,20 @@ class SqlDialectSpec extends GraftSuite {
     assert(pg("SELECT DISTINCT ON (k) k, v FROM t")
       == "SELECT k, v FROM (SELECT k, v, row_number() OVER " +
          "(PARTITION BY k ORDER BY k NULLS LAST) AS __gd_rn FROM t) __gd WHERE __gd_rn = 1")
-    // aliased expression + LIMIT
+    // ORDER BY on an alias of a BARE column: the window (input scope)
+    // substitutes the underlying column — Postgres ranks by the OUTPUT
+    // alias, and leaving the alias in the window would silently rank by
+    // a same-named base column where one exists
+    assert(pg("SELECT DISTINCT ON (k) k, b AS x FROM t ORDER BY k, x DESC")
+      == "SELECT k, x FROM (SELECT k, b AS x, row_number() OVER " +
+         "(PARTITION BY k ORDER BY k NULLS LAST, b DESC NULLS FIRST) AS __gd_rn FROM t) __gd " +
+         "WHERE __gd_rn = 1 ORDER BY k NULLS LAST, x DESC NULLS FIRST")
+    // ORDER BY on an alias of an EXPRESSION: the substitution cannot be
+    // proven deterministic at token level → untouched → loud (compute
+    // the expression in a subquery; pg5 demonstrates)
     assert(pg("SELECT DISTINCT ON (k) k, v * 2 AS dv FROM t ORDER BY k, dv LIMIT 3")
-      == "SELECT k, dv FROM (SELECT k, v * 2 AS dv, row_number() OVER " +
-         "(PARTITION BY k ORDER BY k NULLS LAST, dv NULLS LAST) AS __gd_rn FROM t) __gd " +
-         "WHERE __gd_rn = 1 ORDER BY k NULLS LAST, dv NULLS LAST LIMIT 3")
+      == "SELECT DISTINCT ON (k) k, v * 2 AS dv FROM t " +
+         "ORDER BY k NULLS LAST, dv NULLS LAST LIMIT 3")
     // guards: star, unaliased expression, positional keys, set ops,
     // ORDER BY on a non-projected column — all untouched → loud
     assert(pg("SELECT DISTINCT ON (k) * FROM t")

@@ -1440,26 +1440,78 @@ object PipelineQueries {
     * (+100001) so every duplicate pair SPANS the batch boundary and only
     * the persisted fingerprint state can catch it. Expected keep rule:
     * first batch wins, then min id — replayed in DuckDB as one
-    * row_number over (batch, doc_id). */
+    * row_number over (batch, doc_id).
+    *
+    * Batch 0 (the [[Dedup.incrementalExactDedup]] store-building dump)
+    * stages ONCE per app+dataset — the [[dedupMinHashIncremental]]
+    * pattern: a per-invocation store would register one external table
+    * and one /tmp state dir per bench repetition (the leak class the
+    * minhash twin's DROP fixed), and a shared store cannot be
+    * re-appended without the second pass anti-joining batch 0 against
+    * its own fingerprints. Each invocation then prices batch 1's
+    * READ-ONLY dump — exactly what dump N costs in production — and
+    * the lazy dry plan is what lets the driver's dump show the
+    * `Bucketed: true` store scan. The unstaged full two-batch run
+    * stays priced by bench-only `p_dedup_incremental_fresh`. */
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir).select("doc_id", "text")
     val corpus = d.unionByName(
       d.select((col("doc_id") + 100001).as("doc_id"), col("text")))
       .repartition(spark.sparkContext.defaultParallelism)
-    val state = "/tmp/graft-dedup-state-" +
-      java.util.UUID.randomUUID().toString.take(8)
     // store buckets = shuffle parallelism: the dump's dedup output is
     // already hash-partitioned on the fingerprint pair, so the store
     // anti-join aligns with ZERO additional exchange (PlanSpec pins it)
     val nb = spark.sparkContext.defaultParallelism
-    val kept1 = Dedup.incrementalExactDedup(
-      corpus.where(col("doc_id") % 2 === 0), Seq("text"), "doc_id", state, nb)
+    val key = spark.sparkContext.applicationId + "|exact|" + sfDir
+    val stage = exactIncStage.computeIfAbsent(key, _ => {
+      val dir = graft.io.TempDirs.registerForCleanup(java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft-exactstore-" + spark.sparkContext.applicationId + "-" +
+          sfDir.replaceAll("[^A-Za-z0-9.-]", "_"))).toString
+      val kept1 = Dedup.incrementalExactDedup(
+        corpus.where(col("doc_id") % 2 === 0), Seq("text"), "doc_id",
+        s"$dir/state", nb)
+      kept1.select("doc_id").write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/kept0")
+      dir
+    })
     // terminal dump runs the READ-ONLY form: same survivors, no append a
     // later dump would consume — and the returned plan stays lazy, so
     // the driver's plan dump shows the bucketed store scan itself
     val kept2 = Dedup.incrementalExactDedupDry(
+      corpus.where(col("doc_id") % 2 === 1), Seq("text"), "doc_id",
+      s"$stage/state", nb)
+    spark.read.parquet(s"$stage/kept0")
+      .unionByName(kept2.select("doc_id")).orderBy("doc_id")
+  }
+
+  private val exactIncStage =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The UNSTAGED full two-batch incremental exact-dedup run — builds a
+    * throwaway store (batch 0 append + batch 1 read-only), prices both
+    * dumps including the bucketed store write, then drops the store
+    * table it registered (bench-only: the contract row's staged shape
+    * is [[dedupIncremental]]). */
+  def dedupIncrementalFresh(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select("doc_id", "text")
+    val corpus = d.unionByName(
+      d.select((col("doc_id") + 100001).as("doc_id"), col("text")))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val nb = spark.sparkContext.defaultParallelism
+    val state = graft.io.TempDirs.registerForCleanup(java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-exactstore-fresh-" +
+        java.util.UUID.randomUUID().toString.take(8))).toString + "/state"
+    val kept1 = Dedup.incrementalExactDedup(
+      corpus.where(col("doc_id") % 2 === 0), Seq("text"), "doc_id", state, nb)
+    val kept2 = Dedup.incrementalExactDedupDry(
       corpus.where(col("doc_id") % 2 === 1), Seq("text"), "doc_id", state, nb)
-    kept1.unionByName(kept2).select("doc_id").orderBy("doc_id")
+    // materialize BEFORE dropping the throwaway store's catalog entry
+    // (the lazy dry plan reads the table)
+    val out = kept1.unionByName(kept2).select("doc_id").orderBy("doc_id")
+      .localCheckpoint()
+    Dedup.dropIncrementalStoreTable(spark, state)
+    out
   }
 
   /** Duplicated-window coverage over a corpus where every 4th doc has an
@@ -3627,6 +3679,10 @@ object PipelineQueries {
         docsWithNearDups(s, dir), "doc_id", "text",
         shingleSize = 3, numHashes = 16, bands = 8).cache())
     }),
+    // the unstaged full two-batch exact-dedup run (store build + dump):
+    // the contract row p_dedup_incremental stages batch 0, this twin
+    // keeps the full-run pricing on the board
+    "p_dedup_incremental_fresh" -> (dedupIncrementalFresh _),
   )
 
   /** Word-3-shingle set expression shared by the minhash oracle. */

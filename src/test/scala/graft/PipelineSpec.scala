@@ -1602,6 +1602,41 @@ class PipelineSpec extends GraftSuite {
     assert(Dedup.incrementalExactDedup(b3, Seq("text"), "doc_id", state).isEmpty)
   }
 
+  test("incrementalExactDedup: a legacy plain-parquet store migrates to bucketed") {
+    val root = java.nio.file.Files.createTempDirectory("inc-migrate").toString
+    val bucketed = root + "/bucketed"
+    val b1 = Seq((2L, "alpha beta"), (4L, "gamma delta")).toDF("doc_id", "text")
+    Dedup.incrementalExactDedup(b1, Seq("text"), "doc_id", bucketed)
+    // simulate a store written by the pre-bucketed version: same
+    // (fp, fp2) rows, plain write → part files without the bucket-id
+    // suffix the CLUSTERED BY registration requires
+    val legacy = root + "/legacy"
+    spark.read.parquet(bucketed).write.parquet(legacy)
+    assert(new java.io.File(legacy).listFiles().map(_.getName)
+      .filter(_.startsWith("part-")).forall(!_.matches(".*_\\d{5}\\.c\\d{3}.*")))
+    // first touch of the legacy dir migrates it in place, then the
+    // anti-join behaves exactly like the bucketed store's
+    val b2 = Seq((1L, "alpha beta"), (3L, "epsilon zeta")).toDF("doc_id", "text")
+    val k = Dedup.incrementalExactDedupDry(b2, Seq("text"), "doc_id", legacy)
+    assert(k.select("doc_id").as[Long].collect().toSeq == Seq(3L))
+    assert(new java.io.File(legacy).listFiles().map(_.getName)
+      .filter(_.startsWith("part-")).forall(_.matches(".*_\\d{5}\\.c\\d{3}.*")))
+  }
+
+  test("dedupIncremental: staged batch-0 equals the fresh two-batch run") {
+    val sfDir = "/root/testdata/sf0.001"
+    val s1 = PipelineQueries.queries("p_dedup_incremental")(spark, sfDir)
+      .as[Long].collect().toSeq
+    // second invocation serves batch 0 from the staged artifacts —
+    // identical result, no double-append self-anti-join
+    val s2 = PipelineQueries.queries("p_dedup_incremental")(spark, sfDir)
+      .as[Long].collect().toSeq
+    assert(s1 == s2)
+    val fresh = PipelineQueries.benchOnlyQueries("p_dedup_incremental_fresh")(
+      spark, sfDir).as[Long].collect().toSeq
+    assert(s1 == fresh)
+  }
+
   test("dupSpanFraction: cross-doc coverage only, self-repeats don't count") {
     val d = Seq(
       (1L, "p q r s t"), // shares the gram "p q r" with doc 2 → 1/3 positions

@@ -403,6 +403,27 @@ object OperatorQueries {
       .orderBy("o_custkey")
   }
 
+  /** Snowflake `QUALIFY`, round 14 — the reference's PRIMARY warehouse
+    * ships this clause in ordinary dedup/latest-row SQL; certifies the
+    * guarded subquery restatement ([[graft.sql.SqlDialect]]
+    * rewriteQualify, windowed-pred shape) end-to-end against DuckDB's
+    * NATIVE QUALIFY evaluation. Tie-broken by the unique order key, so
+    * the kept row per customer is deterministic. */
+  def transformDialectSf2(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gs(spark, sfDir)
+    val out = g.transform(
+      """SELECT o_custkey, o_orderkey
+        |FROM {{orders}} WHERE o_custkey % 50 = 7
+        |QUALIFY ROW_NUMBER() OVER (
+        |  PARTITION BY o_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey) = 1
+        |ORDER BY o_custkey""".stripMargin,
+      bindings = Map("orders" -> TableRef("orders")),
+      output = Some(TableRef("op_transform_dialect_sf2_out")),
+      dialect = "snowflake")
+    spark.table(out.qualifiedName).orderBy("o_custkey")
+  }
+
   /** T-SQL `TOP n WITH TIES`, round 14 — certifies the guarded rank()
     * window restatement ([[graft.sql.SqlDialect]] rewriteTopTies)
     * end-to-end: ORDER BY a non-unique key, so the result is exactly
@@ -1018,6 +1039,7 @@ object OperatorQueries {
     "op_transform_dialect_pg4" -> (transformDialectPg4 _),
     "op_transform_dialect_rs" -> (transformDialectRs _),
     "op_transform_dialect_ms" -> (transformDialectMs _),
+    "op_transform_dialect_sf2" -> (transformDialectSf2 _),
     "op_transform_dialect_ms2" -> (transformDialectMs2 _),
     "op_transform_dialect_ms3" -> (transformDialectMs3 _),
     "op_transform_dialect_pg5" -> (transformDialectPg5 _),
@@ -1295,6 +1317,16 @@ object OperatorQueries {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus
         |LIMIT 2""".stripMargin,
+
+    // QUALIFY replayed through DuckDB's NATIVE QUALIFY — the oracle
+    // evaluates the clause itself, our engine path the restatement
+    "op_transform_dialect_sf2" ->
+      """SELECT o_custkey, o_orderkey
+        |FROM orders WHERE o_custkey % 50 = 7
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY o_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey) = 1
+        |ORDER BY o_custkey""".stripMargin,
 
     // TOP n WITH TIES restated as the rank() window it is equivalent
     // to — DuckDB evaluates the standard form natively; the result SET

@@ -87,7 +87,9 @@ object SqlDialect {
     *  - "spark"/"ansi": identity.
     *  - "postgres"/"postgresql": the base machinery + `E'...'` escape
     *    strings + literal-backslash standard strings.
-    *  - "snowflake" (the reference's primary warehouse): adds IFF/
+    *  - "snowflake" (the reference's primary warehouse): `QUALIFY` →
+    *    guarded subquery + WHERE restatement ([[rewriteQualify]],
+    *    shared with redshift); adds IFF/
     *    GETDATE/DATEADD/DATEDIFF/TO_VARCHAR/ZEROIFNULL/NULLIFZERO and
     *    the NUMBER/TIMESTAMP_LTZ type names. DATEDIFF translates to
     *    BOUNDARY-crossing arithmetic (date_trunc both args, then
@@ -178,14 +180,18 @@ object SqlDialect {
         * (and T-SQL's/BigQuery's, which match Spark): every translated
         * ORDER BY item without an explicit NULLS clause gets the source
         * dialect's default made explicit (see [[rewriteNullsOrdering]]). */
-      pgNullsOrder: Boolean = false)
+      pgNullsOrder: Boolean = false,
+      /** Snowflake/Redshift `QUALIFY pred` → guarded subquery + WHERE
+        * restatement (see [[rewriteQualify]]). */
+      qualifyClause: Boolean = false)
 
   private val Pg = Mode("postgres", eStrings = true, literalBackslashes = true,
     pgExtras = true, distinctOn = true, pgNullsOrder = true)
-  private val Sf = Mode("snowflake", sfCalls = true, pgNullsOrder = true)
+  private val Sf = Mode("snowflake", sfCalls = true, pgNullsOrder = true,
+    qualifyClause = true)
   private val Rs = Mode("redshift", literalBackslashes = true, sfCalls = true,
     bareDatePart = true, bareSysdate = true, pgExtras = true,
-    pgNullsOrder = true)
+    pgNullsOrder = true, qualifyClause = true)
   private val Bq = Mode("bigquery", dqAsString = true, bqCalls = true)
   // T-SQL string literals never process backslash escapes — '\t' is a
   // literal backslash-t there ('C:\temp\new' must survive verbatim), so
@@ -778,6 +784,8 @@ object SqlDialect {
     // 0) T-SQL `SELECT TOP n` family: the guarded PERCENT / WITH TIES
     //    window restatements first, then plain TOP → trailing LIMIT
     if (mode.msCalls) { rewriteTopTies(ts); rewriteTopN(ts) }
+    // 0a) Snowflake/Redshift QUALIFY → guarded subquery + WHERE
+    if (mode.qualifyClause) rewriteQualify(ts)
 
     // 0b) Postgres set-returning / SQL-regex extras
     if (mode.pgExtras) {
@@ -1649,6 +1657,171 @@ object SqlDialect {
       }
     }
     b.append(")$").toString
+  }
+
+  /** Snowflake/Redshift `SELECT [DISTINCT] items FROM … [WHERE/GROUP
+    * BY/HAVING] QUALIFY pred [ORDER BY o] [LIMIT …]` → the standard
+    * subquery restatement, in the two provable shapes:
+    *  - pred WITHOUT a window function (it filters on select-list
+    *    window ALIASES — the ubiquitous `QUALIFY rn = 1` idiom):
+    *    `SELECT [DISTINCT] names FROM (SELECT items mid) __gq WHERE
+    *    (pred) [ORDER BY o] [tail]` — pred references the subquery
+    *    OUTPUT, so aliases resolve exactly as the dialect resolves
+    *    them;
+    *  - pred WITH a window (`QUALIFY row_number() OVER (…) = 1`):
+    *    the predicate computes as an inner column — `SELECT [DISTINCT]
+    *    names FROM (SELECT items, (pred) AS __gq_p mid) __gq WHERE
+    *    __gq_p [ORDER BY o] [tail]` — GUARDED against pred naming a
+    *    RENAMED or COMPUTED select alias (the inner scope would
+    *    resolve it against the input, where the dialect reads the
+    *    output; bare pass-through names are identical in both scopes).
+    * Shared guards: derivable output names, ORDER BY items are
+    * unqualified projected names (the outer select re-orders), no
+    * set operator in scope. Evaluation order matches the dialects':
+    * HAVING → window → QUALIFY → DISTINCT → ORDER BY (the DISTINCT
+    * quantifier moves to the OUTER select). Anything failing a guard
+    * passes through → Spark's own parse error. */
+  private def rewriteQualify(ts: ArrayBuffer[Tok]): Unit = {
+    def isWord(t: Tok, w: String) = t match {
+      case Word(x) => x.equalsIgnoreCase(w)
+      case _ => false
+    }
+    val predKeywords = Set(
+      "over", "partition", "by", "order", "asc", "desc", "nulls", "first",
+      "last", "rows", "range", "groups", "between", "and", "or", "not",
+      "unbounded", "preceding", "following", "current", "row", "case",
+      "when", "then", "else", "end", "is", "null", "in", "like", "rlike",
+      "ilike", "true", "false", "cast", "as", "interval", "distinct",
+      "exists", "any", "all")
+    def stripBt(s: String) = s.stripPrefix("`").stripSuffix("`")
+    var restart = true
+    while (restart) {
+      restart = false
+      var i = 0
+      while (i < ts.length && !restart) {
+        if (isWord(ts(i), "select")) {
+          var selStart = nextIdx(ts, i)
+          var distinct = false
+          if (selStart >= 0 && isWord(ts(selStart), "all"))
+            selStart = nextIdx(ts, selStart)
+          else if (selStart >= 0 && isWord(ts(selStart), "distinct")) {
+            distinct = true; selStart = nextIdx(ts, selStart)
+          }
+          // scope scan: first depth-0 FROM / QUALIFY / ORDER BY /
+          // LIMIT|OFFSET, set ops, scope end (")" or ";")
+          var depth = 0
+          var k = selStart
+          var fromIdx = -1; var qualIdx = -1; var orderIdx = -1
+          var tailIdx = -1
+          var setOp = false
+          var scopeEnd = ts.length
+          while (k >= 0 && k < ts.length && scopeEnd == ts.length) {
+            ts(k) match {
+              case Sym("(") => depth += 1
+              case Sym(")") => if (depth == 0) scopeEnd = k else depth -= 1
+              case Sym(";") if depth == 0 => scopeEnd = k
+              case Word(x) if depth == 0 =>
+                val wl = x.toLowerCase
+                if (wl == "from" && fromIdx < 0) fromIdx = k
+                else if (wl == "qualify" && qualIdx < 0 && fromIdx >= 0)
+                  qualIdx = k
+                else if (wl == "order" && orderIdx < 0 && {
+                  val nb = nextIdx(ts, k); nb >= 0 && isWord(ts(nb), "by")
+                }) orderIdx = k
+                else if ((wl == "limit" || wl == "offset") && tailIdx < 0 &&
+                  fromIdx >= 0) tailIdx = k
+                else if (wl == "union" || wl == "intersect" || wl == "except")
+                  setOp = true
+              case _ =>
+            }
+            k += 1
+          }
+          if (selStart >= 0 && fromIdx > selStart && qualIdx > fromIdx &&
+              !setOp) {
+            val items = selectListItems(ts, selStart, fromIdx)
+            val predEnd =
+              if (orderIdx >= 0) orderIdx
+              else if (tailIdx >= 0) tailIdx else scopeEnd
+            val predToks = ts.slice(qualIdx + 1, predEnd)
+            val predText = text(predToks).trim
+            val orderText =
+              if (orderIdx >= 0) {
+                val byIdx = nextIdx(ts, orderIdx)
+                val oEnd = if (tailIdx >= 0) tailIdx else scopeEnd
+                Some(text(ts.slice(byIdx + 1, oEnd)).trim)
+              } else None
+            // outer ORDER BY references the subquery OUTPUT: every
+            // item base must be an unqualified projected name
+            val orderOk = orderText.forall { ot =>
+              items.exists { its =>
+                val names = its.map(p => stripBt(p._1).toLowerCase).toSet
+                ot.split(",").forall { item =>
+                  val base = item.trim.split("\\s+").toSeq.takeWhile(w =>
+                    !Set("asc", "desc", "nulls").contains(w.toLowerCase))
+                    .mkString(" ")
+                  !base.contains(".") && !base.contains("(") &&
+                    base.nonEmpty &&
+                    names.contains(stripBt(base).toLowerCase)
+                }
+              }
+            }
+            // a windowed pred must not name a renamed/computed alias
+            // (inner scope resolves against the INPUT)
+            val predHasOver = predToks.exists(isWord(_, "over"))
+            val predScopeSafe = !predHasOver || items.exists { its =>
+              val dangerous = its.collect {
+                case (n, u) if u.forall(c =>
+                    !stripBt(c.split("\\.").last)
+                      .equalsIgnoreCase(stripBt(n))) =>
+                  stripBt(n).toLowerCase
+              }.toSet
+              dangerous.isEmpty || {
+                var bad = false
+                var j = 0
+                val pt = predToks.filterNot(_.isInstanceOf[Ws])
+                while (j < pt.length && !bad) {
+                  pt(j) match {
+                    case Word(w) if !predKeywords.contains(w.toLowerCase) &&
+                        (j == 0 || pt(j - 1) != Sym(".")) &&
+                        (j + 1 >= pt.length || pt(j + 1) != Sym("(")) &&
+                        dangerous.contains(w.toLowerCase) => bad = true
+                    case QIdent(q) if (j == 0 || pt(j - 1) != Sym(".")) &&
+                        (j + 1 >= pt.length || pt(j + 1) != Sym("(")) &&
+                        dangerous.contains(stripBt(q).toLowerCase) => bad = true
+                    case _ =>
+                  }
+                  j += 1
+                }
+                !bad
+              }
+            }
+            if (items.isDefined && predText.nonEmpty && orderOk &&
+                predScopeSafe) {
+              val itemsText = text(ts.slice(selStart, fromIdx)).trim
+              val midText = text(ts.slice(fromIdx, qualIdx)).trim
+              val tailText =
+                if (tailIdx >= 0) " " + text(ts.slice(tailIdx, scopeEnd)).trim
+                else ""
+              val outerOrder =
+                orderText.map(ot => s" ORDER BY $ot").getOrElse("")
+              val namesCsv = items.get.map(_._1).mkString(", ")
+              val dk = if (distinct) "DISTINCT " else ""
+              val body =
+                if (!predHasOver)
+                  s"SELECT $dk$namesCsv FROM (SELECT $itemsText $midText) " +
+                    s"__gq WHERE ($predText)$outerOrder$tailText"
+                else
+                  s"SELECT $dk$namesCsv FROM (SELECT $itemsText, " +
+                    s"($predText) AS __gq_p $midText) __gq " +
+                    s"WHERE __gq_p$outerOrder$tailText"
+              splice(ts, i, scopeEnd - 1, body)
+              restart = true
+            }
+          }
+        }
+        i += 1
+      }
+    }
   }
 
   /** T-SQL `SELECT [ALL] TOP n WITH TIES … ORDER BY o` and

@@ -215,6 +215,70 @@ class SqlDialectSpec extends GraftSuite {
       == "SELECT date_format(current_timestamp(), 'yyyy') ")
   }
 
+  test("QUALIFY: alias and windowed predicates restate as subquery + WHERE") {
+    def sf(s: String) = toSparkSql(s, "snowflake")
+    // the ubiquitous idiom: QUALIFY on a select-list window ALIAS —
+    // pred moves to an outer WHERE where the alias resolves as the
+    // dialect resolves it (output scope)
+    assert(sf("SELECT k, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn " +
+        "FROM t QUALIFY rn = 1")
+      == "SELECT k, rn FROM (SELECT k, row_number() OVER (PARTITION BY k " +
+        "ORDER BY v DESC NULLS FIRST) AS rn FROM t) __gq WHERE (rn = 1)")
+    // windowed pred: computes as an inner boolean column
+    assert(sf("SELECT k, v FROM t QUALIFY row_number() OVER (PARTITION BY k ORDER BY v) = 1")
+      == "SELECT k, v FROM (SELECT k, v, (row_number() OVER (PARTITION BY k " +
+        "ORDER BY v NULLS LAST) = 1) AS __gq_p FROM t) __gq WHERE __gq_p")
+    // outer ORDER BY + LIMIT move outside with the dialect NULLS default
+    assert(sf("SELECT k, max(v) OVER (PARTITION BY k) AS mv FROM t " +
+        "QUALIFY mv > 0 ORDER BY k LIMIT 5")
+      == "SELECT k, mv FROM (SELECT k, max(v) OVER (PARTITION BY k) AS mv " +
+        "FROM t) __gq WHERE (mv > 0) ORDER BY k NULLS LAST LIMIT 5")
+    // DISTINCT evaluates AFTER QUALIFY (the dialect order) — it moves
+    // to the outer select
+    assert(sf("SELECT DISTINCT k, v FROM t QUALIFY row_number() OVER (ORDER BY v) <= 2")
+      == "SELECT DISTINCT k, v FROM (SELECT k, v, (row_number() OVER " +
+        "(ORDER BY v NULLS LAST) <= 2) AS __gq_p FROM t) __gq WHERE __gq_p")
+    // WHERE/GROUP BY stay inside the subquery
+    assert(sf("SELECT k, count(*) AS n FROM t WHERE v > 0 GROUP BY k " +
+        "QUALIFY rank() OVER (ORDER BY k) <= 3")
+      == "SELECT k, n FROM (SELECT k, count(*) AS n, (rank() OVER " +
+        "(ORDER BY k NULLS LAST) <= 3) AS __gq_p FROM t WHERE v > 0 " +
+        "GROUP BY k) __gq WHERE __gq_p")
+    // guards: a windowed pred naming a RENAMED alias stays loud (the
+    // inner scope would resolve x against the input, not the output);
+    // star select; set ops — all untouched (NULLS annotation still runs)
+    assert(sf("SELECT v AS x FROM t QUALIFY row_number() OVER (ORDER BY x) = 1")
+      == "SELECT v AS x FROM t QUALIFY row_number() OVER (ORDER BY x NULLS LAST) = 1")
+    assert(sf("SELECT * FROM t QUALIFY row_number() OVER (ORDER BY v) = 1")
+      == "SELECT * FROM t QUALIFY row_number() OVER (ORDER BY v NULLS LAST) = 1")
+    assert(sf("SELECT k FROM t QUALIFY rn = 1 UNION SELECT j FROM u")
+      == "SELECT k FROM t QUALIFY rn = 1 UNION SELECT j FROM u")
+    // redshift shares the clause
+    assert(toSparkSql("SELECT k, v FROM t QUALIFY row_number() OVER (ORDER BY v) = 1",
+        "redshift")
+      == "SELECT k, v FROM (SELECT k, v, (row_number() OVER " +
+        "(ORDER BY v NULLS LAST) = 1) AS __gq_p FROM t) __gq WHERE __gq_p")
+  }
+
+  test("QUALIFY executes: latest row per key via the alias idiom") {
+    val df = Seq((1L, "2024-01-01", "old"), (1L, "2024-03-01", "new"),
+      (2L, "2024-02-01", "only")).toDF("k", "day", "v")
+    val out = g.transformLazy(
+      """SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY day DESC) AS rn
+        |FROM {{src}} QUALIFY rn = 1 ORDER BY k""".stripMargin,
+      Map("src" -> df), dialect = "snowflake")
+      .select("k", "v").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "new"), (2L, "only")))
+    // windowed-pred shape
+    val out2 = g.transformLazy(
+      """SELECT k, v FROM {{src}}
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY day DESC) = 1
+        |ORDER BY k""".stripMargin,
+      Map("src" -> df), dialect = "snowflake")
+      .as[(Long, String)].collect().toSeq
+    assert(out2 == Seq((1L, "new"), (2L, "only")))
+  }
+
   test("snowflake end-to-end: a Snowflake-flavored transform executes") {
     val df = Seq((1L, 10.0, "2024-03-05"), (2L, 0.0, "2024-03-20"))
       .toDF("id", "v", "day")

@@ -36,7 +36,9 @@ object PerfProbe {
         val m = i.taskMetrics
         val rdds = (f"run=${m.executorRunTime / 1e3}%.2fs " +
           f"cpu=${m.executorCpuTime / 1e9}%.2fs " +
-          i.rddInfos.map(_.name).distinct.mkString(",")).take(140)
+          f"gc=${m.jvmGCTime / 1e3}%.2fs " +
+          f"deser=${m.executorDeserializeTime / 1e3}%.2fs " +
+          i.rddInfos.map(_.name).distinct.mkString(",")).take(170)
         rows.synchronized {
           rows += ((i.stageId, i.numTasks, wall, rdds))
         }

@@ -882,7 +882,12 @@ object PipelineQueries {
     val perturbed = e.select((col("vec_id") + 100000).as("vec_id"),
       transform(col("embedding"), (x, i) =>
         when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
-    e.unionByName(perturbed)
+    // spread + barrier: the union arrives as 2 scan splits, serializing
+    // the per-pair cosine verify of the exhaustive twin into 2 tasks
+    // (measured 2×1.2 s stages); every consumer's arithmetic is
+    // partition-independent by construction (per-row hashing / ordered
+    // folds), so the spread changes no result
+    graft.ops.Scale.spreadIfNarrow(e.unionByName(perturbed), barrier = true)
   }
 
   /** SemDeDup (cluster-then-prune) keep-set at the production cell count:
@@ -899,8 +904,10 @@ object PipelineQueries {
     * Closest natural pair sits at cos 0.513 — far below the 0.98 gate. */
   def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir).select("vec_id", "embedding")
-    val corpus = e.unionByName(
-      e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    // spread: see embeddingDedupCorpus — in-cell cosine pairing otherwise
+    // inherits the 2-split union's parallelism
+    val corpus = graft.ops.Scale.spreadIfNarrow(e.unionByName(
+      e.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))), barrier = true)
     val pairs = Similarity.semanticDedupPairs(corpus, "vec_id", "embedding",
       threshold = 0.98, nCentroids = 16)
     Dedup.keepFirstFromPairs(corpus, "vec_id", pairs)
@@ -1344,7 +1351,10 @@ object PipelineQueries {
     * on some docs and passes others, and DuckDB replays every signal
     * bit-exactly (integer counts and single divisions only). */
   def qualityFilterQ(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.qualityGate(qualityCorpus(spark, sfDir), "text", qualityRules)
+    // spread + barrier: the gate is a battery of regex-derived columns
+    // fused onto the scan — single-task on the 1-split corpus otherwise
+    TextAnalysis.qualityGate(graft.ops.Scale.spreadIfNarrow(
+        qualityCorpus(spark, sfDir), barrier = true), "text", qualityRules)
       .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
         col("symbol_ratio"), col("bullet_ratio"), col("ellipsis_ratio"),
         col("dup_line_ratio"), col("rep_ngram"), col("n_stopwords"), col("pass"))
@@ -2786,7 +2796,13 @@ object PipelineQueries {
   def bpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
     val merges = graft.functions.Bpe.learnBpe(docs(spark, sfDir), "text", numMerges = 8)
       .map { case (_, l, r, _) => (l, r) }
-    docs(spark, sfDir).select(col("doc_id"),
+    // spread + barrier for the tokenization pass: the per-word fold of 8
+    // chained replaces is interpreted and CPU-dense, and would otherwise
+    // run single-task on the 1-split corpus (the projection collapses
+    // below a bare repartition without the barrier)
+    graft.ops.Scale.spreadIfNarrow(docs(spark, sfDir).select("doc_id", "text"),
+        barrier = true)
+      .select(col("doc_id"),
         graft.functions.Bpe.bpeTokenCount(col("text"), merges)
           .cast("bigint").as("n_bpe_tokens"))
       .orderBy("doc_id")
@@ -2967,12 +2983,15 @@ object PipelineQueries {
     * stage is deterministic integers (plus two single divisions), so one
     * DuckDB hash-match certifies the whole chain. */
   def pipelineCurate(spark: SparkSession, sfDir: String): DataFrame = {
-    val corpus = qualityCorpus(spark, sfDir)
+    // spread + barrier once for BOTH consumers (the gate's regex battery
+    // and the span-gram explode): the barrier keeps the quality-gate
+    // projections from collapsing below the exchange into the 1-task scan,
+    // and the two consumers reuse one materialization of the decorated
+    // corpus (this subsumes the former spans-only repartition).
+    val corpus = graft.ops.Scale.spreadIfNarrow(
+      qualityCorpus(spark, sfDir), barrier = true)
     val gated = TextAnalysis.qualityFilter(corpus, "text", qualityRules)
-    // repartition: the span-gram explode otherwise runs on 1 file split
-    val spans = TextAnalysis.dupSpanFraction(
-      corpus.repartition(spark.sparkContext.defaultParallelism),
-      "doc_id", "text", k = 5)
+    val spans = TextAnalysis.dupSpanFraction(corpus, "doc_id", "text", k = 5)
     val lm = graft.functions.LanguageModel.buildBigramLm(
       docs(spark, sfDir), "text", vocabSize = 20, maxBigrams = 300)
     val scored = graft.functions.LanguageModel.scoreDocs(gated, "doc_id", "text", lm)
@@ -3442,16 +3461,27 @@ object PipelineQueries {
     * identical semantics stage by stage, so one hash-match certifies the
     * whole composition. */
   def pipelineFull(spark: SparkSession, sfDir: String): DataFrame = {
-    val decorated = docs(spark, sfDir).select(col("doc_id"), col("lang"), concat(
+    // spread + BARRIER before the HTML decoration: without the barrier the
+    // `ntok BETWEEN` gate below is pushed under the exchange with the whole
+    // stripHtml regex chain substituted into the scan-stage filter (40
+    // regexp_replaces per row, single-task — measured two 0.9 s 1-task
+    // scan stages), and the dedup's two consumers re-ran the subtree.
+    val decorated = graft.ops.Scale.spreadIfNarrow(
+        docs(spark, sfDir).select("doc_id", "lang", "text"), barrier = true)
+      .select(col("doc_id"), col("lang"), concat(
         lit("<p>"), col("text"), lit("</p>"),
         when(col("doc_id") % 4 === 0,
           lit(" <a href=\"https://ads.badsite.com/x\">ad</a>")).otherwise(lit("")),
         lit("<br/>footer &amp; stuff")).as("text"))
-      .repartition(spark.sparkContext.defaultParallelism)
     val urlClean = TextAnalysis.filterByDomainBlocklist(
       decorated, "doc_id", "text", Seq("badsite.com"))
+    // lazy-checkpoint the stripped+counted relation: the gate below then
+    // filters the MATERIALIZED ntok column instead of re-deriving it, and
+    // the exact-dedup aggregate + join-back reuse one evaluation of the
+    // strip chain.
     val stripped = urlClean.withColumn("text", TextAnalysis.stripHtml(col("text")))
       .withColumn("ntok", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .localCheckpoint(false)
     val gated = stripped.where(col("ntok").between(20, 120))
     val deduped = Dedup.exactDedup(gated, Seq("text"), "doc_id")
     val sampled = graft.functions.Sampling.sampleToTokenBudget(

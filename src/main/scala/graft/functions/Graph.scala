@@ -37,11 +37,17 @@ object Graph {
       dampNum: Long = 85L,
       dampDen: Long = 100L): DataFrame = {
     require(iterations >= 0 && dampNum > 0 && dampDen >= dampNum)
+    // lazy-checkpoint the edge relation: every round joins it, and without
+    // truncation each round re-evaluates the caller's edge derivation
+    // (measured: 5 re-scans of the doc→pair construction per query). Lazy
+    // (not eager) so materialization folds into the caller's single action.
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .localCheckpoint(false)
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node"))).distinct()
-      .localCheckpoint()
-    val outdeg = e.groupBy("__src").agg(count(lit(1)).as("__od")).localCheckpoint()
+      .localCheckpoint(false)
+    val outdeg = e.groupBy("__src").agg(count(lit(1)).as("__od"))
+      .localCheckpoint(false)
     val base = Scale * (dampDen - dampNum) / dampDen // floor, constant
     var ranks = nodes.select(col("node"), lit(Scale).as("rank_micros"))
     for (_ <- 0 until iterations) {
@@ -51,10 +57,17 @@ object Graph {
         .select(col("__dst").as("node"),
           expr(s"(rank_micros * $dampNum) div (${dampDen}L * __od)").as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__c"))
+      // LAZY checkpoint: the logical plan is truncated to a LogicalRDD
+      // immediately (the flat-lineage property this loop needs — see the
+      // class doc), but nothing materializes until the caller's single
+      // action, which computes the round chain as one job cascade. The
+      // eager form blocked the driver once per round for no benefit: no
+      // driver decision reads the data between rounds (unlike HITS, whose
+      // per-round max-normalization collect forces eager rounds).
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("__c"), lit(0L))).as("rank_micros"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     ranks
   }
@@ -80,11 +93,14 @@ object Graph {
       dstCol: String,
       iterations: Int = 5): DataFrame = {
     require(iterations >= 0)
+    // lazy checkpoints throughout (see pageRankExact): each round's maxOf
+    // collect is the only point that must block, and it materializes every
+    // pending checkpoint below it in one job cascade.
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     def maxOf(df: DataFrame, c: String): Long =
       Option(df.agg(max(col(c))).head().get(0)).map(_.asInstanceOf[Long]).filter(_ > 0)
         .getOrElse(1L)
@@ -93,20 +109,20 @@ object Graph {
     for (_ <- 0 until iterations) {
       val rawA = e.join(hubs.withColumnRenamed("node", "__src"), Seq("__src"))
         .groupBy(col("__dst").as("node")).agg(sum(col("hub_micros")).as("__ra"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val mA = maxOf(rawA, "__ra")
       auths = nodes.join(rawA, Seq("node"), "left")
         .select(col("node"),
           expr(s"(coalesce(__ra, 0L) * $Scale) div ${mA}L").as("auth_micros"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val rawH = e.join(auths.withColumnRenamed("node", "__dst"), Seq("__dst"))
         .groupBy(col("__src").as("node")).agg(sum(col("auth_micros")).as("__rh"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val mH = maxOf(rawH, "__rh")
       hubs = nodes.join(rawH, Seq("node"), "left")
         .select(col("node"),
           expr(s"(coalesce(__rh, 0L) * $Scale) div ${mH}L").as("hub_micros"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     hubs.join(auths, Seq("node"))
   }

@@ -36,7 +36,18 @@ object Profile {
     * `count(DISTINCT c)` semantics); `avg_len` is the mean character
     * length of non-null values, string columns only. */
   def profileTable(df: DataFrame): DataFrame = {
-    val fields = df.schema.fields
+    // The whole profile fuses into the scan stage (projections + partial
+    // aggregates), so its parallelism is the SCAN's parallelism — and a
+    // small table arriving as one single-row-group parquet file runs the
+    // entire pass in one task (measured: 2.0 s single-task scan+partial-agg
+    // on the 100k-row events table where 32 cores sat idle). Spread the
+    // input to the session parallelism ONLY when the scan cannot reach it
+    // by itself — the guide's unsplittable-input remedy; at real scale the
+    // input arrives in thousands of splits, the guard is false, and no
+    // exchange is added (a blind repartition would shuffle the full table).
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val input = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val fields = input.schema.fields
     val aggs: Seq[Column] = fields.zipWithIndex.flatMap { case (f, i) =>
       val c = col(f.name)
       val minMax: Seq[Column] =
@@ -54,7 +65,7 @@ object Profile {
         coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nulls_$i"),
         countDistinct(c).as(s"__dist_$i")) ++ minMax :+ avgLen
     }.toIndexedSeq
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = input.agg(aggs.head, aggs.tail: _*)
     val rows = fields.zipWithIndex.map { case (f, i) =>
       struct(
         lit(f.name).as("column_name"),

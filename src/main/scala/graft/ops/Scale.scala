@@ -9,6 +9,39 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Spread an unsplittable narrow scan to the session parallelism —
+    * the optimization guide's input-skew remedy ("one huge unsplittable
+    * file … repartition immediately after the read"). The test corpora
+    * arrive as single-row-group parquet files, which no
+    * `maxPartitionBytes` / `minPartitionNum` setting can split, so every
+    * CPU-dense projection or partial aggregate fused onto the scan runs
+    * in 1-2 tasks while the rest of the session idles (measured: 2.0 s
+    * single-task profile pass, 0.9 s single-task HTML-strip passes).
+    *
+    * Conditional: the exchange is added ONLY when the plan's current
+    * partitioning cannot reach the session parallelism — at real scale
+    * the scan already carries ≥ parallelism splits, the guard is false,
+    * and the plan is untouched (a blind repartition here would shuffle
+    * the full corpus).
+    *
+    * `barrier = true` additionally truncates the plan at the spread with
+    * a LAZY `localCheckpoint`, for inputs whose downstream derives
+    * expensive columns that the optimizer would otherwise (a) push back
+    * below the exchange (projection collapse re-serializes the dense
+    * work into the 1-2 scan tasks) or (b) duplicate into scan-level
+    * filters via predicate/constraint pushdown (measured:
+    * `p_pipeline_full`'s token-count gate arrived at the scan with the
+    * full 40-regexp stripHtml chain substituted 4×). The checkpoint also
+    * lets multi-consumer subtrees (dedup's aggregate + join-back) reuse
+    * the materialized rows instead of re-running the scan subtree. */
+  def spreadIfNarrow(df: DataFrame, barrier: Boolean = false): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) {
+      val spread = df.repartition(par)
+      if (barrier) spread.localCheckpoint(false) else spread
+    } else df
+  }
+
   /** Inner equi-join where the LEFT side is skewed on the join keys:
     * left rows get a random salt in [0, saltFactor), the right side is
     * replicated across all salt values, and the join runs on

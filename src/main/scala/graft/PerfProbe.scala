@@ -44,6 +44,25 @@ object PerfProbe {
         }
       }
     }
+    // job-gap accounting: wall time where NO job is running (driver-side
+    // planning / AQE re-optimization / collect processing) vs job wall
+    val jobSpans = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val jobStarts = scala.collection.mutable.Map[Int, Long]()
+    val jobListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobStarts.synchronized { jobStarts(j.jobId) = j.time }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobStarts.synchronized {
+          jobStarts.remove(j.jobId).foreach(s => jobSpans += ((s, j.time)))
+        }
+    }
+    if (stages) spark.sparkContext.addSparkListener(jobListener)
+    def jobStats(t0Ms: Long, t1Ms: Long): (Int, Double) = jobStarts.synchronized {
+      val spans = jobSpans.filter(_._2 >= t0Ms).map(s => (math.max(s._1, t0Ms), s._2)).sortBy(_._1)
+      var covered = 0L; var cur = t0Ms
+      spans.foreach { case (s, e) => if (e > cur) { covered += e - math.max(s, cur); cur = math.max(cur, e) } }
+      (spans.size, (t1Ms - t0Ms - covered) / 1e3)
+    }
     if (stages) spark.sparkContext.addSparkListener(listener)
     // --scale:m — time the queries against an m× synthetic corpus (the
     // Bench scale-curve construction), materialized once under /tmp and
@@ -68,9 +87,15 @@ object PerfProbe {
         spark.catalog.clearCache()
         System.gc()
         listener.rows.synchronized(listener.rows.clear())
+        jobStarts.synchronized { jobSpans.clear() }
+        val t0Ms = System.currentTimeMillis()
         val t0 = System.nanoTime()
         fn(spark, runDir).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
+        if (stages && i == 2) {
+          val (nJobs, darkS) = jobStats(t0Ms, System.currentTimeMillis())
+          println(f"JOBS $name n=$nJobs dark=${darkS}%.2fs of ${t}%.2fs")
+        }
         if (stages && i == 2) {
           listener.rows.synchronized(listener.rows.toSeq).sortBy(-_._3).take(12).foreach {
             case (id, n, wall, nm) =>

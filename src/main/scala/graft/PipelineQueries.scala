@@ -882,12 +882,7 @@ object PipelineQueries {
     val perturbed = e.select((col("vec_id") + 100000).as("vec_id"),
       transform(col("embedding"), (x, i) =>
         when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
-    // spread + barrier: the union arrives as 2 scan splits, serializing
-    // the per-pair cosine verify of the exhaustive twin into 2 tasks
-    // (measured 2×1.2 s stages); every consumer's arithmetic is
-    // partition-independent by construction (per-row hashing / ordered
-    // folds), so the spread changes no result
-    graft.ops.Scale.spreadIfNarrow(e.unionByName(perturbed), barrier = true)
+    e.unionByName(perturbed)
   }
 
   /** SemDeDup (cluster-then-prune) keep-set at the production cell count:
@@ -904,10 +899,11 @@ object PipelineQueries {
     * Closest natural pair sits at cos 0.513 — far below the 0.98 gate. */
   def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir).select("vec_id", "embedding")
-    // spread: see embeddingDedupCorpus — in-cell cosine pairing otherwise
-    // inherits the 2-split union's parallelism
-    val corpus = graft.ops.Scale.spreadIfNarrow(e.unionByName(
-      e.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))), barrier = true)
+    // NOT spread: at nCentroids=16 the per-cell pair work is too small to
+    // amortize a spread's exchange+checkpoint (measured +1.0 s when
+    // spread); the quadratic single-cell twin is spread at its own site
+    val corpus = e.unionByName(
+      e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
     val pairs = Similarity.semanticDedupPairs(corpus, "vec_id", "embedding",
       threshold = 0.98, nCentroids = 16)
     Dedup.keepFirstFromPairs(corpus, "vec_id", pairs)
@@ -921,7 +917,15 @@ object PipelineQueries {
     * certified end to end (the analogue of `p_ann_ivf_exhaustive` for
     * the dedup side of the index machinery). */
   def dedupSemanticExhaustive(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.semanticDedupPairs(embeddingDedupCorpus(spark, sfDir), "vec_id", "embedding",
+    // spread + barrier HERE only (not in the shared corpus): with ONE cell
+    // the per-pair cosine verify is quadratic and otherwise inherits the
+    // 2-split union's parallelism (measured 2×1.2 s 2-task stages →
+    // 4.47 → 1.87 s on the mid-round board); the celled/LSH consumers of
+    // the same corpus do too little per-cell work to amortize the
+    // exchange+checkpoint (measured +0.9 s each when spread was shared)
+    Similarity.semanticDedupPairs(
+      graft.ops.Scale.spreadIfNarrow(embeddingDedupCorpus(spark, sfDir), barrier = true),
+      "vec_id", "embedding",
       threshold = 0.98, nCentroids = 1, maxCellSize = 100000)
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")

@@ -2900,8 +2900,13 @@ object PipelineQueries {
   def packBpe(spark: SparkSession, sfDir: String): DataFrame = {
     val merges = graft.functions.Bpe.learnBpe(docs(spark, sfDir), "text", numMerges = 8)
       .map { case (_, l, r, _) => (l, r) }
-    val t = docs(spark, sfDir).select(col("doc_id"), col("lang"),
-      graft.functions.Bpe.bpeTokenCount(col("text"), merges).cast("long").as("ntok"))
+    // spread + barrier for the tokenize fold — same reasoning as
+    // bpeTokenize (the interpreted 8-replace fold otherwise runs in the
+    // 1-task scan; measured 0.85 s single-task stage)
+    val t = graft.ops.Scale.spreadIfNarrow(
+        docs(spark, sfDir).select("doc_id", "lang", "text"), barrier = true)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Bpe.bpeTokenCount(col("text"), merges).cast("long").as("ntok"))
     graft.functions.Sampling.packSequences(t, Seq("lang"), "doc_id", "ntok", budget = 2000L)
       .select(col("doc_id"), col("lang"), col("ntok"),
         col("seq_id"), col("seq_pos"))

@@ -186,6 +186,14 @@ object Bench {
     val maxRatio = if (scaleFlags.isEmpty) 0.0 else scaleFlags.map(_._2._1).max
     val headline =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${results.size},"errors":${errors.size},"flags":${scaleFlags.count(_._2._2)},"max_ratio":${f"$maxRatio%.3f"},"sf":"$sfDir"}"""
+    // Driver parse contract (round-14 verdict task 2): ONE short
+    // self-contained JSON line PER QUERY before the headline — each line
+    // parses on its own, so per-query numbers survive any bounded stdout
+    // window that truncates the full map line below. Additions only: the
+    // headline, the full line and the sidecar keep their exact shapes.
+    results.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      println(s"""{"q":${jstr(k)},"sec":${jnum(v)}}""")
+    }
     println(headline)
     println(line)
     println(headline)

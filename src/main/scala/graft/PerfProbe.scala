@@ -57,11 +57,19 @@ object PerfProbe {
         }
     }
     if (stages) spark.sparkContext.addSparkListener(jobListener)
-    def jobStats(t0Ms: Long, t1Ms: Long): (Int, Double) = jobStarts.synchronized {
-      val spans = jobSpans.filter(_._2 >= t0Ms).map(s => (math.max(s._1, t0Ms), s._2)).sortBy(_._1)
-      var covered = 0L; var cur = t0Ms
-      spans.foreach { case (s, e) => if (e > cur) { covered += e - math.max(s, cur); cur = math.max(cur, e) } }
-      (spans.size, (t1Ms - t0Ms - covered) / 1e3)
+    def jobStats(t0Ms: Long, t1Ms: Long): (Int, Double) = {
+      // drain the async listener bus first: an onJobEnd not yet delivered
+      // would understate covered time (overstating "dark"), and span ends
+      // are clamped to the window so a late-ending span can't push
+      // covered past the window (negative dark).
+      org.apache.spark.sql.graftbridge.ColumnBridge.drainListenerBus(spark.sparkContext)
+      jobStarts.synchronized {
+        val spans = jobSpans.filter(_._2 >= t0Ms)
+          .map(s => (math.max(s._1, t0Ms), math.min(s._2, t1Ms))).sortBy(_._1)
+        var covered = 0L; var cur = t0Ms
+        spans.foreach { case (s, e) => if (e > cur) { covered += e - math.max(s, cur); cur = math.max(cur, e) } }
+        (spans.size, (t1Ms - t0Ms - covered) / 1e3)
+      }
     }
     if (stages) spark.sparkContext.addSparkListener(listener)
     // --scale:m — time the queries against an m× synthetic corpus (the

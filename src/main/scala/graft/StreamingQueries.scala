@@ -22,18 +22,18 @@ object StreamingQueries {
 
   private def stagedSource(spark: SparkSession, sfDir: String, caller: String): String = {
     val base = stagedDirs.getOrElseUpdate(sfDir, stageEventDirImpl(spark, sfDir))
-    val out = graft.io.TempDirs.createTracked(s"graft_stream_$caller").toString
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
-    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(base),
-      fs, new org.apache.hadoop.fs.Path(out), false, true,
-      spark.sparkContext.hadoopConfiguration)
-    // copy lands under out/<basename>; re-pin mtimes by name order (the
-    // copy does not preserve them, and ingestion order rides on mtime)
-    val copied = new java.io.File(out).listFiles().head
-    copied.listFiles().sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(1000000000000L + i * 60000L)
+    // per-invocation OVERLAY dir: the mutating consumer appends sentinel
+    // files, so it cannot share the base directory — but the base FILES
+    // are immutable, so hard links (same inode, no byte copy) stand in
+    // for the full per-invocation copy; only the sentinel files are ever
+    // new bytes. mtimes ride the shared inode and the base's are already
+    // pinned in name order, so ingestion order is preserved as-is.
+    val out = java.nio.file.Paths.get(
+      graft.io.TempDirs.createTracked(s"graft_stream_$caller").toString)
+    new java.io.File(base).listFiles().filter(_.isFile).foreach { f =>
+      java.nio.file.Files.createLink(out.resolve(f.getName), f.toPath)
     }
-    copied.getAbsolutePath
+    out.toString
   }
 
   private def stageEventDirImpl(spark: SparkSession, sfDir: String): String = {
@@ -126,26 +126,54 @@ object StreamingQueries {
     try {
       q.processAllAvailable()
       // sentinel events far in the future: advance the watermark, then fire
-      // the event-time timeouts in a follow-up batch
-      val far = Tables.read(spark, sfDir, "events").select(max(col("ts"))).collect()(0)
-        .getTimestamp(0).getTime
-      Seq(
-        Streams.Event(99999901L, new java.sql.Timestamp(far + 86400000L), 9999991L, "view", 0.0),
-        Streams.Event(99999902L, new java.sql.Timestamp(far + 86400000L * 2), 9999992L, "view", 0.0))
-        .zipWithIndex.foreach { case (e, i) =>
-          Seq(e).toDF().write.mode("overwrite").parquet(s"$dir/__sentinel$i")
-          val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
-          fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/__sentinel$i"))
-            .filter(_.getPath.getName.startsWith("part-"))
-            .foreach(st => fs.rename(st.getPath,
-              new org.apache.hadoop.fs.Path(s"$dir/zz_sentinel$i.parquet")))
-          q.processAllAvailable()
-        }
+      // the event-time timeouts in a follow-up batch. The sentinel FILES
+      // are a deterministic function of the dataset (far = max event ts),
+      // so they stage once per (app, sfDir) and each invocation overlays
+      // them into its private dir as hard links — the two per-invocation
+      // 1-row parquet write jobs were fixture encoding, not the operator.
+      (0 until 2).foreach { i =>
+        val staged = stagedSessionSentinels(spark, sfDir)(i)
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(s"$dir/zz_sentinel$i.parquet"), staged)
+        q.processAllAvailable()
+      }
     } finally q.stop()
     spark.table(name)
       .where(col("user_id") < 9999991L)
       .orderBy("user_id", "session_start")
   }
+
+  /** The sessionize sentinel files — two 1-row parquet files whose events
+    * sit far past the dataset's max event time (watermark advancers).
+    * Deterministic per dataset, so staged ONCE per (app, sfDir) and
+    * hard-linked into each invocation's private source dir; mtimes are
+    * pinned AFTER the base batch files so listing order stays the
+    * ingestion order. */
+  private val sessionSentinelDirs =
+    scala.collection.concurrent.TrieMap[(String, String), IndexedSeq[java.nio.file.Path]]()
+
+  private def stagedSessionSentinels(
+      spark: SparkSession, sfDir: String): IndexedSeq[java.nio.file.Path] =
+    sessionSentinelDirs.getOrElseUpdate(
+      (spark.sparkContext.applicationId, sfDir), {
+        import spark.implicits._
+        val far = Tables.read(spark, sfDir, "events").select(max(col("ts"))).collect()(0)
+          .getTimestamp(0).getTime
+        val dir = graft.io.TempDirs.createTracked("graft_stream_sentinels").toString
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        Seq(
+          Streams.Event(99999901L, new java.sql.Timestamp(far + 86400000L), 9999991L, "view", 0.0),
+          Streams.Event(99999902L, new java.sql.Timestamp(far + 86400000L * 2), 9999992L, "view", 0.0))
+          .zipWithIndex.map { case (e, i) =>
+            Seq(e).toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/s$i")
+            val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/s$i"))
+              .filter(_.getPath.getName.startsWith("part-")).head
+            val out = new java.io.File(s"$dir/sentinel$i.parquet")
+            fs.rename(part.getPath, new org.apache.hadoop.fs.Path(out.getPath))
+            out.setLastModified(1000000000000L + (4 + i) * 60000L)
+            out.toPath
+          }.toIndexedSeq
+      })
 
   /** Stage `first`/`second` as two mtime-ordered parquet files so
     * `maxFilesPerTrigger=1` replays them as two micro-batches — the
@@ -163,23 +191,31 @@ object StreamingQueries {
   private val twoBatchDirs = scala.collection.concurrent.TrieMap[(String, String, String), String]()
 
   private def stageTwoBatches(spark: SparkSession, sfDir: String,
-      first: => DataFrame, second: => DataFrame, prefix: String): String =
-    twoBatchDirs.getOrElseUpdate(
-      (spark.sparkContext.applicationId, sfDir, prefix), {
-    val dir = graft.io.TempDirs.createTracked(prefix).toString
-    first.coalesce(1).write.mode("overwrite").parquet(s"$dir/b0")
-    second.coalesce(1).write.mode("overwrite").parquet(s"$dir/b1")
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
-    Seq("b0", "b1").zipWithIndex.foreach { case (sub, i) =>
-      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
-        .filter(_.getPath.getName.startsWith("part-"))
-        .foreach { st =>
-          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(s"$dir/in$i.parquet"))
-          new java.io.File(s"$dir/in$i.parquet").setLastModified(1000000000000L + i * 60000L)
-        }
+      first: => DataFrame, second: => DataFrame, prefix: String): String = {
+    val key = (spark.sparkContext.applicationId, sfDir, prefix)
+    def stage(): String = {
+      val dir = graft.io.TempDirs.createTracked(prefix).toString
+      first.coalesce(1).write.mode("overwrite").parquet(s"$dir/b0")
+      second.coalesce(1).write.mode("overwrite").parquet(s"$dir/b1")
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      Seq("b0", "b1").zipWithIndex.foreach { case (sub, i) =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+          .filter(_.getPath.getName.startsWith("part-"))
+          .foreach { st =>
+            fs.rename(st.getPath, new org.apache.hadoop.fs.Path(s"$dir/in$i.parquet"))
+            new java.io.File(s"$dir/in$i.parquet").setLastModified(1000000000000L + i * 60000L)
+          }
+      }
+      dir
     }
-    dir
-  })
+    val dir = twoBatchDirs.getOrElseUpdate(key, stage())
+    // an external tmp reaper may remove the dir in a long-lived session —
+    // validate the artifact is still complete before serving it, re-stage
+    // on miss (the memo holds FIXTURE paths, never results)
+    if (new java.io.File(s"$dir/in0.parquet").isFile &&
+        new java.io.File(s"$dir/in1.parquet").isFile) dir
+    else { val fresh = stage(); twoBatchDirs.put(key, fresh); fresh }
+  }
 
   /** Streaming Count-Min: the d×w counter table
     * ([[graft.functions.Sketch.cmsTable]]) as a stateful streaming

@@ -37,8 +37,11 @@ object Tables {
     * footers on every query. Without it, every timed query that calls
     * [[registerAll]] pays ~10 driver-side footer inferences inside the
     * measured region — fixed overhead that measures the test harness, not
-    * the query. Keyed by session too because the inferred schema depends
-    * on confs this module itself pins (`nanosAsLong` for events). Only
+    * the query. APPLICATION-scoped (applicationId, path) — all sessions
+    * of one SparkContext share entries, which is safe here because the
+    * only schema-affecting conf (`nanosAsLong` for events) is pinned by
+    * this module itself on every call; a second session with different
+    * parquet-inference confs is not a shape this engine creates. Only
     * the SCHEMA is memoized — data is re-read from parquet on every
     * execution. */
   private val schemaCache =

@@ -278,8 +278,11 @@ object Similarity {
 
     // Cell labels are matrix row indices — consistent between the corpus
     // assignment and the query probes because both use the same matrix.
+    // Non-nullable like [[kmeansAssignCol]] (same inferred-isnotnull
+    // duplication when __cid becomes a join key): the fused top-1 loop
+    // always yields an index for the non-null normalized vectors here.
     def nearestCid(matrix: Seq[Seq[Float]], v: Column): Column =
-      nearestCentroids(v, matrix, 1).getItem(0)
+      coalesce(nearestCentroids(v, matrix, 1).getItem(0), lit(0))
 
     var seedArr = seeds.as[(Int, Seq[Float])].collect()
     // The probabilistic threshold can under-sample a small corpus; top up
@@ -542,11 +545,24 @@ object Similarity {
     * per row, index mapped back to the surviving cid. Rows are ordered by
     * ascending cid, so the strict-> comparison inside the expression
     * realizes the ties-to-lowest-cid rule. Expects the normalized-double
-    * `__v` column produced by [[kmeansFit]]. */
+    * `__v` column produced by [[kmeansFit]].
+    *
+    * NON-NULLABLE by construction (`coalesce` with a literal fallback the
+    * expression can never reach — the fused argmax always returns a valid
+    * matrix index for a non-null vector, and the corpora carry no null
+    * vectors): when the assignment column is a join/group key downstream,
+    * a nullable alias makes `InferFiltersFromConstraints` add
+    * `isnotnull(<alias>)` and predicate pushdown then substitutes the
+    * ENTIRE defining expression into the scan-stage filter — measured as
+    * a 13–22 KB `isnotnull(element_at(..., nearest_centroid_d(...)))`
+    * condition re-evaluating the whole k-means assignment per row, at ANY
+    * partition count. A non-nullable alias generates no such constraint,
+    * so the fix is scale-independent (round-15 verdict task 1). */
   private def kmeansAssignCol(cids: Array[Int], matrix: Seq[Seq[Double]]): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    element_at(lit(cids), ColumnBridge.column(
-      NearestCentroidDoubleExpr(ColumnBridge.expression(col("__v")), matrix)) + 1)
+    coalesce(element_at(lit(cids), ColumnBridge.column(
+      NearestCentroidDoubleExpr(ColumnBridge.expression(col("__v")), matrix)) + 1),
+      lit(cids.head))
   }
 
   /** Stateless cell assignment against a driver-resident index — the

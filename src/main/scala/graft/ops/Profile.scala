@@ -45,8 +45,7 @@ object Profile {
     // by itself — the guide's unsplittable-input remedy; at real scale the
     // input arrives in thousands of splits, the guard is false, and no
     // exchange is added (a blind repartition would shuffle the full table).
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val input = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val input = Scale.spreadIfNarrow(df)
     val fields = input.schema.fields
     val aggs: Seq[Column] = fields.zipWithIndex.flatMap { case (f, i) =>
       val c = col(f.name)

@@ -33,10 +33,21 @@ object Scale {
     * `p_pipeline_full`'s token-count gate arrived at the scan with the
     * full 40-regexp stripHtml chain substituted 4×). The checkpoint also
     * lets multi-consumer subtrees (dedup's aggregate + join-back) reuse
-    * the materialized rows instead of re-running the scan subtree. */
+    * the materialized rows instead of re-running the scan subtree.
+    *
+    * Reliability caveat (same as the [[graft.functions.Dedup]] iteration
+    * checkpoints): `localCheckpoint` stores blocks in executor-local
+    * storage with no replication — on a cluster with dynamic allocation /
+    * executor decommission, losing a holder aborts the job instead of
+    * recomputing. The guard confines the barrier to inputs narrower than
+    * the session parallelism, i.e. small relations; a reliability-critical
+    * caller should materialize to durable storage instead. */
   def spreadIfNarrow(df: DataFrame, barrier: Boolean = false): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) {
+    // toRdd, not .rdd: the guard only needs the PHYSICAL partition count;
+    // .rdd would append a row-deserializing conversion to the planned
+    // query before asking the same question.
+    if (df.queryExecution.toRdd.getNumPartitions < par) {
       val spread = df.repartition(par)
       if (barrier) spread.localCheckpoint(false) else spread
     } else df

@@ -12,6 +12,10 @@ object Bench {
       // duplicates gram-lambda evaluation into few-task scan stages
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // see GraftSession.localSpark: keep byte-small compute-dense
+      // post-shuffle stages parallel (floor only binds on tiny shuffles)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       // 60 queries × several codegen'd stages overflow the default
       // 100-entry generated-class cache, so pass 2 re-compiles (and

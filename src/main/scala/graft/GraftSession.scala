@@ -737,6 +737,15 @@ object GraftSession {
       // evaluation everywhere at once.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // AQE coalescing floors post-shuffle partitions at 1 MB, which
+      // serializes compute-dense byte-small stages (per-column distinct
+      // aggregates, candidate-pair relations) into 1-2 tasks. Bytes are a
+      // poor proxy for compute density at these sizes; a 64k floor keeps
+      // parallelismFirst semantics down to tiny shuffles. Scale-safe: the
+      // floor only binds when a WHOLE shuffle is under ~2 MB/core — at
+      // production sizes it is a no-op. Parameterized for cluster tuning.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -19,6 +19,10 @@ object Verify {
       // duplicates gram-lambda evaluation into few-task scan stages
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // see GraftSession.localSpark: keep byte-small compute-dense
+      // post-shuffle stages parallel (floor only binds on tiny shuffles)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         "/tmp/graft-warehouse-" + java.util.UUID.randomUUID().toString.take(8))
